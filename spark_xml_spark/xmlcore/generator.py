@@ -1,0 +1,242 @@
+"""Row -> XML text generation (the write path).
+
+Python re-implementation of the reference's generator semantics
+(/root/reference/src/main/scala/com/databricks/spark/xml/parsers/
+StaxXmlGenerator.scala:40-159):
+
+- struct fields whose names start with ``attributePrefix`` (and are not the
+  valueTag) are written as XML attributes, before child elements
+- the valueTag field writes bare character data (no wrapping element)
+- null fields are omitted unless ``nullValue`` is set, in which case the
+  element/attribute is written with that value (StaxXmlGenerator.scala:50-52,
+  65-69, 85)
+- arrays unroll into repeated elements of the field name; arrays nested
+  directly inside arrays wrap items in ``arrayElementName``
+  (StaxXmlGenerator.scala:74-77,110-113)
+- maps write attribute-prefixed keys as attributes, the rest as child
+  elements (StaxXmlGenerator.scala:115-123)
+- timestamps default to ISO-8601 instant format, dates to ISO date,
+  overridable with timestampFormat/dateFormat (StaxXmlGenerator.scala:87-95)
+
+Document framing (declaration + rootTag with optional inline attributes, one
+complete document per partition) follows XmlFile.scala:88-155 and lives in
+the writer (sources/datasource.py).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+from typing import Any, Iterable, Iterator, List
+
+from pyspark.sql import types as T
+
+from spark_xml_spark.options import XmlOptions
+from spark_xml_spark.xmlcore.casts import java_time_pattern_to_strptime
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return _escape_text(s).replace('"', "&quot;")
+
+
+def _java_strftime(fmt_pattern: str, dt: _dt.datetime) -> str:
+    return dt.strftime(java_time_pattern_to_strptime(fmt_pattern))
+
+
+def format_timestamp(v: _dt.datetime, options: XmlOptions) -> str:
+    """ISO_INSTANT by default (naive values are UTC); custom pattern +
+    timezone honored (StaxXmlGenerator.scala:87-91)."""
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=_dt.timezone.utc)
+    if options.timestamp_format:
+        if options.timezone:
+            try:
+                from zoneinfo import ZoneInfo
+
+                v = v.astimezone(ZoneInfo(options.timezone))
+            except Exception:
+                pass
+        return _java_strftime(options.timestamp_format, v)
+    v = v.astimezone(_dt.timezone.utc)
+    base = v.strftime("%Y-%m-%dT%H:%M:%S")
+    if v.microsecond:
+        frac = f"{v.microsecond:06d}".rstrip("0")
+        # pad to 3/6 digits like java.time's ISO_INSTANT millis/micros groups
+        width = 3 if len(frac) <= 3 else 6
+        base += "." + frac.ljust(width, "0")
+    return base + "Z"
+
+
+def format_date(v: _dt.date, options: XmlOptions) -> str:
+    if options.date_format:
+        return _java_strftime(options.date_format, _dt.datetime(v.year, v.month, v.day))
+    return v.isoformat()
+
+
+def _scalar_text(dt: T.DataType, v: Any, options: XmlOptions) -> str:
+    if isinstance(dt, T.TimestampType):
+        return format_timestamp(v, options)
+    if isinstance(dt, T.DateType):
+        return format_date(v, options)
+    if isinstance(dt, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return repr(float(v))
+    if isinstance(dt, T.DecimalType) and isinstance(v, _decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        import base64
+
+        return base64.b64encode(v).decode("ascii")
+    return str(v)
+
+
+def _field_values(v: Any, schema: T.StructType) -> List[Any]:
+    """Struct value as a positional list (Row, tuple, or dict accepted)."""
+    if v is None:
+        return [None] * len(schema.fields)
+    if isinstance(v, dict):
+        return [v.get(f.name) for f in schema.fields]
+    return list(v)
+
+
+class _Writer:
+    __slots__ = ("out", "options")
+
+    def __init__(self, options: XmlOptions):
+        self.out: List[str] = []
+        self.options = options
+
+    def _write_element(self, dt: T.DataType, v: Any) -> None:
+        opts = self.options
+        if v is None:
+            if opts.null_value is not None:
+                self.out.append(_escape_text(opts.null_value))
+            return
+        if isinstance(dt, T.StructType):
+            self._write_struct_body(dt, v)
+        elif isinstance(dt, T.ArrayType):
+            # Array directly inside an array: wrap in arrayElementName
+            # (StaxXmlGenerator.scala:110-113).
+            for e in v:
+                self._write_child(opts.array_element_name, dt.elementType, e)
+        elif isinstance(dt, T.MapType):
+            # Attribute-prefixed keys were emitted as attributes by
+            # _write_child_element (StaxXmlGenerator.scala:115-123).
+            for k, val in v.items():
+                k = str(k)
+                if k.startswith(opts.attribute_prefix) and k != opts.value_tag:
+                    continue
+                self._write_child(k, dt.valueType, val)
+        else:
+            self.out.append(_escape_text(_scalar_text(dt, v, opts)))
+
+    def _write_struct_body(self, schema: T.StructType, v: Any) -> None:
+        opts = self.options
+        values = _field_values(v, schema)
+        # Attribute-prefixed fields were emitted by _write_child_element /
+        # row_to_xml via _struct_attrs; only elements remain here.
+        for f, fv in zip(schema.fields, values):
+            if f.name.startswith(opts.attribute_prefix) and f.name != opts.value_tag:
+                continue
+            self._write_child(f.name, f.dataType, fv)
+
+    def _struct_attrs(self, schema: T.StructType, v: Any) -> List[str]:
+        opts = self.options
+        values = _field_values(v, schema)
+        parts = []
+        for f, fv in zip(schema.fields, values):
+            if f.name.startswith(opts.attribute_prefix) and f.name != opts.value_tag:
+                name = f.name[len(opts.attribute_prefix):]
+                if fv is None or isinstance(f.dataType, T.NullType):
+                    if opts.null_value is not None:
+                        parts.append(f' {name}="{_escape_attr(opts.null_value)}"')
+                else:
+                    parts.append(
+                        f' {name}="{_escape_attr(_scalar_text(f.dataType, fv, opts))}"'
+                    )
+        return parts
+
+    def _map_attrs(self, dt: T.MapType, v: dict) -> List[str]:
+        opts = self.options
+        parts = []
+        for k, val in (v or {}).items():
+            k = str(k)
+            if k.startswith(opts.attribute_prefix) and k != opts.value_tag:
+                name = k[len(opts.attribute_prefix):]
+                if val is None:
+                    if opts.null_value is not None:
+                        parts.append(f' {name}="{_escape_attr(opts.null_value)}"')
+                else:
+                    parts.append(
+                        f' {name}="{_escape_attr(_scalar_text(dt.valueType, val, opts))}"'
+                    )
+        return parts
+
+    def _write_child(self, name: str, dt: T.DataType, v: Any) -> None:
+        opts = self.options
+        if name.startswith(opts.attribute_prefix) and name != opts.value_tag:
+            # handled as attribute by the enclosing element
+            return
+        if isinstance(dt, T.ArrayType):
+            for e in v if v is not None else []:
+                self._write_child_element(name, dt.elementType, e)
+        else:
+            self._write_child_element(name, dt, v)
+
+    def _write_child_element(self, name: str, dt: T.DataType, v: Any) -> None:
+        opts = self.options
+        if (v is None or isinstance(dt, T.NullType)) and opts.null_value is None:
+            return  # null elements are simply not written
+        if name == opts.value_tag:
+            self._write_element(dt, v)
+            return
+        if isinstance(dt, T.StructType):
+            self.out.append(f"<{name}")
+            self.out.extend(self._struct_attrs(dt, v) if v is not None else [])
+            self.out.append(">")
+            self._write_element(dt, v)
+            self.out.append(f"</{name}>")
+        elif isinstance(dt, T.MapType):
+            self.out.append(f"<{name}")
+            self.out.extend(self._map_attrs(dt, v) if v is not None else [])
+            self.out.append(">")
+            self._write_element(dt, v)
+            self.out.append(f"</{name}>")
+        else:
+            self.out.append(f"<{name}>")
+            self._write_element(dt, v)
+            self.out.append(f"</{name}>")
+
+
+def row_to_xml(schema: T.StructType, row: Any, options: XmlOptions) -> str:
+    """One row -> one ``<rowTag>...</rowTag>`` fragment
+    (StaxXmlGenerator.scala:140-158)."""
+    w = _Writer(options)
+    w.out.append(f"<{options.row_tag}")
+    w.out.extend(w._struct_attrs(schema, row))
+    w.out.append(">")
+    w._write_struct_body(schema, row)
+    w.out.append(f"</{options.row_tag}>")
+    return "".join(w.out)
+
+
+def rows_to_document(
+    schema: T.StructType, rows: Iterable[Any], options: XmlOptions
+) -> Iterator[str]:
+    """Frame a partition of rows as one complete XML document
+    (XmlFile.scala:104-155): declaration, rootTag (optionally carrying inline
+    attributes, e.g. rootTag="books foo='bar'"), one row fragment per line,
+    closing rootTag."""
+    if options.declaration:
+        yield f"<?xml {options.declaration}?>"
+    root_tag = options.root_tag
+    yield f"<{root_tag}>"
+    root_name = root_tag.split(" ")[0]
+    for row in rows:
+        yield "    " + row_to_xml(schema, row, options)
+    yield f"</{root_name}>"

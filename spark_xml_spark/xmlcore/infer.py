@@ -1,0 +1,304 @@
+"""Schema inference over XML records.
+
+Python re-implementation of the reference's InferSchema
+(/root/reference/src/main/scala/com/databricks/spark/xml/util/InferSchema.scala):
+
+- per-value sniffing order: null/empty -> Null, long, integer, double,
+  boolean, timestamp, date, else string (InferSchema.scala:103-125)
+- repeated sibling elements merge into ArrayType (InferSchema.scala:220-228)
+- attributes become prefixed fields; text+attribute elements get a valueTag
+  field (InferSchema.scala:166-232)
+- struct fields sorted by name — "other code relies on this sorting for
+  correctness" (InferSchema.scala:230-231)
+- the compatible-type lattice: numeric precedence
+  Byte<Short<Int<Long<Float<Double<Timestamp<Decimal(38,18), struct/struct
+  field-union, array wraps mismatched sides, scalar merges into a struct's
+  valueTag, fallback String (InferSchema.scala:39-59,267-332)
+- canonicalization: Null->String, empty structs deleted
+  (InferSchema.scala:237-262)
+
+The distributed plan (the reference's RDD fold, InferSchema.scala:67-101) is
+re-expressed in Spark as a per-partition partial merge + driver final merge —
+see sources/api.py. At 100 TB the driver only ever sees one partial schema
+per partition, never data.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, List, Optional, Tuple
+
+from pyspark.sql import types as T
+
+from spark_xml_spark.options import XmlOptions, PERMISSIVE
+from spark_xml_spark.xmlcore import events as ev
+from spark_xml_spark.xmlcore.casts import (
+    is_boolean,
+    is_date,
+    is_double,
+    is_integer,
+    is_long,
+    is_timestamp,
+)
+
+# Numeric widening precedence, copied from Catalyst's TypeCoercion via
+# InferSchema.scala:39-48.
+_NUMERIC_PRECEDENCE: List[T.DataType] = [
+    T.ByteType(),
+    T.ShortType(),
+    T.IntegerType(),
+    T.LongType(),
+    T.FloatType(),
+    T.DoubleType(),
+    T.TimestampType(),
+    T.DecimalType(38, 18),
+]
+
+
+def infer_from(datum: Optional[str], options: XmlOptions) -> T.DataType:
+    """Sniff one string value's type (InferSchema.scala:103-125)."""
+    value = datum
+    if value is not None and options.ignore_surrounding_spaces:
+        value = value.strip()
+    if not options.infer_schema:
+        return T.StringType()
+    if value is None or value == "":
+        return T.NullType()
+    if is_long(value):
+        return T.LongType()
+    if is_integer(value):
+        return T.IntegerType()
+    if is_double(value):
+        return T.DoubleType()
+    if is_boolean(value):
+        return T.BooleanType()
+    if is_timestamp(value, options):
+        return T.TimestampType()
+    if is_date(value, options):
+        return T.DateType()
+    return T.StringType()
+
+
+def infer_field(stream: ev.EventStream, options: XmlOptions) -> T.DataType:
+    """Infer the type of the current element body (InferSchema.scala:128-161).
+    Leaves the element's own EndElement unconsumed."""
+    while True:
+        kind, payload = stream.peek()
+        if kind in (ev.END, ev.END_DOC):
+            return T.NullType()
+        if kind == ev.START:
+            return infer_object(stream, options)
+        # CHARS
+        data = payload
+        if ev.is_whitespace(data):
+            stream.next()
+            nk, _ = stream.peek()
+            if nk == ev.START:
+                return infer_object(stream, options)
+            if nk in (ev.END, ev.END_DOC):
+                if data == "" or options.treat_empty_values_as_nulls:
+                    return T.NullType()
+                return T.StringType()
+            continue
+        character_type = infer_from(data, options)
+        stream.next()
+        nk, _ = stream.peek()
+        if nk == ev.START:
+            # Mixed content: some elements follow, ignore the characters
+            # (InferSchema.scala:149-153).
+            return infer_object(stream, options)
+        return character_type
+
+
+def infer_object(
+    stream: ev.EventStream,
+    options: XmlOptions,
+    root_attributes: Optional[List[Tuple[str, str]]] = None,
+) -> T.DataType:
+    """Infer a struct from the element's children (InferSchema.scala:166-232)."""
+    name_to_types: dict = {}
+
+    for f, v in ev.attributes_to_values_map(root_attributes or [], options):
+        name_to_types.setdefault(f, []).append(infer_from(v, options))
+
+    while True:
+        kind, payload = stream.next()
+        if kind == ev.START:
+            name, attrs = payload
+            values_map = ev.attributes_to_values_map(attrs, options)
+            inferred = infer_field(stream, options)
+            if values_map:
+                if isinstance(inferred, T.StructType):
+                    nested = {f.name: f.dataType for f in inferred.fields}
+                else:
+                    nested = {options.value_tag: inferred}
+                for f, v in values_map:
+                    nested[f] = infer_from(v, options)
+                inferred = T.StructType(
+                    [
+                        T.StructField(n, dt, True)
+                        for n, dt in sorted(nested.items())
+                    ]
+                )
+            field = ev.get_name(name, options)
+            name_to_types.setdefault(field, []).append(inferred)
+        elif kind == ev.END:
+            if ev.check_end_element(stream):
+                break
+        elif kind == ev.END_DOC:
+            break
+
+    fields = []
+    for name, dts in name_to_types.items():
+        if len(dts) > 1:
+            merged = dts[0]
+            for dt in dts[1:]:
+                merged = compatible_type(merged, dt, options)
+            fields.append(T.StructField(name, T.ArrayType(merged), True))
+        else:
+            fields.append(T.StructField(name, dts[0], True))
+    # Sorted by name — schema goldens depend on it (InferSchema.scala:230-231).
+    return T.StructType(sorted(fields, key=lambda f: f.name))
+
+
+def _numeric_index(dt: T.DataType) -> int:
+    for i, t in enumerate(_NUMERIC_PRECEDENCE):
+        if type(t) is type(dt):
+            return i
+    return -1
+
+
+def compatible_type(t1: T.DataType, t2: T.DataType, options: XmlOptions) -> T.DataType:
+    """Most general type covering both (InferSchema.scala:267-332)."""
+    if t1 == t2:
+        return t1
+    i1, i2 = _numeric_index(t1), _numeric_index(t2)
+    if i1 >= 0 and i2 >= 0:
+        # Decimal merging keeps precision when it fits (InferSchema.scala:278-286)
+        if isinstance(t1, T.DecimalType) and isinstance(t2, T.DecimalType):
+            scale = max(t1.scale, t2.scale)
+            rng = max(t1.precision - t1.scale, t2.precision - t2.scale)
+            if rng + scale > 38:
+                return T.DoubleType()
+            return T.DecimalType(rng + scale, scale)
+        if (isinstance(t1, T.DoubleType) and isinstance(t2, T.DecimalType)) or (
+            isinstance(t1, T.DecimalType) and isinstance(t2, T.DoubleType)
+        ):
+            return T.DoubleType()
+        return _NUMERIC_PRECEDENCE[max(i1, i2)]
+
+    if isinstance(t1, T.StructType) and isinstance(t2, T.StructType):
+        merged: dict = {}
+        for f in list(t1.fields) + list(t2.fields):
+            if f.name in merged:
+                merged[f.name] = compatible_type(merged[f.name], f.dataType, options)
+            else:
+                merged[f.name] = f.dataType
+        return T.StructType(
+            [T.StructField(n, dt, True) for n, dt in sorted(merged.items())]
+        )
+
+    if isinstance(t1, T.ArrayType) and isinstance(t2, T.ArrayType):
+        return T.ArrayType(
+            compatible_type(t1.elementType, t2.elementType, options),
+            t1.containsNull or t2.containsNull,
+        )
+    # Array absorbs the other side (InferSchema.scala:300-306)
+    if isinstance(t1, T.ArrayType):
+        return T.ArrayType(compatible_type(t1.elementType, t2, options))
+    if isinstance(t2, T.ArrayType):
+        return T.ArrayType(compatible_type(t1, t2.elementType, options))
+
+    # Scalar vs struct-with-valueTag merges into the valueTag
+    # (InferSchema.scala:308-323)
+    for st, other, flip in ((t1, t2, False), (t2, t1, True)):
+        if isinstance(st, T.StructType) and options.value_tag in st.fieldNames():
+            fields = []
+            for f in st.fields:
+                if f.name == options.value_tag:
+                    merged_dt = (
+                        compatible_type(other, f.dataType, options)
+                        if flip
+                        else compatible_type(f.dataType, other, options)
+                    )
+                    fields.append(T.StructField(f.name, merged_dt, True))
+                else:
+                    fields.append(f)
+            return T.StructType(fields)
+
+    if isinstance(t2, T.NullType):
+        return t1
+    if isinstance(t1, T.NullType):
+        return t2
+    return T.StringType()
+
+
+def canonicalize_type(dt: T.DataType) -> Optional[T.DataType]:
+    """Null->String; empty structs removed (InferSchema.scala:237-262)."""
+    if isinstance(dt, T.ArrayType):
+        inner = canonicalize_type(dt.elementType)
+        if inner is None:
+            return None
+        return T.ArrayType(inner, dt.containsNull)
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            if not f.name:
+                continue
+            inner = canonicalize_type(f.dataType)
+            if inner is not None:
+                fields.append(T.StructField(f.name, inner, f.nullable))
+        if fields:
+            return T.StructType(fields)
+        return None
+    if isinstance(dt, T.NullType):
+        return T.StringType()
+    return dt
+
+
+def infer_record(xml: str, options: XmlOptions) -> Optional[T.DataType]:
+    """Schema of a single record; PERMISSIVE failures contribute a lone
+    corrupt-record column (InferSchema.scala:77-91)."""
+    try:
+        stream = ev.filtered_reader(xml)
+        root_attributes = ev.gather_root_attributes(stream)
+        return infer_object(stream, options, root_attributes)
+    except Exception:
+        if options.mode == PERMISSIVE:
+            return T.StructType(
+                [T.StructField(options.column_name_of_corrupt_record, T.StringType(), True)]
+            )
+        return None
+
+
+def infer_schema_from_records(
+    records: Iterable[str], options: XmlOptions
+) -> T.StructType:
+    """Driver-side / per-partition inference: fold record schemas with
+    compatible_type, then canonicalize (InferSchema.scala:67-101)."""
+    merged: T.DataType = T.StructType([])
+    for xml in records:
+        rt = infer_record(xml, options)
+        if rt is not None:
+            merged = compatible_type(merged, rt, options)
+    out = canonicalize_type(merged)
+    if isinstance(out, T.StructType):
+        return out
+    return T.StructType([])
+
+
+def partial_schema_json(records: Iterable[str], options: XmlOptions) -> str:
+    """Serialized partial schema for the distributed merge (executor side)."""
+    return infer_schema_from_records(records, options).json()
+
+
+def merge_schema_jsons(parts: Iterable[str], options: XmlOptions) -> T.StructType:
+    """Driver-side final merge of per-partition partial schemas."""
+    merged: T.DataType = T.StructType([])
+    for p in parts:
+        st = T.StructType.fromJson(json.loads(p))
+        merged = compatible_type(merged, st, options)
+    out = canonicalize_type(merged)
+    if isinstance(out, T.StructType):
+        return out
+    return T.StructType([])

@@ -1,0 +1,337 @@
+"""XML record string -> row values, driven by a requested schema.
+
+Python re-implementation of the reference's StAX pull-parser semantics
+(/root/reference/src/main/scala/com/databricks/spark/xml/parsers/
+StaxXmlParser.scala:129-373):
+
+- structs, arrays (repeated sibling elements), maps (child name -> key)
+- attributes as ``attributePrefix``-prefixed fields, valueTag for
+  attribute+text elements, wildcard column absorbing unmatched children
+- mixed content: character data ignored when complex children follow, but
+  captured verbatim when the schema says StringType
+- column pruning: subtrees of unrequested fields are skipped without
+  allocation (StaxXmlParser.scala:352-354)
+- three parse modes (PERMISSIVE partial rows + corrupt column /
+  DROPMALFORMED / FAILFAST, StaxXmlParser.scala:54-124) with partial-result
+  propagation (PartialResultException.scala:25-28)
+
+Event-consumption invariant (mirrors the reference's loop structure): every
+``convert_*`` call parses an element's *body* and leaves the element's own
+EndElement unconsumed; the enclosing object loop consumes child ENDs one at a
+time and stops when the event *after* a consumed END is itself an END.
+
+Rows are returned as Python tuples (nested structs = tuples, arrays = lists,
+maps = dicts) ready for Spark conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, List, Optional, Tuple
+
+from pyspark.sql import types as T
+
+from spark_xml_spark.options import XmlOptions, PERMISSIVE, DROPMALFORMED, FAILFAST
+from spark_xml_spark.xmlcore import events as ev
+from spark_xml_spark.xmlcore.casts import cast_to
+
+
+class PartialResultError(Exception):
+    """Carries the partially-parsed row alongside the failure cause
+    (reference PartialResultException.scala:25-28)."""
+
+    def __init__(self, partial: tuple, cause: Exception):
+        super().__init__(str(cause))
+        self.partial = partial
+        self.cause = cause
+
+
+class MalformedRecordError(ValueError):
+    pass
+
+
+def _convert_complicated(stream, dt: T.DataType, options: XmlOptions, attributes):
+    if isinstance(dt, T.StructType):
+        return convert_object(stream, dt, options)
+    if isinstance(dt, T.MapType):
+        return _convert_map(stream, dt.valueType, options, attributes)
+    if isinstance(dt, T.ArrayType):
+        return convert_field(stream, dt.elementType, options)
+    if isinstance(dt, T.StringType):
+        return cast_to(ev.current_structure_as_string(stream), T.StringType(), options)
+    raise ValueError(f"cannot parse nested element as {dt.simpleString()}")
+
+
+def convert_field(
+    stream: ev.EventStream,
+    data_type: T.DataType,
+    options: XmlOptions,
+    attributes: Optional[List[Tuple[str, str]]] = None,
+) -> Any:
+    """Parse the current element body as ``data_type``
+    (StaxXmlParser.scala:129-197)."""
+    attributes = attributes or []
+    kind, payload = stream.peek()
+
+    if kind == ev.START:
+        return _convert_complicated(stream, data_type, options, attributes)
+
+    if kind in (ev.END, ev.END_DOC):
+        if isinstance(data_type, T.StringType):
+            # Empty element: "" unless nulls are explicitly configured
+            # (StaxXmlParser.scala:145-151).
+            if options.treat_empty_values_as_nulls or options.null_value == "":
+                return None
+            return ""
+        return None
+
+    # kind == CHARS — case order mirrors StaxXmlParser.scala:153-192.
+    data = payload
+
+    if isinstance(data_type, T.ArrayType):
+        # Element of a repeated field; values merge in convert_object
+        # (StaxXmlParser.scala:153-155).
+        return cast_to(data, data_type.elementType, options)
+
+    if isinstance(data_type, T.StructType):
+        # Either an attribute-only element whose text lands in valueTag, or
+        # mixed content where characters are ignored
+        # (StaxXmlParser.scala:156-176).
+        attributes_only = all(
+            f.name == options.value_tag or f.name.startswith(options.attribute_prefix)
+            for f in data_type.fields
+        )
+        if attributes_only:
+            for f in data_type.fields:
+                if f.name == options.value_tag:
+                    return cast_to(data, f.dataType, options)
+            return None
+        stream.next()
+        if stream.peek()[0] in (ev.END, ev.END_DOC):
+            return None
+        return convert_object(stream, data_type, options)
+
+    if isinstance(data_type, T.StringType):
+        return cast_to(ev.current_structure_as_string(stream), T.StringType(), options)
+
+    if ev.is_whitespace(data):
+        # Space between elements, or an all-whitespace scalar
+        # (StaxXmlParser.scala:179-190).
+        stream.next()
+        nk, _ = stream.peek()
+        if nk == ev.START:
+            return _convert_complicated(stream, data_type, options, attributes)
+        if nk in (ev.END, ev.END_DOC):
+            if data == "" or options.treat_empty_values_as_nulls:
+                return None
+            return cast_to(data, data_type, options)
+        return convert_field(stream, data_type, options, attributes)
+
+    return cast_to(data, data_type, options)
+
+
+def _convert_map(stream, value_type: T.DataType, options: XmlOptions, attributes):
+    """Child element names become map keys (StaxXmlParser.scala:202-224)."""
+    pairs: dict = {}
+    for name, value in attributes or []:
+        pairs[options.attribute_prefix + name] = value
+    while True:
+        kind, payload = stream.next()
+        if kind == ev.START:
+            name, _attrs = payload
+            pairs[ev.get_name(name, options)] = convert_field(stream, value_type, options)
+        elif kind == ev.END:
+            if ev.check_end_element(stream):
+                break
+        elif kind == ev.END_DOC:
+            break
+    return pairs
+
+
+def _convert_attributes(attributes, schema: T.StructType, options: XmlOptions) -> dict:
+    """Typed attribute values for the fields present in the schema
+    (StaxXmlParser.scala:229-242)."""
+    out = {}
+    name_to_index = {f.name: i for i, f in enumerate(schema.fields)}
+    for f, v in ev.attributes_to_values_map(attributes, options):
+        i = name_to_index.get(f)
+        if i is not None:
+            out[f] = cast_to(v, schema.fields[i].dataType, options)
+    return out
+
+
+def _convert_object_with_attributes(
+    stream, schema: T.StructType, options: XmlOptions, attributes
+) -> tuple:
+    """Nested element -> struct row, merging its attributes
+    (StaxXmlParser.scala:249-286). A present-but-empty element yields a
+    struct of nulls, not a null struct (test XmlSuite.scala:750-767)."""
+    row: List[Any] = [None] * len(schema.fields)
+
+    value = convert_field(stream, schema, options)
+    if isinstance(value, tuple):
+        row = list(value)
+    elif value is not None and options.value_tag in schema.fieldNames():
+        row[list(schema.fieldNames()).index(options.value_tag)] = value
+
+    attributes_map = _convert_attributes(attributes or [], schema, options)
+    if attributes_map:
+        name_to_index = {f.name: i for i, f in enumerate(schema.fields)}
+        for f, v in attributes_map.items():
+            row[name_to_index[f]] = v
+
+    return tuple(row)
+
+
+def convert_object(
+    stream: ev.EventStream,
+    schema: T.StructType,
+    options: XmlOptions,
+    root_attributes: Optional[List[Tuple[str, str]]] = None,
+) -> tuple:
+    """Parse an object per the requested schema; unrequested fields are
+    skipped cheaply (StaxXmlParser.scala:292-373)."""
+    fields = schema.fields
+    row: List[Any] = [None] * len(fields)
+    name_to_index = {f.name: i for i, f in enumerate(fields)}
+
+    if root_attributes:
+        for f, v in _convert_attributes(root_attributes, schema, options).items():
+            row[name_to_index[f]] = v
+
+    wildcard = options.wildcard_col_name
+    wildcard_index = name_to_index.get(wildcard)
+    bad_exception: Optional[Exception] = None
+
+    while True:
+        kind, payload = stream.next()
+        if kind == ev.START:
+            try:
+                name, attrs = payload
+                field = ev.get_name(name, options)
+                index = name_to_index.get(field)
+                if index is not None:
+                    dt = fields[index].dataType
+                    if isinstance(dt, T.StructType):
+                        row[index] = _convert_object_with_attributes(
+                            stream, dt, options, attrs
+                        )
+                    elif isinstance(dt, T.ArrayType):
+                        values = row[index] if isinstance(row[index], list) else []
+                        et = dt.elementType
+                        if isinstance(et, T.StructType):
+                            values.append(
+                                _convert_object_with_attributes(stream, et, options, attrs)
+                            )
+                        else:
+                            values.append(convert_field(stream, et, options))
+                        row[index] = values
+                    else:
+                        row[index] = convert_field(stream, dt, options, attrs)
+                elif wildcard_index is not None:
+                    # Wildcard column absorbs any unmatched child as XML text
+                    # (StaxXmlParser.scala:337-351).
+                    new_value = convert_field(stream, T.StringType(), options)
+                    wdt = fields[wildcard_index].dataType
+                    if isinstance(wdt, T.ArrayType):
+                        values = (
+                            row[wildcard_index]
+                            if isinstance(row[wildcard_index], list)
+                            else []
+                        )
+                        values.append(new_value)
+                        row[wildcard_index] = values
+                    else:
+                        row[wildcard_index] = new_value
+                else:
+                    ev.skip_children(stream)
+            except Exception as e:  # field-level failure under PERMISSIVE
+                if options.mode == PERMISSIVE:
+                    if bad_exception is None:
+                        bad_exception = e
+                else:
+                    raise
+        elif kind == ev.END:
+            if ev.check_end_element(stream):
+                break
+        elif kind == ev.END_DOC:
+            break
+        # CHARS between/after elements are ignored here (already folded into
+        # field values by convert_field where relevant).
+
+    result = tuple(row)
+    if bad_exception is not None:
+        raise PartialResultError(result, bad_exception)
+    return result
+
+
+def parse_record(
+    xml: str,
+    schema: T.StructType,
+    options: XmlOptions,
+    mode: Optional[str] = None,
+    validator=None,
+) -> Optional[tuple]:
+    """Parse one record string into a row tuple, applying the parse-mode
+    policy (StaxXmlParser.scala:71-124). Returns None when the record is
+    dropped (DROPMALFORMED)."""
+    mode = mode or options.mode
+    try:
+        if validator is not None:
+            validator(xml)
+        stream = ev.filtered_reader(xml)
+        root_attributes = ev.gather_root_attributes(stream)
+        return convert_object(stream, schema, options, root_attributes)
+    except PartialResultError as e:
+        return _failed_record(xml, options, mode, schema, partial=e.partial, cause=e.cause)
+    except Exception as e:
+        return _failed_record(xml, options, mode, schema, cause=e)
+
+
+def _failed_record(
+    record: str,
+    options: XmlOptions,
+    mode: str,
+    schema: T.StructType,
+    partial: Optional[tuple] = None,
+    cause: Optional[Exception] = None,
+) -> Optional[tuple]:
+    if mode == FAILFAST:
+        raise MalformedRecordError("Malformed line in FAILFAST mode") from cause
+    if mode == DROPMALFORMED:
+        return None
+    # PERMISSIVE: keep partial values, raw record into the corrupt column
+    # (StaxXmlParser.scala:111-122).
+    row: List[Any] = [None] * len(schema.fields)
+    corrupt = options.column_name_of_corrupt_record
+    for i, f in enumerate(schema.fields):
+        if f.name == corrupt:
+            row[i] = record
+        elif partial is not None:
+            row[i] = partial[i]
+    return tuple(row)
+
+
+def effective_mode_for_column(schema: T.StructType, options: XmlOptions) -> str:
+    """from_xml downgrade: PERMISSIVE becomes DROPMALFORMED when the schema
+    has no corrupt-record column (StaxXmlParser.scala:54-66)."""
+    if options.mode == PERMISSIVE and not any(
+        f.name == options.column_name_of_corrupt_record for f in schema.fields
+    ):
+        return DROPMALFORMED
+    return options.mode
+
+
+def parse_records(
+    records: Iterable[str], schema: T.StructType, options: XmlOptions
+) -> Iterator[tuple]:
+    """Bulk entry point used by the data source reader: one validator per
+    partition (ValidatorUtil.scala:30-55 semantics), rows streamed out."""
+    validator = None
+    if options.row_validation_xsd_path:
+        from spark_xml_spark.xsd import get_validator
+
+        validator = get_validator(options.row_validation_xsd_path)
+    for xml in records:
+        row = parse_record(xml, schema, options, validator=validator)
+        if row is not None:
+            yield row
