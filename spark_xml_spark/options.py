@@ -139,13 +139,19 @@ class XmlOptions:
 
     @classmethod
     def from_dict(cls, params: dict) -> "XmlOptions":
-        """Build from a camelCase or snake_case option dict (string values ok)."""
+        """Build from a camelCase or snake_case option dict (string values ok).
+
+        Keys are matched case-insensitively: Spark's Python DataSource hands
+        options to the reader lower-cased (CaseInsensitiveDict)."""
         snake_names = {f.name for f in fields(cls)}
+        lower_aliases = {k.lower(): v for k, v in cls._ALIASES.items()}
+        lower_snake = {n.lower(): n for n in snake_names}
         kwargs = {}
         for k, v in (params or {}).items():
             if v is None:
                 continue
-            name = cls._ALIASES.get(k, k if k in snake_names else None)
+            kl = k.lower()
+            name = lower_aliases.get(kl, lower_snake.get(kl))
             if name is None:
                 continue  # unknown options are ignored, like the reference
             if name in cls._BOOL_FIELDS:

@@ -1,0 +1,140 @@
+"""User-facing read/write API: ``read_xml`` / ``write_xml`` / ``register``.
+
+The Python analogue of the reference's reader/writer surface
+(/root/reference/src/main/scala/com/databricks/spark/xml/XmlReader.scala:27-204,
+package.scala:26-115): ``spark.read.format("xml-graft")`` via registration,
+plus convenience functions that add the piece the plain data source can't do
+idiomatically — *distributed* schema inference as a Spark job before the
+scan (the reference's two-pass inferred read, XmlRelation.scala:39-49 +
+InferSchema.scala:67-101).
+
+Distributed-inference shape (100 TB-safe): one task per file split infers a
+partial schema over its own records and emits a single schema JSON; the
+driver folds #splits tiny JSONs with the compatible-type lattice. Data never
+moves; only schemas do (the treeReduce-style partial+final aggregation noted
+in SURVEY.md §2 S5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from spark_xml_spark.options import XmlOptions
+from spark_xml_spark.sources.datasource import FORMAT_NAME, XmlDataSource
+from spark_xml_spark.xmlcore import infer, tokenizer
+
+_REGISTERED_SESSIONS = set()
+
+_SPLIT_SCHEMA = (
+    "path string, start long, end long, compression string, whole_file boolean"
+)
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotently register the data source for this session."""
+    key = id(spark)
+    if key not in _REGISTERED_SESSIONS:
+        spark.dataSource.register(XmlDataSource)
+        _REGISTERED_SESSIONS.add(key)
+
+
+def _splits_df(spark: SparkSession, path, xopts: XmlOptions) -> DataFrame:
+    splits = tokenizer.plan_splits(path, xopts.charset)
+    rows = [
+        (s.path, s.start, s.end, s.compression or "", s.whole_file) for s in splits
+    ]
+    # one split per task: the scan parallelism IS the split list
+    return spark.createDataFrame(rows, _SPLIT_SCHEMA).repartition(len(rows))
+
+
+def infer_xml_schema(
+    spark: SparkSession, path, **options
+) -> T.StructType:
+    """Distributed schema inference: per-split partial schemas merged on the
+    driver. Respects ``samplingRatio`` (Bernoulli per record, seed 1 — the
+    reference's sample semantics, InferSchema.scala:68-72)."""
+    xopts = XmlOptions.from_dict(options)
+    sdf = _splits_df(spark, path, xopts)
+    opts_dict = dict(options)
+
+    def infer_partition(batches):
+        import pandas as pd
+        import random as _random
+
+        xo = XmlOptions.from_dict(opts_dict)
+        rng = _random.Random(1)
+        out = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                split = tokenizer.FileSplit(
+                    row.path, row.start, row.end, row.compression or None, row.whole_file
+                )
+                records = tokenizer.scan_split(split, xo.row_tag, xo.charset)
+                if xo.sampling_ratio < 1.0:
+                    records = (
+                        r for r in records if rng.random() < xo.sampling_ratio
+                    )
+                out.append(infer.partial_schema_json(records, xo))
+        yield pd.DataFrame({"schema_json": out})
+
+    parts = [
+        r.schema_json
+        for r in sdf.mapInPandas(infer_partition, "schema_json string").collect()
+    ]
+    schema = infer.merge_schema_jsons(parts, xopts)
+    if not schema.fields:
+        raise ValueError(
+            f"no XML rows with rowTag '{xopts.row_tag}' found in {path}"
+        )
+    return schema
+
+
+def read_xml(
+    spark: SparkSession,
+    path,
+    schema: Optional[T.StructType] = None,
+    **options,
+) -> DataFrame:
+    """Read XML files into a DataFrame.
+
+    ``read_xml(spark, "books.xml", rowTag="book")`` — the equivalent of the
+    reference's ``spark.read.format("xml").option("rowTag","book").load(...)``
+    (README.md:34-101 option surface). Schema priority: explicit arg >
+    ``inferSchema=false`` (all strings) > distributed inference job.
+    """
+    register(spark)
+    xopts = XmlOptions.from_dict(options)
+    if schema is None and xopts.infer_schema:
+        schema = infer_xml_schema(spark, path, **options)
+    reader = spark.read.format(FORMAT_NAME).options(**_stringify(options))
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path if isinstance(path, str) else ",".join(path))
+
+
+def write_xml(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """Write a DataFrame as XML documents (one per partition).
+
+    SaveMode semantics follow the reference (DefaultSource.scala:83-106):
+    append is unsupported.
+    """
+    if mode.lower() == "append":
+        raise ValueError("Append mode is not supported by the xml data source")
+    register(df.sparkSession)
+    (
+        df.write.format(FORMAT_NAME)
+        .mode(mode)
+        .options(**_stringify(options))
+        .save(path)
+    )
+
+
+def _stringify(options: dict) -> dict:
+    return {
+        k: (str(v).lower() if isinstance(v, bool) else str(v))
+        for k, v in options.items()
+        if v is not None
+    }

@@ -1,0 +1,274 @@
+"""Python Data Source: ``spark.read.format("xml-graft")`` / ``df.write.format("xml-graft")``.
+
+The idiomatic Spark-4 equivalent of the reference's DefaultSource /
+XmlRelation / XmlInputFormat stack (/root/reference/src/main/scala/com/
+databricks/spark/xml/DefaultSource.scala:29-111, XmlRelation.scala:29-84,
+XmlInputFormat.scala:32-340), built on ``pyspark.sql.datasource``:
+
+- ``partitions()`` plans byte-range file splits on the driver (the HDFS-split
+  analogue); each ``read(partition)`` task scans only its range with the
+  record-ownership rule, then parses records against the requested schema.
+- ``schema()`` resolves the user-provided ``schema`` option or runs sampled
+  inference (the reference's 2-pass inferred-read semantics,
+  XmlRelation.scala:43-49). For cluster-distributed inference use
+  ``spark_xml_spark.sources.api.read_xml`` which runs the partial/final
+  schema merge as a Spark job and passes the resolved schema down.
+- the writer emits one complete XML document per partition
+  (declaration + rootTag framing, XmlFile.scala:104-155).
+
+Scale notes: split planning is O(#files) driver metadata only; tasks never
+materialize more than one record + a chunk buffer; no shuffle anywhere on
+the read path; parsed rows flow straight into Tungsten via Spark's tuple
+conversion.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from spark_xml_spark.options import XmlOptions
+from spark_xml_spark.xmlcore import generator, infer, parser, tokenizer
+
+FORMAT_NAME = "xml-graft"
+
+
+@dataclass
+class XmlInputPartition(InputPartition):
+    path: str
+    start: int
+    end: int
+    compression: Optional[str]
+    whole_file: bool
+
+
+def _splits_to_partitions(splits) -> List[XmlInputPartition]:
+    return [
+        XmlInputPartition(s.path, s.start, s.end, s.compression, s.whole_file)
+        for s in splits
+    ]
+
+
+def _tz_fixer(schema: T.StructType):
+    """Build a row post-processor attaching UTC tzinfo to naive datetimes so
+    Spark interprets them as instants regardless of session timezone.
+    Returns None when the schema holds no timestamps (zero-cost path)."""
+    import datetime as dt
+
+    utc = dt.timezone.utc
+
+    def needs(d: T.DataType) -> bool:
+        if isinstance(d, T.TimestampType):
+            return True
+        if isinstance(d, T.StructType):
+            return any(needs(f.dataType) for f in d.fields)
+        if isinstance(d, T.ArrayType):
+            return needs(d.elementType)
+        if isinstance(d, T.MapType):
+            return needs(d.valueType)
+        return False
+
+    if not needs(schema):
+        return None
+
+    def fix_value(v, d):
+        if v is None:
+            return None
+        if isinstance(d, T.TimestampType):
+            return v.replace(tzinfo=utc) if v.tzinfo is None else v
+        if isinstance(d, T.StructType):
+            return tuple(
+                fix_value(x, f.dataType) if needs(f.dataType) else x
+                for x, f in zip(v, d.fields)
+            )
+        if isinstance(d, T.ArrayType):
+            return [fix_value(x, d.elementType) for x in v]
+        if isinstance(d, T.MapType):
+            return {k: fix_value(x, d.valueType) for k, x in v.items()}
+        return v
+
+    def fix_row(row: tuple) -> tuple:
+        return tuple(
+            fix_value(v, f.dataType) if needs(f.dataType) else v
+            for v, f in zip(row, schema.fields)
+        )
+
+    return fix_row
+
+
+class XmlReader(DataSourceReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        self._opts_dict = dict(options)
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("path option is required for the xml data source")
+
+    def partitions(self) -> List[InputPartition]:
+        xopts = XmlOptions.from_dict(self._opts_dict)
+        target = int(
+            self._opts_dict.get("targetSplitSize", 128 * 1024 * 1024)
+        )
+        return _splits_to_partitions(
+            tokenizer.plan_splits(self._path, xopts.charset, target)
+        )
+
+    def read(self, partition: XmlInputPartition) -> Iterator[tuple]:
+        xopts = XmlOptions.from_dict(self._opts_dict)
+        split = tokenizer.FileSplit(
+            partition.path,
+            partition.start,
+            partition.end,
+            partition.compression,
+            partition.whole_file,
+        )
+        records = tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
+        fix = _tz_fixer(self._schema)
+        rows = parser.parse_records(records, self._schema, xopts)
+        if fix is None:
+            yield from rows
+        else:
+            for row in rows:
+                yield fix(row)
+
+
+@dataclass
+class XmlCommitMessage(WriterCommitMessage):
+    file: str
+    count: int
+
+
+class XmlWriter(DataSourceWriter):
+    """One complete XML document per partition (XmlFile.scala:104-155);
+    SaveMode semantics follow DefaultSource.scala:83-106 (Append unsupported,
+    Overwrite deletes, ErrorIfExists/Ignore resolved by the caller)."""
+
+    def __init__(self, options: dict, schema: T.StructType, overwrite: bool):
+        self._opts_dict = dict(options)
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("path option is required for the xml data source")
+        if overwrite and os.path.isdir(self._path):
+            import shutil
+
+            shutil.rmtree(self._path)
+
+    def write(self, iterator) -> XmlCommitMessage:
+        xopts = XmlOptions.from_dict(self._opts_dict)
+        os.makedirs(self._path, exist_ok=True)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        suffix = ".xml"
+        open_fn = open
+        if xopts.compression in ("gzip", "gz"):
+            import gzip
+
+            open_fn = gzip.open
+            suffix = ".xml.gz"
+        elif xopts.compression in ("bzip2", "bz2"):
+            import bz2
+
+            open_fn = bz2.open
+            suffix = ".xml.bz2"
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{suffix}"
+        target = os.path.join(self._path, name)
+        count = 0
+
+        def counted(it):
+            nonlocal count
+            for row in it:
+                count += 1
+                yield row
+
+        with open_fn(target, "wt", encoding=xopts.charset) as fh:
+            for line in generator.rows_to_document(
+                self._schema, counted(iterator), xopts
+            ):
+                fh.write(line)
+                fh.write("\n")
+        return XmlCommitMessage(file=name, count=count)
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self._path, m.file))
+                except OSError:
+                    pass
+
+
+class XmlDataSource(DataSource):
+    """Register with ``spark.dataSource.register(XmlDataSource)`` then use
+    ``spark.read.format("xml-graft")`` — the Python-native analogue of the
+    reference's DataSourceRegister service (DefaultSource.scala:29-38)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:
+        xopts = XmlOptions.from_dict(self.options)
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("path option is required for the xml data source")
+        # Driver-side sampled inference (the inference *semantics* of
+        # XmlRelation.scala:43-49 + InferSchema.scala:68-72). read_xml()
+        # distributes this as a Spark job for big inputs and passes the
+        # resolved schema explicitly, skipping this path.
+        if not xopts.infer_schema:
+            # no inference requested: all-string schema over first record
+            xopts_sniff = XmlOptions.from_dict(self.options)
+            first = _first_records(path, xopts_sniff, limit=1)
+            return infer.infer_schema_from_records(first, xopts_sniff)
+        ratio = xopts.sampling_ratio
+        rng = random.Random(1)
+        limit = int(self.options.get("inferLimit", 0)) or None
+
+        def sampled() -> Iterator[str]:
+            n = 0
+            for s in tokenizer.plan_splits(path, xopts.charset):
+                for rec in tokenizer.scan_split(s, xopts.row_tag, xopts.charset):
+                    if ratio >= 1.0 or rng.random() < ratio:
+                        n += 1
+                        yield rec
+                        if limit and n >= limit:
+                            return
+
+        schema = infer.infer_schema_from_records(sampled(), xopts)
+        if not schema.fields:
+            raise ValueError(f"no XML rows with rowTag '{xopts.row_tag}' found in {path}")
+        return schema
+
+    def reader(self, schema: T.StructType) -> XmlReader:
+        return XmlReader(self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> XmlWriter:
+        return XmlWriter(self.options, schema, overwrite)
+
+
+def _first_records(path, xopts: XmlOptions, limit: int) -> List[str]:
+    out: List[str] = []
+    for s in tokenizer.plan_splits(path, xopts.charset):
+        for rec in tokenizer.scan_split(s, xopts.row_tag, xopts.charset):
+            out.append(rec)
+            if len(out) >= limit:
+                return out
+    return out

@@ -59,11 +59,22 @@ class FileSplit:
     whole_file: bool = False
 
 
+def _strip_scheme(p: str) -> str:
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
 def expand_paths(path) -> List[str]:
-    """Resolve a path / directory / glob (or list of them) to data files."""
+    """Resolve a path / directory / glob (or list of them) to local data
+    files. ``file:`` URIs (as produced by Spark's catalog for SQL DDL tables)
+    are accepted; remote filesystems would plug in here."""
     paths = [path] if isinstance(path, str) else list(path)
     out: List[str] = []
     for p in paths:
+        p = _strip_scheme(p)
         if os.path.isdir(p):
             for f in sorted(os.listdir(p)):
                 fp = os.path.join(p, f)

@@ -1,0 +1,177 @@
+"""End-to-end DataSource + column function tests on a live SparkSession.
+
+Mirrors the reference's XmlSuite end-to-end coverage
+(/root/reference/src/test/scala/com/databricks/spark/xml/XmlSuite.scala) —
+read DSL, SQL over temp views, write/read roundtrips, from_xml family.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from spark_xml_spark.functions import (
+    from_xml,
+    from_xml_string,
+    schema_of_xml,
+    to_xml,
+)
+from spark_xml_spark.sources import read_xml, register, write_xml
+
+RES = "/root/reference/src/test/resources"
+
+
+def test_read_cars(spark):
+    df = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
+    assert df.schema.simpleString() == (
+        "struct<comment:string,make:string,model:string,year:bigint>"
+    )
+    assert df.count() == 3
+    got = df.select("year").where(F.col("year") == 2012).collect()
+    assert [r.year for r in got] == [2012]
+
+
+def test_read_books_sql(spark):
+    df = read_xml(spark, f"{RES}/books.xml", rowTag="book")
+    df.createOrReplaceTempView("books")
+    got = spark.sql(
+        "SELECT _id, price FROM books WHERE price > 10 ORDER BY price DESC LIMIT 2"
+    ).collect()
+    assert len(got) == 2 and got[0].price >= got[1].price
+    assert spark.sql("SELECT count(*) AS n FROM books").first().n == 12
+
+
+def test_read_explicit_schema_pruning(spark):
+    schema = T.StructType(
+        [
+            T.StructField("make", T.StringType()),
+            T.StructField("year", T.LongType()),
+        ]
+    )
+    df = read_xml(spark, f"{RES}/cars.xml", schema=schema, rowTag="ROW")
+    assert df.columns == ["make", "year"]
+    assert {r.make for r in df.collect()} == {"Tesla", "Ford", "Chevy"}
+
+
+def test_read_gzip_and_attributes(spark):
+    df = read_xml(spark, f"{RES}/fias_house.xml.gz", rowTag="House")
+    assert df.count() == 37
+    assert df.where(F.col("_HOUSEID").isNotNull()).count() == 37
+
+
+def test_parse_modes_end_to_end(spark):
+    df = read_xml(
+        spark, f"{RES}/cars-malformed.xml", rowTag="ROW", mode="DROPMALFORMED"
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.make, r.model, r.year) == ("Chevy", "Volt", 2015)
+
+    df2 = read_xml(
+        spark,
+        f"{RES}/cars-malformed.xml",
+        rowTag="ROW",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_malformed_records",
+    )
+    rows2 = df2.collect()
+    assert len(rows2) == 3
+    bad = [r for r in rows2 if r["_malformed_records"] is not None]
+    assert len(bad) == 2
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    data = [
+        Row(
+            _id=f"id{i}",
+            name=f"n&<{i}>",
+            price=float(i) * 1.5,
+            tags=[f"t{i}", "x"],
+            when=dt.datetime(2024, 1, 1, 12, 0, i % 60),
+            day=dt.date(2024, 1, (i % 28) + 1),
+            ok=i % 2 == 0,
+        )
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(data).repartition(4)
+    out = str(tmp_path / "xmlout")
+    write_xml(df, out, rowTag="item", rootTag="items")
+    back = read_xml(spark, out, rowTag="item", schema=df.schema)
+    assert back.count() == 100
+    a = sorted(df.collect(), key=lambda r: r._id)
+    b = sorted(back.collect(), key=lambda r: r._id)
+    assert a == b
+
+
+def test_write_overwrite_mode(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1)], "a long")
+    out = str(tmp_path / "ow")
+    write_xml(df, out, rowTag="r")
+    write_xml(df, out, rowTag="r")  # overwrite is default
+    assert read_xml(spark, out, rowTag="r").count() == 1
+    with pytest.raises(Exception):
+        write_xml(df, out, mode="append", rowTag="r")
+
+
+def test_sql_ddl_using_format(spark, tmp_path):
+    register(spark)
+    spark.sql("DROP TABLE IF EXISTS cars_xml")
+    spark.sql(
+        f"""CREATE TABLE cars_xml
+        USING `xml-graft`
+        OPTIONS (path '{RES}/cars.xml', rowTag 'ROW',
+                 schema_hint 'unused')"""
+    )
+    try:
+        assert spark.sql("SELECT count(*) AS n FROM cars_xml").first().n == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cars_xml")
+
+
+def test_from_xml_and_schema_of_xml(spark):
+    rows = [
+        Row(x='<r><a>1</a><b>x</b></r>'),
+        Row(x='<r><a>2</a><b>y</b></r>'),
+        Row(x=None),
+    ]
+    df = spark.createDataFrame(rows)
+    schema = schema_of_xml(spark, df, column="x")
+    assert schema.simpleString() == "struct<a:bigint,b:string>"
+    parsed = df.select(from_xml("x", schema).alias("p")).select("p.*")
+    got = parsed.collect()
+    assert (got[0].a, got[0].b) == (1, "x")
+    assert got[2].a is None
+
+    # malformed -> null struct (PERMISSIVE downgrades without corrupt col)
+    df2 = spark.createDataFrame([Row(x="<r><a>oops</r>")])
+    p = df2.select(from_xml("x", schema).alias("p")).first().p
+    assert p is None
+
+
+def test_from_xml_string_driver():
+    row = from_xml_string(
+        '<person><age born="1990-02-24">25</age><name>H</name></person>',
+        "struct<age:struct<_VALUE:bigint,_born:date>,name:string>",
+    )
+    assert row == ((25, dt.date(1990, 2, 24)), "H")
+
+
+def test_to_xml_from_xml_inverse(spark):
+    df = spark.range(50).select(
+        F.col("id"),
+        (F.col("id") * 2.5).alias("val"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+    )
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    xml_df = df.select(
+        to_xml(F.struct("id", "val", "name"), st, {"rowTag": "rec"}).alias("x")
+    )
+    back = xml_df.select(from_xml("x", st).alias("p")).select("p.*")
+    assert sorted(back.collect()) == sorted(df.collect())
