@@ -166,7 +166,9 @@ class XmlOptions:
     def to_dict(self) -> dict:
         """camelCase dict of non-default options (for passing through Spark)."""
         out = {}
-        rev = {v: k for k, v in self._ALIASES.items()}
+        rev: dict = {}
+        for k, v in self._ALIASES.items():
+            rev.setdefault(v, k)  # first alias wins (charset, not encoding)
         defaults = XmlOptions()
         for f in fields(self):
             v = getattr(self, f.name)

@@ -44,6 +44,43 @@ from spark_xml_spark.xmlcore import generator, infer, parser, tokenizer
 
 FORMAT_NAME = "xml-graft"
 
+# --- catalog-table option stash -------------------------------------------
+# Spark 4.1's Python DataSource does not deliver table options to ``reader()``
+# for catalog tables (CREATE TABLE ... USING xml-graft): the planning worker
+# re-instantiates the DataSource with EMPTY options (verified empirically; the
+# instance that received options at CREATE TABLE time only had ``schema()``
+# called on it, in the same planner process). We bridge with a module-level
+# stash keyed by the schema fingerprint, the one artifact both calls share.
+# Ambiguity (two tables, same schema) raises instead of guessing.
+_CATALOG_STASH: dict = {}
+
+
+def _stash_key(schema: T.StructType) -> str:
+    return schema.json()
+
+
+def _stash_options(schema: T.StructType, options: dict) -> None:
+    key = _stash_key(schema)
+    entries = _CATALOG_STASH.setdefault(key, [])
+    path = options.get("path") or options.get("location")
+    if path and all(e.get("path") != path for e in entries):
+        entry = dict(options)
+        entry["path"] = path
+        entries.append(entry)
+
+
+def _recover_options(schema: T.StructType) -> Optional[dict]:
+    entries = _CATALOG_STASH.get(_stash_key(schema), [])
+    if len(entries) == 1:
+        return entries[0]
+    if len(entries) > 1:
+        raise ValueError(
+            "xml-graft: ambiguous catalog table (multiple xml tables share "
+            "this exact schema in this session); re-read with "
+            "spark.read.format('xml-graft').option('path', ...) instead"
+        )
+    return None
+
 
 @dataclass
 class XmlInputPartition(InputPartition):
@@ -112,14 +149,25 @@ class XmlReader(DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType):
         self._opts_dict = dict(options)
         self._schema = schema
-        self._path = options.get("path")
+        self._path = options.get("path") or options.get("location")
+        if not self._path:
+            # catalog-table read: Spark handed us empty options (see
+            # _CATALOG_STASH); recover them by schema fingerprint
+            recovered = _recover_options(schema)
+            if recovered is not None:
+                self._opts_dict = dict(recovered)
+                self._path = self._opts_dict.get("path")
         if not self._path:
             raise ValueError("path option is required for the xml data source")
+        _stash_options(schema, self._opts_dict)
 
     def partitions(self) -> List[InputPartition]:
         xopts = XmlOptions.from_dict(self._opts_dict)
+        # Spark lower-cases option keys (CaseInsensitiveDict) — look up both.
         target = int(
-            self._opts_dict.get("targetSplitSize", 128 * 1024 * 1024)
+            self._opts_dict.get("targetSplitSize")
+            or self._opts_dict.get("targetsplitsize")
+            or 128 * 1024 * 1024
         )
         return _splits_to_partitions(
             tokenizer.plan_splits(self._path, xopts.charset, target)
@@ -226,21 +274,25 @@ class XmlDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         xopts = XmlOptions.from_dict(self.options)
-        path = self.options.get("path")
+        path = self.options.get("path") or self.options.get("location")
         if not path:
             raise ValueError("path option is required for the xml data source")
         # Driver-side sampled inference (the inference *semantics* of
         # XmlRelation.scala:43-49 + InferSchema.scala:68-72). read_xml()
         # distributes this as a Spark job for big inputs and passes the
-        # resolved schema explicitly, skipping this path.
-        if not xopts.infer_schema:
-            # no inference requested: all-string schema over first record
-            xopts_sniff = XmlOptions.from_dict(self.options)
-            first = _first_records(path, xopts_sniff, limit=1)
-            return infer.infer_schema_from_records(first, xopts_sniff)
+        # resolved schema explicitly, skipping this path. To keep the raw
+        # format path (SQL DDL / spark.read.format) from parking the cluster
+        # behind a single-threaded driver scan of the whole corpus, this path
+        # is bounded by ``inferLimit`` records by default (0 = unbounded,
+        # matching the reference's full extra pass).
         ratio = xopts.sampling_ratio
         rng = random.Random(1)
-        limit = int(self.options.get("inferLimit", 0)) or None
+        limit_raw = (
+            self.options.get("inferLimit")
+            or self.options.get("inferlimit")
+            or _DEFAULT_INFER_LIMIT
+        )
+        limit = int(limit_raw) or None
 
         def sampled() -> Iterator[str]:
             n = 0
@@ -252,9 +304,14 @@ class XmlDataSource(DataSource):
                         if limit and n >= limit:
                             return
 
+        # With infer_schema=false, infer_from() types every leaf as string but
+        # field *discovery* still walks all sampled records — the reference's
+        # InferSchema.inferFrom inferSchema=false branch (InferSchema.scala
+        # still unions field names; only types are forced to string).
         schema = infer.infer_schema_from_records(sampled(), xopts)
         if not schema.fields:
             raise ValueError(f"no XML rows with rowTag '{xopts.row_tag}' found in {path}")
+        _stash_options(schema, dict(self.options))
         return schema
 
     def reader(self, schema: T.StructType) -> XmlReader:
@@ -264,11 +321,7 @@ class XmlDataSource(DataSource):
         return XmlWriter(self.options, schema, overwrite)
 
 
-def _first_records(path, xopts: XmlOptions, limit: int) -> List[str]:
-    out: List[str] = []
-    for s in tokenizer.plan_splits(path, xopts.charset):
-        for rec in tokenizer.scan_split(s, xopts.row_tag, xopts.charset):
-            out.append(rec)
-            if len(out) >= limit:
-                return out
-    return out
+# Default cap on driver-side inference for the raw format/DDL path; the
+# distributed path (sources.api.read_xml) has no cap — it infers as a Spark
+# job. Override with option inferLimit (0 = unbounded full pass).
+_DEFAULT_INFER_LIMIT = 10000
