@@ -46,40 +46,101 @@ FORMAT_NAME = "xml-graft"
 
 # --- catalog-table option stash -------------------------------------------
 # Spark 4.1's Python DataSource does not deliver table options to ``reader()``
-# for catalog tables (CREATE TABLE ... USING xml-graft): the planning worker
-# re-instantiates the DataSource with EMPTY options (verified empirically; the
-# instance that received options at CREATE TABLE time only had ``schema()``
-# called on it, in the same planner process). We bridge with a module-level
-# stash keyed by the schema fingerprint, the one artifact both calls share.
-# Ambiguity (two tables, same schema) raises instead of guessing.
+# for catalog tables (CREATE TABLE ... USING xml-graft): the read planner
+# re-instantiates the DataSource with EMPTY options. Worse, ``schema()`` (which
+# does receive the options, at CREATE TABLE time) runs in the
+# create_data_source worker process while ``reader()`` runs in the separate
+# plan_data_source_read worker — verified empirically by PID — so the bridge
+# must cross processes: a small JSON sidecar spool keyed by the schema
+# fingerprint, the one artifact both calls share. Ambiguity (two tables with
+# the byte-identical schema but different paths) raises instead of guessing.
 _CATALOG_STASH: dict = {}
 
 
+def _sidecar_dir() -> str:
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "xml_graft_catalog")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _stash_key(schema: T.StructType) -> str:
-    return schema.json()
+    import hashlib
+
+    return hashlib.sha256(schema.json().encode()).hexdigest()[:32]
+
+
+def _sidecar_path(key: str) -> str:
+    return os.path.join(_sidecar_dir(), key + ".json")
+
+
+def _canon_path(p: str) -> str:
+    return os.path.realpath(_strip_scheme_local(p))
+
+
+def _load_entries(key: str) -> List[dict]:
+    import json
+
+    entries = list(_CATALOG_STASH.get(key, []))
+    seen = {_canon_path(e["path"]) for e in entries}
+    try:
+        with open(_sidecar_path(key)) as fh:
+            for e in json.load(fh):
+                c = _canon_path(e.get("path", ""))
+                if c not in seen:
+                    seen.add(c)
+                    entries.append(e)
+    except (OSError, ValueError):
+        pass
+    return entries
 
 
 def _stash_options(schema: T.StructType, options: dict) -> None:
-    key = _stash_key(schema)
-    entries = _CATALOG_STASH.setdefault(key, [])
+    import json
+
     path = options.get("path") or options.get("location")
-    if path and all(e.get("path") != path for e in entries):
-        entry = dict(options)
-        entry["path"] = path
-        entries.append(entry)
+    if not path:
+        return
+    key = _stash_key(schema)
+    entry = {k: v for k, v in dict(options).items() if isinstance(v, str)}
+    entry["path"] = path
+    entries = _load_entries(key)
+    if any(_canon_path(e.get("path", "")) == _canon_path(path) for e in entries):
+        _CATALOG_STASH[key] = entries
+        return
+    entries.append(entry)
+    _CATALOG_STASH[key] = entries
+    tmp = _sidecar_path(key) + f".tmp{os.getpid()}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh)
+        os.replace(tmp, _sidecar_path(key))
+    except OSError:
+        pass
 
 
 def _recover_options(schema: T.StructType) -> Optional[dict]:
-    entries = _CATALOG_STASH.get(_stash_key(schema), [])
-    if len(entries) == 1:
-        return entries[0]
-    if len(entries) > 1:
+    entries = _load_entries(_stash_key(schema))
+    # Keep only entries whose path still exists: dropped/moved tables age out.
+    live = [e for e in entries if os.path.exists(_strip_scheme_local(e["path"]))]
+    if len(live) == 1:
+        return live[0]
+    if len(live) > 1:
         raise ValueError(
             "xml-graft: ambiguous catalog table (multiple xml tables share "
-            "this exact schema in this session); re-read with "
+            "this exact schema); re-read with "
             "spark.read.format('xml-graft').option('path', ...) instead"
         )
     return None
+
+
+def _strip_scheme_local(p: str) -> str:
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
 
 
 @dataclass
