@@ -46,17 +46,21 @@ def from_xml(
     dt = _as_schema(schema)
     opts_dict = dict(options or {})
 
+    # Options and mode resolution are computed ONCE here on the driver and
+    # captured by value in the closure — never per row (the reference builds
+    # XmlOptions once per expression too, XmlDataToCatalyst.scala:28-36).
+    xo = XmlOptions.from_dict(opts_dict)
+
     if isinstance(dt, T.ArrayType):
         elem = dt.elementType
         if not isinstance(elem, T.StructType):
             raise TypeError("array schema for from_xml must be array<struct<...>>")
+        mode = parser.effective_mode_for_column(elem, xo)
 
-        @F.udf(returnType=dt)
+        @F.udf(returnType=dt, useArrow=True)
         def parse_array(values):
             if values is None:
                 return None
-            xo = XmlOptions.from_dict(opts_dict)
-            mode = parser.effective_mode_for_column(elem, xo)
             return [
                 None if v is None else parser.parse_record(v, elem, xo, mode=mode)
                 for v in values
@@ -66,13 +70,12 @@ def from_xml(
 
     if not isinstance(dt, T.StructType):
         raise TypeError("schema for from_xml must be struct or array<struct>")
+    mode = parser.effective_mode_for_column(dt, xo)
 
-    @F.udf(returnType=dt)
+    @F.udf(returnType=dt, useArrow=True)
     def parse_one(value):
         if value is None:
             return None
-        xo = XmlOptions.from_dict(opts_dict)
-        mode = parser.effective_mode_for_column(dt, xo)
         return parser.parse_record(value, dt, xo, mode=mode)
 
     return parse_one(col)
@@ -98,13 +101,12 @@ def to_xml(
     st = _as_schema(schema)
     if not isinstance(st, T.StructType):
         raise TypeError("schema for to_xml must be a struct")
-    opts_dict = dict(options or {})
+    xo = XmlOptions.from_dict(dict(options or {}))
 
-    @F.udf(returnType=T.StringType())
+    @F.udf(returnType=T.StringType(), useArrow=True)
     def gen_one(row):
         if row is None:
             return None
-        xo = XmlOptions.from_dict(opts_dict)
         return generator.row_to_xml(st, row, xo)
 
     return gen_one(col)

@@ -256,10 +256,17 @@ def canonicalize_type(dt: T.DataType) -> Optional[T.DataType]:
     return dt
 
 
-def infer_record(xml: str, options: XmlOptions) -> Optional[T.DataType]:
+def infer_record(
+    xml: str, options: XmlOptions, validator=None
+) -> Optional[T.DataType]:
     """Schema of a single record; PERMISSIVE failures contribute a lone
-    corrupt-record column (InferSchema.scala:77-91)."""
+    corrupt-record column (InferSchema.scala:77-91). Like the reference,
+    inference itself validates against the XSD when rowValidationXSDPath is
+    set (InferSchema.scala:75-81), so invalid rows surface the corrupt
+    column in the inferred schema."""
     try:
+        if validator is not None:
+            validator(xml)
         stream = ev.filtered_reader(xml)
         root_attributes = ev.gather_root_attributes(stream)
         return infer_object(stream, options, root_attributes)
@@ -277,8 +284,13 @@ def infer_schema_from_records(
     """Driver-side / per-partition inference: fold record schemas with
     compatible_type, then canonicalize (InferSchema.scala:67-101)."""
     merged: T.DataType = T.StructType([])
+    validator = None
+    if options.row_validation_xsd_path:
+        from spark_xml_spark.xsd import get_validator
+
+        validator = get_validator(options.row_validation_xsd_path)
     for xml in records:
-        rt = infer_record(xml, options)
+        rt = infer_record(xml, options, validator=validator)
         if rt is not None:
             merged = compatible_type(merged, rt, options)
     out = canonicalize_type(merged)
