@@ -1,0 +1,56 @@
+"""LLM-data-pipeline operators over DataFrames (no reference counterpart;
+mandated by BASELINE.json beyond the spark-xml surface — SURVEY.md §2.3).
+
+Everything here is expressed with JVM-side built-in functions (whole-stage
+codegen) wherever possible; Python appears only in Arrow-batched UDFs where
+built-ins genuinely can't express the semantics. Every operator is designed
+for the 1000-executor / 100 TB case first: banded LSH instead of all-pairs,
+broadcast for small sides, map-side partial aggregation, no driver-side
+loops over collected data.
+"""
+
+from spark_xml_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from spark_xml_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    cosine_pairs,
+    lsh_bucketed_topk,
+)
+from spark_xml_spark.operators.multimodal import (
+    add_payload_metadata,
+    extract_features,
+    sample_frames,
+    synthesize_payload,
+)
+from spark_xml_spark.operators.textstats import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_token_count,
+)
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "minhash_near_dup_pairs",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "brute_force_cosine_topk",
+    "cosine_pairs",
+    "lsh_bucketed_topk",
+    "add_token_count",
+    "add_quality_score",
+    "add_language_id",
+    "add_fingerprint",
+    "add_payload_metadata",
+    "synthesize_payload",
+    "extract_features",
+    "sample_frames",
+]

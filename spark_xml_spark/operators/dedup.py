@@ -1,0 +1,301 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All-pairs comparison is never materialized at scale: candidate generation is
+always an equi-join on a derived key (content hash, LSH band bucket, simhash
+band), so the shuffle is keyed and bounded, and Catalyst/AQE pick the join
+strategy. The exact-Jaccard verifier joins only candidate pairs.
+
+Scale notes (100 TB):
+- exact_dedup: one hash-keyed shuffle; map-side partial aggregation applies.
+- ngram_jaccard_pairs: the inverted-index join shuffles on shingle; ultra-
+  frequent shingles are dropped by a document-frequency cap (they carry no
+  discriminative signal and create quadratic bucket blowup — the standard
+  guard in web-scale dedup pipelines).
+- minhash_lsh_candidates: b bands of r rows; collision probability
+  ~ 1-(1-s^r)^b. Bucket-size cap guards pathological buckets (boilerplate).
+- simhash: 64-bit signature from JVM-side xxhash64; near-dup = small Hamming
+  distance, candidates via 4x16-bit band equality (any pair within Hamming
+  distance 3 shares at least one of 4 bands — pigeonhole).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _word_shingles(col: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    words = F.split(F.lower(col), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact deduplication by content hash (sha2-256 over the chosen
+    columns). Keeps one row per distinct content: the row with the minimum
+    ``id_col`` when given (deterministic), else an arbitrary one
+    (``dropDuplicates`` semantics).
+
+    One shuffle keyed by the hash; with id_col this is a min-aggregation and
+    a semi-join, both map-side combinable.
+    """
+    cols = list(cols) if cols else [c for c in df.columns if c != id_col]
+    hashed = df.withColumn(
+        "_content_hash", F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    )
+    if id_col is None:
+        return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")
+    keep = hashed.groupBy("_content_hash").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(keep, ["_content_hash", id_col], "left_semi")
+        # identical full rows (same id) can both satisfy the semi-join
+        .dropDuplicates(["_content_hash"])
+        .drop("_content_hash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold, computed with an
+    inverted-index equi-join on shingle (never all-pairs).
+
+    Returns columns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents before the join (default: no cap — exact semantics; set it at
+    scale to bound bucket blowup).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh"))
+        .select("_id", F.explode("_sh").alias("_s"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("_s").agg(F.count("*").alias("_df")).filter(F.col("_df") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
+    """-> (_id, sig array<long>): per-document MinHash signature, one
+    groupBy with num_hashes JVM-side min aggregations (no Python in the
+    hot path; xxhash64 seeded per hash function)."""
+    sh = (
+        df.select(F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh"))
+        .select("_id", F.explode("_sh").alias("_s"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate *candidate* pairs via banded MinHash-LSH.
+
+    num_hashes minhashes split into ``bands`` bands of r = num_hashes/bands
+    rows; documents sharing any band bucket become a candidate pair. The
+    only shuffles are the signature groupBy and the band-bucket self-join —
+    never all-pairs. Buckets larger than ``max_bucket`` docs are dropped
+    (boilerplate guard; at 100 TB a single viral page must not create a
+    quadratic bucket).
+
+    Returns (id_a, id_b) distinct, id_a < id_b.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = _minhash_signature(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
+    # bucket-size guard
+    sizes = banded.groupBy("_band", "_bh").agg(F.count("*").alias("_n"))
+    ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("_band", "_bh")
+    pruned = banded.join(ok, ["_band", "_bh"], "left_semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard — the standard
+    two-stage near-dup pipeline (candidates are a tiny fraction of all
+    pairs, so the verify join is cheap). Returns (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, max_bucket
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document -> (id_col, simhash long).
+
+    Each word hashes to 64 bits (JVM xxhash64); bit i of the signature is 1
+    iff the sum over words of (+1 if bit set else -1) is positive. Expressed
+    as 64 conditional-sum aggregations in one groupBy — stays entirely in
+    whole-stage codegen; no Python, no UDF.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("_w"),
+    ).withColumn("_h", F.xxhash64("_w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    bits = words.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(
+            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return bits.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidates via 4x16-bit band equality (pigeonhole: Hamming <= 3 implies
+    at least one of 4 bands identical), then exact popcount verify on the
+    candidate pairs only. Returns (id_a, id_b, hamming).
+    """
+    sig = simhash(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

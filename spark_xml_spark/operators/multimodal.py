@@ -1,0 +1,158 @@
+"""Multimodal columns: image/audio/video payloads as opaque BinaryType
+columns with typed metadata, plus Arrow-batched decode / feature-extract /
+frame-sample plumbing.
+
+The Spark-side design is real and tested: BinaryType payload column,
+metadata struct (byte_len, magic, sha), `mapInPandas` feature extraction
+with bounded Arrow batches. The actual media decoding is STUBBED — the
+image/audio libraries are not in this container — behind
+``decode_image(..., impl=...)``: the default impl raises
+NotImplementedError; tests inject a deterministic fake. Swapping in a real
+decoder (PIL/torchaudio) changes ONE function, not the pipeline.
+
+Scale notes: payloads never pass through Python except inside the Arrow
+batches of the explicitly-invoked extract step; metadata derivation is
+JVM-side; batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+so executor memory stays flat regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# magic prefixes -> media kind (the usual sniff table)
+_MAGIC = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"RIFF": "audio/wav",
+    b"ID3": "audio/mp3",
+    b"\x00\x00\x00": "video/mp4",
+}
+
+
+def payload_metadata(col: Column) -> Column:
+    """Typed metadata struct for a binary payload column — JVM-side only:
+    (byte_len, magic_hex, sha256, kind)."""
+    magic = F.hex(F.substring(col, 1, 4))
+    kind = F.lit("application/octet-stream")
+    for prefix, mime in _MAGIC.items():
+        kind = F.when(
+            magic.startswith(prefix.hex().upper()), F.lit(mime)
+        ).otherwise(kind)
+    return F.struct(
+        F.length(col).alias("byte_len"),
+        magic.alias("magic_hex"),
+        F.sha2(col, 256).alias("sha256"),
+        kind.alias("kind"),
+    )
+
+
+def add_payload_metadata(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "meta"
+) -> DataFrame:
+    return df.withColumn(out_col, payload_metadata(F.col(payload_col)))
+
+
+def synthesize_payload(col: Column, kind: str = "image/png") -> Column:
+    """Deterministic fake payload for tests/benchmarks: a magic prefix +
+    the utf-8 bytes of a source column. Lets the whole multimodal pipeline
+    run end-to-end without media files."""
+    prefix = {v: k for k, v in _MAGIC.items()}.get(kind, b"")
+    return F.concat(F.lit(bytearray(prefix)), F.encode(col, "utf-8"))
+
+
+def default_image_decoder(payload: bytes) -> "object":
+    """Replace with a real decoder (e.g. PIL.Image.open) when available."""
+    raise NotImplementedError(
+        "media decoding requires an image library not present in this "
+        "environment; inject impl= with a real or fake decoder"
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    dim: int = 8,
+    decoder: Optional[Callable[[bytes], object]] = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas``: the canonical shape for CPU-heavy per-item media work
+    (decode, resize, embed). With no real decoder available the default
+    "feature" is a deterministic byte-histogram projection — the plumbing
+    (schema, batching, partition preservation) is what's real here.
+
+    ``decoder`` is invoked per payload when provided; its failure marks the
+    row's feature null rather than killing the task.
+    """
+    import numpy as np  # executor-side import
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            feats = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                if decoder is not None:
+                    try:
+                        decoder(bytes(payload))
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        feats.append(None)
+                        continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                total = float(hist.sum()) or 1.0
+                feats.append((hist / total).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": pdf[payload_col].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 64,
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """Frame sampling plumbing: slice a (video) payload into fixed-stride
+    chunks as an array<binary> column — JVM-side substring arithmetic; a
+    real codec would replace the slicing, not the shape. One output row per
+    payload with the sampled 'frames'."""
+    n_frames = F.greatest(
+        (F.length(payload_col) / every_n_bytes).cast("int"), F.lit(1)
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substring(
+            F.col(payload_col), (i * every_n_bytes + 1).cast("int"), frame_bytes
+        ),
+    )
+    return df.select(
+        F.col(id_col), frames.alias("frames"), n_frames.alias("n_frames")
+    )

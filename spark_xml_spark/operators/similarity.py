@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan with a JVM-side
+fold (`F.aggregate`/`F.zip_with`), no shuffle except the final top-k
+(`orderBy ... limit`, which Spark executes as per-partition top-k +
+driver merge via TakeOrderedAndProject — no full sort at scale).
+
+Scale path: random-hyperplane LSH bucketing — sign-bit signature against
+``p`` broadcast hyperplanes, candidates = vectors sharing the signature
+prefix bucket (optionally multi-probe by flipping low bits); exact cosine
+re-rank only within the probed buckets. An IVF variant would swap the
+hyperplane bucket for a KMeans centroid id (pyspark.ml KMeans) — same
+probe/re-rank shape.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_with_literal(vec_col: Column, q: Sequence[float]) -> Column:
+    """JVM-side dot product of an array column with a literal query vector:
+    fold over zip_with — whole-stage codegen, no UDF, no shuffle."""
+    qcol = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    return F.aggregate(
+        F.zip_with(vec_col.cast("array<double>"), qcol, lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col.cast("array<double>"),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x * x,
+        )
+    )
+
+
+def cosine_similarity_col(vec_col: Column, q: Sequence[float]) -> Column:
+    """cosine(vec, q) as a Column (double), entirely JVM-side."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1.0
+    return _dot_with_literal(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def brute_force_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    One scan; ORDER BY + LIMIT compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows — not a global sort), so
+    this is the correct *exact* baseline even at scale.
+    Returns (id_col, cosine) sorted desc, deterministic tie-break on id.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_similarity_col(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, p: int, seed: int = 42) -> List[List[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(p)]
+
+
+def signature_col(vec_col: Column, planes: List[List[float]]) -> Column:
+    """Random-hyperplane sign signature as a long (bit i = sign of dot with
+    plane i). JVM-side only."""
+    sig = F.lit(0).cast("long")
+    for i, pl in enumerate(planes):
+        bit = F.when(
+            _dot_with_literal(vec_col, pl) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit
+    return sig
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket prefilter + exact cosine
+    re-rank inside the probed buckets.
+
+    ``multiprobe`` additionally probes the buckets at Hamming distance 1 on
+    the lowest ``multiprobe`` signature bits (recall knob). The bucket
+    filter is a literal IN-list — partition-prunable and codegen'd; the
+    re-rank touches only ~N/2^p of the data.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, num_planes, seed)
+    qsig = 0
+    for i, pl in enumerate(planes):
+        if sum(a * b for a, b in zip(pl, query)) >= 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    for b in range(multiprobe):
+        probes |= {s ^ (1 << b) for s in set(probes)}
+    sigged = df.withColumn("_sig", signature_col(F.col(vec_col), planes))
+    return (
+        sigged.filter(F.col("_sig").isin(*[F.lit(s) for s in sorted(probes)]))
+        .select(
+            F.col(id_col),
+            cosine_similarity_col(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs >= threshold.
+
+    Candidates = vectors sharing the full hyperplane signature bucket
+    (high-cosine pairs almost always agree on every sign bit), verified
+    with exact cosine on candidate pairs only — never an all-pairs cross
+    join. Returns (id_a, id_b, cosine).
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = _hyperplanes(dim, num_planes, seed)
+    sigged = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        signature_col(F.col(vec_col), planes).alias("_sig"),
+    )
+    a = sigged.alias("a")
+    b = sigged.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col("a._v"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col("b._v"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (dot / (na * nb)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
