@@ -1,38 +1,974 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1 shape over an XML-ified
+lineitem) at sf0.001. ``queries()`` exposes one callable per implemented
+operator from SURVEY.md §2 (XML engine: S1-S16; LLM-pipeline extensions:
+§2.3); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (the driver compares row count + schema +
+order-insensitive value hash at sf0.01).
+
+Query design notes (why results hash-match across engines):
+- XML round-trip is value-exact: doubles are written with shortest-repr and
+  re-parsed to the identical bits; timestamps/date columns are avoided in
+  oracle-checked outputs (timezone-free environments only guarantee them).
+- Money sums are computed in DECIMAL(18,2) (cast before SUM) and cast to
+  DECIMAL(38,2) on both sides, so aggregation order cannot perturb values.
+- Integer-valued double columns (l_quantity) sum exactly in binary64
+  regardless of order, so plain SUM/AVG are safe there.
+- Integral count/rank outputs are cast to BIGINT on both sides (Spark
+  count is long; DuckDB SUM(BIGINT) is HUGEINT otherwise).
+- Where the oracle needs hashing, md5/sha256/hex are used — identical
+  output in Spark and DuckDB.
+
+XML-ified inputs are cached under /tmp (keyed by the parquet file's
+identity) so the ~20 queries pay the write+infer cost once per table.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_xml_spark.functions.xml_functions import from_xml, to_xml
+from spark_xml_spark.operators import (
+    add_fingerprint,
+    add_language_id,
+    add_payload_metadata,
+    add_token_count,
+    brute_force_cosine_topk,
+    exact_dedup,
+    lsh_bucketed_topk,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    synthesize_payload,
+)
+from spark_xml_spark.operators.textstats import TOKEN_REGEX
+from spark_xml_spark.sources.api import infer_xml_schema, read_xml, register, write_xml
+
+CACHE_ROOT = os.environ.get("XML_GRAFT_CACHE", "/tmp/xmlgraft_cache")
+
+# ---------------------------------------------------------------------------
+# XML-ified table cache
+# ---------------------------------------------------------------------------
+
+
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    key = f"{os.path.realpath(p)}|{st.st_size}|{int(st.st_mtime)}"
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _xml_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    variant: str = "plain",
+    transform=None,
+    partitions: int = 16,
+    **write_opts,
+) -> DataFrame:
+    """Parquet table -> cached XML directory -> DataFrame via read_xml.
+
+    The write + one distributed schema-inference job run once per
+    (table, variant, parquet-identity); later calls read with the cached
+    schema (single scan, no inference pass)."""
+    tag = write_opts.setdefault("rowTag", table[:-1] if table.endswith("s") else table)
+    fp = _table_fingerprint(sf_dir, table)
+    base = os.path.join(CACHE_ROOT, f"{table}-{variant}-{fp}")
+    xml_dir = os.path.join(base, "xml")
+    schema_file = os.path.join(base, "schema.json")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        if transform is not None:
+            df = transform(df)
+        write_xml(df.repartition(partitions), xml_dir, **write_opts)
+        schema = infer_xml_schema(spark, xml_dir, rowTag=tag)
+        os.makedirs(base, exist_ok=True)
+        with open(schema_file, "w") as fh:
+            fh.write(schema.json())
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    with open(schema_file) as fh:
+        schema = T.StructType.fromJson(json.load(fh))
+    return read_xml(spark, xml_dir, schema=schema, rowTag=tag)
+
+
+def _parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; read it as raw nanos (exact long) and derive
+    what queries need. DuckDB's epoch_ns() is the matching oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _dec_sum(col: str):
+    """Order-insensitive money sum: DECIMAL(18,2) accumulate, DECIMAL(38,2)
+    result (mirrored in every oracle)."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("decimal(38,2)")
+
+
+_DEC_SUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: XML-ified lineitem at sf0.001 -> TPC-H Q1 shape.
+
+    Exercises the whole spine: write path (S14), splittable scan (S1/S2),
+    schema inference (S5), row parse + casts (S6/S8), then Spark
+    aggregation over the XML-derived DataFrame (SURVEY §2.2)."""
+    register(spark)
+    return q_xml_agg_q1(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# XML engine queries (S1-S16)
+# ---------------------------------------------------------------------------
+
+
+def q_xml_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S3/S6/S8/S15: scan, projection, predicate over an XML table
+    (XmlSuite.scala:76-83,142-146,665-673 shapes)."""
+    c = _xml_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 1000.0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_xml_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/S8 + hash aggregation: TPC-H Q1 shape over XML lineitem."""
+    li = _xml_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_xml_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join chain over XML tables: customer x nation x region."""
+    c = _xml_table(spark, sf_dir, "customer")
+    n = _xml_table(spark, sf_dir, "nation")
+    r = _xml_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+def q_xml_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function over XML supplier: top-2 by acctbal per nation."""
+    s = _xml_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("s_suppkey", "s_nationkey", "s_acctbal", "rnk")
+    )
+
+
+def q_xml_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-10 (TakeOrderedAndProject) over XML part."""
+    p = _xml_table(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(10)
+    )
+
+
+def q_xml_distinct_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over XML customer: market segments of high-balance
+    customers minus segments of the most negative balances."""
+    c = _xml_table(spark, sf_dir, "customer")
+    mid = (
+        c.filter((F.col("c_acctbal") > 8000) & (F.col("c_acctbal") <= 9500))
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+    top = c.filter(F.col("c_acctbal") > 9500).select("c_mktsegment", "c_nationkey").distinct()
+    return mid.exceptAll(top).distinct()
+
+
+def q_xml_explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 arrays + explode: orders nested with their lineitems in one XML
+    document, read back and re-flattened (repeated sibling elements ->
+    ArrayType, InferSchema.scala:220-228)."""
+
+    def nest(_df):
+        o = _parquet(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+        li = _parquet(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_orderstatus")
+            .agg(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+                ).alias("item")
+            )
+        )
+
+    nested = _xml_table(
+        spark, sf_dir, "orders", variant="nested", transform=nest, rowTag="order"
+    )
+    return (
+        nested.select("o_orderstatus", F.explode("item").alias("li"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("li.l_quantity").alias("sum_qty"),
+            _dec_sum("li.l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+def q_xml_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 attribute handling: attribute-prefixed fields round-trip as XML
+    attributes (StaxXmlGenerator attr partition; parse via
+    convertAttributesToValuesMap semantics)."""
+
+    def to_attrs(df):
+        return df.select(
+            F.col("o_orderkey").alias("_id"),
+            F.col("o_orderstatus").alias("_status"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+
+    o = _xml_table(spark, sf_dir, "orders", variant="attrs", transform=to_attrs)
+    return (
+        o.groupBy(F.col("_status").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_id").alias("min_id"),
+            _dec_sum("totalprice").alias("total"),
+        )
+    )
+
+
+def q_xml_valuetag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 valueTag: element with attributes AND character content becomes
+    {_VALUE, _attr} struct (InferSchema.scala:196-204)."""
+
+    def to_value(df):
+        return df.select(
+            F.col("o_orderkey").alias("okey"),
+            F.struct(
+                F.col("o_totalprice").alias("_VALUE"),
+                F.col("o_orderpriority").alias("_prio"),
+            ).alias("price"),
+        )
+
+    o = _xml_table(spark, sf_dir, "orders", variant="valuetag", transform=to_value)
+    return (
+        o.groupBy(F.col("price._prio").alias("prio"))
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum("price._VALUE").alias("total"),
+        )
+    )
+
+
+def q_xml_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: null fields are elided on write and come back null
+    (StaxXmlGenerator.scala:50-52; XmlSuite null-* fixtures)."""
+
+    def nullify(df):
+        return df.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+
+    c = _xml_table(spark, sf_dir, "customer", variant="nulls", transform=nullify)
+    return c.agg(
+        F.count("*").alias("n_rows"),
+        F.count("c_acctbal").alias("n_present"),
+        F.sum(F.col("c_acctbal").isNull().cast("long")).alias("n_null"),
+        _dec_sum("c_acctbal").alias("total_present"),
+    )
+
+
+def q_xml_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 wildcard column: xs_any absorbs child elements not in the schema
+    (StaxXmlParser.scala:337-351, XmlSuite.scala:708-737)."""
+    tag = "customer"
+    # reuse the plain customer XML cache; read with an explicit 2-col schema
+    _xml_table(spark, sf_dir, "customer")
+    fp = _table_fingerprint(sf_dir, "customer")
+    xml_dir = os.path.join(CACHE_ROOT, f"customer-plain-{fp}", "xml")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("xs_any", T.ArrayType(T.StringType())),
+        ]
+    )
+    c = read_xml(spark, xml_dir, schema=schema, rowTag=tag)
+    return c.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.size("xs_any")).cast("long").alias("n_wild_elems"),
+        F.min(F.size("xs_any")).cast("long").alias("min_wild"),
+    )
+
+
+def q_xml_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 split-boundary invariant at query scale: forced ~256 KiB splits,
+    record ownership by start-tag position => no loss, no duplication
+    (XmlInputFormat.scala:198; XmlPartitioningSuite.scala:27-72)."""
+    li = _xml_table(spark, sf_dir, "lineitem")  # ensure cache
+    fp = _table_fingerprint(sf_dir, "lineitem")
+    base = os.path.join(CACHE_ROOT, f"lineitem-plain-{fp}")
+    with open(os.path.join(base, "schema.json")) as fh:
+        schema = T.StructType.fromJson(json.load(fh))
+    df = (
+        spark.read.format("xml-graft")
+        .schema(schema)
+        .option("rowTag", "lineitem")
+        .option("targetSplitSize", 256 * 1024)
+        .load(os.path.join(base, "xml"))
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_okey"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q_xml_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 SQL DDL: CREATE TABLE ... USING xml-graft, queried with SQL
+    (DefaultSource.scala:29-38; XmlSuite.scala:178-196)."""
+    register(spark)
+    fp = _table_fingerprint(sf_dir, "region")
+
+    # The fingerprint-named column keeps this table's *schema* unique per
+    # sf_dir: Spark 4 doesn't deliver catalog-table options to Python data
+    # source readers, so the reader recovers them by schema fingerprint (see
+    # sources/datasource._CATALOG_STASH) — identical schemas across scale
+    # factors would be ambiguous.
+    def tag(df):
+        return df.withColumn(f"sft_{fp}", F.lit(1))
+
+    _xml_table(spark, sf_dir, "region", variant="ddl", transform=tag)
+    xml_dir = os.path.join(CACHE_ROOT, f"region-ddl-{fp}", "xml")
+    spark.sql("DROP TABLE IF EXISTS xml_graft_region")
+    spark.sql(
+        f"""CREATE TABLE xml_graft_region USING `xml-graft`
+            OPTIONS (path '{xml_dir}', rowTag 'region')"""
+    )
+    return spark.sql(
+        """SELECT r_regionkey, r_name FROM xml_graft_region"""
+    )
+
+
+def q_from_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 from_xml: parse an XML-fragment column built in SQL, then
+    aggregate the extracted fields (XmlDataToCatalyst semantics,
+    XmlSuite.scala:1132-1222)."""
+    e = _events(spark, sf_dir)
+    frag = F.concat(
+        F.lit("<e><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.floor(F.col("value") * 1000).cast("long").cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = e.select(
+        from_xml(frag, "struct<id:bigint,t:string,v:bigint>").alias("p")
+    )
+    return (
+        parsed.groupBy(F.col("p.t").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.v").alias("sum_scaled"),
+            F.min("p.id").alias("min_id"),
+        )
+    )
+
+
+def q_from_xml_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 parse-mode policy through from_xml: malformed records land in the
+    corrupt-record column, valid ones parse (StaxXmlParser.scala:54-124)."""
+    d = _parquet(spark, sf_dir, "documents")
+    good = F.concat(
+        F.lit("<d><id>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><src>"),
+        F.col("source"),
+        F.lit("</src></d>"),
+    )
+    bad = F.concat(F.lit("<d><id>"), F.col("doc_id").cast("string"), F.lit("</id><src>"))
+    frag = F.when(F.col("doc_id") % 10 == 0, bad).otherwise(good)
+    parsed = d.select(
+        from_xml(
+            frag,
+            "struct<id:bigint,src:string,_corrupt_record:string>",
+            {"mode": "PERMISSIVE"},
+        ).alias("p")
+    )
+    return parsed.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("p._corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.col("p.src").isNotNull().cast("long")).alias("n_parsed"),
+    )
+
+
+def q_to_xml_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 generation as a column function: to_xml output is byte-identical
+    to the SQL-concatenated fragment (StaxXmlGenerator element order)."""
+    e = _events(spark, sf_dir).filter(F.col("event_id") < 1000)
+    xml = to_xml(
+        F.struct(F.col("event_id"), F.col("user_id")),
+        "struct<event_id:bigint,user_id:bigint>",
+    )
+    return e.select(F.col("event_id"), xml.alias("xml"))
+
+
+def q_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S12 inference as data: the distributed-inferred schema of the XML
+    nation table, one row per field (sorted-by-name fields,
+    InferSchema.scala:230-231)."""
+    _xml_table(spark, sf_dir, "nation")
+    fp = _table_fingerprint(sf_dir, "nation")
+    xml_dir = os.path.join(CACHE_ROOT, f"nation-plain-{fp}", "xml")
+    schema = infer_xml_schema(spark, xml_dir, rowTag="nation")
+    rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    return spark.createDataFrame(rows, "field string, dtype string")
+
+
+def q_xsd_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 XSD -> StructType (XSDToSchema.scala:43-277), returned as rows."""
+    from spark_xml_spark.xsd import xsd_to_schema
+
+    xsd = """<?xml version="1.0"?>
+    <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:element name="part">
+        <xs:complexType><xs:sequence>
+          <xs:element name="p_partkey" type="xs:long"/>
+          <xs:element name="p_name" type="xs:string"/>
+          <xs:element name="p_size" type="xs:int" minOccurs="0"/>
+          <xs:element name="p_retailprice" type="xs:double"/>
+        </xs:sequence></xs:complexType>
+      </xs:element>
+    </xs:schema>"""
+    struct = xsd_to_schema(xsd)["part"].dataType
+    rows = [
+        (f.name, f.dataType.simpleString(), f.nullable) for f in struct.fields
+    ]
+    return spark.createDataFrame(rows, "field string, dtype string, nullable boolean")
+
+
+def q_xsd_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 row validation: XML-ified part validated against an XSD during
+    read; all rows are valid => full count (ValidatorUtil.scala:30-55,
+    XmlSuite.scala:1090-1121)."""
+    _xml_table(spark, sf_dir, "part", rowTag="part")
+    fp = _table_fingerprint(sf_dir, "part")
+    base = os.path.join(CACHE_ROOT, f"part-plain-{fp}")
+    xsd_path = os.path.join(base, "part.xsd")
+    if not os.path.exists(xsd_path):
+        with open(xsd_path, "w") as fh:
+            fh.write(
+                """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="part">
+    <xs:complexType><xs:sequence>
+      <xs:element name="p_brand" type="xs:string"/>
+      <xs:element name="p_name" type="xs:string"/>
+      <xs:element name="p_partkey" type="xs:long"/>
+      <xs:element name="p_retailprice" type="xs:double"/>
+      <xs:element name="p_size" type="xs:long"/>
+      <xs:element name="p_type" type="xs:string"/>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>"""
+            )
+    with open(os.path.join(base, "schema.json")) as fh:
+        schema = T.StructType.fromJson(json.load(fh))
+    df = read_xml(
+        spark,
+        os.path.join(base, "xml"),
+        schema=schema,
+        rowTag="part",
+        rowValidationXSDPath=xsd_path,
+        mode="FAILFAST",
+    )
+    return df.agg(
+        F.count("*").alias("n_valid"), F.sum("p_partkey").alias("sum_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline queries (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash with deterministic min-id keeper; the
+    input is documents plus re-keyed copies of every 7th document."""
+    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    deduped = exact_dedup(d.unionAll(dupes), cols=["text"], id_col="doc_id")
+    return deduped.agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_kept_ids")
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join, no
+    all-pairs) at threshold 0.5."""
+    d = _parquet(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (64 hashes, 32 bands) candidates verified with exact
+    Jaccard at 0.8 — at b=32/r=2 the miss probability at s>=0.8 is ~1e-14,
+    so the verified output equals the exact answer and the oracle below is
+    the plain all-pairs Jaccard SQL."""
+    d = _parquet(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.8
+    ).select("id_a", "id_b", "jaccard")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming<=3). No SQL oracle: the signature
+    depends on xxhash64, which DuckDB lacks — rows-only check."""
+    d = _parquet(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 around the vec_id=0 embedding; double
+    arithmetic in index order on both engines -> bit-identical cosines."""
+    e = _parquet(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_cosine_topk(e, "embedding", q, k=10).select(
+        "vec_id", F.round("cosine", 9).alias("cosine_r")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (random-hyperplane prefilter +
+    exact re-rank). Python-seeded hyperplanes -> rows-only check."""
+    e = _parquet(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_bucketed_topk(e, "embedding", q, k=10, num_planes=6, multiprobe=2)
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (BPE-ish regex, JVM regexp_extract_all) per source."""
+    d = add_token_count(_parquet(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword language-ID distribution over the corpus."""
+    d = add_language_id(_parquet(spark, sf_dir, "documents"))
+    return d.groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-md5-shingle document fingerprint (portable: md5 in both
+    engines); distinct fingerprints ~ distinct contents."""
+    d = add_fingerprint(_parquet(spark, sf_dir, "documents"), n=8)
+    return d.select("doc_id", "fingerprint").filter(F.col("doc_id") < 100)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: synthesized PNG-magic payloads, JVM-side
+    metadata (length / magic sniff / content hash over hex)."""
+    d = _parquet(spark, sf_dir, "documents").withColumn(
+        "payload", synthesize_payload(F.col("text"), "image/png")
+    )
+    m = add_payload_metadata(d)
+    return (
+        m.select(
+            "source",
+            F.col("meta.byte_len").alias("byte_len"),
+            F.col("meta.kind").alias("kind"),
+            F.sha2(F.hex(F.col("payload")), 256).alias("payload_sha"),
+        )
+        .groupBy("source", "kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.count_distinct("payload_sha").alias("n_distinct"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions: a session breaks after a
+    30-minute silence; per-user session stats."""
+    e = _events(spark, sf_dir).withColumn(
+        "ts_sec", F.expr("ts div 1000000000")  # exact integer nanos -> seconds
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    sessioned = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "xml_scan_filter": q_xml_scan_filter,
+        "xml_agg_q1": q_xml_agg_q1,
+        "xml_join_agg": q_xml_join_agg,
+        "xml_window_rank": q_xml_window_rank,
+        "xml_sort_limit": q_xml_sort_limit,
+        "xml_distinct_except": q_xml_distinct_except,
+        "xml_explode_nested": q_xml_explode_nested,
+        "xml_attributes": q_xml_attributes,
+        "xml_valuetag": q_xml_valuetag,
+        "xml_nulls": q_xml_nulls,
+        "xml_wildcard": q_xml_wildcard,
+        "xml_split_scan": q_xml_split_scan,
+        "xml_ddl_sql": q_xml_ddl_sql,
+        "from_xml_parse": q_from_xml_parse,
+        "from_xml_corrupt": q_from_xml_corrupt,
+        "to_xml_generate": q_to_xml_generate,
+        "schema_infer": q_schema_infer,
+        "xsd_schema": q_xsd_schema,
+        "xsd_validate": q_xsd_validate,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_tokens": q_text_tokens,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "events_sessionize": q_events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB shingle-set CTE shared by the Jaccard oracles (mirrors
+# operators.dedup._word_shingles: lowercase, \s+ split, word 3-grams,
+# whole-text fallback under 3 words, distinct).
+_SHINGLES_CTE = """
+s AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(len(w) - 2),
+                                    i -> array_to_string(w[i+1:i+3], ' '))
+                ELSE [array_to_string(w, ' ')]
+           END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents)
+)
+"""
+
+_JACCARD_PAIRS_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh))
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {thr}
+"""
+)
+
+_LANG_SQL_LISTS = {
+    "en": "'the','and','of','to','in','is','that','with','for','was'",
+    "de": "'der','die','und','das','ist','nicht','mit','ein','von','zu'",
+    "fr": "'le','la','les','et','de','un','une','est','dans','pour'",
+    "es": "'el','la','los','las','y','de','que','es','en','por'",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = ", ".join(
+        f"len(list_filter(words, x -> x IN ({_LANG_SQL_LISTS[lang]}))) AS s_{lang}"
+        for lang in sorted(_LANG_SQL_LISTS)
+    )
+    return {
+        "xml_scan_filter": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_acctbal > 1000.0
+        """,
+        "xml_agg_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   {_DEC_SUM_SQL.format(c='l_extendedprice')} AS sum_base_price,
+                   AVG(l_quantity) AS avg_qty,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "xml_join_agg": f"""
+            SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   {_DEC_SUM_SQL.format(c='c_acctbal')} AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "xml_window_rank": """
+            SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   s_acctbal, rnk
+            FROM (SELECT s_suppkey, s_nationkey, s_acctbal,
+                         CAST(rank() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC, s_suppkey ASC) AS BIGINT) AS rnk
+                  FROM supplier)
+            WHERE rnk <= 2
+        """,
+        "xml_sort_limit": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+        """,
+        "xml_distinct_except": """
+            SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+            FROM customer WHERE c_acctbal > 8000 AND c_acctbal <= 9500
+            EXCEPT
+            SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT)
+            FROM customer WHERE c_acctbal > 9500
+        """,
+        "xml_explode_nested": f"""
+            SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   SUM(l_quantity) AS sum_qty,
+                   {_DEC_SUM_SQL.format(c='l_extendedprice')} AS sum_price
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey % 50 = 0
+            GROUP BY o_orderstatus
+        """,
+        "xml_attributes": f"""
+            SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(o_orderkey) AS min_id,
+                   {_DEC_SUM_SQL.format(c='o_totalprice')} AS total
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "xml_valuetag": f"""
+            SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+                   {_DEC_SUM_SQL.format(c='o_totalprice')} AS total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "xml_nulls": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS n_present,
+                   CAST(COUNT(*) FILTER (WHERE c_custkey % 10 = 0) AS BIGINT) AS n_null,
+                   CAST(SUM(CASE WHEN c_custkey % 10 <> 0
+                                 THEN CAST(c_acctbal AS DECIMAL(18,2)) END)
+                        AS DECIMAL(38,2)) AS total_present
+            FROM customer
+        """,
+        "xml_wildcard": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM((c_name IS NOT NULL)::INT + (c_nationkey IS NOT NULL)::INT
+                          + (c_acctbal IS NOT NULL)::INT + (c_mktsegment IS NOT NULL)::INT)
+                        AS BIGINT) AS n_wild_elems,
+                   CAST(MIN((c_name IS NOT NULL)::INT + (c_nationkey IS NOT NULL)::INT
+                          + (c_acctbal IS NOT NULL)::INT + (c_mktsegment IS NOT NULL)::INT)
+                        AS BIGINT) AS min_wild
+            FROM customer
+        """,
+        "xml_split_scan": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem
+        """,
+        "xml_ddl_sql": """
+            SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region
+        """,
+        "from_xml_parse": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+                   MIN(event_id) AS min_id
+            FROM events GROUP BY event_type
+        """,
+        "from_xml_corrupt": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS n_corrupt,
+                   CAST(COUNT(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT) AS n_parsed
+            FROM documents
+        """,
+        "to_xml_generate": """
+            SELECT event_id,
+                   '<ROW><event_id>' || event_id || '</event_id><user_id>'
+                     || user_id || '</user_id></ROW>' AS xml
+            FROM events WHERE event_id < 1000
+        """,
+        "schema_infer": """
+            SELECT * FROM (VALUES
+              ('n_name', 'string'), ('n_nationkey', 'bigint'),
+              ('n_regionkey', 'bigint')) AS t(field, dtype)
+        """,
+        "xsd_schema": """
+            SELECT * FROM (VALUES
+              ('p_partkey', 'bigint', false), ('p_name', 'string', false),
+              ('p_size', 'int', true), ('p_retailprice', 'double', false)
+            ) AS t(field, dtype, nullable)
+        """,
+        "xsd_validate": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+                   CAST(SUM(p_partkey) AS BIGINT) AS sum_key
+            FROM part
+        """,
+        "dedup_exact": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+            ), kept AS (
+              SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY text
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+            FROM kept
+        """,
+        "dedup_jaccard": _JACCARD_PAIRS_SQL.format(thr=0.5),
+        "dedup_minhash": _JACCARD_PAIRS_SQL.format(thr=0.8),
+        "ann_cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+              FROM embeddings, q
+            )
+            SELECT vec_id, round(cosine, 9) AS cosine_r FROM scored
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "text_tokens": f"""
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+                     AS total_tokens,
+                   CAST(MAX(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+                     AS max_tokens
+            FROM documents GROUP BY source
+        """,
+        "text_langid": f"""
+            WITH scored AS (
+              SELECT {lang_scores},
+                     greatest(s_de, s_en, s_es, s_fr) AS best
+              FROM (SELECT list_transform(
+                             regexp_split_to_array(lower(text), '\\s+'),
+                             x -> regexp_replace(x, '[^a-z]', '', 'g')) AS words
+                    FROM documents)
+            )
+            SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT CASE WHEN best <= 0 THEN 'und'
+                          WHEN s_de = best THEN 'de'
+                          WHEN s_en = best THEN 'en'
+                          WHEN s_es = best THEN 'es'
+                          WHEN s_fr = best THEN 'fr'
+                          ELSE 'und' END AS lang_pred
+              FROM scored)
+            GROUP BY lang_pred
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   list_aggregate(
+                     list_transform(
+                       CASE WHEN len(w) >= 8
+                            THEN list_transform(range(len(w) - 7),
+                                   i -> array_to_string(w[i+1:i+8], ' '))
+                            ELSE [array_to_string(w, ' ')] END,
+                       s -> md5(s)),
+                     'min') AS fingerprint
+            FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                  FROM documents)
+            WHERE doc_id < 100
+        """,
+        "multimodal_meta": """
+            SELECT source, 'image/png' AS kind, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(octet_length('\\x89PNG'::BLOB || encode(text))) AS BIGINT)
+                     AS total_bytes,
+                   CAST(COUNT(DISTINCT sha256(hex('\\x89PNG'::BLOB || encode(text))))
+                        AS BIGINT) AS n_distinct
+            FROM documents GROUP BY source
+        """,
+        "events_sessionize": """
+            WITH flag AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN (epoch_ns(ts) // 1000000000)
+                               - lag(epoch_ns(ts) // 1000000000) OVER w IS NULL
+                               OR (epoch_ns(ts) // 1000000000)
+                               - lag(epoch_ns(ts) // 1000000000) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flag
+            ), per AS (
+              SELECT user_id, session_id, COUNT(*) AS n_events
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(MAX(n_events) AS BIGINT) AS max_session_events
+            FROM per
+        """,
+    }

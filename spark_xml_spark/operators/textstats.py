@@ -114,16 +114,12 @@ def add_language_id(
 def fingerprint_col(col: Column, n: int = 8) -> Column:
     """Deterministic document fingerprint: the minimum md5 over word
     n-gram shingles (a 1-hash MinHash — robust to reordering edits, and
-    portable: any engine with md5 computes the identical value)."""
-    words = F.split(F.lower(col), r"\s+")
-    shingles = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
-    return F.array_min(F.transform(shingles, lambda s: F.md5(s)))
+    portable: any engine with md5 computes the identical value). min over
+    the distinct set equals min over the multiset, so the shared shingle
+    helper applies."""
+    from spark_xml_spark.operators.dedup import _word_shingles
+
+    return F.array_min(F.transform(_word_shingles(col, n), lambda s: F.md5(s)))
 
 
 def add_fingerprint(
