@@ -346,17 +346,25 @@ def q_xml_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 split-boundary invariant at query scale: forced ~256 KiB splits,
     record ownership by start-tag position => no loss, no duplication
     (XmlInputFormat.scala:198; XmlPartitioningSuite.scala:27-72)."""
-    li = _xml_table(spark, sf_dir, "lineitem")  # ensure cache
+    _xml_table(spark, sf_dir, "lineitem")  # ensure cache
     fp = _table_fingerprint(sf_dir, "lineitem")
     base = os.path.join(CACHE_ROOT, f"lineitem-plain-{fp}")
     with open(os.path.join(base, "schema.json")) as fh:
         schema = T.StructType.fromJson(json.load(fh))
+    xml_dir = os.path.join(base, "xml")
+    # force multiple splits per file, but scale the split size so task count
+    # stays O(100) at any sf (hundreds of sub-MB Python tasks would be pure
+    # scheduler overhead)
+    total = sum(
+        os.path.getsize(os.path.join(xml_dir, f)) for f in os.listdir(xml_dir)
+    )
+    target = min(max(total // 128, 256 * 1024), 16 * 1024 * 1024)
     df = (
         spark.read.format("xml-graft")
         .schema(schema)
         .option("rowTag", "lineitem")
-        .option("targetSplitSize", 256 * 1024)
-        .load(os.path.join(base, "xml"))
+        .option("targetSplitSize", str(target))
+        .load(xml_dir)
     )
     return df.agg(
         F.count("*").alias("n_rows"),

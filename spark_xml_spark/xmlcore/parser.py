@@ -147,11 +147,22 @@ def _convert_map(stream, value_type: T.DataType, options: XmlOptions, attributes
     return pairs
 
 
+def _name_index(schema: T.StructType) -> dict:
+    """Per-schema name->index map, cached on the schema object itself — the
+    reference rebuilds this inside its per-key loops
+    (StaxXmlParser.scala:235-237), a known hazard SURVEY §4 says to hoist."""
+    cached = schema.__dict__.get("_xml_graft_nti")
+    if cached is None:
+        cached = {f.name: i for i, f in enumerate(schema.fields)}
+        schema.__dict__["_xml_graft_nti"] = cached
+    return cached
+
+
 def _convert_attributes(attributes, schema: T.StructType, options: XmlOptions) -> dict:
     """Typed attribute values for the fields present in the schema
     (StaxXmlParser.scala:229-242)."""
     out = {}
-    name_to_index = {f.name: i for i, f in enumerate(schema.fields)}
+    name_to_index = _name_index(schema)
     for f, v in ev.attributes_to_values_map(attributes, options):
         i = name_to_index.get(f)
         if i is not None:
@@ -170,12 +181,14 @@ def _convert_object_with_attributes(
     value = convert_field(stream, schema, options)
     if isinstance(value, tuple):
         row = list(value)
-    elif value is not None and options.value_tag in schema.fieldNames():
-        row[list(schema.fieldNames()).index(options.value_tag)] = value
+    elif value is not None:
+        vt_index = _name_index(schema).get(options.value_tag)
+        if vt_index is not None:
+            row[vt_index] = value
 
     attributes_map = _convert_attributes(attributes or [], schema, options)
     if attributes_map:
-        name_to_index = {f.name: i for i, f in enumerate(schema.fields)}
+        name_to_index = _name_index(schema)
         for f, v in attributes_map.items():
             row[name_to_index[f]] = v
 
@@ -192,7 +205,7 @@ def convert_object(
     skipped cheaply (StaxXmlParser.scala:292-373)."""
     fields = schema.fields
     row: List[Any] = [None] * len(fields)
-    name_to_index = {f.name: i for i, f in enumerate(fields)}
+    name_to_index = _name_index(schema)
 
     if root_attributes:
         for f, v in _convert_attributes(root_attributes, schema, options).items():
