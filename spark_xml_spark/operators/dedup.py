@@ -83,40 +83,47 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold, computed with an
-    inverted-index equi-join on shingle (never all-pairs).
+    """EXACT n-gram Jaccard similarity pairs >= threshold via prefix
+    filtering (the AllPairs/PPJoin family): under a global shingle order
+    (ascending document frequency, rarest first), any pair with
+    J(A,B) >= t shares at least one shingle inside both prefixes of length
+    |X| - ceil(t*|X|) + 1, so the inverted-index join only needs those
+    prefix shingles. Hot boilerplate shingles rank last and fall OUT of
+    prefixes — the quadratic-bucket blowup of a naive shingle join cannot
+    happen, and the result is still exact (candidates are verified with a
+    full array_intersect Jaccard).
 
-    Returns columns (id_a, id_b, jaccard) with id_a < id_b.
-
-    ``max_shingle_df`` drops shingles appearing in more than that many
-    documents before the join (default: no cap — exact semantics; set it at
-    scale to bound bucket blowup).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = (
-        df.select(F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh"))
-        .select("_id", F.explode("_sh").alias("_s"))
+    arrays = df.select(
+        F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh")
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
-    if max_shingle_df is not None:
-        hot = sh.groupBy("_s").agg(F.count("*").alias("_df")).filter(F.col("_df") > max_shingle_df)
-        sh = sh.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
+    sh = arrays.select("_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s"))
+    doc_freq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_s"))
+    prefix = (
+        sh.join(doc_freq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select("_id", "_s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("_common"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    fa = arrays.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    fb = arrays.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
         .withColumn(
             "jaccard",
-            F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
