@@ -543,6 +543,41 @@ def q_xsd_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_stream_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest: readStream over the XML-ified nation
+    directory (file-tailing source, availableNow trigger) -> parquet sink,
+    then aggregate the ingested rows. No reference counterpart (spark-xml
+    has no streaming); SURVEY §7 phase-6 extension."""
+    import tempfile
+
+    register(spark)
+    _xml_table(spark, sf_dir, "nation")
+    fp = _table_fingerprint(sf_dir, "nation")
+    base = os.path.join(CACHE_ROOT, f"nation-plain-{fp}")
+    with open(os.path.join(base, "schema.json")) as fh:
+        schema = T.StructType.fromJson(json.load(fh))
+    work = tempfile.mkdtemp(prefix="xml_stream_q_")
+    out = os.path.join(work, "out")
+    q = (
+        spark.readStream.format("xml-graft")
+        .schema(schema)
+        .option("rowTag", "nation")
+        .option("path", os.path.join(base, "xml"))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_nationkey").alias("sum_key"),
+        F.count_distinct("n_regionkey").alias("n_regions"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash with deterministic min-id keeper; the
     input is documents plus re-keyed copies of every 7th document."""
@@ -699,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_infer": q_schema_infer,
         "xsd_schema": q_xsd_schema,
         "xsd_validate": q_xsd_validate,
+        "stream_xml_ingest": q_stream_xml_ingest,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -877,6 +913,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
                    CAST(SUM(p_partkey) AS BIGINT) AS sum_key
             FROM part
+        """,
+        "stream_xml_ingest": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+                   CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
+            FROM nation
         """,
         "dedup_exact": """
             WITH all_docs AS (

@@ -381,6 +381,16 @@ class XmlDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool) -> XmlWriter:
         return XmlWriter(self.options, schema, overwrite)
 
+    def streamReader(self, schema: T.StructType):
+        from spark_xml_spark.streaming.source import XmlStreamReader
+
+        return XmlStreamReader(dict(self.options), schema)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        from spark_xml_spark.streaming.source import XmlStreamWriter
+
+        return XmlStreamWriter(dict(self.options), schema)
+
 
 # Default cap on driver-side inference for the raw format/DDL path; the
 # distributed path (sources.api.read_xml) has no cap — it infers as a Spark

@@ -1,0 +1,12 @@
+"""Structured Streaming support for the XML data source.
+
+The reference has no streaming surface (SURVEY.md §2.2: streaming absent);
+this is part of the Spark-first extension mandated by the build plan
+(SURVEY.md §7 phase 6): ``spark.readStream.format("xml-graft")`` tails a
+directory for new XML files, ``df.writeStream.format("xml-graft")`` emits
+one XML document per partition per microbatch.
+"""
+
+from spark_xml_spark.streaming.source import XmlStreamReader, XmlStreamWriter
+
+__all__ = ["XmlStreamReader", "XmlStreamWriter"]
