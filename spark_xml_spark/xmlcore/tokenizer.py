@@ -22,9 +22,10 @@ quote-aware so '>' inside a quoted value cannot end a tag early.
 
 Scale note: each Spark task scans only its own byte range with a bounded
 buffer (memory ~ max record size + chunk), so the scan parallelizes to
-arbitrary file sizes. gzip is not splittable -> whole-file range; bzip2 is
-handled whole-file too (block-aligned bzip2 splitting is a TODO, matching
-gzip's degradation mode rather than the reference's BYBLOCK reader).
+arbitrary file sizes. gzip is not splittable -> whole-file range; bzip2 IS
+splittable: byte-range splits over the compressed file with block-aligned
+ownership (bz2split module; the reference's BYBLOCK mode,
+XmlInputFormat.scala:93-103).
 """
 
 from __future__ import annotations
@@ -111,6 +112,22 @@ def plan_splits(
     splits: List[FileSplit] = []
     for f in expand_paths(path):
         comp = _compression_of(f)
+        if comp == "bz2" and is_ascii_compatible(charset):
+            # bzip2 is block-splittable (Hadoop BYBLOCK semantics,
+            # XmlInputFormat.scala:93-103): byte-range splits over the
+            # compressed file; each task owns the blocks starting in its
+            # range. Single-stream files only — else whole-file.
+            from spark_xml_spark.xmlcore import bz2split
+
+            size = os.path.getsize(f)
+            if bz2split.read_level(f) is None or size <= target_split_size:
+                splits.append(FileSplit(f, 0, -1, comp, whole_file=True))
+                continue
+            n = (size + target_split_size - 1) // target_split_size
+            step = (size + n - 1) // n
+            for i in range(0, size, step):
+                splits.append(FileSplit(f, i, min(i + step, size), comp))
+            continue
         if comp is not None or not is_ascii_compatible(charset):
             splits.append(FileSplit(f, 0, -1, comp, whole_file=True))
             continue
@@ -206,6 +223,9 @@ def _open_stream(split: FileSplit):
 
 def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterator[str]:
     """Yield decoded record strings whose start tag begins inside the split."""
+    if split.compression == "bz2" and not split.whole_file:
+        yield from _scan_bz2_range(split, row_tag, charset)
+        return
     if not is_ascii_compatible(charset) and split.compression is None:
         # Non-ASCII-compatible charset: decode the whole file and scan text.
         with open(split.path, "rb") as fh:
@@ -383,6 +403,37 @@ def _find_record_end(buf: _Buffer, start_pat: bytes, end_pat: bytes, rec_start: 
         if after == -1:
             return -1
         pos = after
+
+
+def _scan_bz2_range(split: FileSplit, row_tag: str, charset: str) -> Iterator[str]:
+    """Block-aligned bzip2 split scan: decompress from the first owned
+    block, own every record whose start tag begins inside the owned blocks'
+    bytes, continue into subsequent blocks only to finish a straddling
+    record (Hadoop BYBLOCK semantics — see bz2split module docstring)."""
+    from spark_xml_spark.xmlcore import bz2split
+
+    end = split.end if split.end != -1 else os.path.getsize(split.path)
+    stream = bz2split.open_block_range(split.path, split.start, end)
+    if stream is None:
+        return
+    try:
+        tag = row_tag.encode(charset if is_ascii_compatible(charset) else "utf-8")
+        start_pat = b"<" + tag
+        end_pat = b"</" + tag
+        buf = _Buffer(stream)
+        pos = 0
+        while True:
+            i = _find_start_tag(buf, start_pat, pos)
+            if i == -1 or not stream.owns(i):
+                return
+            rec_end = _find_record_end(buf, start_pat, end_pat, i)
+            if rec_end == -1:
+                return
+            yield buf.slice(i, rec_end).decode(charset, errors="replace")
+            pos = rec_end
+            buf.discard_to(pos)
+    finally:
+        stream.close()
 
 
 def _window_needs_slow_scan(window: bytes, start_pat: bytes) -> bool:
