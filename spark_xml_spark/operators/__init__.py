@@ -18,6 +18,7 @@ from spark_xml_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from spark_xml_spark.operators.similarity import (
+    IvfIndex,
     brute_force_cosine_topk,
     cosine_pairs,
     lsh_bucketed_topk,
@@ -42,6 +43,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",
+    "IvfIndex",
     "brute_force_cosine_topk",
     "cosine_pairs",
     "lsh_bucketed_topk",

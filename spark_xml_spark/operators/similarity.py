@@ -131,6 +131,64 @@ def lsh_bucketed_topk(
     )
 
 
+class IvfIndex:
+    """IVF (inverted-file) ANN index: KMeans centroids partition the vector
+    space; each vector is assigned to its nearest centroid; a query probes
+    only the ``nprobe`` nearest centroid cells and re-ranks exactly inside
+    them.
+
+    Scale shape: the index build is one KMeans fit (Spark ML, shuffle-light
+    Lloyd iterations) + one projection; the indexed table can be
+    ``partitionBy(centroid)``-written so a probe prunes whole partitions at
+    the source. The query touches ~``nprobe/k`` of the data.
+    """
+
+    def __init__(self, assigned: DataFrame, centroids, vec_col: str, id_col: str):
+        self.assigned = assigned  # original columns + _centroid
+        self.centroids = centroids  # list[list[float]], index = centroid id
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        k: int = 16,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+        model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol="_centroid").fit(
+            feats
+        )
+        assigned = model.transform(feats).drop("_features")
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
+        return cls(assigned, centroids, vec_col, id_col)
+
+    def search(self, query: Sequence[float], k: int = 10, nprobe: int = 2) -> DataFrame:
+        """Exact cosine top-k within the nprobe nearest centroid cells."""
+        q = [float(x) for x in query]
+
+        def dist2(c):
+            return sum((a - b) * (a - b) for a, b in zip(c, q))
+
+        order = sorted(range(len(self.centroids)), key=lambda i: dist2(self.centroids[i]))
+        probes = order[: max(1, nprobe)]
+        return (
+            self.assigned.filter(F.col("_centroid").isin(probes))
+            .select(
+                F.col(self.id_col),
+                cosine_similarity_col(F.col(self.vec_col), q).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,

@@ -84,3 +84,68 @@ def test_stream_write_xml_sink(spark, tmp_path):
     back = read_xml(spark, out, rowTag="ROW")
     got = {(r["a"], r["b"]) for r in back.collect()}
     assert got == {(10, "p"), (11, "q")}
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization over a file stream: sessions
+    separated by more than the gap close and emit."""
+    import json
+
+    from spark_xml_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "jsrc"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "ts_sec": 1000},
+        {"user_id": 1, "ts_sec": 1100},
+        {"user_id": 1, "ts_sec": 5000},   # closes session 1 (1000-1100, 2 ev)
+        {"user_id": 2, "ts_sec": 2000},
+        {"user_id": 2, "ts_sec": 9000},   # closes session (2000-2000, 1 ev)
+    ]
+    with open(src / "a.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts_sec long")
+        .json(str(src))
+    )
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_t").collect()
+    }
+    assert (1, 1000, 1100, 2) in got
+    assert (2, 2000, 2000, 1) in got
+
+
+def test_ivf_index(spark):
+    """IVF ANN: the query vector's own cell contains it; cell-local top-k
+    cosines match a Python re-computation."""
+    import math
+
+    from spark_xml_spark.operators import IvfIndex
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    rows = embs.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    idx = IvfIndex.build(embs, k=8, seed=42)
+    res = idx.search(q, k=5, nprobe=2).collect()
+    assert res and res[0]["vec_id"] == rows[0]["vec_id"]  # self is nearest
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    for r in res:
+        assert abs(cos(by_id[r["vec_id"]], q) - r["cosine"]) < 1e-9
