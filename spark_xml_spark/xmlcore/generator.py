@@ -62,7 +62,11 @@ def format_timestamp(v: _dt.datetime, options: XmlOptions) -> str:
                 pass
         return _java_strftime(options.timestamp_format, v)
     v = v.astimezone(_dt.timezone.utc)
-    base = v.strftime("%Y-%m-%dT%H:%M:%S")
+    # strftime %Y does not zero-pad years < 1000; ISO_INSTANT requires it
+    base = (
+        f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+        f"T{v.hour:02d}:{v.minute:02d}:{v.second:02d}"
+    )
     if v.microsecond:
         frac = f"{v.microsecond:06d}".rstrip("0")
         # pad to 3/6 digits like java.time's ISO_INSTANT millis/micros groups
