@@ -52,8 +52,11 @@ FORMAT_NAME = "xml-graft"
 # create_data_source worker process while ``reader()`` runs in the separate
 # plan_data_source_read worker — verified empirically by PID — so the bridge
 # must cross processes: a small JSON sidecar spool keyed by the schema
-# fingerprint, the one artifact both calls share. Ambiguity (two tables with
-# the byte-identical schema but different paths) raises instead of guessing.
+# fingerprint, the one artifact both calls share. Only ``schema()`` writes the
+# stash (the CREATE TABLE path always runs it; stashing from every reader
+# would make any two datasets that merely share a schema collide). Ambiguity
+# (two catalog tables with the byte-identical schema but different paths)
+# raises instead of guessing.
 _CATALOG_STASH: dict = {}
 
 
@@ -220,7 +223,6 @@ class XmlReader(DataSourceReader):
                 self._path = self._opts_dict.get("path")
         if not self._path:
             raise ValueError("path option is required for the xml data source")
-        _stash_options(schema, self._opts_dict)
 
     def partitions(self) -> List[InputPartition]:
         xopts = XmlOptions.from_dict(self._opts_dict)
