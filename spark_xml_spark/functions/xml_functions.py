@@ -56,13 +56,16 @@ def from_xml(
         if not isinstance(elem, T.StructType):
             raise TypeError("array schema for from_xml must be array<struct<...>>")
         mode = parser.effective_mode_for_column(elem, xo)
+        fast_arr = parser.FastFlatParser.try_build(elem, xo)
 
         @F.udf(returnType=dt, useArrow=True)
         def parse_array(values):
             if values is None:
                 return None
             return [
-                None if v is None else parser.parse_record(v, elem, xo, mode=mode)
+                None
+                if v is None
+                else parser.parse_record(v, elem, xo, mode=mode, fast=fast_arr)
                 for v in values
             ]
 
@@ -71,12 +74,13 @@ def from_xml(
     if not isinstance(dt, T.StructType):
         raise TypeError("schema for from_xml must be struct or array<struct>")
     mode = parser.effective_mode_for_column(dt, xo)
+    fast = parser.FastFlatParser.try_build(dt, xo)
 
     @F.udf(returnType=dt, useArrow=True)
     def parse_one(value):
         if value is None:
             return None
-        return parser.parse_record(value, dt, xo, mode=mode)
+        return parser.parse_record(value, dt, xo, mode=mode, fast=fast)
 
     return parse_one(col)
 
