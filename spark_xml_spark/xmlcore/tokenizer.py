@@ -207,7 +207,10 @@ class _Buffer:
         return self._buf[abs_start - self._base: abs_end - self._base]
 
     def discard_to(self, abs_pos: int) -> None:
-        if abs_pos > self._base:
+        """Lazy prefix discard: slicing the buffer per record would memcpy
+        the remaining window every time (quadratic per chunk); only compact
+        once the consumed prefix is sizeable."""
+        if abs_pos - self._base >= _CHUNK // 2:
             self._buf = self._buf[abs_pos - self._base:]
             self._base = abs_pos
 
@@ -318,6 +321,12 @@ def _skip_markup(buf: _Buffer, i: int) -> int:
 def _scan_tag_end(buf: _Buffer, i: int) -> Tuple[int, bool]:
     """From '<' at i, find the tag's closing '>' quote-aware.
     Returns (pos after '>', self_closing)."""
+    # fast path: no quotes anywhere before the first '>' -> it closes the tag
+    j = buf.find(b">", i + 1)
+    if j != -1:
+        head = buf.slice(i + 1, j)
+        if b'"' not in head and b"'" not in head:
+            return j + 1, head.rstrip(b" \t\r\n").endswith(b"/")
     p = i + 1
     quote = 0
     last = 0
