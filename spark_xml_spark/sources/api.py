@@ -96,6 +96,7 @@ def read_xml(
     spark: SparkSession,
     path,
     schema: Optional[T.StructType] = None,
+    columns: Optional[list] = None,
     **options,
 ) -> DataFrame:
     """Read XML files into a DataFrame.
@@ -104,11 +105,23 @@ def read_xml(
     reference's ``spark.read.format("xml").option("rowTag","book").load(...)``
     (README.md:34-101 option surface). Schema priority: explicit arg >
     ``inferSchema=false`` (all strings) > distributed inference job.
+
+    ``columns`` prunes the scan to the named top-level fields: the parser
+    skips unrequested subtrees without allocating (the reference's
+    PrunedScan path, XmlRelation.scala:51-58). Spark 4.1's Python Data
+    Source API does not push projection pruning down to readers, so this is
+    the explicit equivalent.
     """
     register(spark)
     xopts = XmlOptions.from_dict(options)
     if schema is None and xopts.infer_schema:
         schema = infer_xml_schema(spark, path, **options)
+    if columns is not None and schema is not None:
+        wanted = set(columns)
+        missing = wanted - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(f"columns not in schema: {sorted(missing)}")
+        schema = T.StructType([f for f in schema.fields if f.name in wanted])
     reader = spark.read.format(FORMAT_NAME).options(**_stringify(options))
     if schema is not None:
         reader = reader.schema(schema)

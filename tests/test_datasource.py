@@ -175,3 +175,29 @@ def test_to_xml_from_xml_inverse(spark):
     )
     back = xml_df.select(from_xml("x", st).alias("p")).select("p.*")
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_read_xml_columns_pruning(spark):
+    from spark_xml_spark.sources.api import read_xml
+
+    df = read_xml(
+        spark,
+        "/root/reference/src/test/resources/cars.xml",
+        rowTag="ROW",
+        columns=["year", "make"],
+    )
+    assert df.columns == ["make", "year"] or set(df.columns) == {"year", "make"}
+    assert {(r["year"], r["make"]) for r in df.collect()} == {
+        (2012, "Tesla"),
+        (1997, "Ford"),
+        (2015, "Chevy"),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="columns not in schema"):
+        read_xml(
+            spark,
+            "/root/reference/src/test/resources/cars.xml",
+            rowTag="ROW",
+            columns=["nope"],
+        )
