@@ -578,6 +578,52 @@ def q_stream_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): gap-based
+    sessionization over the events table replayed as a stream. Only sessions
+    CLOSED by a later event are emitted (each user's final session stays
+    open), which the oracle mirrors by dropping every user's last session."""
+    import tempfile
+
+    from spark_xml_spark.streaming.stateful import sessionize_stream
+
+    work = tempfile.mkdtemp(prefix="xml_sess_q_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    e = _events(spark, sf_dir).withColumn(
+        "ts_sec", F.expr("ts div 1000000000")
+    ).select("user_id", "ts_sec")
+    e.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, ts_sec long").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, expire_open_sessions=False)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sessions = spark.read.parquet(out)
+    return sessions.agg(
+        F.count("*").alias("n_closed"),
+        F.count_distinct("user_id").alias("n_users_closed"),
+        F.max("n_events").alias("max_closed_len"),
+        F.sum("n_events").alias("sum_closed_events"),
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans inverted file, nprobe cells, exact re-rank). Rows-only
+    check: centroids come from an ML fit, not SQL-expressible."""
+    from spark_xml_spark.operators import IvfIndex
+
+    e = _parquet(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = IvfIndex.build(e, k=8, seed=42)
+    return idx.search(q, k=10, nprobe=3)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash with deterministic min-id keeper; the
     input is documents plus re-keyed copies of every 7th document."""
@@ -735,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xsd_schema": q_xsd_schema,
         "xsd_validate": q_xsd_validate,
         "stream_xml_ingest": q_stream_xml_ingest,
+        "stream_sessionize": q_stream_sessionize,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -919,6 +967,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
                    CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
             FROM nation
+        """,
+        "stream_sessionize": """
+            WITH flag AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN (epoch_ns(ts) // 1000000000)
+                               - lag(epoch_ns(ts) // 1000000000) OVER w IS NULL
+                               OR (epoch_ns(ts) // 1000000000)
+                               - lag(epoch_ns(ts) // 1000000000) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flag
+            ), per AS (
+              SELECT user_id, session_id, COUNT(*) AS n_events
+              FROM sess GROUP BY user_id, session_id
+            ), closed AS (
+              -- the stateful operator only emits sessions closed by a later
+              -- event; each user's final session stays open
+              SELECT * FROM per
+              WHERE session_id < (SELECT MAX(session_id) FROM per p2
+                                  WHERE p2.user_id = per.user_id)
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_closed,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_closed,
+                   CAST(MAX(n_events) AS BIGINT) AS max_closed_len,
+                   CAST(SUM(n_events) AS BIGINT) AS sum_closed_events
+            FROM closed
         """,
         "dedup_exact": """
             WITH all_docs AS (

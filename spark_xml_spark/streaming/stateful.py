@@ -45,10 +45,18 @@ def sessionize_stream(
     gap_seconds: int = 1800,
     ts_col: str = "ts_sec",
     key_col: str = "user_id",
+    expire_open_sessions: bool = True,
 ) -> DataFrame:
     """Streaming sessionization: emits one row per CLOSED session (a session
     closes when a later event for the same key arrives more than
-    ``gap_seconds`` after the previous one, or when the state times out).
+    ``gap_seconds`` after the previous one, or — with
+    ``expire_open_sessions`` — when the state times out).
+
+    ``expire_open_sessions=False`` disables the processing-time timeout:
+    open sessions are simply never emitted. Use this for availableNow /
+    replay jobs — with a timeout configured, Spark keeps the query alive
+    until the timeout fires, so an availableNow trigger blocks ~gap_seconds
+    after the last batch instead of terminating.
 
     ``events`` must carry ``key_col`` (long) and ``ts_col`` (epoch seconds,
     long). Works on streaming and batch DataFrames alike.
@@ -89,8 +97,9 @@ def sessionize_stream(
             last = max(last, t)
             count += 1
         state.update((start, last, count))
-        # expire the open session after the gap passes with no new events
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if expire_open_sessions:
+            # expire the open session after the gap passes with no events
+            state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -101,10 +110,15 @@ def sessionize_stream(
                 }
             )
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if expire_open_sessions
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )

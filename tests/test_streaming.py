@@ -109,7 +109,7 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         spark.readStream.schema("user_id long, ts_sec long")
         .json(str(src))
     )
-    out = sessionize_stream(stream, gap_seconds=1800)
+    out = sessionize_stream(stream, gap_seconds=1800, expire_open_sessions=False)
     q = (
         out.writeStream.format("memory")
         .queryName("sessions_t")
