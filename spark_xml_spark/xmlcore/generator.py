@@ -229,6 +229,68 @@ def row_to_xml(schema: T.StructType, row: Any, options: XmlOptions) -> str:
     return "".join(w.out)
 
 
+class FastFlatGenerator:
+    """Precompiled writer for FLAT all-scalar schemas: per-field open/close
+    tags are rendered once and each row becomes one join over formatted
+    values — no per-field type dispatch in the row loop (~2x generate).
+    Output is byte-identical to row_to_xml for qualifying schemas; anything
+    else (structs, arrays, maps, attribute fields, valueTag) uses the
+    generic writer."""
+
+    __slots__ = ("parts", "row_open", "row_close", "null_value")
+
+    @classmethod
+    def try_build(cls, schema: T.StructType, options: XmlOptions):
+        names = [f.name for f in schema.fields]
+        if options.value_tag in names:
+            return None
+        if any(n.startswith(options.attribute_prefix) for n in names):
+            return None
+        scalar = (
+            T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+            T.DoubleType, T.FloatType, T.BooleanType, T.DateType,
+            T.TimestampType, T.DecimalType, T.BinaryType,
+        )
+        if not all(type(f.dataType) in scalar for f in schema.fields):
+            return None
+        return cls(schema, options)
+
+    def __init__(self, schema: T.StructType, options: XmlOptions):
+        self.null_value = options.null_value
+        self.parts = []
+        for f in schema.fields:
+            dt = f.dataType
+            if isinstance(dt, T.StringType):
+                fmt = _escape_text
+            elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+                fmt = str
+            elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                fmt = lambda v: repr(float(v))  # noqa: E731
+            elif isinstance(dt, T.BooleanType):
+                fmt = lambda v: "true" if v else "false"  # noqa: E731
+            elif isinstance(dt, T.TimestampType):
+                fmt = lambda v, o=options: format_timestamp(v, o)  # noqa: E731
+            elif isinstance(dt, T.DateType):
+                fmt = lambda v, o=options: format_date(v, o)  # noqa: E731
+            else:  # Decimal / Binary: shared scalar path
+                fmt = lambda v, d=dt, o=options: _scalar_text(d, v, o)  # noqa: E731
+            self.parts.append((f"<{f.name}>", fmt, f"</{f.name}>"))
+
+    def row_to_xml(self, row: Any, row_tag: str) -> str:
+        if isinstance(row, dict):
+            row = [row.get(open_t[1:-1]) for open_t, _, _ in self.parts]
+        out = [f"<{row_tag}>"]
+        nv = self.null_value
+        for (open_t, fmt, close_t), v in zip(self.parts, row):
+            if v is None:
+                if nv is not None:
+                    out.append(open_t + _escape_text(nv) + close_t)
+                continue
+            out.append(open_t + fmt(v) + close_t)
+        out.append(f"</{row_tag}>")
+        return "".join(out)
+
+
 def rows_to_document(
     schema: T.StructType, rows: Iterable[Any], options: XmlOptions
 ) -> Iterator[str]:
@@ -241,6 +303,12 @@ def rows_to_document(
     root_tag = options.root_tag
     yield f"<{root_tag}>"
     root_name = root_tag.split(" ")[0]
-    for row in rows:
-        yield "    " + row_to_xml(schema, row, options)
+    fast = FastFlatGenerator.try_build(schema, options)
+    if fast is not None:
+        tag = options.row_tag
+        for row in rows:
+            yield "    " + fast.row_to_xml(row, tag)
+    else:
+        for row in rows:
+            yield "    " + row_to_xml(schema, row, options)
     yield f"</{root_name}>"
