@@ -149,3 +149,47 @@ def test_ivf_index(spark):
 
     for r in res:
         assert abs(cos(by_id[r["vec_id"]], q) - r["cosine"]) < 1e-9
+
+
+def test_watermarked_windowed_agg(spark, tmp_path):
+    """Watermark + event-time windows over a json file stream: on-time
+    windows emit; the streaming result matches the batch computation of the
+    same data."""
+    import json as _json
+
+    from spark_xml_spark.streaming.windowed import windowed_event_counts
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01 00:02:00", "event_type": "a", "value": 2.0},
+        {"ts": "2024-01-01 00:03:00", "event_type": "b", "value": 3.0},
+        {"ts": "2024-01-01 00:12:00", "event_type": "a", "value": 4.0},
+        {"ts": "2024-01-01 01:00:00", "event_type": "b", "value": 5.0},
+    ]
+    with open(src / "a.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = windowed_event_counts(stream, "10 minutes", watermark="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_t").collect()
+    }
+    batch = spark.read.schema(schema).json(str(src))
+    expected = {
+        (str(r["window_start"]), r["event_type"], r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(batch, "10 minutes").collect()
+    }
+    assert got == expected
+    assert ("2024-01-01 00:00:00", "a", 2, 3.0) in got
