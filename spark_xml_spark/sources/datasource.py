@@ -71,7 +71,10 @@ def _sidecar_dir() -> str:
 def _stash_key(schema: T.StructType) -> str:
     import hashlib
 
-    return hashlib.sha256(schema.json().encode()).hexdigest()[:32]
+    # simpleString ignores nullability and metadata: the INSERT write path
+    # hands the writer the incoming data's schema, whose nullability can
+    # differ from the stashed inferred schema
+    return hashlib.sha256(schema.simpleString().encode()).hexdigest()[:32]
 
 
 def _sidecar_path(key: str) -> str:
@@ -269,9 +272,28 @@ class XmlWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: T.StructType, overwrite: bool):
         self._opts_dict = dict(options)
         self._schema = schema
-        self._path = options.get("path")
+        self._path = options.get("path") or options.get("location")
+        if not self._path:
+            # catalog-table INSERT: Spark hands the writer empty options
+            # (same gap as the reader) — recover via the schema stash
+            recovered = _recover_options(schema)
+            if recovered is not None:
+                self._opts_dict = dict(recovered)
+                self._path = self._opts_dict.get("path")
         if not self._path:
             raise ValueError("path option is required for the xml data source")
+        self._path = _strip_scheme_local(self._path)
+        existing = (
+            os.path.isdir(self._path)
+            and any(not f.startswith(("_", ".")) for f in os.listdir(self._path))
+        )
+        if not overwrite and existing:
+            # reference semantics: only INSERT OVERWRITE is supported
+            # (XmlRelation.scala:61-84, DefaultSource.scala:83-106)
+            raise ValueError(
+                "Append mode is not supported by the xml data source; "
+                "use INSERT OVERWRITE / mode('overwrite')"
+            )
         if overwrite and os.path.isdir(self._path):
             import shutil
 

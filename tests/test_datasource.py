@@ -201,3 +201,39 @@ def test_read_xml_columns_pruning(spark):
             rowTag="ROW",
             columns=["nope"],
         )
+
+
+def test_sql_insert_overwrite(spark, tmp_path):
+    """Reference S4/S16: INSERT OVERWRITE rewrites the table; append is
+    rejected (XmlRelation.scala:61-84, DefaultSource.scala:83-106). The
+    uniquely-named column keeps the schema fingerprint unique for the
+    catalog-option recovery (see datasource._CATALOG_STASH)."""
+    import shutil
+    import hashlib
+
+    from spark_xml_spark.sources.api import register, write_xml
+
+    register(spark)
+    tag = "c_" + hashlib.sha256(str(tmp_path).encode()).hexdigest()[:12]
+    d = str(tmp_path / "ins_tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], f"k long, {tag} string")
+    write_xml(df, d, rowTag="r")
+    spark.sql("DROP TABLE IF EXISTS ins_ovr_t")
+    spark.sql(
+        f"CREATE TABLE ins_ovr_t USING `xml-graft` OPTIONS (path '{d}', rowTag 'r')"
+    )
+    try:
+        assert {
+            tuple(r) for r in spark.sql(f"SELECT k, {tag} FROM ins_ovr_t").collect()
+        } == {(1, "a"), (2, "b")}
+        spark.sql("INSERT OVERWRITE TABLE ins_ovr_t VALUES ('A', 11), ('B', 12)")
+        assert {
+            tuple(r) for r in spark.sql(f"SELECT k, {tag} FROM ins_ovr_t").collect()
+        } == {(11, "A"), (12, "B")}
+        import pytest
+
+        with pytest.raises(Exception, match="Append mode is not supported"):
+            spark.sql("INSERT INTO ins_ovr_t VALUES ('z', 99)")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ins_ovr_t")
+        shutil.rmtree(d, ignore_errors=True)
