@@ -100,6 +100,16 @@ class XmlOptions:
             # Required non-empty for the writer's attribute/element partition
             # (StaxXmlGenerator.scala:45-46); empty also breaks the reader.
             raise ValueError("'attributePrefix' option should not be empty string.")
+        if self.compression:
+            # case-insensitive, and accept Hadoop codec class names like the
+            # reference's "codec" option (XmlOptions.scala:31,
+            # CompressionCodecs resolution)
+            c = self.compression.lower()
+            if c.endswith("gzipcodec"):
+                c = "gzip"
+            elif c.endswith("bzip2codec"):
+                c = "bz2"
+            self.compression = c
 
     # camelCase (reference spelling) -> snake_case field name
     _ALIASES = {
