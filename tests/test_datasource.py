@@ -237,3 +237,31 @@ def test_sql_insert_overwrite(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ins_ovr_t")
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_concurrent_reads(spark, tmp_path):
+    """XmlSuite.scala:1475-1508 concurrency smoke: parallel reads of the
+    same and different XML inputs from multiple threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spark_xml_spark.sources.api import read_xml
+
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"t{i}.xml"
+        with open(p, "w") as fh:
+            fh.write("<RS>")
+            for j in range(50):
+                fh.write(f"<R><a>{i * 1000 + j}</a></R>")
+            fh.write("</RS>")
+        paths.append(str(p))
+
+    def work(i):
+        df = read_xml(spark, paths[i % 4], rowTag="R")
+        return df.count(), df.agg({"a": "min"}).first()[0]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(work, range(16)))
+    for i, (n, mn) in enumerate(results):
+        assert n == 50
+        assert mn == (i % 4) * 1000
