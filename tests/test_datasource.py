@@ -265,3 +265,44 @@ def test_concurrent_reads(spark, tmp_path):
     for i, (n, mn) in enumerate(results):
         assert n == 50
         assert mn == (i % 4) * 1000
+
+
+def test_option_validation_errors(spark):
+    """XmlSuite.scala:842-886: invalid option combinations raise."""
+    from spark_xml_spark.options import XmlOptions
+
+    with pytest.raises(ValueError, match="rowTag"):
+        XmlOptions.from_dict({"rowTag": ""})
+    with pytest.raises(ValueError, match="angle brackets"):
+        XmlOptions.from_dict({"rowTag": "<ROW>"})
+    with pytest.raises(ValueError, match="angle brackets"):
+        XmlOptions.from_dict({"rootTag": "<ROWS>"})
+    with pytest.raises(ValueError, match="valueTag"):
+        XmlOptions.from_dict({"valueTag": ""})
+    with pytest.raises(ValueError, match="should not be the same"):
+        XmlOptions.from_dict({"valueTag": "#", "attributePrefix": "#"})
+    with pytest.raises(ValueError, match="samplingRatio"):
+        XmlOptions.from_dict({"samplingRatio": "0"})
+
+
+def test_sampling_ratio_inference(spark, tmp_path):
+    """XmlSuite.scala:521-530: sampled inference still finds the schema on
+    homogeneous data."""
+    p = tmp_path / "s.xml"
+    with open(p, "w") as fh:
+        fh.write("<RS>")
+        for i in range(400):
+            fh.write(f"<R><a>{i}</a><b>x{i}</b></R>")
+        fh.write("</RS>")
+    df = read_xml(spark, str(p), rowTag="R", samplingRatio=0.3)
+    assert df.schema.simpleString() == "struct<a:bigint,b:string>"
+    assert df.count() == 400
+
+
+def test_utf16_charset_roundtrip(spark, tmp_path):
+    """Non-ASCII-compatible charset: whole-file decode path."""
+    out = str(tmp_path / "u16")
+    df = spark.createDataFrame([(1, "héllo"), (2, "wörld")], "k long, v string")
+    write_xml(df, out, rowTag="r", charset="UTF-16")
+    back = read_xml(spark, out, rowTag="r", charset="UTF-16")
+    assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "héllo"), (2, "wörld")}
