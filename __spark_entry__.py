@@ -90,16 +90,26 @@ def _xml_table(
     schema_file = os.path.join(base, "schema.json")
     marker = os.path.join(base, "_DONE")
     if not os.path.exists(marker):
+        # build in a process-unique staging dir and rename into place so a
+        # concurrent builder can't interleave with the overwrite-delete
+        stage = base + f".stage-{os.getpid()}"
+        stage_xml = os.path.join(stage, "xml")
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
         if transform is not None:
             df = transform(df)
-        write_xml(df.repartition(partitions), xml_dir, **write_opts)
-        schema = infer_xml_schema(spark, xml_dir, rowTag=tag)
-        os.makedirs(base, exist_ok=True)
-        with open(schema_file, "w") as fh:
+        write_xml(df.repartition(partitions), stage_xml, **write_opts)
+        schema = infer_xml_schema(spark, stage_xml, rowTag=tag)
+        with open(os.path.join(stage, "schema.json"), "w") as fh:
             fh.write(schema.json())
-        with open(marker, "w") as fh:
+        with open(os.path.join(stage, "_DONE"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(stage, base)
+        except OSError:
+            # a concurrent builder won the race; use its result
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     with open(schema_file) as fh:
         schema = T.StructType.fromJson(json.load(fh))
     return read_xml(spark, xml_dir, schema=schema, rowTag=tag)
