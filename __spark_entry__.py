@@ -196,6 +196,21 @@ def q_xml_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation over XML lineitem (the §2.2 cube/rollup shape):
+    subtotals per (returnflag, linestatus), per returnflag, and grand
+    total."""
+    li = _xml_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
 def q_xml_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function over XML supplier: top-2 by acctbal per nation."""
     s = _xml_table(spark, sf_dir, "supplier")
@@ -777,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_scan_filter": q_xml_scan_filter,
         "xml_agg_q1": q_xml_agg_q1,
         "xml_join_agg": q_xml_join_agg,
+        "xml_rollup": q_xml_rollup,
         "xml_window_rank": q_xml_window_rank,
         "xml_sort_limit": q_xml_sort_limit,
         "xml_distinct_except": q_xml_distinct_except,
@@ -873,6 +889,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "xml_rollup": f"""
+            SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(l_quantity) AS sum_qty,
+                   {_DEC_SUM_SQL.format(c='l_extendedprice')} AS sum_price
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "xml_window_rank": """
             SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
