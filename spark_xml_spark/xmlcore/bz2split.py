@@ -246,6 +246,29 @@ def read_level(path: str) -> Optional[bytes]:
     return None
 
 
+def looks_multistream(path: str, probe_bytes: int = 8 << 20) -> bool:
+    """Heuristic multi-stream (pbzip2-style concatenation) detector: a
+    byte-aligned interior stream header 'BZh<d>' immediately followed by the
+    block magic. pbzip2 emits ~900 KB streams, so probing the first few MB
+    catches real producers; a file with a single giant first stream followed
+    by more streams would evade this and must be read whole-file by the
+    caller's choice (documented limitation)."""
+    level = read_level(path)
+    if level is None:
+        return False
+    with open(path, "rb") as fh:
+        fh.seek(1)
+        data = fh.read(probe_bytes)
+    pat = b"BZh" + level + _MAGIC_BYTES
+    if data.find(pat) != -1:
+        return True
+    # streams may use different levels
+    for lv in b"123456789":
+        if data.find(b"BZh" + bytes([lv]) + _MAGIC_BYTES) != -1:
+            return True
+    return False
+
+
 def open_block_range(
     path: str, start_byte: int, end_byte: int
 ) -> Optional[OwnedThenContinuation]:

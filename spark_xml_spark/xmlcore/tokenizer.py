@@ -120,7 +120,11 @@ def plan_splits(
             from spark_xml_spark.xmlcore import bz2split
 
             size = os.path.getsize(f)
-            if bz2split.read_level(f) is None or size <= target_split_size:
+            if (
+                bz2split.read_level(f) is None
+                or size <= target_split_size
+                or bz2split.looks_multistream(f)
+            ):
                 splits.append(FileSplit(f, 0, -1, comp, whole_file=True))
                 continue
             n = (size + target_split_size - 1) // target_split_size

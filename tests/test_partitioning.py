@@ -95,3 +95,21 @@ def test_bz2_through_datasource_failfast(spark, tmp_path):
         targetSplitSize=8342,
     )
     assert df.count() == 740
+
+
+def test_bz2_multistream_degrades_to_whole_file(tmp_path):
+    """pbzip2-style concatenated streams must not be block-split (stream
+    boundaries would lose blocks); they read whole-file, exactly."""
+    import bz2 as b
+
+    part1 = "".join(f"<r><a>{i}</a></r>" for i in range(5000))
+    part2 = "".join(f"<r><a>{i}</a></r>" for i in range(5000, 9000))
+    path = str(tmp_path / "ms.bz2")
+    with open(path, "wb") as fh:
+        fh.write(b.compress(f"<R>{part1}".encode(), 1))
+        fh.write(b.compress(f"{part2}</R>".encode(), 1))
+    assert bz2split.looks_multistream(path)
+    splits = tokenizer.plan_splits(path, "UTF-8", 4096)
+    assert len(splits) == 1 and splits[0].whole_file
+    recs = [r for s in splits for r in tokenizer.scan_split(s, "r")]
+    assert len(recs) == 9000
