@@ -691,6 +691,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-signature bucket
+    candidates verified with exact cosine. The random corpus has no natural
+    near-dups (max pairwise cosine ~0.51), so every 20th vector gets a
+    deterministically perturbed re-keyed copy planted; the operator must
+    retrieve those pairs. Rows-only check (the candidate prefilter depends
+    on Python-seeded hyperplanes)."""
+    from spark_xml_spark.operators import cosine_pairs
+
+    e = _parquet(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x + F.lit(0.01).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    both = e.unionAll(planted)
+    # two independent signature seedings union'd: single-bucket LSH recall
+    # at cos~0.997 is ~0.9 per seeding, ~0.99 for the union
+    p1 = cosine_pairs(both, "vec_id", "embedding", threshold=0.99, num_planes=4, seed=42)
+    p2 = cosine_pairs(both, "vec_id", "embedding", threshold=0.99, num_planes=4, seed=43)
+    return p1.unionAll(p2).select("id_a", "id_b").distinct()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal scoring per source: identical column arithmetic on
+    both engines (regex counts, stopword ratios, bounded score)."""
+    from spark_xml_spark.operators import add_quality_score
+
+    d = add_quality_score(_parquet(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.min("quality_score"), 6).alias("min_quality"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around the vec_id=0 embedding; double
     arithmetic in index order on both engines -> bit-identical cosines."""
@@ -816,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "text_quality": q_text_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_tokens": q_text_tokens,
@@ -1048,6 +1090,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": _JACCARD_PAIRS_SQL.format(thr=0.5),
         "dedup_minhash": _JACCARD_PAIRS_SQL.format(thr=0.8),
+        "text_quality": """
+            WITH m AS (
+              SELECT source,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     len(list_filter(
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> lower(x)),
+                       x -> x IN ('the','and','of','to','in','is','that','with','for','was')))
+                       AS n_stop
+              FROM documents
+            ), scored AS (
+              SELECT source,
+                     round(
+                       0.4 * least((n_alpha / greatest(n_chars, 1)) / 0.7, 1.0)
+                     + 0.3 * least((n_stop / greatest(n_words, 1)) / 0.3, 1.0)
+                     + 0.3 * (1 - least(n_punct / greatest(n_chars, 1)
+                                      + n_digit / greatest(n_chars, 1), 1.0)), 6)
+                       AS quality_score
+              FROM m
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   round(AVG(quality_score), 6) AS avg_quality,
+                   round(MIN(quality_score), 6) AS min_quality
+            FROM scored GROUP BY source
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0),
