@@ -163,6 +163,7 @@ def q_xml_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.filter(F.col("c_acctbal") > 1000.0)
         .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
     )
 
 
@@ -177,6 +178,10 @@ def q_xml_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_quantity").alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
+        # deterministic output order: the driver's value hash is row-order
+        # sensitive, so every multi-row query sorts on a total key and the
+        # oracle SQL mirrors the ORDER BY
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -193,6 +198,7 @@ def q_xml_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             _dec_sum("c_acctbal").alias("total_acctbal"),
         )
+        .orderBy("r_name")
     )
 
 
@@ -208,6 +214,12 @@ def q_xml_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
             _dec_sum("l_extendedprice").alias("sum_price"),
         )
+        # NULLS FIRST explicitly: Spark's asc default, but DuckDB defaults
+        # to NULLS LAST, so the oracle must say NULLS FIRST
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
     )
 
 
@@ -221,6 +233,7 @@ def q_xml_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 2)
         .select("s_suppkey", "s_nationkey", "s_acctbal", "rnk")
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
     )
 
 
@@ -244,7 +257,7 @@ def q_xml_distinct_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     top = c.filter(F.col("c_acctbal") > 9500).select("c_mktsegment", "c_nationkey").distinct()
-    return mid.exceptAll(top).distinct()
+    return mid.exceptAll(top).distinct().orderBy("c_mktsegment", "c_nationkey")
 
 
 def q_xml_explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +291,7 @@ def q_xml_explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("li.l_quantity").alias("sum_qty"),
             _dec_sum("li.l_extendedprice").alias("sum_price"),
         )
+        .orderBy("o_orderstatus")
     )
 
 
@@ -301,6 +315,7 @@ def q_xml_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("_id").alias("min_id"),
             _dec_sum("totalprice").alias("total"),
         )
+        .orderBy("status")
     )
 
 
@@ -324,6 +339,7 @@ def q_xml_valuetag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             _dec_sum("price._VALUE").alias("total"),
         )
+        .orderBy("prio")
     )
 
 
@@ -423,7 +439,8 @@ def q_xml_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             OPTIONS (path '{xml_dir}', rowTag 'region')"""
     )
     return spark.sql(
-        """SELECT r_regionkey, r_name FROM xml_graft_region"""
+        """SELECT r_regionkey, r_name FROM xml_graft_region
+           ORDER BY r_regionkey"""
     )
 
 
@@ -451,6 +468,7 @@ def q_from_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p.v").alias("sum_scaled"),
             F.min("p.id").alias("min_id"),
         )
+        .orderBy("event_type")
     )
 
 
@@ -489,7 +507,7 @@ def q_to_xml_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("event_id"), F.col("user_id")),
         "struct<event_id:bigint,user_id:bigint>",
     )
-    return e.select(F.col("event_id"), xml.alias("xml"))
+    return e.select(F.col("event_id"), xml.alias("xml")).orderBy("event_id")
 
 
 def q_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +519,7 @@ def q_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml_dir = os.path.join(CACHE_ROOT, f"nation-plain-{fp}", "xml")
     schema = infer_xml_schema(spark, xml_dir, rowTag="nation")
     rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
-    return spark.createDataFrame(rows, "field string, dtype string")
+    return spark.createDataFrame(rows, "field string, dtype string").orderBy("field")
 
 
 def q_xsd_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,7 +541,9 @@ def q_xsd_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (f.name, f.dataType.simpleString(), f.nullable) for f in struct.fields
     ]
-    return spark.createDataFrame(rows, "field string, dtype string, nullable boolean")
+    return spark.createDataFrame(
+        rows, "field string, dtype string, nullable boolean"
+    ).orderBy("field")
 
 
 def q_xsd_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +690,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (inverted-index join, no
     all-pairs) at threshold 0.5."""
     d = _parquet(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,9 +701,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the verified output equals the exact answer and the oracle below is
     the plain all-pairs Jaccard SQL."""
     d = _parquet(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(
-        d, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.8
-    ).select("id_a", "id_b", "jaccard")
+    return (
+        minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.8
+        )
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,10 +750,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_xml_spark.operators import add_quality_score
 
     d = add_quality_score(_parquet(spark, sf_dir, "documents"))
-    return d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
-        F.round(F.min("quality_score"), 6).alias("min_quality"),
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(F.min("quality_score"), 6).alias("min_quality"),
+        )
+        .orderBy("source")
     )
 
 
@@ -752,24 +782,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (BPE-ish regex, JVM regexp_extract_all) per source."""
     d = add_token_count(_parquet(spark, sf_dir, "documents"))
-    return d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
     )
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword language-ID distribution over the corpus."""
     d = add_language_id(_parquet(spark, sf_dir, "documents"))
-    return d.groupBy("lang_pred").agg(F.count("*").alias("n"))
+    return d.groupBy("lang_pred").agg(F.count("*").alias("n")).orderBy("lang_pred")
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-md5-shingle document fingerprint (portable: md5 in both
     engines); distinct fingerprints ~ distinct contents."""
     d = add_fingerprint(_parquet(spark, sf_dir, "documents"), n=8)
-    return d.select("doc_id", "fingerprint").filter(F.col("doc_id") < 100)
+    return (
+        d.select("doc_id", "fingerprint")
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id")
+    )
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +830,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("byte_len").alias("total_bytes"),
             F.count_distinct("payload_sha").alias("n_distinct"),
         )
+        .orderBy("source", "kind")
     )
 
 
@@ -895,6 +934,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))
         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {thr}
+ORDER BY id_a, id_b
 """
 )
 
@@ -915,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "xml_scan_filter": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE c_acctbal > 1000.0
+            ORDER BY c_custkey
         """,
         "xml_agg_q1": f"""
             SELECT l_returnflag, l_linestatus,
@@ -923,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
                    AVG(l_quantity) AS avg_qty,
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "xml_join_agg": f"""
             SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -931,12 +973,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+            ORDER BY r_name
         """,
         "xml_rollup": f"""
             SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
                    SUM(l_quantity) AS sum_qty,
                    {_DEC_SUM_SQL.format(c='l_extendedprice')} AS sum_price
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
         """,
         "xml_window_rank": """
             SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
@@ -946,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY s_acctbal DESC, s_suppkey ASC) AS BIGINT) AS rnk
                   FROM supplier)
             WHERE rnk <= 2
+            ORDER BY s_nationkey, rnk, s_suppkey
         """,
         "xml_sort_limit": """
             SELECT p_partkey, p_name, p_retailprice FROM part
@@ -957,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT)
             FROM customer WHERE c_acctbal > 9500
+            ORDER BY c_mktsegment, c_nationkey
         """,
         "xml_explode_nested": f"""
             SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -965,17 +1011,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             WHERE o_orderkey % 50 = 0
             GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "xml_attributes": f"""
             SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
                    MIN(o_orderkey) AS min_id,
                    {_DEC_SUM_SQL.format(c='o_totalprice')} AS total
             FROM orders GROUP BY o_orderstatus
+            ORDER BY status
         """,
         "xml_valuetag": f"""
             SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
                    {_DEC_SUM_SQL.format(c='o_totalprice')} AS total
             FROM orders GROUP BY o_orderpriority
+            ORDER BY prio
         """,
         "xml_nulls": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1004,12 +1053,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "xml_ddl_sql": """
             SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region
+            ORDER BY r_regionkey
         """,
         "from_xml_parse": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_scaled,
                    MIN(event_id) AS min_id
             FROM events GROUP BY event_type
+            ORDER BY event_type
         """,
         "from_xml_corrupt": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
@@ -1022,17 +1073,20 @@ def oracle_sql() -> dict[str, str]:
                    '<ROW><event_id>' || event_id || '</event_id><user_id>'
                      || user_id || '</user_id></ROW>' AS xml
             FROM events WHERE event_id < 1000
+            ORDER BY event_id
         """,
         "schema_infer": """
             SELECT * FROM (VALUES
               ('n_name', 'string'), ('n_nationkey', 'bigint'),
               ('n_regionkey', 'bigint')) AS t(field, dtype)
+            ORDER BY field
         """,
         "xsd_schema": """
             SELECT * FROM (VALUES
               ('p_partkey', 'bigint', false), ('p_name', 'string', false),
               ('p_size', 'int', true), ('p_retailprice', 'double', false)
             ) AS t(field, dtype, nullable)
+            ORDER BY field
         """,
         "xsd_validate": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
@@ -1118,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(quality_score), 6) AS avg_quality,
                    round(MIN(quality_score), 6) AS min_quality
             FROM scored GROUP BY source
+            ORDER BY source
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
@@ -1140,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
                      AS max_tokens
             FROM documents GROUP BY source
+            ORDER BY source
         """,
         "text_langid": f"""
             WITH scored AS (
@@ -1159,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'und' END AS lang_pred
               FROM scored)
             GROUP BY lang_pred
+            ORDER BY lang_pred
         """,
         "text_fingerprint": """
             SELECT doc_id,
@@ -1173,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
                   FROM documents)
             WHERE doc_id < 100
+            ORDER BY doc_id
         """,
         "multimodal_meta": """
             SELECT source, 'image/png' AS kind, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1181,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT sha256(hex('\\x89PNG'::BLOB || encode(text))))
                         AS BIGINT) AS n_distinct
             FROM documents GROUP BY source
+            ORDER BY source, kind
         """,
         "events_sessionize": """
             WITH flag AS (

@@ -1,6 +1,8 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry and its oracle_sql() side by side, compare row count, column names,
-and order-insensitive values.
+and values — row-order SENSITIVE (stricter than needed if the driver
+hashes order-insensitively, but every query now has a deterministic
+orderBy mirrored in its oracle, so in-order equality is the contract).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -46,7 +48,7 @@ def table_of(df_rows, cols):
     out = []
     for row in df_rows:
         out.append(tuple(norm(row[i]) for i in idx))
-    return sorted(out), [cols[i] for i in idx]
+    return out, [cols[i] for i in idx]
 
 
 def main():
