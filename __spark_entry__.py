@@ -718,12 +718,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: hyperplane-signature bucket
-    candidates verified with exact cosine. The random corpus has no natural
-    near-dups (max pairwise cosine ~0.51), so every 20th vector gets a
-    deterministically perturbed re-keyed copy planted; the operator must
-    retrieve those pairs. Rows-only check (the candidate prefilter depends
-    on Python-seeded hyperplanes)."""
+    """Embedding-cosine near-duplicate pairs: banded hyperplane-LSH
+    candidates (16 planes x 8 bands, capped buckets) verified with exact
+    cosine. The random corpus has no natural near-dups (max pairwise cosine
+    ~0.51), so every 20th vector gets a deterministically perturbed
+    re-keyed copy planted; the operator must retrieve exactly those pairs.
+    Oracle: the planted (k, k+1000000) pairs whose float-perturbation
+    cosine clears the threshold — band-miss probability at cos ~0.9999 is
+    ~(1 - 0.998^16)^8 < 1e-12, so the LSH output equals the exact answer."""
     from spark_xml_spark.operators import cosine_pairs
 
     e = _parquet(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -737,11 +739,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     both = e.unionAll(planted)
-    # two independent signature seedings union'd: single-bucket LSH recall
-    # at cos~0.997 is ~0.9 per seeding, ~0.99 for the union
-    p1 = cosine_pairs(both, "vec_id", "embedding", threshold=0.99, num_planes=4, seed=42)
-    p2 = cosine_pairs(both, "vec_id", "embedding", threshold=0.99, num_planes=4, seed=43)
-    return p1.unionAll(p2).select("id_a", "id_b").distinct()
+    return (
+        cosine_pairs(
+            both, "vec_id", "embedding", threshold=0.99, num_planes=16, bands=8, seed=42
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,6 +1148,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": _JACCARD_PAIRS_SQL.format(thr=0.5),
         "dedup_minhash": _JACCARD_PAIRS_SQL.format(thr=0.8),
+        "dedup_embedding": """
+            WITH pert AS (
+              SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     CAST(list_transform(embedding,
+                            x -> CAST(x + CAST(0.01 AS FLOAT) AS FLOAT))
+                          AS DOUBLE[]) AS p
+              FROM embeddings WHERE vec_id % 20 = 0
+            )
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+            FROM pert
+            WHERE list_dot_product(v, p)
+                  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p)))
+                  >= 0.99
+            ORDER BY id_a, id_b
+        """,
         "text_quality": """
             WITH m AS (
               SELECT source,

@@ -182,20 +182,18 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
-    # bucket-size guard
-    sizes = banded.groupBy("_band", "_bh").agg(F.count("*").alias("_n"))
-    ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("_band", "_bh")
-    pruned = banded.join(ok, ["_band", "_bh"], "left_semi")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    # one shuffle: gather each band bucket's ids, drop singleton and
+    # over-cap buckets (boilerplate guard), then pair-generate locally by
+    # double explode — no self-join, the signature lineage runs ONCE
+    buckets = (
+        banded.groupBy("_band", "_bh")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bh") == F.col("b._bh"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.select("_ids", F.explode("_ids").alias("id_a"))
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -268,12 +266,16 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Candidates via 4x16-bit band equality (pigeonhole: Hamming <= 3 implies
     at least one of 4 bands identical), then exact popcount verify on the
-    candidate pairs only. Returns (id_a, id_b, hamming).
+    candidate pairs only. Band buckets larger than ``max_bucket`` docs are
+    dropped before the self-join (same guard as minhash_lsh_candidates:
+    boilerplate/empty-doc signatures collapse to one bucket, which must not
+    go quadratic at scale). Returns (id_a, id_b, hamming).
     """
     sig = simhash(df, id_col, text_col)
     bands = sig.select(
@@ -293,15 +295,18 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("_id", "simhash", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # one shuffle: bucket members (id + signature payload) gathered per
+    # band bucket, capped, pairs generated locally — no self-join, the
+    # 64-agg simhash lineage runs ONCE
+    buckets = (
+        bands.groupBy("_band", "_bh")
+        .agg(F.collect_list(F.struct("_id", "simhash")).alias("_ms"))
+        .filter((F.size("_ms") > 1) & (F.size("_ms") <= max_bucket))
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bh") == F.col("b._bh"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+        buckets.select("_ms", F.explode("_ms").alias("a"))
+        .select("a", F.explode("_ms").alias("b"))
+        .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),

@@ -226,3 +226,52 @@ def test_sample_frames(docs):
     for r in out:
         assert r["n_frames"] >= 1
         assert len(r["frames"]) == r["n_frames"]
+
+
+def test_bucket_cap_guards_quadratic_buckets(spark):
+    # 300 identical docs (> max_bucket) must produce NO pairs from the
+    # capped operators; 5 identical docs (< cap) must produce all 10 pairs
+    big = spark.createDataFrame(
+        [(i, "same words repeated here for everyone") for i in range(300)],
+        "doc_id long, text string",
+    )
+    assert simhash_near_dup_pairs(big, "doc_id", "text", max_bucket=200).count() == 0
+    assert (
+        minhash_lsh_candidates(big, "doc_id", "text", max_bucket=200).count() == 0
+    )
+    small = big.filter(F.col("doc_id") < 5)
+    assert simhash_near_dup_pairs(small, "doc_id", "text").count() == 10
+    assert minhash_lsh_candidates(small, "doc_id", "text").count() == 10
+
+
+def test_cosine_pairs_banded_recall_and_cap(embs):
+    # planted near-identical copies must all be retrieved by the banded
+    # signature join; a >cap bucket of identical vectors must be dropped
+    base = embs.limit(50).select("vec_id", "embedding")
+    planted = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.001).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    both = base.unionAll(planted)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(
+            both, "vec_id", "embedding", threshold=0.999, num_planes=16, bands=8
+        ).collect()
+    }
+    expected = {(i, i + 1000) for i in [r["vec_id"] for r in base.collect()]}
+    assert expected <= got
+    # cap: 250 copies of one vector -> bucket dropped, no pairs
+    one = base.limit(1).collect()[0]
+    clones = base.sparkSession.createDataFrame(
+        [(i, [float(x) for x in one["embedding"]]) for i in range(250)],
+        "vec_id long, embedding array<float>",
+    )
+    assert (
+        cosine_pairs(
+            clones, "vec_id", "embedding", threshold=0.99, max_bucket=200
+        ).count()
+        == 0
+    )
