@@ -661,15 +661,66 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_neighbors(e: DataFrame, n: int = 30) -> DataFrame:
+    """Corpus + a graded family of near-duplicates of the vec_id=0 vector:
+    copy i (vec_id 1000000+i) adds CAST(i*0.0001 AS FLOAT) to every
+    element, so cosine(q, copy_i) decreases monotonically in i and the
+    exact top-k around q is fully determined — derivable in DuckDB with
+    the same float arithmetic. A random corpus has no high-cosine
+    neighbors (max ~0.51), so ANN recall would be untestable without the
+    plant."""
+    qrow = e.filter(F.col("vec_id") == 0)
+    planted = qrow.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("i"), "embedding"
+    ).select(
+        (F.lit(1000000) + F.col("i")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x + (F.col("i").cast("double") * F.lit(0.0001)).cast("float"),
+        ).alias("embedding"),
+    )
+    return e.select("vec_id", "embedding").unionAll(planted)
+
+
+_PLANTED_TOPK_SQL = """
+    WITH planted AS (
+      SELECT 1000000 + i AS vec_id,
+             list_transform(e.embedding,
+               x -> CAST(x + CAST(i * 0.0001 AS FLOAT) AS FLOAT)) AS embedding
+      FROM range(1, 31) t(i), (SELECT embedding FROM embeddings WHERE vec_id = 0) e
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM planted
+    ), q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM corpus, q
+    )
+    SELECT vec_id, round(cosine, 9) AS cosine_r FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans inverted file, nprobe cells, exact re-rank). Rows-only
-    check: centroids come from an ML fit, not SQL-expressible."""
+    """IVF ANN (KMeans inverted file, nprobe cells, exact re-rank) over the
+    corpus with planted near-neighbors of the query: the plant sits within
+    ~0.03 of q in a space where cells are O(1) apart, so any KMeans
+    clustering assigns q's family to the probed cells and the IVF result
+    equals the exact top-10 — which is the (SQL-expressible) oracle."""
     from spark_xml_spark.operators import IvfIndex
 
     e = _parquet(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    idx = IvfIndex.build(e, k=8, seed=42)
-    return idx.search(q, k=10, nprobe=3)
+    corpus = _planted_neighbors(e)
+    idx = IvfIndex.build(corpus, k=8, seed=42)
+    return idx.search(q, k=10, nprobe=3).select(
+        "vec_id", F.round("cosine", 9).alias("cosine_r")
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,10 +762,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming<=3). No SQL oracle: the signature
-    depends on xxhash64, which DuckDB lacks — rows-only check."""
+    """SimHash near-dup pairs (Hamming<=3), portable-hash mode: 60-bit
+    word hashes from the md5 hex prefix, recomputable in DuckDB — so the
+    oracle recomputes the full signature pipeline and (because 4-band
+    pigeonhole candidates are recall-complete at Hamming<=3) compares
+    against the exact all-pairs answer."""
     d = _parquet(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3, portable=True
+    ).orderBy("id_a", "id_b")
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,11 +832,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (random-hyperplane prefilter +
-    exact re-rank). Python-seeded hyperplanes -> rows-only check."""
+    """LSH-bucketed approximate top-10 over the corpus with planted
+    near-neighbors of the query: the family shares q's sign bucket
+    (flip probability per plane ~1e-3 at cosine >= 0.9999), so the
+    bucketed result equals the exact top-10 and the (SQL-expressible)
+    exact oracle applies."""
     e = _parquet(spark, sf_dir, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_bucketed_topk(e, "embedding", q, k=10, num_planes=6, multiprobe=2)
+    corpus = _planted_neighbors(e)
+    return lsh_bucketed_topk(
+        corpus, "embedding", q, k=10, num_planes=6, multiprobe=2
+    ).select("vec_id", F.round("cosine", 9).alias("cosine_r"))
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,6 +1210,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": _JACCARD_PAIRS_SQL.format(thr=0.5),
         "dedup_minhash": _JACCARD_PAIRS_SQL.format(thr=0.8),
+        "dedup_simhash": """
+            -- recompute the portable simhash (60-bit md5-prefix word hash)
+            -- and compare exact all-pairs Hamming<=3: the Spark side's
+            -- 4-band candidates are recall-complete at Hamming<=3
+            WITH words AS (
+              SELECT doc_id, unnest(list_distinct(
+                       regexp_split_to_array(lower(text), '\\s+'))) AS w
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_transform(range(15),
+                         i -> CAST(strpos('0123456789abcdef',
+                                          substring(md5(w), i + 1, 1)) - 1
+                              AS BIGINT)),
+                       (acc, x) -> acc * 16 + x) AS h
+              FROM words
+            ), bits AS (
+              SELECT doc_id, i,
+                     SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hashed, range(60) t(i)
+              GROUP BY doc_id, i
+            ), sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+                              ELSE 0 END) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
+        """,
         "dedup_embedding": """
             WITH pert AS (
               SELECT vec_id,
@@ -1208,6 +1304,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(cosine, 9) AS cosine_r FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        "ann_lsh_topk": _PLANTED_TOPK_SQL,
+        "ann_ivf_topk": _PLANTED_TOPK_SQL,
         "text_tokens": f"""
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)

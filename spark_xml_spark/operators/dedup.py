@@ -232,29 +232,44 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document -> (id_col, simhash long).
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
+    """SimHash per document -> (id_col, simhash long).
 
-    Each word hashes to 64 bits (JVM xxhash64); bit i of the signature is 1
-    iff the sum over words of (+1 if bit set else -1) is positive. Expressed
-    as 64 conditional-sum aggregations in one groupBy — stays entirely in
-    whole-stage codegen; no Python, no UDF.
+    Each word hashes to ``num_bits`` bits; bit i of the signature is 1 iff
+    the sum over words of (+1 if bit set else -1) is positive. Expressed as
+    num_bits conditional-sum aggregations in one groupBy — stays entirely
+    in whole-stage codegen; no Python, no UDF.
+
+    ``portable=False`` (default, the scale path): 64 bits from JVM
+    xxhash64. ``portable=True``: 60 bits from the first 15 hex chars of
+    md5 — slower per word, but byte-identical reproducible in any engine
+    with md5 (the DuckDB oracle recomputes it), so the whole pipeline is
+    cross-engine checkable.
     """
+    num_bits = 60 if portable else 64
     words = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
         ).alias("_w"),
-    ).withColumn("_h", F.xxhash64("_w"))
+    )
+    if portable:
+        words = words.withColumn(
+            "_h", F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        words = words.withColumn("_h", F.xxhash64("_w"))
     aggs = [
         F.sum(
             F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(num_bits)
     ]
     bits = words.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(num_bits):
         sig = sig + F.when(
             F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -267,17 +282,21 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     max_bucket: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Candidates via 4x16-bit band equality (pigeonhole: Hamming <= 3 implies
-    at least one of 4 bands identical), then exact popcount verify on the
-    candidate pairs only. Band buckets larger than ``max_bucket`` docs are
-    dropped before the self-join (same guard as minhash_lsh_candidates:
-    boilerplate/empty-doc signatures collapse to one bucket, which must not
-    go quadratic at scale). Returns (id_a, id_b, hamming).
+    Candidates via 4-band equality on the signature quarters (pigeonhole:
+    Hamming <= 3 implies at least one of 4 bands identical), then exact
+    popcount verify on the candidate pairs only. Band buckets larger than
+    ``max_bucket`` docs are dropped before the self-join (same guard as
+    minhash_lsh_candidates: boilerplate/empty-doc signatures collapse to
+    one bucket, which must not go quadratic at scale).
+    Returns (id_a, id_b, hamming).
     """
-    sig = simhash(df, id_col, text_col)
+    band_bits = 15 if portable else 16
+    band_mask = (1 << band_bits) - 1
+    sig = simhash(df, id_col, text_col, portable=portable)
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
@@ -286,8 +305,8 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", band_bits * i)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bh"),
                     )
                     for i in range(4)
@@ -316,7 +335,10 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
