@@ -212,6 +212,114 @@ def _tz_fixer(schema: T.StructType):
     return fix_row
 
 
+# --- Arrow batch output ----------------------------------------------------
+# Spark 4's Python DataSource accepts ``pyarrow.RecordBatch`` from read();
+# batching rows into Arrow skips the per-row pickle + JVM-side converter
+# (the biggest scan-path cost after the parse itself).
+
+
+def _arrow_type(dt: T.DataType):
+    import pyarrow as pa
+
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_type(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return pa.struct([pa.field(f.name, _arrow_type(f.dataType)) for f in dt.fields])
+    if isinstance(dt, T.MapType):
+        return pa.map_(_arrow_type(dt.keyType), _arrow_type(dt.valueType))
+    raise TypeError(f"no arrow mapping for {dt.simpleString()}")
+
+
+def _struct_fixer(dt: T.DataType):
+    """Converter turning parser output (structs as tuples, maps as dicts)
+    into what pyarrow accepts (structs as dicts, maps as item lists), or
+    None when the subtree needs no conversion."""
+    if isinstance(dt, T.StructType):
+        subs = [(f.name, _struct_fixer(f.dataType)) for f in dt.fields]
+
+        def fix_struct(v):
+            if v is None:
+                return None
+            return {
+                name: (sub(x) if sub is not None else x)
+                for (name, sub), x in zip(subs, v)
+            }
+
+        return fix_struct
+    if isinstance(dt, T.ArrayType):
+        sub = _struct_fixer(dt.elementType)
+        if sub is None:
+            return None
+        return lambda v: None if v is None else [sub(x) for x in v]
+    if isinstance(dt, T.MapType):
+        sub = _struct_fixer(dt.valueType)
+
+        def fix_map(v):
+            if v is None:
+                return None
+            return [(k, sub(x) if sub is not None else x) for k, x in v.items()]
+
+        return fix_map
+    return None
+
+
+def _rows_to_arrow_batches(rows, schema: T.StructType, batch_size: int):
+    """Yield pyarrow.RecordBatch objects from row tuples. Raises on the
+    FIRST batch if the schema/value shapes don't map — callers fall back to
+    tuple mode before anything has been emitted."""
+    import pyarrow as pa
+
+    fields = schema.fields
+    arrow_schema = pa.schema(
+        [pa.field(f.name, _arrow_type(f.dataType)) for f in fields]
+    )
+    fixers = [_struct_fixer(f.dataType) for f in fields]
+    ncols = len(fields)
+    while True:
+        cols: List[list] = [[] for _ in range(ncols)]
+        n = 0
+        for row in rows:
+            for i in range(ncols):
+                cols[i].append(row[i])
+            n += 1
+            if n >= batch_size:
+                break
+        if n == 0:
+            return
+        arrays = [
+            pa.array(
+                [fx(v) for v in cols[i]] if (fx := fixers[i]) is not None else cols[i],
+                type=arrow_schema.field(i).type,
+            )
+            for i in range(ncols)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
 class XmlReader(DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType):
         self._opts_dict = dict(options)
@@ -239,7 +347,9 @@ class XmlReader(DataSourceReader):
             tokenizer.plan_splits(self._path, xopts.charset, target)
         )
 
-    def read(self, partition: XmlInputPartition) -> Iterator[tuple]:
+    def read(self, partition: XmlInputPartition) -> Iterator:
+        import itertools
+
         xopts = XmlOptions.from_dict(self._opts_dict)
         split = tokenizer.FileSplit(
             partition.path,
@@ -251,11 +361,37 @@ class XmlReader(DataSourceReader):
         records = tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
         fix = _tz_fixer(self._schema)
         rows = parser.parse_records(records, self._schema, xopts)
-        if fix is None:
+        if fix is not None:
+            rows = (fix(row) for row in rows)
+
+        arrow_flag = str(
+            self._opts_dict.get("arrowBatches")
+            or self._opts_dict.get("arrowbatches")
+            or "true"
+        ).lower()
+        if arrow_flag == "false":
             yield from rows
-        else:
-            for row in rows:
-                yield fix(row)
+            return
+        batch_size = int(
+            self._opts_dict.get("arrowBatchSize")
+            or self._opts_dict.get("arrowbatchsize")
+            or 4096
+        )
+        # Probe arrow conversion on the first batch only: the rows are
+        # buffered, so an unmappable schema (or value shape) falls back to
+        # tuple mode with nothing lost. Later batches propagate errors —
+        # a mixed tuple/batch stream is not allowed.
+        buf = list(itertools.islice(rows, batch_size))
+        if not buf:
+            return
+        try:
+            first = next(_rows_to_arrow_batches(iter(buf), self._schema, batch_size))
+        except Exception:
+            yield from buf
+            yield from rows
+            return
+        yield first
+        yield from _rows_to_arrow_batches(rows, self._schema, batch_size)
 
 
 @dataclass

@@ -347,20 +347,42 @@ class _FastFallback(Exception):
     parser (nested elements, cast anomalies)."""
 
 
+import re as _re
+
+# Regex-path guards: any record containing attributes/entities/CDATA/
+# comments/PIs/self-closing tags drops to the expat path (whose anomaly
+# handling is in turn backed by the generic parser).
+_FLAT_DISQUALIFIER = _re.compile(r"[=&]|<!|/>|<\?")
+# One flat field: <tag>text-without-markup</tag> (closing name must match).
+_FLAT_FIELD = _re.compile(r"<([^\s>/]+)>([^<]*)</\1>")
+
+
 class FastFlatParser:
     """Specialized parser for FLAT all-scalar schemas (no structs, arrays,
-    maps, valueTag, wildcard, or attribute-prefixed fields): expat callbacks
-    fill the row directly, skipping the generic event-list and per-field
-    dispatch (~2x on typical row-oriented tables).
+    maps, valueTag, wildcard, or attribute-prefixed fields).
 
-    Byte-identical semantics are guaranteed by construction: any situation
-    the fast path cannot adjudicate exactly (child elements below field
-    depth, any cast error, malformed XML) raises and the caller re-parses
-    the record with the generic parser, so the parse-mode policy and
-    partial-row behavior are always the generic path's.
+    Two tiers, both falling back to the generic parser on ANY anomaly so
+    the parse-mode policy and partial-row behavior are always the generic
+    path's:
+
+    1. regex tier: one C-speed ``findall`` of ``<tag>text</tag>`` over the
+       record. Valid only when the record has no attributes, entities,
+       CDATA, comments, PIs, or self-closing tags (single pre-scan), and
+       the total ``<`` count proves every element was matched at field
+       depth (nested levels or malformed tags break the arithmetic and
+       drop to tier 2). ~10x over per-event Python callbacks.
+    2. expat tier: callbacks fill the row directly, skipping the generic
+       event-list machinery (~2x).
+
+    Casts are hoisted per field at build time (same code paths as
+    ``cast_to``, specialized for the scalar types; anything unusual
+    delegates to ``cast_to`` itself).
     """
 
-    __slots__ = ("schema", "options", "index", "types", "is_string", "n", "strip_ns")
+    __slots__ = (
+        "schema", "options", "index", "types", "is_string", "n", "strip_ns",
+        "casters", "seq_pattern", "group_map",
+    )
 
     @classmethod
     def try_build(cls, schema: T.StructType, options: XmlOptions):
@@ -384,8 +406,193 @@ class FastFlatParser:
         self.is_string = [isinstance(f.dataType, T.StringType) for f in schema.fields]
         self.n = len(schema.fields)
         self.strip_ns = options.ignore_namespace
+        self.casters = [self._build_caster(f.dataType) for f in schema.fields]
+        # Tier-0 whole-record pattern, learned from the first clean record:
+        # one C-speed match with a capturing group per schema field in the
+        # record's observed tag order (every field optional — null elision
+        # drops tags). Records in a different order fall to tier 1.
+        self.seq_pattern = None
+        self.group_map: List[tuple] = []
+
+    def _build_caster(self, dt: T.DataType):
+        """Per-field CELL converter: the empty/whitespace element semantics
+        of the generic path (empty scalar -> None; whitespace-only scalar
+        -> fall back so the parse policy decides) fused with the exact
+        ``cast_to`` branch for the common scalar types (dispatch + options
+        resolved once); unusual types delegate to ``cast_to`` itself."""
+        from spark_xml_spark.xmlcore.casts import (
+            _INT64_MIN, _INT64_MAX, _INT32_MIN, _INT32_MAX,
+            _float_with_grouping,
+        )
+
+        o = self.options
+        strip = o.ignore_surrounding_spaces
+        nullv = o.null_value
+        empty_null = o.treat_empty_values_as_nulls
+        empty_str_is_null = empty_null or nullv == ""
+        tname = dt.typeName()
+
+        if tname == "string":
+
+            def c_string(v):
+                if v == "":
+                    # empty element: generic END-branch semantics
+                    return None if empty_str_is_null else ""
+                if strip:
+                    v = v.strip()
+                if v == nullv or (empty_null and v == ""):
+                    return None
+                return v
+
+            return c_string
+
+        if tname in ("long", "integer"):
+            lo, hi = (
+                (_INT64_MIN, _INT64_MAX) if tname == "long"
+                else (_INT32_MIN, _INT32_MAX)
+            )
+
+            def c_int(v):
+                if v == "":
+                    return None
+                v2 = v.strip() if strip else v
+                if v2 == "":
+                    raise _FastFallback()  # whitespace-only: policy decides
+                if v2 == nullv:
+                    return None
+                neg = v2.startswith("-")
+                body = v2[1:] if v2[:1] in ("+", "-") else v2
+                if "_" in body:
+                    raise ValueError(f"For input string: {v2}")
+                iv = int(body)
+                if neg:
+                    iv = -iv
+                if not lo <= iv <= hi:
+                    raise ValueError(f"value out of range: {v2}")
+                return iv
+
+            return c_int
+
+        if tname in ("double", "float"):
+
+            def c_float(v):
+                if v == "":
+                    return None
+                v2 = v.strip() if strip else v
+                if v2 == "":
+                    raise _FastFallback()
+                if v2 == nullv:
+                    return None
+                neg = v2.startswith("-")
+                body = v2[1:] if v2[:1] in ("+", "-") else v2
+                if "_" in body:
+                    raise ValueError(f"For input string: {v2}")
+                fv = _float_with_grouping(body)
+                return -fv if neg else fv
+
+            return c_float
+
+        if tname == "boolean":
+
+            def c_bool(v):
+                if v == "":
+                    return None
+                v2 = v.strip() if strip else v
+                if v2 == "":
+                    raise _FastFallback()
+                if v2 == nullv:
+                    return None
+                lv = v2.lower()
+                if lv in ("true", "1"):
+                    return True
+                if lv in ("false", "0"):
+                    return False
+                raise ValueError(f"For input string: {v2}")
+
+            return c_bool
+
+        def c_generic(v, _dt=dt):
+            if v == "":
+                return None
+            if v.strip() == "":
+                raise _FastFallback()
+            return cast_to(v, _dt, o)
+
+        return c_generic
 
     def parse(self, xml: str) -> tuple:
+        # entities need real unescaping -> straight to expat
+        if "&" in xml:
+            return self._parse_expat(xml)
+        pat = self.seq_pattern
+        if pat is not None:
+            m = pat.match(xml)
+            if m is not None:
+                row: List[Any] = [None] * self.n
+                casters = self.casters
+                for g, i in self.group_map:
+                    text = m.group(g)
+                    if text is not None:
+                        row[i] = casters[i](text)
+                return tuple(row)
+        row = self._parse_regex(xml)
+        if row is not None:
+            return row
+        return self._parse_expat(xml)
+
+    def _parse_regex(self, xml: str):
+        """Tier-1 extraction; None when the record needs a real parser.
+        The first success also compiles the tier-0 whole-record pattern."""
+        if _FLAT_DISQUALIFIER.search(xml):
+            return None
+        fields = _FLAT_FIELD.findall(xml)
+        # Structural proof: a flat record has exactly one '<' per start/end
+        # tag — root open+close plus one pair per matched field. Nested
+        # levels, unmatched closes, or stray markup break the arithmetic.
+        if xml.count("<") != 2 + 2 * len(fields):
+            return None
+        row: List[Any] = [None] * self.n
+        index = self.index
+        casters = self.casters
+        strip_ns = self.strip_ns
+        for tag, text in fields:
+            if strip_ns and ":" in tag:
+                tag = tag.rsplit(":", 1)[-1]
+            i = index.get(tag, -1)
+            if i >= 0:
+                row[i] = casters[i](text)
+        if self.seq_pattern is None:
+            self._compile_seq_pattern(xml, [t for t, _ in fields])
+        return tuple(row)
+
+    def _compile_seq_pattern(self, xml: str, tags: List[str]) -> None:
+        root_m = _re.match(r"\s*<([^\s>/]+)>", xml)
+        if root_m is None:
+            self.seq_pattern = None
+            return
+        parts = ["\\s*<", _re.escape(root_m.group(1)), ">"]
+        gmap: List[tuple] = []
+        g = 0
+        for tag in tags:
+            name = tag.rsplit(":", 1)[-1] if self.strip_ns and ":" in tag else tag
+            i = self.index.get(name, -1)
+            esc = _re.escape(tag)
+            if i >= 0:
+                g += 1
+                gmap.append((g, i))
+                parts.append(f"(?:\\s*<{esc}>([^<]*)</{esc}>)?")
+            else:
+                parts.append(f"(?:\\s*<{esc}>[^<]*</{esc}>)?")
+        parts.append("\\s*</")
+        parts.append(_re.escape(root_m.group(1)))
+        parts.append(">\\s*\\Z")
+        try:
+            self.seq_pattern = _re.compile("".join(parts))
+            self.group_map = gmap
+        except _re.error:
+            self.seq_pattern = None
+
+    def _parse_expat(self, xml: str) -> tuple:
         from xml.parsers import expat
 
         row: List[Any] = [None] * self.n
@@ -435,19 +642,8 @@ class FastFlatParser:
         return tuple(row)
 
     def _convert(self, i: int, text: str):
-        # empty element: generic END branch semantics (convert_field)
-        if text == "":
-            if self.is_string[i]:
-                o = self.options
-                if o.treat_empty_values_as_nulls or o.null_value == "":
-                    return None
-                return ""
-            return None
-        if not self.is_string[i] and text.strip() == "":
-            # whitespace-only scalar: generic path's cast would raise into
-            # the parse policy — let it
-            raise _FastFallback()
-        return cast_to(text, self.types[i], self.options)
+        # empty/whitespace element semantics live inside the cell converters
+        return self.casters[i](text)
 
 
 def parse_records(
