@@ -41,6 +41,26 @@ def register(spark: SparkSession) -> None:
         _REGISTERED_SESSIONS.add(key)
 
 
+def _inject_session_timezone(spark: SparkSession, options: dict) -> dict:
+    """Default the ``timezone`` option to ``spark.sql.session.timeZone`` —
+    the reference injects the session zone at relation creation
+    (DefaultSource.scala:70-74), so zone-less timestamp strings are read as
+    session-local instants. Explicit user ``timezone`` wins. Instant-shaped
+    strings (trailing 'Z'/offset, what the writer emits) are unaffected.
+    The raw ``spark.read.format(...)`` path cannot see the session conf
+    from its worker process; pass ``timezone`` explicitly there."""
+    if any(k.lower() == "timezone" for k in options):
+        return options
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return options
+    out = dict(options)
+    if tz:
+        out["timezone"] = tz
+    return out
+
+
 def _splits_df(spark: SparkSession, path, xopts: XmlOptions) -> DataFrame:
     splits = tokenizer.plan_splits(path, xopts.charset)
     rows = [
@@ -56,6 +76,7 @@ def infer_xml_schema(
     """Distributed schema inference: per-split partial schemas merged on the
     driver. Respects ``samplingRatio`` (Bernoulli per record, seed 1 — the
     reference's sample semantics, InferSchema.scala:68-72)."""
+    options = _inject_session_timezone(spark, options)
     xopts = XmlOptions.from_dict(options)
     sdf = _splits_df(spark, path, xopts)
     opts_dict = dict(options)
@@ -113,6 +134,7 @@ def read_xml(
     the explicit equivalent.
     """
     register(spark)
+    options = _inject_session_timezone(spark, options)
     xopts = XmlOptions.from_dict(options)
     if schema is None and xopts.infer_schema:
         schema = infer_xml_schema(spark, path, **options)
@@ -137,6 +159,7 @@ def write_xml(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
     if mode.lower() == "append":
         raise ValueError("Append mode is not supported by the xml data source")
     register(df.sparkSession)
+    options = _inject_session_timezone(df.sparkSession, options)
     (
         df.write.format(FORMAT_NAME)
         .mode(mode)

@@ -145,7 +145,10 @@ def parse_xml_timestamp(value: str, options: XmlOptions) -> Optional[_dt.datetim
             dt = _dt.datetime.fromisoformat(value)
             # Reject date-only strings: ISO timestamps must have a time part.
             if "T" in value or " " in value:
-                return _finish_ts(dt, _dt.timezone.utc)
+                # Zone-less values resolve in the configured zone (the
+                # session timeZone when injected at the API layer,
+                # DefaultSource.scala:70-74); offset/'Z' values are exact.
+                return _finish_ts(dt, _zone_of(options) or _dt.timezone.utc)
         except ValueError:
             pass
     if options.timestamp_format:

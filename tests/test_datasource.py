@@ -306,3 +306,55 @@ def test_utf16_charset_roundtrip(spark, tmp_path):
     write_xml(df, out, rowTag="r", charset="UTF-16")
     back = read_xml(spark, out, rowTag="r", charset="UTF-16")
     assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "héllo"), (2, "wörld")}
+
+
+class TestSessionTimezone:
+    """Reference parity: the session timeZone is injected as the default
+    ``timezone`` option (DefaultSource.scala:70-74), so zone-less timestamp
+    strings read as session-local wall time while instant-shaped strings
+    (the writer's own output) stay exact."""
+
+    def test_naive_strings_read_in_session_zone(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_xml_spark.sources.api import read_xml
+
+        p = tmp_path / "tz"
+        p.mkdir()
+        (p / "a.xml").write_text(
+            "<rows><r><ts>2024-06-15 12:00:00</ts><k>1</k></r></rows>"
+        )
+        schema = "ts timestamp, k bigint"
+        from pyspark.sql.types import StructType
+
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+            df = read_xml(spark, str(p), rowTag="r")
+            got = df.collect()[0]["ts"]
+            # PySpark collect() returns UTC-naive datetimes; LA noon in June
+            # (UTC-7) is 19:00 UTC
+            assert got == dt.datetime(2024, 6, 15, 19, 0, 0)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        # same file under UTC session: naive string IS the instant
+        df = read_xml(spark, str(p), rowTag="r")
+        assert df.collect()[0]["ts"] == dt.datetime(2024, 6, 15, 12, 0, 0)
+
+    def test_instant_round_trip_any_session_zone(self, spark, tmp_path):
+        import datetime as dt
+
+        from spark_xml_spark.sources.api import read_xml, write_xml
+
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+            df = spark.sql(
+                "SELECT timestamp'2024-06-15 12:00:00 UTC' AS ts, 2 AS k"
+            )
+            out = str(tmp_path / "rt")
+            write_xml(df, out, rowTag="r")
+            back = read_xml(spark, out, rowTag="r")
+            assert back.collect()[0]["ts"] == dt.datetime(2024, 6, 15, 12, 0, 0)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
