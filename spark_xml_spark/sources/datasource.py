@@ -82,6 +82,10 @@ def _sidecar_path(key: str) -> str:
 
 
 def _canon_path(p: str) -> str:
+    from spark_xml_spark.xmlcore import fs as _fs
+
+    if _fs.is_remote(p):
+        return p
     return os.path.realpath(_strip_scheme_local(p))
 
 
@@ -126,10 +130,21 @@ def _stash_options(schema: T.StructType, options: dict) -> None:
         pass
 
 
+def _path_exists(p: str) -> bool:
+    from spark_xml_spark.xmlcore import fs as _fs
+
+    if not _fs.is_remote(p):
+        return os.path.exists(_strip_scheme_local(p))
+    try:
+        return _fs.dir_has_data(p) or _fs.size_of(p) >= 0
+    except Exception:
+        return False
+
+
 def _recover_options(schema: T.StructType) -> Optional[dict]:
     entries = _load_entries(_stash_key(schema))
     # Keep only entries whose path still exists: dropped/moved tables age out.
-    live = [e for e in entries if os.path.exists(_strip_scheme_local(e["path"]))]
+    live = [e for e in entries if _path_exists(e["path"])]
     if len(live) == 1:
         return live[0]
     if len(live) > 1:
@@ -418,11 +433,11 @@ class XmlWriter(DataSourceWriter):
                 self._path = self._opts_dict.get("path")
         if not self._path:
             raise ValueError("path option is required for the xml data source")
-        self._path = _strip_scheme_local(self._path)
-        existing = (
-            os.path.isdir(self._path)
-            and any(not f.startswith(("_", ".")) for f in os.listdir(self._path))
-        )
+        from spark_xml_spark.xmlcore import fs as _fs
+
+        if not _fs.is_remote(self._path):
+            self._path = _strip_scheme_local(self._path)
+        existing = _fs.dir_has_data(self._path)
         if not overwrite and existing:
             # reference semantics: only INSERT OVERWRITE is supported
             # (XmlRelation.scala:61-84, DefaultSource.scala:83-106)
@@ -430,32 +445,27 @@ class XmlWriter(DataSourceWriter):
                 "Append mode is not supported by the xml data source; "
                 "use INSERT OVERWRITE / mode('overwrite')"
             )
-        if overwrite and os.path.isdir(self._path):
-            import shutil
-
-            shutil.rmtree(self._path)
+        if overwrite and existing:
+            _fs.delete_dir(self._path)
 
     def write(self, iterator) -> XmlCommitMessage:
+        import io
+
+        from spark_xml_spark.xmlcore import fs as _fs
+
         xopts = XmlOptions.from_dict(self._opts_dict)
-        os.makedirs(self._path, exist_ok=True)
+        _fs.makedirs(self._path)
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         suffix = ".xml"
-        open_fn = open
         if xopts.compression in ("gzip", "gz"):
-            import gzip
-
-            open_fn = gzip.open
             suffix = ".xml.gz"
         elif xopts.compression in ("bzip2", "bz2"):
-            import bz2
-
-            open_fn = bz2.open
             suffix = ".xml.bz2"
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{suffix}"
-        target = os.path.join(self._path, name)
+        target = self._path.rstrip("/") + "/" + name
         count = 0
 
         def counted(it):
@@ -464,22 +474,41 @@ class XmlWriter(DataSourceWriter):
                 count += 1
                 yield row
 
-        with open_fn(target, "wt", encoding=xopts.charset) as fh:
+        raw = _fs.open_output(target)
+        body = raw
+        try:
+            if suffix.endswith(".gz"):
+                import gzip
+
+                body = gzip.GzipFile(fileobj=raw, mode="wb")
+            elif suffix.endswith(".bz2"):
+                import bz2
+
+                body = bz2.BZ2File(raw, "wb")
+            fh = io.TextIOWrapper(body, encoding=xopts.charset)
             for line in generator.rows_to_document(
                 self._schema, counted(iterator), xopts
             ):
                 fh.write(line)
                 fh.write("\n")
+            fh.close()  # flushes + closes the compression wrapper
+        finally:
+            try:
+                raw.close()  # GzipFile/BZ2File leave the raw stream open
+            except Exception:
+                pass
         return XmlCommitMessage(file=name, count=count)
 
     def commit(self, messages) -> None:
         pass
 
     def abort(self, messages) -> None:
+        from spark_xml_spark.xmlcore import fs as _fs
+
         for m in messages:
             if m is not None:
                 try:
-                    os.remove(os.path.join(self._path, m.file))
+                    _fs.delete_file(self._path.rstrip("/") + "/" + m.file)
                 except OSError:
                     pass
 

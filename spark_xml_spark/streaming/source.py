@@ -40,6 +40,7 @@ class XmlStreamPartition(InputPartition):
     end: int
     compression: str
     whole_file: bool
+    snap_size: int = -1  # file size recorded in the committed offset
 
 
 class XmlStreamReader(DataSourceStreamReader):
@@ -57,16 +58,13 @@ class XmlStreamReader(DataSourceStreamReader):
 
     # -- offsets -----------------------------------------------------------
     def _snapshot(self) -> dict:
-        files = {}
-        root = self._path
-        if os.path.isdir(root):
-            for name in sorted(os.listdir(root)):
-                p = os.path.join(root, name)
-                if os.path.isfile(p) and not name.startswith(("_", ".")):
-                    files[p] = os.path.getsize(p)
-        elif os.path.isfile(root):
-            files[root] = os.path.getsize(root)
-        return {"files": files}
+        from spark_xml_spark.xmlcore import fs
+
+        try:
+            listed = fs.list_data_files(self._path)
+        except FileNotFoundError:
+            listed = []
+        return {"files": {p: size for p, size in listed}}
 
     def initialOffset(self) -> dict:
         return {"files": {}}
@@ -75,21 +73,50 @@ class XmlStreamReader(DataSourceStreamReader):
         return self._snapshot()
 
     def partitions(self, start: dict, end: dict) -> List[InputPartition]:
+        from spark_xml_spark.xmlcore import fs
+
         seen = set((start or {}).get("files", {}))
-        new_files = [p for p in (end or {}).get("files", {}) if p not in seen]
+        end_files = (end or {}).get("files", {})
+        new_files = [p for p in end_files if p not in seen]
         parts: List[XmlStreamPartition] = []
         xopts = XmlOptions.from_dict(self._opts_dict)
         for f in new_files:
+            # Deterministic replay: the offset recorded the file's size at
+            # snapshot time. Plan/clamp splits against THAT size, never the
+            # current one — a file that grew since yields identical rows; a
+            # file that shrank (rewritten) is skipped entirely rather than
+            # replayed with different content (ADVICE r2).
+            snap = int(end_files[f])
+            try:
+                cur = fs.size_of(f)
+            except (OSError, FileNotFoundError):
+                continue
+            if cur < snap:
+                continue
             for s in tokenizer.plan_splits(f, xopts.charset, self._target):
-                parts.append(
-                    XmlStreamPartition(
-                        s.path, s.start, s.end, s.compression or "", s.whole_file
+                if s.whole_file:
+                    if cur != snap:
+                        # compressed/whole-file content changed; not replayable
+                        continue
+                    parts.append(
+                        XmlStreamPartition(
+                            s.path, s.start, s.end, s.compression or "",
+                            True, snap,
+                        )
                     )
-                )
+                else:
+                    if s.start >= snap:
+                        continue
+                    parts.append(
+                        XmlStreamPartition(
+                            s.path, s.start, min(s.end, snap),
+                            s.compression or "", False, snap,
+                        )
+                    )
         # Spark requires at least one partition per batch; an empty batch
         # gets an empty marker partition.
         if not parts:
-            parts = [XmlStreamPartition("", 0, 0, "", False)]
+            parts = [XmlStreamPartition("", 0, 0, "", False, 0)]
         return parts
 
     def read(self, partition: XmlStreamPartition) -> Iterator[tuple]:
@@ -102,6 +129,7 @@ class XmlStreamReader(DataSourceStreamReader):
             partition.end,
             partition.compression or None,
             partition.whole_file,
+            eof=partition.snap_size,
         )
         records = tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
         return parser.parse_records(records, self._schema, xopts)
@@ -130,20 +158,24 @@ class XmlStreamWriter(DataSourceStreamWriter):
 
         from spark_xml_spark.xmlcore import generator
 
+        import io
+
+        from spark_xml_spark.xmlcore import fs
+
         xopts = XmlOptions.from_dict(self._opts_dict)
-        os.makedirs(self._path, exist_ok=True)
+        fs.makedirs(self._path)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xml"
-        target = os.path.join(self._path, name)
+        target = self._path.rstrip("/") + "/" + name
         wrote = False
-        with open(target, "w", encoding=xopts.charset) as fh:
+        with io.TextIOWrapper(fs.open_output(target), encoding=xopts.charset) as fh:
             for line in generator.rows_to_document(self._schema, iterator, xopts):
                 fh.write(line)
                 fh.write("\n")
                 wrote = True
         if not wrote:
-            os.remove(target)
+            fs.delete_file(target)
             name = ""
         return XmlStreamCommitMessage(file=name)
 
@@ -151,9 +183,11 @@ class XmlStreamWriter(DataSourceStreamWriter):
         pass
 
     def abort(self, messages, batchId: int) -> None:
+        from spark_xml_spark.xmlcore import fs
+
         for m in messages:
             if m is not None and m.file:
                 try:
-                    os.remove(os.path.join(self._path, m.file))
+                    fs.delete_file(self._path.rstrip("/") + "/" + m.file)
                 except OSError:
                     pass

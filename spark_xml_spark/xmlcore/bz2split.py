@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import bz2 as _bz2
 import os
+
+from spark_xml_spark.xmlcore import fs
 from typing import Iterator, List, Optional
 
 BLOCK_MAGIC = 0x314159265359  # "1AY&SY" (pi)
@@ -59,11 +61,11 @@ def find_block_bits(path: str, from_byte: int, to_byte: int) -> List[int]:
     """Bit positions of block magics whose byte position lies in
     [from_byte, to_byte). Chunked scan with a 6-byte overlap."""
     out: List[int] = []
-    size = os.path.getsize(path)
+    size = fs.size_of(path)
     to_byte = min(to_byte, size)
     if from_byte >= to_byte:
         return out
-    with open(path, "rb") as fh:
+    with fs.open_input_at(path, 0) as fh:
         base = max(from_byte - 1, 0)  # 1 byte back-off for shifted magics
         fh.seek(base)
         prev_tail = b""
@@ -102,7 +104,7 @@ class ShiftedBz2Stream:
     the stream silently."""
 
     def __init__(self, path: str, bit_from: int, bit_to: int, level: bytes):
-        self._fh = open(path, "rb")
+        self._fh = fs.open_input_at(path, 0)
         self._shift = bit_from % 8
         self._end_byte = (
             -1 if bit_to < 0 else (bit_to + 7) // 8  # include partial last byte
@@ -222,9 +224,9 @@ def find_footer_bit(path: str) -> int:
     """Bit position of the stream footer magic (sqrt-pi), located in the
     file tail: footer = 48-bit magic + 32-bit combined CRC + <=7 pad bits.
     Falls back to end-of-file when not found (corrupt/truncated stream)."""
-    size = os.path.getsize(path)
+    size = fs.size_of(path)
     tail_len = min(size, 32)
-    with open(path, "rb") as fh:
+    with fs.open_input_at(path, 0) as fh:
         fh.seek(size - tail_len)
         tail = fh.read(tail_len)
     n = int.from_bytes(tail, "big")
@@ -239,7 +241,7 @@ def find_footer_bit(path: str) -> int:
 def read_level(path: str) -> Optional[bytes]:
     """The compression-level digit from the stream header, or None when the
     file is not a single plain bzip2 stream."""
-    with open(path, "rb") as fh:
+    with fs.open_input_at(path, 0) as fh:
         head = fh.read(4)
     if len(head) == 4 and head[:3] == b"BZh" and head[3:4].isdigit():
         return head[3:4]
@@ -256,7 +258,7 @@ def looks_multistream(path: str, probe_bytes: int = 8 << 20) -> bool:
     level = read_level(path)
     if level is None:
         return False
-    with open(path, "rb") as fh:
+    with fs.open_input_at(path, 0) as fh:
         fh.seek(1)
         data = fh.read(probe_bytes)
     pat = b"BZh" + level + _MAGIC_BYTES
@@ -279,7 +281,7 @@ def open_block_range(
     level = read_level(path)
     if level is None:
         return None
-    size = os.path.getsize(path)
+    size = fs.size_of(path)
     lo = max(start_byte, 4)
     owned = find_block_bits(path, max(lo - 1, 4), min(end_byte + 1, size))
     owned = [b for b in owned if lo * 8 <= b < end_byte * 8]

@@ -31,11 +31,12 @@ XmlInputFormat.scala:93-103).
 from __future__ import annotations
 
 import bz2
-import glob as _glob
 import gzip
 import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
+
+from spark_xml_spark.xmlcore import fs
 
 _CHUNK = 1 << 20
 _NAME_END = (" ", "\t", "\n", "\r", ">", "/")
@@ -58,36 +59,52 @@ class FileSplit:
     end: int  # exclusive owner boundary for record *starts*
     compression: Optional[str] = None  # None | 'gzip' | 'bz2'
     whole_file: bool = False
+    # Treat the file as ending at this byte (-1 = real EOF). Streaming
+    # replay sets this to the size recorded in the committed offset so a
+    # file that grew between snapshot and read yields identical rows; for
+    # compressed files it caps the COMPRESSED stream.
+    eof: int = -1
+
+
+class _CapReader:
+    """Wrap a binary stream, serving at most ``remaining`` further bytes."""
+
+    __slots__ = ("_fh", "_remaining")
+
+    def __init__(self, fh, remaining: int):
+        self._fh = fh
+        self._remaining = max(remaining, 0)
+
+    def read(self, n: int = -1) -> bytes:
+        if self._remaining <= 0:
+            return b""
+        if n is None or n < 0 or n > self._remaining:
+            n = self._remaining
+        chunk = self._fh.read(n)
+        self._remaining -= len(chunk)
+        return chunk
+
+    def close(self) -> None:
+        self._fh.close()
 
 
 def _strip_scheme(p: str) -> str:
-    if p.startswith("file://"):
-        return p[7:]
-    if p.startswith("file:"):
-        return p[5:]
-    return p
+    return fs.strip_local_scheme(p)
 
 
 def expand_paths(path) -> List[str]:
-    """Resolve a path / directory / glob (or list of them) to local data
-    files. ``file:`` URIs (as produced by Spark's catalog for SQL DDL tables)
-    are accepted; remote filesystems would plug in here."""
+    """Resolve a path / directory / glob (or list of them) to data files.
+    Local paths and ``file:`` URIs use the stdlib; any other scheme
+    (s3://, gs://, hdfs://, ...) routes through the pyarrow.fs seam
+    (xmlcore.fs), so remote filesystems work end-to-end."""
+    return [p for p, _ in _expand_with_sizes(path)]
+
+
+def _expand_with_sizes(path) -> List[tuple]:
     paths = [path] if isinstance(path, str) else list(path)
-    out: List[str] = []
+    out: List[tuple] = []
     for p in paths:
-        p = _strip_scheme(p)
-        if os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                fp = os.path.join(p, f)
-                if os.path.isfile(fp) and not f.startswith(("_", ".")):
-                    out.append(fp)
-        elif os.path.isfile(p):
-            out.append(p)
-        else:
-            hits = sorted(_glob.glob(p))
-            if not hits:
-                raise FileNotFoundError(f"Path does not exist: {p}")
-            out.extend(h for h in hits if os.path.isfile(h))
+        out.extend(fs.list_data_files(p))
     if not out:
         raise FileNotFoundError(f"No input files found under: {path}")
     return out
@@ -110,7 +127,7 @@ def plan_splits(
     carved into byte ranges (the analogue of HDFS splits); compressed or
     non-ASCII-compatible files become one whole-file split each."""
     splits: List[FileSplit] = []
-    for f in expand_paths(path):
+    for f, size in _expand_with_sizes(path):
         comp = _compression_of(f)
         if comp == "bz2" and is_ascii_compatible(charset):
             # bzip2 is block-splittable (Hadoop BYBLOCK semantics,
@@ -119,7 +136,6 @@ def plan_splits(
             # range. Single-stream files only — else whole-file.
             from spark_xml_spark.xmlcore import bz2split
 
-            size = os.path.getsize(f)
             if (
                 bz2split.read_level(f) is None
                 or size <= target_split_size
@@ -135,7 +151,6 @@ def plan_splits(
         if comp is not None or not is_ascii_compatible(charset):
             splits.append(FileSplit(f, 0, -1, comp, whole_file=True))
             continue
-        size = os.path.getsize(f)
         if size <= target_split_size:
             splits.append(FileSplit(f, 0, size if size else 1))
             continue
@@ -221,11 +236,18 @@ class _Buffer:
 
 def _open_stream(split: FileSplit):
     if split.compression == "gzip":
-        return gzip.open(split.path, "rb")
+        raw = fs.open_input(split.path)
+        if split.eof >= 0:
+            raw = _CapReader(raw, split.eof)
+        return gzip.GzipFile(fileobj=raw)
     if split.compression == "bz2":
-        return bz2.open(split.path, "rb")
-    fh = open(split.path, "rb")
-    return fh
+        raw = fs.open_input(split.path)
+        if split.eof >= 0:
+            raw = _CapReader(raw, split.eof)
+        return bz2.BZ2File(raw)
+    # random-access handle: scan_split seeks to the split start, so a task
+    # never pulls bytes before its range (ranged reads on remote stores)
+    return fs.open_input_at(split.path, 0)
 
 
 def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterator[str]:
@@ -235,7 +257,7 @@ def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterat
         return
     if not is_ascii_compatible(charset) and split.compression is None:
         # Non-ASCII-compatible charset: decode the whole file and scan text.
-        with open(split.path, "rb") as fh:
+        with fs.open_input(split.path) as fh:
             text = fh.read().decode(charset)
         yield from scan_string(text, row_tag)
         return
@@ -245,15 +267,23 @@ def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterat
         tag = row_tag.encode(charset if is_ascii_compatible(charset) else "utf-8")
         start_pat = b"<" + tag
         end_pat = b"</" + tag
-        buf = _Buffer(fh)
         if split.start > 0:
             # cheap skip: stream to the start offset (seek on plain files)
             try:
                 fh.seek(split.start)
+                if split.compression is None and split.eof >= 0:
+                    fh = _CapReader(fh, split.eof - split.start)
                 buf = _Buffer(fh, base=split.start)
             except (OSError, ValueError):
+                if split.compression is None and split.eof >= 0:
+                    fh = _CapReader(fh, split.eof)
+                buf = _Buffer(fh)
                 buf.ensure(split.start)
                 buf.discard_to(split.start)
+        else:
+            if split.compression is None and split.eof >= 0:
+                fh = _CapReader(fh, split.eof)
+            buf = _Buffer(fh)
         limit = split.end  # only record *starts* before this belong to us
         pos = split.start
         while True:
@@ -425,7 +455,7 @@ def _scan_bz2_range(split: FileSplit, row_tag: str, charset: str) -> Iterator[st
     record (Hadoop BYBLOCK semantics — see bz2split module docstring)."""
     from spark_xml_spark.xmlcore import bz2split
 
-    end = split.end if split.end != -1 else os.path.getsize(split.path)
+    end = split.end if split.end != -1 else fs.size_of(split.path)
     stream = bz2split.open_block_range(split.path, split.start, end)
     if stream is None:
         return
