@@ -366,11 +366,94 @@ def _is_float(s: str) -> bool:
         return False
 
 
+def _inst_local(tag: str) -> str:
+    """ElementTree reports namespaced instance elements as '{uri}local';
+    declarations are keyed by local name (consistent with _local's prefix
+    stripping on the schema side)."""
+    if tag.startswith("{"):
+        return tag.split("}", 1)[-1]
+    return tag
+
+
+def _xsd_pattern_to_py(pattern: str) -> str:
+    """XSD regex -> Python re (anchored by fullmatch at the call site).
+    The XSD-specific multi-char classes \\i/\\c (name start/char) are
+    translated; everything else of the common subset is re-compatible."""
+    return (
+        pattern.replace(r"\i", "[A-Za-z_:]")
+        .replace(r"\c", r"[-.\w:]")
+    )
+
+
+def _check_facets(tag: str, raw_text: str, base: str, restriction) -> None:
+    """Enforce the common restriction facets (pattern / enumeration /
+    length / min-max Length / min-max Inclusive-Exclusive / totalDigits /
+    fractionDigits) — the reference's javax.xml full-schema processing
+    covers these (ValidatorUtil.scala:30-55); this is the structural
+    subset's equivalent."""
+    text = raw_text if base == "string" else raw_text.strip()
+    enums: List[str] = []
+    patterns: List[str] = []
+    for f in restriction:
+        k = _tag(f)
+        v = f.get("value")
+        if v is None:
+            continue
+        if k == "enumeration":
+            enums.append(v)
+        elif k == "pattern":
+            patterns.append(v)
+        elif k == "length" and len(text) != int(v):
+            raise XsdValidationError(f"<{tag}>: length {len(text)} != {v}")
+        elif k == "minLength" and len(text) < int(v):
+            raise XsdValidationError(f"<{tag}>: length {len(text)} < {v}")
+        elif k == "maxLength" and len(text) > int(v):
+            raise XsdValidationError(f"<{tag}>: length {len(text)} > {v}")
+        elif k in ("minInclusive", "maxInclusive", "minExclusive", "maxExclusive"):
+            try:
+                tv, fv = float(text), float(v)
+            except ValueError:
+                tv, fv = text, v  # ISO dates compare lexically
+            ok = (
+                tv >= fv if k == "minInclusive"
+                else tv <= fv if k == "maxInclusive"
+                else tv > fv if k == "minExclusive"
+                else tv < fv
+            )
+            if not ok:
+                raise XsdValidationError(f"<{tag}>: '{text}' violates {k}={v}")
+        elif k == "totalDigits":
+            digits = sum(c.isdigit() for c in text)
+            if digits > int(v):
+                raise XsdValidationError(f"<{tag}>: more than {v} digits")
+        elif k == "fractionDigits":
+            frac = text.split(".", 1)[1] if "." in text else ""
+            if len(frac.rstrip("0")) > int(v):
+                raise XsdValidationError(
+                    f"<{tag}>: more than {v} fraction digits"
+                )
+    if enums and text not in enums:
+        raise XsdValidationError(
+            f"<{tag}>: '{text}' not in enumeration {enums[:5]}"
+        )
+    for p in patterns:
+        try:
+            if re.fullmatch(_xsd_pattern_to_py(p), text) is None:
+                raise XsdValidationError(
+                    f"<{tag}>: '{text}' does not match pattern '{p}'"
+                )
+        except re.error:
+            pass  # untranslatable XSD construct: facet skipped (subset)
+
+
 class _Validator:
     """Structural validator for one XSD model. Checks, per element: child
     elements are declared (or matched by xs:any), occurrence bounds per
-    declared name, required attributes present, and lexical form of simple
-    values. Sequence *ordering* is not enforced (subset)."""
+    declared name, required attributes present, lexical form of simple
+    values, and restriction facets (pattern/enumeration/length/ranges).
+    Sequence *ordering* is not enforced (subset). For full W3C schema
+    processing install the PyPI ``xmlschema`` package and validate rows
+    with it instead; this built-in keeps the engine dependency-free."""
 
     def __init__(self, model: _XsdModel):
         self.model = model
@@ -380,7 +463,7 @@ class _Validator:
             root = ET.fromstring(xml)
         except ET.ParseError as e:
             raise XsdValidationError(f"not well-formed: {e}") from e
-        decl = self.model.elements_by_name.get(root.tag)
+        decl = self.model.elements_by_name.get(_inst_local(root.tag))
         if decl is None:
             raise XsdValidationError(
                 f"no global element declaration for <{root.tag}>"
@@ -389,27 +472,28 @@ class _Validator:
 
     # -- internals ---------------------------------------------------------
     def _resolve_content(self, el_decl: ET.Element):
-        """-> ('simple', type_local_name) | ('complex', complexType node)."""
+        """-> ('simple', type_local_name, restriction|None)
+           | ('complex', complexType node, None)."""
         tname = el_decl.get("type")
         if tname is not None:
             local = _local(tname)
             named = self.model.types_by_name.get(local)
             if named is not None:
                 if _tag(named) == "complexType":
-                    return "complex", named
+                    return "complex", named, None
                 restriction = named.find(_XS + "restriction")
                 base = _local(restriction.get("base")) if restriction is not None else None
-                return "simple", base or "string"
-            return "simple", local
+                return "simple", base or "string", restriction
+            return "simple", local, None
         ct = el_decl.find(_XS + "complexType")
         if ct is not None:
-            return "complex", ct
+            return "complex", ct, None
         st = el_decl.find(_XS + "simpleType")
         if st is not None:
             restriction = st.find(_XS + "restriction")
             base = _local(restriction.get("base")) if restriction is not None else None
-            return "simple", base or "string"
-        return "simple", "string"
+            return "simple", base or "string", restriction
+        return "simple", "string", None
 
     def _validate_element(self, node: ET.Element, decl: ET.Element) -> None:
         ref = decl.get("ref")
@@ -419,7 +503,7 @@ class _Validator:
                 raise XsdValidationError(f"unresolved ref {ref}")
             self._validate_element(node, target)
             return
-        kind, content = self._resolve_content(decl)
+        kind, content, restriction = self._resolve_content(decl)
         if kind == "simple":
             if content in ("anyType", "anySimpleType"):
                 return
@@ -429,6 +513,8 @@ class _Validator:
                 raise XsdValidationError(
                     f"<{node.tag}>: '{text}' is not a valid xs:{content}"
                 )
+            if restriction is not None:
+                _check_facets(node.tag, node.text or "", content, restriction)
             if len(node) and content != "string":
                 raise XsdValidationError(
                     f"<{node.tag}> declared simple but has child elements"
@@ -477,9 +563,10 @@ class _Validator:
         counts: Dict[str, int] = {}
         wildcard_used = 0
         for child in node:
-            if child.tag in decls:
-                counts[child.tag] = counts.get(child.tag, 0) + 1
-                self._validate_element(child, decls[child.tag][0])
+            local = _inst_local(child.tag)
+            if local in decls:
+                counts[local] = counts.get(local, 0) + 1
+                self._validate_element(child, decls[local][0])
             elif wildcards:
                 wildcard_used += 1
             else:

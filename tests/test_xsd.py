@@ -284,3 +284,120 @@ def test_read_with_xsd_validation(spark):
     )
     bad = df2.select("_malformed_records").first()[0]
     assert bad is not None and bad.startswith("<basket>")
+
+
+_FACET_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="item">
+    <xs:complexType><xs:sequence>
+      <xs:element name="code">
+        <xs:simpleType>
+          <xs:restriction base="xs:string">
+            <xs:pattern value="[A-Z]{2}-\\d{3}"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:element>
+      <xs:element name="grade">
+        <xs:simpleType>
+          <xs:restriction base="xs:string">
+            <xs:enumeration value="A"/>
+            <xs:enumeration value="B"/>
+            <xs:enumeration value="C"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:element>
+      <xs:element name="qty">
+        <xs:simpleType>
+          <xs:restriction base="xs:int">
+            <xs:minInclusive value="1"/>
+            <xs:maxInclusive value="99"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:element>
+      <xs:element name="tag" minOccurs="0">
+        <xs:simpleType>
+          <xs:restriction base="xs:string">
+            <xs:minLength value="2"/>
+            <xs:maxLength value="5"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:element>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+def _facet_validator(tmp_path):
+    p = tmp_path / "facets.xsd"
+    p.write_text(_FACET_XSD)
+    return get_validator(str(p))
+
+
+def test_validator_facets(tmp_path):
+    v = _facet_validator(tmp_path)
+    v("<item><code>AB-123</code><grade>B</grade><qty>5</qty><tag>abc</tag></item>")
+    with pytest.raises(XsdValidationError, match="pattern"):
+        v("<item><code>ab-123</code><grade>B</grade><qty>5</qty></item>")
+    with pytest.raises(XsdValidationError, match="enumeration"):
+        v("<item><code>AB-123</code><grade>F</grade><qty>5</qty></item>")
+    with pytest.raises(XsdValidationError, match="maxInclusive"):
+        v("<item><code>AB-123</code><grade>A</grade><qty>100</qty></item>")
+    with pytest.raises(XsdValidationError, match="length"):
+        v("<item><code>AB-123</code><grade>A</grade><qty>9</qty><tag>x</tag></item>")
+
+
+def test_validator_namespaced_instance(tmp_path):
+    # '{uri}local' instance tags must match local-name declarations
+    p = tmp_path / "ns.xsd"
+    p.write_text("""<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="thing">
+    <xs:complexType><xs:sequence>
+      <xs:element name="name" type="xs:string"/>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>""")
+    v = get_validator(str(p))
+    v('<thing xmlns="http://example.com/ns"><name>ok</name></thing>')
+
+
+def test_facet_violation_lands_in_corrupt_record(spark, tmp_path):
+    """PERMISSIVE read with row validation: facet-violating rows keep the
+    raw record in _corrupt_record, valid rows parse (the reference's
+    basket-invalid shape, XmlSuite.scala:1090-1121)."""
+    from pyspark.sql import functions as F
+
+    from spark_xml_spark.sources.api import read_xml
+
+    xsd = tmp_path / "facets.xsd"
+    xsd.write_text(_FACET_XSD)
+    data = tmp_path / "items"
+    data.mkdir()
+    (data / "a.xml").write_text(
+        "<items>"
+        "<item><code>AB-123</code><grade>A</grade><qty>5</qty></item>"
+        "<item><code>bad</code><grade>A</grade><qty>5</qty></item>"
+        "<item><code>CD-456</code><grade>Z</grade><qty>5</qty></item>"
+        "</items>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("code", T.StringType()),
+            T.StructField("grade", T.StringType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_xml(
+        spark,
+        str(data),
+        schema=schema,
+        rowTag="item",
+        rowValidationXSDPath=str(xsd),
+        mode="PERMISSIVE",
+    )
+    rows = df.collect()
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(rows) == 3 and len(corrupt) == 2 and len(good) == 1
+    assert good[0]["code"] == "AB-123"
