@@ -552,6 +552,21 @@ class XmlDataSource(DataSource):
                         n += 1
                         yield rec
                         if limit and n >= limit:
+                            # Fields first appearing past the cap would be
+                            # silently absent from the schema — say so
+                            # (ADVICE r2); the distributed read_xml path
+                            # has no cap, and inferLimit=0 forces the
+                            # reference's full extra pass here too.
+                            import warnings
+
+                            warnings.warn(
+                                f"XML schema inference stopped after "
+                                f"{limit} sampled records (inferLimit); "
+                                f"fields first appearing later are not in "
+                                f"the schema. Set inferLimit=0 for a full "
+                                f"pass or provide an explicit schema.",
+                                stacklevel=2,
+                            )
                             return
 
         # With infer_schema=false, infer_from() types every leaf as string but

@@ -133,14 +133,11 @@ def plan_splits(
             # bzip2 is block-splittable (Hadoop BYBLOCK semantics,
             # XmlInputFormat.scala:93-103): byte-range splits over the
             # compressed file; each task owns the blocks starting in its
-            # range. Single-stream files only — else whole-file.
+            # range. Multi-stream (pbzip2-style) archives split too — the
+            # block reader chains across validated interior stream footers.
             from spark_xml_spark.xmlcore import bz2split
 
-            if (
-                bz2split.read_level(f) is None
-                or size <= target_split_size
-                or bz2split.looks_multistream(f)
-            ):
+            if bz2split.read_level(f) is None or size <= target_split_size:
                 splits.append(FileSplit(f, 0, -1, comp, whole_file=True))
                 continue
             n = (size + target_split_size - 1) // target_split_size
@@ -482,8 +479,13 @@ def _scan_bz2_range(split: FileSplit, row_tag: str, charset: str) -> Iterator[st
 def _window_needs_slow_scan(window: bytes, start_pat: bytes) -> bool:
     """True when the bytes between a start tag and the first end-tag
     candidate contain anything the fast path can't adjudicate: a genuine
-    nested same-name start tag, or non-element markup that could hide a
-    rowTag (comment / CDATA / processing instruction)."""
+    nested same-name start tag, non-element markup that could hide a
+    rowTag (comment / CDATA / PI), or a quote character (an end-tag byte
+    sequence inside a quoted attribute value must not close the record —
+    the slow path's _scan_tag_end is quote-aware, so route quoted content
+    there to keep both paths' semantics identical)."""
+    if b'"' in window or b"'" in window:
+        return True
     i = window.find(start_pat)
     while i != -1:
         j = i + len(start_pat)

@@ -97,19 +97,126 @@ def test_bz2_through_datasource_failfast(spark, tmp_path):
     assert df.count() == 740
 
 
-def test_bz2_multistream_degrades_to_whole_file(tmp_path):
-    """pbzip2-style concatenated streams must not be block-split (stream
-    boundaries would lose blocks); they read whole-file, exactly."""
-    import bz2 as b
+def _write_multistream(tmp_path, n_streams=4, rows_per=4000, levels=None):
+    """pbzip2-style archive: independent bz2 streams concatenated."""
+    import random
 
-    part1 = "".join(f"<r><a>{i}</a></r>" for i in range(5000))
-    part2 = "".join(f"<r><a>{i}</a></r>" for i in range(5000, 9000))
+    chunks = []
+    total = n_streams * rows_per
+    for s in range(n_streams):
+        rnd = random.Random(s)
+        lo, hi = s * rows_per, (s + 1) * rows_per
+        body = "".join(
+            f"<r><a>{i}</a><b>{rnd.getrandbits(256):064x}</b></r>"
+            for i in range(lo, hi)
+        )
+        if s == 0:
+            body = "<R>" + body
+        if s == n_streams - 1:
+            body = body + "</R>"
+        level = levels[s] if levels else 1
+        chunks.append(_bz2.compress(body.encode(), level))
     path = str(tmp_path / "ms.bz2")
     with open(path, "wb") as fh:
-        fh.write(b.compress(f"<R>{part1}".encode(), 1))
-        fh.write(b.compress(f"{part2}</R>".encode(), 1))
+        fh.write(b"".join(chunks))
+    return path, total
+
+
+def test_bz2_multistream_splits_exactly(tmp_path):
+    """pbzip2-style concatenated streams ARE block-split: the chained
+    reader validates interior stream footers and resumes at the next
+    stream's first block, so every forced split size yields the exact
+    record set — the scenario pbzip2 produces at scale."""
+    path, total = _write_multistream(tmp_path, n_streams=4, rows_per=4000)
     assert bz2split.looks_multistream(path)
+    for target in [4096, 16384]:
+        splits = tokenizer.plan_splits(path, "UTF-8", target)
+        assert len(splits) > 1, f"target={target}: should block-split"
+        recs = [r for s in splits for r in tokenizer.scan_split(s, "r")]
+        assert len(recs) == total, f"target={target}"
+        assert len(set(recs)) == total
+
+
+def test_bz2_multistream_mixed_levels(tmp_path):
+    """Streams compressed at different levels chain with each stream's own
+    level digit (the synthesized header must match the real block size)."""
+    path, total = _write_multistream(
+        tmp_path, n_streams=3, rows_per=3000, levels=[1, 9, 1]
+    )
     splits = tokenizer.plan_splits(path, "UTF-8", 4096)
+    assert len(splits) > 1
+    recs = [r for s in splits for r in tokenizer.scan_split(s, "r")]
+    assert len(recs) == total
+    assert len(set(recs)) == total
+
+
+def test_bz2_multistream_whole_file_still_exact(tmp_path):
+    """Small multi-stream files stay whole-file and read exactly."""
+    path, total = _write_multistream(tmp_path, n_streams=2, rows_per=1000)
+    splits = tokenizer.plan_splits(path, "UTF-8", 10 << 20)
     assert len(splits) == 1 and splits[0].whole_file
     recs = [r for s in splits for r in tokenizer.scan_split(s, "r")]
-    assert len(recs) == 9000
+    assert len(recs) == total
+
+
+def _drain(chained):
+    got = b""
+    while True:
+        chunk = chained.read(1 << 16)
+        if not chunk:
+            break
+        got += chunk
+    chained.close()
+    return got
+
+
+def test_bz2_false_start_magic_retries(tmp_path):
+    """A false-positive 48-bit block magic as a candidate start must not
+    silently drop the range: the chained reader's first-block holdback
+    discards the failed attempt and retries from the next candidate."""
+    import random
+
+    raw = random.Random(7).randbytes(400_000)  # incompressible -> 4 blocks
+    path = str(tmp_path / "f.bz2")
+    with open(path, "wb") as fh:
+        fh.write(_bz2.compress(raw, 1))
+    size = os.path.getsize(path)
+    real = bz2split.find_block_bits(path, 0, size)
+    assert len(real) >= 3
+    eof = bz2split.find_footer_bit(path)
+    # sanity: all real candidates reproduce the file exactly
+    assert _drain(bz2split.ChainedBz2Stream(path, real, eof, b"1")) == raw
+    # a bogus bit inside block 1's data as the first candidate: the
+    # attempt must fail without surfacing bytes, then resume at block 2
+    bogus = real[0] + 1037
+    assert bogus not in real and bogus < real[1]
+    from_block2 = _drain(bz2split.ChainedBz2Stream(path, real[1:], eof, b"1"))
+    got = _drain(
+        bz2split.ChainedBz2Stream(path, [bogus] + real[1:], eof, b"1")
+    )
+    assert got == from_block2
+    assert len(got) > 0 and raw.endswith(got)
+
+
+def test_bz2_corruption_after_commit_raises(tmp_path):
+    """Corrupt block data past the first committed block surfaces as an
+    error instead of a silent truncation."""
+    import random
+
+    raw = random.Random(11).randbytes(1 << 20)
+    comp = bytearray(_bz2.compress(raw, 1))
+    assert len(comp) > 500_000
+    # flip bits mid-file, inside block data (away from header/footer)
+    for off in range(len(comp) // 2, len(comp) // 2 + 64):
+        comp[off] ^= 0xFF
+    path = str(tmp_path / "c.bz2")
+    with open(path, "wb") as fh:
+        fh.write(bytes(comp))
+    eof = bz2split.find_footer_bit(path)
+    first = bz2split.find_block_bits(path, 0, 1 << 18)
+    assert first
+    chained = bz2split.ChainedBz2Stream(path, first[:1], eof, b"1")
+    with pytest.raises(OSError):
+        while chained.read(1 << 16):
+            pass
+    chained.close()

@@ -437,6 +437,14 @@ def test_tokenizer_quote_aware_attrs():
     assert _scan(doc) == ['<ROW label="a>b"><a>1</a></ROW>']
 
 
+def test_tokenizer_end_tag_inside_quoted_attr():
+    # an end-tag byte sequence inside a nested element's quoted attribute
+    # must not close the record, on both the fast and slow scan paths
+    # (fast path would otherwise accept it: no nested <ROW, no markup)
+    doc = '<ROWS><ROW><a note="</ROW>">x</a></ROW><ROW><b>2</b></ROW></ROWS>'
+    assert _scan(doc) == ['<ROW><a note="</ROW>">x</a></ROW>', "<ROW><b>2</b></ROW>"]
+
+
 def test_tokenizer_split_ownership(tmp_path):
     # records straddling split boundaries are read exactly once
     rows = "".join(f"<ROW><v>{i:04d}</v></ROW>\n" for i in range(200))
