@@ -61,6 +61,27 @@ def _inject_session_timezone(spark: SparkSession, options: dict) -> dict:
     return out
 
 
+def _inject_filter_pushdown(spark: SparkSession, options: dict) -> dict:
+    """Filter pushdown is strictly OPT-IN per read (reader option
+    ``filterPushdown=true``) and is never defaulted from the session conf:
+    Spark 4.1 caches the Python read plan per relation, so the FIRST
+    query's pushed predicates would be replayed by every later query on a
+    reused DataFrame/view (verified: a filtered count followed by an
+    unfiltered count on the same df returns the filtered number). Safe
+    usage is one read per filtered pipeline. When the option is set, this
+    enables the required session conf so the read doesn't fail."""
+    if not any(
+        k.lower() == "filterpushdown" and str(v).lower() == "true"
+        for k, v in options.items()
+    ):
+        return options
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    return options
+
+
 def _splits_df(spark: SparkSession, path, xopts: XmlOptions) -> DataFrame:
     splits = tokenizer.plan_splits(path, xopts.charset)
     rows = [
@@ -135,6 +156,7 @@ def read_xml(
     """
     register(spark)
     options = _inject_session_timezone(spark, options)
+    options = _inject_filter_pushdown(spark, options)
     xopts = XmlOptions.from_dict(options)
     if schema is None and xopts.infer_schema:
         schema = infer_xml_schema(spark, path, **options)

@@ -335,10 +335,159 @@ def _rows_to_arrow_batches(rows, schema: T.StructType, batch_size: int):
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
+# --- filter pushdown -------------------------------------------------------
+# Spark 4.1's Python DataSource API delivers Catalyst's pushable predicates
+# via DataSourceReader.pushFilters. Accepted filters are REMOVED from the
+# Spark plan, so evaluation must be exact: predicates run on the very row
+# tuples the scan emits (same values Spark would have filtered), with SQL
+# three-valued null semantics folded in (null comparisons -> row dropped,
+# matching a post-scan Filter). Payoff at scale: filtered rows never leave
+# the Python worker — no Arrow transfer, no JVM processing.
+
+_PUSH_SCALARS = (
+    T.StringType,
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.BooleanType,
+    T.DateType,
+    T.DecimalType,
+)
+
+
+def _push_field(attr, schema: T.StructType, corrupt_col: str):
+    """Resolve a filter attribute to (index, field) when it names a
+    top-level scalar column we can evaluate exactly; None otherwise."""
+    if not isinstance(attr, tuple) or len(attr) != 1:
+        return None  # nested fields stay Spark-side
+    name = attr[0]
+    matches = [
+        (i, f)
+        for i, f in enumerate(schema.fields)
+        if f.name == name or f.name.lower() == name.lower()
+    ]
+    exact = [m for m in matches if m[1].name == name]
+    if exact:
+        matches = exact
+    if len(matches) != 1:
+        return None
+    i, f = matches[0]
+    if f.name == corrupt_col:
+        return None  # corrupt-record column is populated by the parse itself
+    if not isinstance(f.dataType, _PUSH_SCALARS):
+        return None  # timestamps excluded too: tz-repr pitfalls
+    return i, f
+
+
+def _compile_filter(flt, schema: T.StructType, corrupt_col: str):
+    """Compile one pushed Filter into row-tuple -> bool with SQL null
+    semantics, or None when the filter can't be evaluated exactly here."""
+    from pyspark.sql import datasource as ds
+
+    if isinstance(flt, ds.Not):
+        child = flt.child
+        sub = _compile_filter(child, schema, corrupt_col)
+        if sub is None:
+            return None
+        if isinstance(child, (ds.IsNull, ds.IsNotNull)):
+            return lambda row: not sub(row)
+        # NOT(pred) on a null operand is UNKNOWN -> row dropped
+        loc = _push_field(child.attribute, schema, corrupt_col)
+        if loc is None:
+            return None
+        i = loc[0]
+        return lambda row: row[i] is not None and not sub(row)
+    if isinstance(flt, ds.IsNull):
+        loc = _push_field(flt.attribute, schema, corrupt_col)
+        if loc is None:
+            return None
+        i = loc[0]
+        return lambda row: row[i] is None
+    if isinstance(flt, ds.IsNotNull):
+        loc = _push_field(flt.attribute, schema, corrupt_col)
+        if loc is None:
+            return None
+        i = loc[0]
+        return lambda row: row[i] is not None
+    if not hasattr(flt, "attribute") or not hasattr(flt, "value"):
+        return None  # unknown/future filter class: leave to Spark
+    loc = _push_field(flt.attribute, schema, corrupt_col)
+    if loc is None:
+        return None
+    i, field = loc
+    v = flt.value
+    if isinstance(flt, ds.EqualNullSafe):
+        return lambda row: (row[i] is None and v is None) or (
+            row[i] is not None and row[i] == v
+        )
+    if v is None:
+        return None  # null literal in other comparators: UNKNOWN everywhere
+    str_field = isinstance(field.dataType, T.StringType)
+    if isinstance(flt, ds.EqualTo):
+        return lambda row: row[i] is not None and row[i] == v
+    if isinstance(flt, ds.GreaterThan):
+        return lambda row: row[i] is not None and row[i] > v
+    if isinstance(flt, ds.GreaterThanOrEqual):
+        return lambda row: row[i] is not None and row[i] >= v
+    if isinstance(flt, ds.LessThan):
+        return lambda row: row[i] is not None and row[i] < v
+    if isinstance(flt, ds.LessThanOrEqual):
+        return lambda row: row[i] is not None and row[i] <= v
+    if isinstance(flt, ds.In):
+        vals = set(flt.value)
+        return lambda row: row[i] is not None and row[i] in vals
+    if isinstance(flt, ds.StringStartsWith) and str_field:
+        return lambda row: row[i] is not None and row[i].startswith(v)
+    if isinstance(flt, ds.StringEndsWith) and str_field:
+        return lambda row: row[i] is not None and row[i].endswith(v)
+    if isinstance(flt, ds.StringContains) and str_field:
+        return lambda row: row[i] is not None and v in row[i]
+    return None
+
+
+def _raw_prefilter(filters, schema: T.StructType, corrupt_col: str):
+    """Reject-only prefilter on the RAW record text: a record that doesn't
+    contain a required string literal anywhere can't satisfy an equality /
+    contains / startswith / endswith filter on any field — skip the parse.
+    Sound only when the literal appears verbatim in well-formed XML, so it
+    is guarded per record: entity references ('&') or CDATA splits (']]>')
+    disable the shortcut for that record. Caller must not use this in
+    FAILFAST mode (a skipped malformed record would no longer raise)."""
+    from pyspark.sql import datasource as ds
+
+    literals = []
+    for flt in filters:
+        if isinstance(
+            flt, (ds.EqualTo, ds.StringContains, ds.StringStartsWith, ds.StringEndsWith)
+        ):
+            loc = _push_field(getattr(flt, "attribute", None), schema, corrupt_col)
+            if (
+                loc is not None
+                and isinstance(loc[1].dataType, T.StringType)
+                and isinstance(flt.value, str)
+                and flt.value
+                and not any(c in flt.value for c in "&<>\"'")
+            ):
+                literals.append(flt.value)
+    if not literals:
+        return None
+
+    def reject(rec: str) -> bool:
+        if "&" in rec or "]]>" in rec:
+            return False
+        return any(lit not in rec for lit in literals)
+
+    return reject
+
+
 class XmlReader(DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType):
         self._opts_dict = dict(options)
         self._schema = schema
+        self._pushed: List = []  # Filter dataclasses accepted by pushFilters
         self._path = options.get("path") or options.get("location")
         if not self._path:
             # catalog-table read: Spark handed us empty options (see
@@ -374,10 +523,23 @@ class XmlReader(DataSourceReader):
             partition.whole_file,
         )
         records = tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
+        corrupt = xopts.column_name_of_corrupt_record
+        if self._pushed and xopts.mode != "FAILFAST":
+            # raw-text reject shortcut: skip parsing records that can't
+            # match (FAILFAST keeps parsing everything so malformed
+            # records still raise exactly as an unfiltered scan would)
+            reject = _raw_prefilter(self._pushed, self._schema, corrupt)
+            if reject is not None:
+                records = (r for r in records if not reject(r))
         fix = _tz_fixer(self._schema)
         rows = parser.parse_records(records, self._schema, xopts)
         if fix is not None:
             rows = (fix(row) for row in rows)
+        if self._pushed:
+            preds = [
+                _compile_filter(f, self._schema, corrupt) for f in self._pushed
+            ]
+            rows = (row for row in rows if all(p(row) for p in preds))
 
         arrow_flag = str(
             self._opts_dict.get("arrowBatches")
@@ -407,6 +569,34 @@ class XmlReader(DataSourceReader):
             return
         yield first
         yield from _rows_to_arrow_batches(rows, self._schema, batch_size)
+
+
+class XmlPushdownReader(XmlReader):
+    """XmlReader with Catalyst filter pushdown. Kept as a separate class:
+    Spark raises DATA_SOURCE_PUSHDOWN_DISABLED for any reader that merely
+    OVERRIDES pushFilters while spark.sql.python.filterPushdown.enabled is
+    false, so the plain XmlReader must not define it. Selected via reader
+    option ``filterPushdown=true`` (read_xml injects it automatically from
+    the session conf)."""
+
+    def pushFilters(self, filters):
+        """Accept every filter we can evaluate exactly on parsed rows
+        (top-level scalar fields, SQL null semantics); the rest stay in
+        the Spark plan. Stores raw Filter dataclasses — self must remain
+        picklable, so compilation to closures happens in read()."""
+        xopts = XmlOptions.from_dict(self._opts_dict)
+        corrupt = xopts.column_name_of_corrupt_record
+        # Spark reuses one reader instance across plannings of the same
+        # relation (e.g. a temp view queried twice): pushed filters are
+        # per-scan state, never accumulated
+        self._pushed = []
+        remaining = []
+        for f in filters:
+            if _compile_filter(f, self._schema, corrupt) is not None:
+                self._pushed.append(f)
+            else:
+                remaining.append(f)
+        return remaining
 
 
 @dataclass
@@ -580,7 +770,19 @@ class XmlDataSource(DataSource):
         return schema
 
     def reader(self, schema: T.StructType) -> XmlReader:
-        return XmlReader(self.options, schema)
+        opts = dict(self.options)
+        if not (opts.get("path") or opts.get("location")):
+            # catalog-table read: Spark hands reader() empty options;
+            # recover them here so the pushdown flag survives too
+            recovered = _recover_options(schema)
+            if recovered is not None:
+                opts = dict(recovered)
+        push = str(
+            opts.get("filterPushdown") or opts.get("filterpushdown") or "false"
+        ).lower()
+        if push == "true":
+            return XmlPushdownReader(opts, schema)
+        return XmlReader(opts, schema)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> XmlWriter:
         return XmlWriter(self.options, schema, overwrite)
