@@ -103,13 +103,11 @@ class XmlOptions:
         if self.compression:
             # case-insensitive, and accept Hadoop codec class names like the
             # reference's "codec" option (XmlOptions.scala:31,
-            # CompressionCodecs resolution)
-            c = self.compression.lower()
-            if c.endswith("gzipcodec"):
-                c = "gzip"
-            elif c.endswith("bzip2codec"):
-                c = "bz2"
-            self.compression = c
+            # CompressionCodecs resolution); unknown codecs raise instead of
+            # silently writing uncompressed output
+            from spark_xml_spark.xmlcore import codecs as _codecs
+
+            self.compression = _codecs.normalize(self.compression)
 
     # camelCase (reference spelling) -> snake_case field name
     _ALIASES = {

@@ -649,11 +649,11 @@ class XmlWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        from spark_xml_spark.xmlcore import codecs as _codecs
+
         suffix = ".xml"
-        if xopts.compression in ("gzip", "gz"):
-            suffix = ".xml.gz"
-        elif xopts.compression in ("bzip2", "bz2"):
-            suffix = ".xml.bz2"
+        if xopts.compression:
+            suffix = ".xml" + _codecs.WRITE_SUFFIX[xopts.compression]
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{suffix}"
         target = self._path.rstrip("/") + "/" + name
         count = 0
@@ -667,14 +667,8 @@ class XmlWriter(DataSourceWriter):
         raw = _fs.open_output(target)
         body = raw
         try:
-            if suffix.endswith(".gz"):
-                import gzip
-
-                body = gzip.GzipFile(fileobj=raw, mode="wb")
-            elif suffix.endswith(".bz2"):
-                import bz2
-
-                body = bz2.BZ2File(raw, "wb")
+            if xopts.compression:
+                body = _codecs.wrap_write(raw, xopts.compression)
             fh = io.TextIOWrapper(body, encoding=xopts.charset)
             for line in generator.rows_to_document(
                 self._schema, counted(iterator), xopts

@@ -30,13 +30,11 @@ XmlInputFormat.scala:93-103).
 
 from __future__ import annotations
 
-import bz2
-import gzip
 import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
-from spark_xml_spark.xmlcore import fs
+from spark_xml_spark.xmlcore import codecs, fs
 
 _CHUNK = 1 << 20
 _NAME_END = (" ", "\t", "\n", "\r", ">", "/")
@@ -57,7 +55,7 @@ class FileSplit:
     path: str
     start: int
     end: int  # exclusive owner boundary for record *starts*
-    compression: Optional[str] = None  # None | 'gzip' | 'bz2'
+    compression: Optional[str] = None  # None | 'gzip' | 'bz2' | 'xz' | 'deflate'
     whole_file: bool = False
     # Treat the file as ending at this byte (-1 = real EOF). Streaming
     # replay sets this to the size recorded in the committed offset so a
@@ -111,11 +109,7 @@ def _expand_with_sizes(path) -> List[tuple]:
 
 
 def _compression_of(path: str) -> Optional[str]:
-    if path.endswith(".gz"):
-        return "gzip"
-    if path.endswith(".bz2"):
-        return "bz2"
-    return None
+    return codecs.compression_of(path)
 
 
 def plan_splits(
@@ -232,16 +226,11 @@ class _Buffer:
 
 
 def _open_stream(split: FileSplit):
-    if split.compression == "gzip":
+    if split.compression is not None:
         raw = fs.open_input(split.path)
         if split.eof >= 0:
             raw = _CapReader(raw, split.eof)
-        return gzip.GzipFile(fileobj=raw)
-    if split.compression == "bz2":
-        raw = fs.open_input(split.path)
-        if split.eof >= 0:
-            raw = _CapReader(raw, split.eof)
-        return bz2.BZ2File(raw)
+        return codecs.wrap_read(raw, split.compression)
     # random-access handle: scan_split seeks to the split start, so a task
     # never pulls bytes before its range (ranged reads on remote stores)
     return fs.open_input_at(split.path, 0)

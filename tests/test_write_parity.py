@@ -198,3 +198,48 @@ def test_save_all_data_types_roundtrip(spark, tmp_path):
     exp = df.first()
     for f in schema.fields:
         assert got[f.name] == exp[f.name], f.name
+
+
+def test_save_xz_deflate_codecs(spark, tmp_path):
+    """Codec breadth beyond the reference's gzip test: xz (lzma) and
+    deflate (Hadoop DefaultCodec zlib format) round-trip through the full
+    write -> extension-sniffed read path."""
+    cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
+    expect = {tuple(r) for r in cars.select(*sorted(cars.columns)).collect()}
+    for codec, ext in (
+        ("xz", ".xml.xz"),
+        ("lzma", ".xml.xz"),
+        ("deflate", ".xml.deflate"),
+        ("org.apache.hadoop.io.compress.DefaultCodec", ".xml.deflate"),
+    ):
+        out = str(tmp_path / codec.rsplit(".", 1)[-1])
+        write_xml(cars.repartition(1), out, rowTag="ROW", compression=codec)
+        files = glob.glob(os.path.join(out, f"*{ext}"))
+        assert files, f"no {ext} part file for codec {codec}"
+        copy = read_xml(spark, out, rowTag="ROW")
+        got = {tuple(r) for r in copy.select(*sorted(cars.columns)).collect()}
+        assert got == expect, codec
+
+
+def test_deflate_bytes_are_zlib(spark, tmp_path):
+    """.deflate output is a plain zlib stream (what Hadoop DefaultCodec
+    writes), decodable without this library."""
+    import zlib
+
+    cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
+    out = str(tmp_path / "zl")
+    write_xml(cars.repartition(1), out, rowTag="ROW", compression="deflate")
+    f = glob.glob(os.path.join(out, "*.xml.deflate"))[0]
+    with open(f, "rb") as fh:
+        text = zlib.decompress(fh.read()).decode()
+    assert text.lstrip().startswith("<?xml")
+    assert text.count("<ROW>") == cars.count()
+
+
+def test_unknown_codec_rejected(spark, tmp_path):
+    """Unsupported codecs fail loudly instead of writing uncompressed."""
+    import pytest
+
+    cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
+    with pytest.raises(Exception, match="[Uu]nsupported compression"):
+        write_xml(cars, str(tmp_path / "bad"), rowTag="ROW", compression="snappy")
