@@ -48,7 +48,9 @@ class XmlOptions:
 
     Write options: root_tag (may embed literal attributes, e.g.
     ``"books foo='bar'"`` — XmlFile.scala:88-101), declaration,
-    array_element_name, compression.
+    array_element_name, compression, indent (pretty-print with the
+    reference's 4-space IndentingXMLStreamWriter layout,
+    XmlFile.scala:86,108-109; off by default here — one row per line).
     """
 
     row_tag: str = DEFAULT_ROW_TAG
@@ -73,6 +75,7 @@ class XmlOptions:
     timezone: Optional[str] = None
     date_format: Optional[str] = None
     compression: Optional[str] = None
+    indent: bool = False
 
     def __post_init__(self) -> None:
         if not self.row_tag:
@@ -135,6 +138,7 @@ class XmlOptions:
         "dateFormat": "date_format",
         "compression": "compression",
         "codec": "compression",
+        "indent": "indent",
     }
 
     _BOOL_FIELDS = {
@@ -143,6 +147,7 @@ class XmlOptions:
         "ignore_surrounding_spaces",
         "infer_schema",
         "ignore_namespace",
+        "indent",
     }
 
     @classmethod

@@ -109,11 +109,18 @@ def _field_values(v: Any, schema: T.StructType) -> List[Any]:
 
 
 class _Writer:
-    __slots__ = ("out", "options")
+    __slots__ = ("out", "options", "pretty", "depth", "_stack")
 
-    def __init__(self, options: XmlOptions):
+    def __init__(self, options: XmlOptions, pretty: bool = False, depth: int = 0):
         self.out: List[str] = []
         self.options = options
+        # pretty mode mirrors the reference's IndentingXMLStreamWriter
+        # (XmlFile.scala:108-109): newline + 4-space indent before every
+        # child element open; the close tag moves to its own line only when
+        # the element contained child elements (text-only stays inline)
+        self.pretty = pretty
+        self.depth = depth  # indent level of the next child element
+        self._stack: List[bool] = []  # per open element: wrote child elements?
 
     def _write_element(self, dt: T.DataType, v: Any) -> None:
         opts = self.options
@@ -197,34 +204,43 @@ class _Writer:
         if (v is None or isinstance(dt, T.NullType)) and opts.null_value is None:
             return  # null elements are simply not written
         if name == opts.value_tag:
-            self._write_element(dt, v)
+            self._write_element(dt, v)  # bare character data: stays inline
             return
-        if isinstance(dt, T.StructType):
-            self.out.append(f"<{name}")
-            self.out.extend(self._struct_attrs(dt, v) if v is not None else [])
-            self.out.append(">")
-            self._write_element(dt, v)
-            self.out.append(f"</{name}>")
-        elif isinstance(dt, T.MapType):
-            self.out.append(f"<{name}")
-            self.out.extend(self._map_attrs(dt, v) if v is not None else [])
-            self.out.append(">")
-            self._write_element(dt, v)
-            self.out.append(f"</{name}>")
-        else:
-            self.out.append(f"<{name}>")
-            self._write_element(dt, v)
-            self.out.append(f"</{name}>")
+        if self.pretty:
+            if self._stack:
+                self._stack[-1] = True
+            self.out.append("\n" + "    " * self.depth)
+        self.out.append(f"<{name}")
+        if v is not None:
+            if isinstance(dt, T.StructType):
+                self.out.extend(self._struct_attrs(dt, v))
+            elif isinstance(dt, T.MapType):
+                self.out.extend(self._map_attrs(dt, v))
+        self.out.append(">")
+        self.depth += 1
+        self._stack.append(False)
+        self._write_element(dt, v)
+        self.depth -= 1
+        if self._stack.pop() and self.pretty:
+            self.out.append("\n" + "    " * self.depth)
+        self.out.append(f"</{name}>")
 
 
-def row_to_xml(schema: T.StructType, row: Any, options: XmlOptions) -> str:
+def row_to_xml(
+    schema: T.StructType, row: Any, options: XmlOptions, base_depth: int = 1
+) -> str:
     """One row -> one ``<rowTag>...</rowTag>`` fragment
-    (StaxXmlGenerator.scala:140-158)."""
-    w = _Writer(options)
+    (StaxXmlGenerator.scala:140-158). With options.indent, the fragment is
+    pretty-printed at ``base_depth`` indent levels (the writer prepends the
+    first line's indent)."""
+    w = _Writer(options, pretty=options.indent, depth=base_depth + 1)
+    w._stack.append(False)
     w.out.append(f"<{options.row_tag}")
     w.out.extend(w._struct_attrs(schema, row))
     w.out.append(">")
     w._write_struct_body(schema, row)
+    if w._stack.pop() and w.pretty:
+        w.out.append("\n" + "    " * base_depth)
     w.out.append(f"</{options.row_tag}>")
     return "".join(w.out)
 
@@ -237,7 +253,7 @@ class FastFlatGenerator:
     else (structs, arrays, maps, attribute fields, valueTag) uses the
     generic writer."""
 
-    __slots__ = ("parts", "row_open", "row_close", "null_value")
+    __slots__ = ("parts", "row_open", "row_close", "null_value", "indent")
 
     @classmethod
     def try_build(cls, schema: T.StructType, options: XmlOptions):
@@ -257,6 +273,7 @@ class FastFlatGenerator:
 
     def __init__(self, schema: T.StructType, options: XmlOptions):
         self.null_value = options.null_value
+        self.indent = options.indent
         self.parts = []
         for f in schema.fields:
             dt = f.dataType
@@ -276,17 +293,20 @@ class FastFlatGenerator:
                 fmt = lambda v, d=dt, o=options: _scalar_text(d, v, o)  # noqa: E731
             self.parts.append((f"<{f.name}>", fmt, f"</{f.name}>"))
 
-    def row_to_xml(self, row: Any, row_tag: str) -> str:
+    def row_to_xml(self, row: Any, row_tag: str, base_depth: int = 1) -> str:
         if isinstance(row, dict):
             row = [row.get(open_t[1:-1]) for open_t, _, _ in self.parts]
         out = [f"<{row_tag}>"]
         nv = self.null_value
+        pre = ("\n" + "    " * (base_depth + 1)) if self.indent else ""
         for (open_t, fmt, close_t), v in zip(self.parts, row):
             if v is None:
                 if nv is not None:
-                    out.append(open_t + _escape_text(nv) + close_t)
+                    out.append(pre + open_t + _escape_text(nv) + close_t)
                 continue
-            out.append(open_t + fmt(v) + close_t)
+            out.append(pre + open_t + fmt(v) + close_t)
+        if self.indent and len(out) > 1:
+            out.append("\n" + "    " * base_depth)
         out.append(f"</{row_tag}>")
         return "".join(out)
 

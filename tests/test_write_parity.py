@@ -243,3 +243,47 @@ def test_unknown_codec_rejected(spark, tmp_path):
     cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
     with pytest.raises(Exception, match="[Uu]nsupported compression"):
         write_xml(cars, str(tmp_path / "bad"), rowTag="ROW", compression="snappy")
+
+
+def test_indent_pretty_print_roundtrip(spark, tmp_path):
+    """indent=true reproduces the reference's IndentingXMLStreamWriter
+    layout (XmlFile.scala:86,108-109: 4-space step, text-only elements
+    inline) and round-trips exactly."""
+    books = read_xml(spark, f"{RES}/books-complicated.xml", rowTag="book")
+    out = str(tmp_path / "pretty")
+    write_xml(
+        books.repartition(1), out, rowTag="book", rootTag="books", indent=True
+    )
+    lines = _part_lines(out)
+    assert lines[1] == "<books>"
+    assert lines[2].startswith("    <book")
+    # nested children are deeper than row children
+    assert any(l.startswith("        <") for l in lines)
+    assert any(l.startswith("            <") for l in lines)
+    copy = read_xml(spark, out, rowTag="book")
+    assert {str(r) for r in copy.collect()} == {str(r) for r in books.collect()}
+
+
+def test_indent_fast_and_generic_writers_agree(tmp_path):
+    """The flat fast-path generator emits byte-identical indented output to
+    the generic writer."""
+    from pyspark.sql import types as T2
+
+    from spark_xml_spark.options import XmlOptions
+    from spark_xml_spark.xmlcore import generator
+
+    schema = T2.StructType(
+        [
+            T2.StructField("id", T2.LongType()),
+            T2.StructField("s", T2.StringType()),
+            T2.StructField("d", T2.DoubleType()),
+        ]
+    )
+    rows = [(1, "x", 1.5), (2, None, None), (None, None, None)]
+    opts = XmlOptions.from_dict({"rowTag": "r", "indent": "true"})
+    fast = generator.FastFlatGenerator.try_build(schema, opts)
+    assert fast is not None
+    for row in rows:
+        assert fast.row_to_xml(row, "r") == generator.row_to_xml(
+            schema, row, opts
+        ), row
