@@ -76,6 +76,7 @@ def _xml_table(
     variant: str = "plain",
     transform=None,
     partitions: int = 16,
+    read_options: dict = None,
     **write_opts,
 ) -> DataFrame:
     """Parquet table -> cached XML directory -> DataFrame via read_xml.
@@ -112,7 +113,7 @@ def _xml_table(
             shutil.rmtree(stage, ignore_errors=True)
     with open(schema_file) as fh:
         schema = T.StructType.fromJson(json.load(fh))
-    return read_xml(spark, xml_dir, schema=schema, rowTag=tag)
+    return read_xml(spark, xml_dir, schema=schema, rowTag=tag, **(read_options or {}))
 
 
 def _parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -164,6 +165,24 @@ def q_xml_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.filter(F.col("c_acctbal") > 1000.0)
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
+    )
+
+
+def q_xml_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 filter pushdown: Catalyst predicates handed to the scan via Spark
+    4.1 pushFilters (sources/datasource.py XmlPushdownReader) are evaluated
+    inside the Python reader — non-matching rows never cross the
+    Python->JVM boundary, and equality literals prefilter the raw record
+    text before parsing. Opt-in read (one read per filtered pipeline)."""
+    o = _xml_table(
+        spark, sf_dir, "orders", read_options={"filterPushdown": "true"}
+    )
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
     )
 
 
@@ -935,6 +954,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "xml_scan_filter": q_xml_scan_filter,
+        "xml_pushdown": q_xml_pushdown,
         "xml_agg_q1": q_xml_agg_q1,
         "xml_join_agg": q_xml_join_agg,
         "xml_rollup": q_xml_rollup,
@@ -1022,6 +1042,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE c_acctbal > 1000.0
             ORDER BY c_custkey
+        """,
+        "xml_pushdown": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+            ORDER BY o_orderkey
         """,
         "xml_agg_q1": f"""
             SELECT l_returnflag, l_linestatus,

@@ -69,6 +69,7 @@ def main() -> None:
 
     bench_queries = [
         "xml_scan_filter",
+        "xml_pushdown",
         "xml_agg_q1",
         "xml_join_agg",
         "xml_window_rank",
