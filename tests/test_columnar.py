@@ -1,0 +1,171 @@
+"""Columnar flat-scan fast path: exact equivalence with the row path.
+
+The columnar path (sources/datasource._columnar_flat_batches) must be
+invisible: same values, same nulls, same malformed-record policy as the
+per-row parse for every record shape, falling back wherever equivalence
+isn't provable.
+"""
+
+import json
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import types as T
+
+from spark_xml_spark.options import XmlOptions
+from spark_xml_spark.sources import datasource as D
+from spark_xml_spark.xmlcore import parser
+
+
+def _both_paths(records, schema, opts):
+    fix = D._tz_fixer(schema)
+    rows = parser.parse_records(iter(records), schema, opts)
+    rows = [fix(r) for r in rows] if fix else list(rows)
+    ref = list(D._rows_to_arrow_batches(iter(rows), schema, 512))
+    col = list(D._columnar_flat_batches(iter(records), schema, opts, 512))
+    rt = pa.Table.from_batches(ref) if ref else None
+    ct = pa.Table.from_batches(col) if col else None
+    return rt, ct
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("dt", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _rec(i="1", s="x", d="1.5", b="true", dt="2021-02-01", ts="2021-02-01T12:30:45Z"):
+    parts = ["<r>"]
+    for tag, v in (("i", i), ("s", s), ("d", d), ("b", b), ("dt", dt), ("ts", ts)):
+        if v is not None:
+            parts.append(f"<{tag}>{v}</{tag}>")
+    parts.append("</r>")
+    return "".join(parts)
+
+
+OPTS = XmlOptions.from_dict({"rowTag": "r", "timezone": "UTC"})
+
+
+def test_clean_batch_identical():
+    recs = [_rec(i=str(k), d=f"{k}.25") for k in range(100)]
+    rt, ct = _both_paths(recs, SCHEMA, OPTS)
+    assert rt.equals(ct)
+
+
+def test_missing_and_empty_fields():
+    recs = [
+        _rec(),
+        _rec(s=None),            # missing tag -> null
+        _rec(s=""),              # empty string element -> ""
+        _rec(i=""),              # empty numeric element -> null
+        _rec(i=None, d=None, b=None, dt=None, ts=None),
+    ]
+    rt, ct = _both_paths(recs, SCHEMA, OPTS)
+    assert rt.equals(ct)
+    assert ct["s"].to_pylist()[1:3] == [None, ""]
+    assert ct["i"].to_pylist()[3] is None
+
+
+def test_plus_sign_and_grouping_fall_back_to_python():
+    """Arrow rejects '+12' and '1,234.5'; the Python casters accept both —
+    results must match the row path exactly."""
+    recs = [_rec(i="+12", d="1,234.5"), _rec(i="-7", d="2.5")]
+    rt, ct = _both_paths(recs, SCHEMA, OPTS)
+    assert rt.equals(ct)
+    assert ct["i"].to_pylist() == [12, -7]
+    assert ct["d"].to_pylist() == [1234.5, 2.5]
+
+
+def test_date_only_timestamp_is_malformed_both_paths():
+    """Arrow would happily cast '2021-02-01' to a midnight timestamp; the
+    row path treats it as malformed (PERMISSIVE -> all-null row). The
+    guard regex must force agreement."""
+    recs = [_rec(), _rec(ts="2021-02-01")]
+    rt, ct = _both_paths(recs, SCHEMA, OPTS)
+    assert rt.equals(ct)
+    assert ct["ts"].to_pylist()[1] is None
+    # PERMISSIVE keeps the partial row (other fields parsed)
+    assert ct["i"].to_pylist()[1] == 1
+
+
+def test_entities_fall_back():
+    recs = [_rec(s="a&amp;b"), _rec(s="plain")]
+    rt, ct = _both_paths(recs, SCHEMA, OPTS)
+    assert rt.equals(ct)
+    assert ct["s"].to_pylist()[0] == "a&b"
+
+
+def test_whitespace_only_numeric_policy():
+    recs = [_rec(i="  "), _rec()]
+    rt, ct = _both_paths(recs, SCHEMA, OPTS)
+    assert rt.equals(ct)
+
+
+def test_dropmalformed():
+    opts = XmlOptions.from_dict(
+        {"rowTag": "r", "timezone": "UTC", "mode": "DROPMALFORMED"}
+    )
+    recs = [_rec(), _rec(i="notanint"), _rec(i="5")]
+    rt, ct = _both_paths(recs, SCHEMA, opts)
+    assert rt.equals(ct)
+    assert ct.num_rows == 2
+
+
+def test_failfast_raises():
+    opts = XmlOptions.from_dict(
+        {"rowTag": "r", "timezone": "UTC", "mode": "FAILFAST"}
+    )
+    recs = [_rec(), _rec(i="notanint")]
+    with pytest.raises(Exception):
+        list(D._columnar_flat_batches(iter(recs), SCHEMA, opts, 512))
+
+
+def test_reordered_fields_fall_back():
+    recs = [_rec(), "<r><s>y</s><i>9</i></r>"]
+    rt, ct = _both_paths(recs, SCHEMA, OPTS)
+    assert rt.equals(ct)
+    row = {n: ct[n].to_pylist()[1] for n in ("i", "s")}
+    assert row == {"i": 9, "s": "y"}
+
+
+def test_qualifier_rejects_non_defaults():
+    assert D._columnar_ok(SCHEMA, OPTS)
+    for extra in (
+        {"nullValue": "NA"},
+        {"ignoreSurroundingSpaces": "true"},
+        {"treatEmptyValuesAsNulls": "true"},
+        {"rowValidationXSDPath": "/tmp/x.xsd"},
+    ):
+        o = XmlOptions.from_dict({"rowTag": "r", **extra})
+        assert not D._columnar_ok(SCHEMA, o), extra
+    with_corrupt = T.StructType(
+        SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    assert not D._columnar_ok(with_corrupt, OPTS)
+    nested = T.StructType(
+        [T.StructField("x", T.StructType([T.StructField("y", T.LongType())]))]
+    )
+    assert not D._columnar_ok(nested, OPTS)
+
+
+def test_spark_end_to_end_matches_cached_table(spark, tmp_path):
+    """Full engine read (columnar path active) agrees with arrowBatches=off
+    (pure row path) on a real generated file."""
+    from spark_xml_spark.sources.api import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(k, f"n{k}", k * 1.5) for k in range(500)],
+        "k bigint, name string, v double",
+    )
+    out = str(tmp_path / "t")
+    write_xml(df.repartition(2), out, rowTag="row")
+    a = read_xml(spark, out, rowTag="row")
+    b = read_xml(spark, out, rowTag="row", arrowBatches="false")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    assert a.count() == 500
