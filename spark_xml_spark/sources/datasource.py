@@ -723,7 +723,17 @@ class XmlReader(DataSourceReader):
             or self._opts_dict.get("arrowbatchsize")
             or 4096
         )
-        if not self._pushed and _columnar_ok(self._schema, xopts):
+        columnar_flag = str(
+            self._opts_dict.get("columnar")
+            or self._opts_dict.get("columnarBatches")
+            or self._opts_dict.get("columnarbatches")
+            or "true"
+        ).lower()
+        if (
+            columnar_flag != "false"
+            and not self._pushed
+            and _columnar_ok(self._schema, xopts)
+        ):
             # Columnar fast path: record batches go straight from matched
             # field strings to Arrow arrays with C-level casts; any batch
             # the pattern or casts can't prove equivalent re-runs through
