@@ -101,14 +101,31 @@ def add_language_id(
 ) -> DataFrame:
     """Heuristic language-ID: the language whose stopword list scores the
     most hits (ties broken by language code order; 'und' when no hits).
-    greatest()/CASE chain — all codegen, no UDF."""
-    scores = language_scores(F.col(text_col))
-    best = F.greatest(*scores.values())
+    greatest()/CASE chain — all codegen, no UDF.
+
+    The tokenized-words array and the per-language scores are materialized
+    as named intermediate columns: each is referenced several times by the
+    CASE chain, and Catalyst's CollapseProject keeps (rather than inlines)
+    non-cheap aliases with multiple uses — one split+normalize pass per
+    row instead of one per reference."""
+    words = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda w: F.regexp_replace(w, "[^a-z]", ""),
+    )
+    tmp = df.withColumn("_lid_words", words)
+    score_cols = {
+        f"_lid_{lang}": F.size(
+            F.filter(F.col("_lid_words"), lambda w: w.isin(*sw))
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    tmp = tmp.withColumns(score_cols)
+    best = F.greatest(*[F.col(f"_lid_{lang}") for lang in STOPWORDS])
     pred = F.lit("und")
     for lang in sorted(STOPWORDS.keys(), reverse=True):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+        pred = F.when(F.col(f"_lid_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
-    return df.withColumn(out_col, pred)
+    return tmp.withColumn(out_col, pred).drop("_lid_words", *score_cols.keys())
 
 
 def fingerprint_col(col: Column, n: int = 8) -> Column:
