@@ -100,18 +100,30 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh")
     )
     sh = arrays.select("_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s"))
-    doc_freq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
+    # document frequency as a window over the exploded shingles: one shuffle
+    # keyed by shingle serves as both the groupBy and the join-back that a
+    # separate doc_freq aggregate would need (same result, one less shuffle)
+    freq_w = Window.partitionBy("_s")
     w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_s"))
     prefix = (
-        sh.join(doc_freq, "_s")
+        sh.withColumn("_df", F.count("*").over(freq_w))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-        .select("_id", "_s")
+        .select("_id", "_s", "_sz")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
     cands = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._id") < F.col("b._id"))
+            # length pruning (AllPairs): J(A,B) >= t requires
+            # t*|A| <= |B| and t*|B| <= |A| — evaluated inside the join
+            # before the distinct, not as a post-filter
+            & (F.col("b._sz") >= threshold * F.col("a._sz"))
+            & (F.col("a._sz") >= threshold * F.col("b._sz")),
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
