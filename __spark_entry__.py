@@ -279,6 +279,54 @@ def q_xml_distinct_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.exceptAll(top).distinct().orderBy("c_mktsegment", "c_nationkey")
 
 
+def q_xml_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot over XML lineitem: return-flag quantities per line status
+    (explicit pivot values keep the plan a single hash aggregate — no
+    distinct-values pre-scan)."""
+    li = _xml_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return (
+        out.select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        ).orderBy("l_linestatus")
+    )
+
+
+def q_xml_exists_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins over XML tables: per nation, customers with at
+    least one urgent order (left_semi) and customers with no orders at
+    all (left_anti), joined on the nation key."""
+    c = _xml_table(spark, sf_dir, "customer")
+    o = _xml_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_urgent"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_no_orders"))
+    )
+    return (
+        semi.join(anti, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+            F.coalesce("n_no_orders", F.lit(0)).alias("n_no_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_xml_explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6 arrays + explode: orders nested with their lineitems in one XML
     document, read back and re-flattened (repeated sibling elements ->
@@ -756,6 +804,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL (the training-data pipeline shape):
+    MinHash-LSH candidates -> exact-Jaccard verify at 0.8 -> greedy keep
+    (drop every doc appearing as the larger id of a verified pair).
+    At b=32/r=2 the LSH miss probability at s>=0.8 is ~1e-14, so the
+    output equals exact all-pairs dedup and the oracle is plain SQL."""
+    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.8
+    )
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = d.join(removed, "doc_id", "left_anti")
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (inverted-index join, no
     all-pairs) at threshold 0.5."""
@@ -961,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_window_rank": q_xml_window_rank,
         "xml_sort_limit": q_xml_sort_limit,
         "xml_distinct_except": q_xml_distinct_except,
+        "xml_pivot": q_xml_pivot,
+        "xml_exists_join": q_xml_exists_join,
         "xml_explode_nested": q_xml_explode_nested,
         "xml_attributes": q_xml_attributes,
         "xml_valuetag": q_xml_valuetag,
@@ -980,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_near_keep": q_dedup_near_keep,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "text_quality": q_text_quality,
@@ -1095,6 +1164,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT)
             FROM customer WHERE c_acctbal > 9500
             ORDER BY c_mktsegment, c_nationkey
+        """,
+        "xml_pivot": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+                   SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+            FROM lineitem GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "xml_exists_join": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(SUM(CASE WHEN EXISTS (
+                       SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_urgent,
+                   CAST(SUM(CASE WHEN NOT EXISTS (
+                       SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_no_orders
+            FROM customer
+            GROUP BY c_nationkey
+            HAVING n_urgent > 0 OR n_no_orders > 0
+            ORDER BY c_nationkey
         """,
         "xml_explode_nested": f"""
             SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -1236,6 +1329,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": _JACCARD_PAIRS_SQL.format(thr=0.5),
         "dedup_minhash": _JACCARD_PAIRS_SQL.format(thr=0.8),
+        "dedup_near_keep": (
+            "WITH "
+            + _SHINGLES_CTE
+            + """
+            , removed AS (
+              SELECT DISTINCT b.doc_id AS doc_id
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))
+                      / (len(a.sh) + len(b.sh)
+                         - len(list_intersect(a.sh, b.sh))) >= 0.8
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+            """
+        ),
         "dedup_simhash": """
             -- recompute the portable simhash (60-bit md5-prefix word hash)
             -- and compare exact all-pairs Hamming<=3: the Spark side's
