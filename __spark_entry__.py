@@ -728,6 +728,47 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation as a STREAM: events
+    replayed with availableNow through readStream -> withWatermark(30m) ->
+    1-hour tumbling window groupBy -> append-mode parquet sink
+    (streaming/windowed.py). Append mode only emits FINALIZED windows,
+    i.e. window_end <= max event time - watermark (verified behavior of
+    the availableNow flush batch); the oracle applies the same cutoff in
+    SQL. Window bounds are returned as epoch seconds (portable hash)."""
+    import tempfile
+
+    from spark_xml_spark.streaming.windowed import windowed_event_counts
+
+    work = tempfile.mkdtemp(prefix="xml_win_q_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    e = _events(spark, sf_dir).select(
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"), "event_type", "value"
+    )
+    e.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = (
+        windowed_event_counts(stream, window_duration="1 hour", watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    return got.select(
+        F.unix_timestamp("window_start").alias("win_start_s"),
+        F.unix_timestamp("window_end").alias("win_end_s"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value",
+    ).orderBy("win_start_s", "event_type")
+
+
 def _planted_neighbors(e: DataFrame, n: int = 30) -> DataFrame:
     """Corpus + a graded family of near-duplicates of the vec_id=0 vector:
     copy i (vec_id 1000000+i) adds CAST(i*0.0001 AS FLOAT) to every
@@ -1044,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xsd_validate": q_xsd_validate,
         "stream_xml_ingest": q_stream_xml_ingest,
         "stream_sessionize": q_stream_sessionize,
+        "stream_windowed": q_stream_windowed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1283,6 +1325,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
                    CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
             FROM nation
+        """,
+        "stream_windowed": """
+            -- hourly tumbling windows over event time; append mode only
+            -- emits windows finalized by the 30-minute watermark
+            WITH win AS (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+                     event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 6) AS sum_value
+              FROM events
+              GROUP BY ws, event_type
+            )
+            SELECT CAST(epoch(ws) AS BIGINT) AS win_start_s,
+                   CAST(epoch(ws + INTERVAL 1 HOUR) AS BIGINT) AS win_end_s,
+                   event_type, n_events, sum_value
+            FROM win
+            WHERE ws + INTERVAL 1 HOUR <=
+                  (SELECT MAX(ts) FROM events) - INTERVAL 30 MINUTE
+            ORDER BY win_start_s, event_type
         """,
         "stream_sessionize": """
             WITH flag AS (
