@@ -728,6 +728,32 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining-corpus filter as ONE single-scan pipeline:
+    language-ID -> quality score -> token count, keep docs with
+    lang_pred='en', quality_score >= 0.5 and 50 <= n_tokens <= 100000.
+    All three signals are codegen column expressions over one pass of the
+    documents table (no shuffle until the final aggregate)."""
+    from spark_xml_spark.operators import (
+        add_language_id,
+        add_quality_score,
+        add_token_count,
+    )
+
+    d = _parquet(spark, sf_dir, "documents")
+    d = add_token_count(add_quality_score(add_language_id(d)))
+    kept = d.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality_score") >= 0.5)
+        & F.col("n_tokens").between(50, 100000)
+    )
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time windowed aggregation as a STREAM: events
     replayed with availableNow through readStream -> withWatermark(30m) ->
@@ -1094,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "text_quality": q_text_quality,
+        "text_filter_pipeline": q_text_filter_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_tokens": q_text_tokens,
@@ -1503,6 +1530,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _PLANTED_TOPK_SQL,
         "ann_ivf_topk": _PLANTED_TOPK_SQL,
+        "text_filter_pipeline": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> regexp_replace(x, '[^a-z]', '', 'g'))
+                       AS words,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     len(list_filter(
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> lower(x)),
+                       x -> x IN ('the','and','of','to','in','is','that','with','for','was')))
+                       AS n_stop,
+                     len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, n_tokens, {lang_scores},
+                     greatest(s_de, s_en, s_es, s_fr) AS best,
+                     round(
+                       0.4 * least((n_alpha / greatest(n_chars, 1)) / 0.7, 1.0)
+                     + 0.3 * least((n_stop / greatest(n_words, 1)) / 0.3, 1.0)
+                     + 0.3 * (1 - least(n_punct / greatest(n_chars, 1)
+                                      + n_digit / greatest(n_chars, 1), 1.0)), 6)
+                       AS quality_score
+              FROM m
+            ), kept AS (
+              SELECT * FROM scored
+              -- lang_pred = 'en' iff en ties best and de (checked first in
+              -- the alphabetical CASE chain) does not
+              WHERE best > 0 AND s_en = best AND s_de <> best
+                AND quality_score >= 0.5
+                AND n_tokens BETWEEN 50 AND 100000
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids,
+                   round(AVG(quality_score), 6) AS avg_quality
+            FROM kept
+        """,
         "text_tokens": f"""
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
