@@ -220,3 +220,46 @@ def test_bz2_corruption_after_commit_raises(tmp_path):
         while chained.read(1 << 16):
             pass
     chained.close()
+
+
+def test_batch_scan_equals_generic(tmp_path, monkeypatch):
+    """The batched window scanner must yield byte-identical records to the
+    per-record path on every reference fixture and on synthetic shapes
+    that trigger its rejection paths (attributes, comments, CDATA,
+    self-closing rows, nested same-name tags)."""
+    import glob as _glob
+
+    from spark_xml_spark.xmlcore import tokenizer as tk
+
+    synth = tmp_path / "synth.xml"
+    synth.write_text(
+        "<?xml version=\"1.0\"?>\n<rows>\n"
+        + "".join(f"<r><a>{i}</a><b>x{i}</b></r>\n" for i in range(200))
+        + "<r at='1'><a>q</a></r>\n"
+        + "<r><!-- <r> comment --><a>c</a></r>\n"
+        + "<r><a><![CDATA[</r>]]></a></r>\n"
+        + "<r/>\n<r><r><a>nested</a></r></r>\n"
+        + "".join(f"<r><a>{i}</a></r>\n" for i in range(100))
+        + "</rows>\n"
+    )
+    fixtures = [(str(synth), "r")] + [
+        (f, tag)
+        for pat, tag in [
+            ("/root/reference/src/test/resources/cars.xml", "ROW"),
+            ("/root/reference/src/test/resources/books*.xml", "book"),
+            ("/root/reference/src/test/resources/fias_house.xml", "House"),
+        ]
+        for f in sorted(_glob.glob(pat))
+    ]
+    for path, tag in fixtures:
+        for target in (400, 4096, 1 << 30):
+            splits = tk.plan_splits(path, target_split_size=target)
+            fast = [r for s in splits for r in tk.scan_split(s, tag)]
+            monkeypatch.setattr(
+                tk, "_batch_scan_window", lambda b, sp, ep, p: (None, p, True)
+            )
+            slow = [r for s in splits for r in tk.scan_split(s, tag)]
+            monkeypatch.undo()
+            assert fast == slow, (path, tag, target)
+            if path.endswith(("synth.xml", "cars.xml", "fias_house.xml")):
+                assert fast, (path, tag)
