@@ -52,13 +52,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run(name: str) -> None:
-        # two iterations, report the min: the first pays JVM codegen +
-        # Python-worker spin-up + AQE planning, which is session warmup,
-        # not per-query cost
+        # three iterations, report the min: the first pays JVM codegen +
+        # Python-worker spin-up + AQE planning (session warmup, not
+        # per-query cost), and min-of-3 damps single-tenant VM noise
         fn = em.queries()[name]
         best = None
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
