@@ -327,6 +327,46 @@ def q_xml_exists_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over an XML temp view (SQL surface beyond rollup):
+    per-returnflag, per-linestatus, and grand-total rows in one pass,
+    grouping() flags disambiguating the null group keys. NULLS FIRST is
+    explicit — Spark's ASC default, mirrored in the oracle where DuckDB
+    defaults to NULLS LAST."""
+    li = _xml_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               SUM(l_quantity) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls,
+                 l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+def q_xml_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery over an XML temp view: orders above the global
+    average price, per status."""
+    o = _xml_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ord_sq")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above,
+               MIN(o_orderkey) AS min_key
+        FROM ord_sq
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM ord_sq)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
 def q_xml_explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6 arrays + explode: orders nested with their lineitems in one XML
     document, read back and re-flattened (repeated sibling elements ->
@@ -1096,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_distinct_except": q_xml_distinct_except,
         "xml_pivot": q_xml_pivot,
         "xml_exists_join": q_xml_exists_join,
+        "xml_grouping_sets": q_xml_grouping_sets,
+        "xml_scalar_subquery": q_xml_scalar_subquery,
         "xml_explode_nested": q_xml_explode_nested,
         "xml_attributes": q_xml_attributes,
         "xml_valuetag": q_xml_valuetag,
@@ -1257,6 +1299,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
             HAVING n_urgent > 0 OR n_no_orders > 0
             ORDER BY c_nationkey
+        """,
+        "xml_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY g_rf, g_ls,
+                     l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """,
+        "xml_scalar_subquery": """
+            SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above,
+                   MIN(o_orderkey) AS min_key
+            FROM orders
+            WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "xml_explode_nested": f"""
             SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
