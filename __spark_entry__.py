@@ -768,6 +768,56 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_xml_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming XML SINK: supplier replayed as a stream (availableNow) and
+    written as XML documents per micro-batch task via
+    ``writeStream.format("xml-graft")``, read back with the batch reader,
+    then aggregated. Exactly-once at the task level: each task writes one
+    uniquely-named part file, aborted tasks clean up after themselves
+    (streaming/source.py XmlStreamWriter)."""
+    import tempfile
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="xml_sink_q_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    sup = _parquet(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_nationkey").cast("long"), "s_acctbal"
+    )
+    sup.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    ).parquet(src)
+    q = (
+        stream.writeStream.format("xml-graft")
+        .option("path", out)
+        .option("rowTag", "supplier")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = read_xml(
+        spark,
+        out,
+        schema=T.StructType(
+            [
+                T.StructField("s_suppkey", T.LongType()),
+                T.StructField("s_name", T.StringType()),
+                T.StructField("s_nationkey", T.LongType()),
+                T.StructField("s_acctbal", T.DoubleType()),
+            ]
+        ),
+        rowTag="supplier",
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("s_suppkey").alias("sum_key"),
+        F.count_distinct("s_nationkey").cast("bigint").alias("n_nations"),
+        _dec_sum("s_acctbal").alias("sum_bal"),
+    )
+
+
 def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical pretraining-corpus filter as ONE single-scan pipeline:
     language-ID -> quality score -> token count, keep docs with
@@ -1154,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_xml_ingest": q_stream_xml_ingest,
         "stream_sessionize": q_stream_sessionize,
         "stream_windowed": q_stream_windowed,
+        "stream_xml_sink": q_stream_xml_sink,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1413,6 +1464,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
                    CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
             FROM nation
+        """,
+        "stream_xml_sink": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+                   CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
+                   {_DEC_SUM_SQL.format(c='s_acctbal')} AS sum_bal
+            FROM supplier
         """,
         "stream_windowed": """
             -- hourly tumbling windows over event time; append mode only
