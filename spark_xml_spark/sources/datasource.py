@@ -617,6 +617,84 @@ def _compile_filter(flt, schema: T.StructType, corrupt_col: str):
     return None
 
 
+def _compile_filter_arrow(flt, schema: T.StructType, corrupt_col: str):
+    """Compile one pushed Filter into RecordBatch -> BooleanArray (no
+    nulls: null comparisons are filled False, matching _compile_filter's
+    row semantics exactly — both follow IEEE comparison on doubles, so
+    the columnar and row pushdown paths always agree). None when the
+    filter can't be expressed with pyarrow.compute."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import datasource as ds
+
+    if isinstance(flt, ds.Not):
+        child = flt.child
+        sub = _compile_filter_arrow(child, schema, corrupt_col)
+        if sub is None:
+            return None
+        if isinstance(child, (ds.IsNull, ds.IsNotNull)):
+            return lambda b: pc.invert(sub(b))
+        loc = _push_field(child.attribute, schema, corrupt_col)
+        if loc is None:
+            return None
+        i = loc[0]
+        # NOT(pred) on a null operand is UNKNOWN -> row dropped
+        return lambda b: pc.and_(pc.is_valid(b.column(i)), pc.invert(sub(b)))
+    if isinstance(flt, ds.IsNull):
+        loc = _push_field(flt.attribute, schema, corrupt_col)
+        if loc is None:
+            return None
+        i = loc[0]
+        return lambda b: pc.is_null(b.column(i))
+    if isinstance(flt, ds.IsNotNull):
+        loc = _push_field(flt.attribute, schema, corrupt_col)
+        if loc is None:
+            return None
+        i = loc[0]
+        return lambda b: pc.is_valid(b.column(i))
+    if not hasattr(flt, "attribute") or not hasattr(flt, "value"):
+        return None
+    loc = _push_field(flt.attribute, schema, corrupt_col)
+    if loc is None:
+        return None
+    i, field = loc
+    v = flt.value
+    if isinstance(flt, ds.EqualNullSafe):
+        if v is None:
+            return lambda b: pc.is_null(b.column(i))
+        return lambda b: pc.fill_null(pc.equal(b.column(i), v), False)
+    if v is None:
+        return None
+    str_field = isinstance(field.dataType, T.StringType)
+    cmp = {
+        ds.EqualTo: pc.equal,
+        ds.GreaterThan: pc.greater,
+        ds.GreaterThanOrEqual: pc.greater_equal,
+        ds.LessThan: pc.less,
+        ds.LessThanOrEqual: pc.less_equal,
+    }.get(type(flt))
+    if cmp is not None:
+        return lambda b: pc.fill_null(cmp(b.column(i), v), False)
+    if isinstance(flt, ds.In):
+        try:
+            value_set = pa.array(
+                [x for x in flt.value if x is not None],
+                type=_arrow_type(field.dataType),
+            )
+        except Exception:
+            return None
+        return lambda b: pc.fill_null(
+            pc.is_in(b.column(i), value_set=value_set), False
+        )
+    if isinstance(flt, ds.StringStartsWith) and str_field:
+        return lambda b: pc.fill_null(pc.starts_with(b.column(i), v), False)
+    if isinstance(flt, ds.StringEndsWith) and str_field:
+        return lambda b: pc.fill_null(pc.ends_with(b.column(i), v), False)
+    if isinstance(flt, ds.StringContains) and str_field:
+        return lambda b: pc.fill_null(pc.match_substring(b.column(i), v), False)
+    return None
+
+
 def _raw_prefilter(filters, schema: T.StructType, corrupt_col: str):
     """Reject-only prefilter on the RAW record text: a record that doesn't
     contain a required string literal anywhere can't satisfy an equality /
@@ -729,20 +807,38 @@ class XmlReader(DataSourceReader):
             or self._opts_dict.get("columnarbatches")
             or "true"
         ).lower()
-        if (
-            columnar_flag != "false"
-            and not self._pushed
-            and _columnar_ok(self._schema, xopts)
-        ):
+        if columnar_flag != "false" and _columnar_ok(self._schema, xopts):
             # Columnar fast path: record batches go straight from matched
             # field strings to Arrow arrays with C-level casts; any batch
             # the pattern or casts can't prove equivalent re-runs through
             # the exact row path. `rows` above was never advanced, so
-            # `records` is still whole.
-            yield from _columnar_flat_batches(
-                records, self._schema, xopts, batch_size
-            )
-            return
+            # `records` is still whole (minus the raw-text prefilter,
+            # which composes). Pushed filters are evaluated per batch
+            # with pyarrow.compute masks when every filter maps; if any
+            # doesn't, the row path below handles them all.
+            masks = None
+            if self._pushed:
+                masks = [
+                    _compile_filter_arrow(f, self._schema, corrupt)
+                    for f in self._pushed
+                ]
+                if any(m is None for m in masks):
+                    masks = []  # not fully expressible: use the row path
+            if masks is None or masks:
+                import pyarrow.compute as pc
+
+                for batch in _columnar_flat_batches(
+                    records, self._schema, xopts, batch_size
+                ):
+                    if masks:
+                        mask = masks[0](batch)
+                        for m in masks[1:]:
+                            mask = pc.and_(mask, m(batch))
+                        batch = batch.filter(mask)
+                        if batch.num_rows == 0:
+                            continue
+                    yield batch
+                return
         # Probe arrow conversion on the first batch only: the rows are
         # buffered, so an unmappable schema (or value shape) falls back to
         # tuple mode with nothing lost. Later batches propagate errors —

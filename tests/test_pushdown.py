@@ -12,6 +12,7 @@ DataFrame/view. The default path must therefore never engage pushdown.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_xml_spark.sources import read_xml, write_xml
 
@@ -150,3 +151,39 @@ def test_pushdown_through_sql_ddl(push, tmp_path):
         assert [tuple(r) for r in got] == [(7, "v7")]
     finally:
         push.sql("DROP TABLE IF EXISTS push_t")
+
+
+def test_pushdown_columnar_vs_row_paths_agree(spark, tmp_path):
+    """Pushed filters evaluated as pyarrow.compute masks on the columnar
+    path must select exactly the rows the row-tuple predicates select."""
+    df = spark.createDataFrame(
+        [(k, f"n{k % 7}", float(k) if k % 5 else None) for k in range(400)],
+        "k bigint, name string, v double",
+    )
+    out = str(tmp_path / "t")
+    write_xml(df.repartition(2), out, rowTag="row")
+
+    def run(columnar):
+        d = read_xml(
+            spark, out, rowTag="row", filterPushdown="true", columnar=columnar
+        )
+        return {
+            tuple(r)
+            for r in d.filter(
+                (F.col("k") > 17)
+                & (F.col("v").isNotNull())
+                & F.col("name").isin("n1", "n3")
+                & F.col("name").startswith("n")
+            ).collect()
+        }
+
+    a = run("true")
+    b = run("false")
+    assert a == b
+    assert a  # non-empty selection
+    expect = {
+        (k, f"n{k % 7}", float(k))
+        for k in range(400)
+        if k > 17 and k % 5 and (k % 7) in (1, 3)
+    }
+    assert a == expect
