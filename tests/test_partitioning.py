@@ -263,3 +263,47 @@ def test_batch_scan_equals_generic(tmp_path, monkeypatch):
             assert fast == slow, (path, tag, target)
             if path.endswith(("synth.xml", "cars.xml", "fias_house.xml")):
                 assert fast, (path, tag)
+
+
+def test_batch_scan_randomized_differential(tmp_path, monkeypatch):
+    """Randomized shapes (whitespace layouts, attributes, empty and
+    self-closing elements, same-name nesting, markup, quotes in text)
+    through both tokenizer paths under several forced split sizes."""
+    import random
+
+    from spark_xml_spark.xmlcore import tokenizer as tk
+
+    rng = random.Random(20260813)
+    parts = ["<?xml version=\"1.0\"?>", "<rows>"]
+    for i in range(400):
+        shape = rng.randrange(8)
+        ws = rng.choice(["", "\n", "  ", "\n    "])
+        if shape == 0:
+            parts.append(f"{ws}<r><a>{i}</a></r>")
+        elif shape == 1:
+            parts.append(f"{ws}<r><a>{i}</a><b>t{i}</b></r>")
+        elif shape == 2:
+            parts.append(f"{ws}<r k=\"{i}\"><a>{i}</a></r>")
+        elif shape == 3:
+            parts.append(f"{ws}<r><a></a><b/></r>")
+        elif shape == 4:
+            parts.append(f"{ws}<r/>")
+        elif shape == 5:
+            parts.append(f"{ws}<r><r><a>{i}</a></r><a>outer</a></r>")
+        elif shape == 6:
+            parts.append(f"{ws}<r><!-- </r> --><a>{i}</a></r>")
+        else:
+            parts.append(f"{ws}<r><a>it's \"{i}\"</a></r>")
+    parts.append("</rows>")
+    p = tmp_path / "rand.xml"
+    p.write_text("\n".join(parts))
+    for target in (256, 1777, 16384, 1 << 30):
+        splits = tk.plan_splits(str(p), target_split_size=target)
+        fast = [r for s in splits for r in tk.scan_split(s, "r")]
+        monkeypatch.setattr(
+            tk, "_batch_scan_window", lambda b, sp, ep, pos: (None, pos, True)
+        )
+        slow = [r for s in splits for r in tk.scan_split(s, "r")]
+        monkeypatch.undo()
+        assert fast == slow, target
+        assert len(fast) >= 400
