@@ -537,7 +537,27 @@ def _scan_bz2_range(split: FileSplit, row_tag: str, charset: str) -> Iterator[st
         end_pat = b"</" + tag
         buf = _Buffer(stream)
         pos = 0
+        dirty_until = -1
         while True:
+            # same batched window extraction as the plain-file scan; the
+            # owned region is a contiguous prefix of the decompressed
+            # stream, so the first unowned span start ends the task
+            # exactly like the per-record owns() check
+            if pos >= dirty_until:
+                buf.ensure(pos + _CHUNK)
+                spans, new_pos, mark_dirty = _batch_scan_window(
+                    buf, start_pat, end_pat, pos
+                )
+                if spans:
+                    for s, e in spans:
+                        if not stream.owns(s):
+                            return
+                        yield buf.slice(s, e).decode(charset, errors="replace")
+                    pos = new_pos
+                    buf.discard_to(pos)
+                    continue
+                if mark_dirty:
+                    dirty_until = buf.end_loaded
             i = _find_start_tag(buf, start_pat, pos)
             if i == -1 or not stream.owns(i):
                 return
