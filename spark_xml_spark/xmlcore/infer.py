@@ -364,12 +364,205 @@ class FastFlatInfer:
         return T.StructType(sorted(fields, key=lambda f: f.name))
 
 
+# --- columnar inference ----------------------------------------------------
+# For flat attribute-free records, type sniffing moves from per-cell Python
+# to per-column C regex classification: the masks below are DISJOINT and
+# each implies exactly one infer_from outcome for DEFAULT options (no
+# custom formats, no trimming, no empty-as-null). Any value no mask can
+# claim falls back to the per-cell infer_from — so the folded column type
+# is always identical to the per-record path.
+import re as _re_inf
+
+# one sign, ASCII digits only (is_long uses isdecimal + int64 bounds; <=18
+# digits is provably in bounds — longer or unicode-digit values fall back)
+_COL_LONG = r"^-?[0-9]{1,18}$"
+# requires a dot or exponent (so it cannot claim integers) and starts with
+# a digit or dot like is_double; mantissa capped to provably-safe lengths
+_COL_DOUBLE = (
+    r"^-?(?:[0-9]{1,15}\.[0-9]*|\.[0-9]+|[0-9]{1,15}\.?[0-9]*[eE][+-]?[0-9]{1,3})$"
+)
+_COL_BOOL = r"(?i)^(?:true|false)$"  # is_boolean excludes 1/0 (those are long)
+# ISO timestamp with mandatory seconds; calendar validity still checked by
+# an Arrow cast over the matched subset
+_COL_TS = (
+    r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}"
+    r"(?:\.[0-9]{1,6})?(?:Z|[+-][0-9]{2}:[0-9]{2})?$"
+)
+_COL_DATE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+# a value that starts with none of [0-9 + - .] can only be boolean or
+# string under infer_from's sniff order; the bool mask is disjoint, so
+# everything else here is String without a per-cell check
+_COL_STRINGISH = r"^[^0-9+\-.]"
+
+_COL_SEQ_CACHE_KEY = "_columnar_seq"
+
+
+def _columnar_infer_ok(options: XmlOptions) -> bool:
+    return (
+        options.infer_schema
+        and not options.row_validation_xsd_path
+        and not options.ignore_surrounding_spaces
+        and not options.treat_empty_values_as_nulls
+        and options.timestamp_format is None
+        and options.date_format is None
+        and options.null_value is None
+    )
+
+
+def _learn_seq_pattern(xml: str):
+    """Whole-record pattern with one capture group per top-level tag of a
+    proven-flat record (same structural proof as the parser's tier 1), or
+    None. Groups are ordered; the tag list is returned alongside."""
+    from spark_xml_spark.xmlcore.parser import _FLAT_DISQUALIFIER, _FLAT_FIELD
+
+    if _FLAT_DISQUALIFIER.search(xml):
+        return None
+    fields = _FLAT_FIELD.findall(xml)
+    if not fields or xml.count("<") != 2 + 2 * len(fields):
+        return None
+    tags = [t for t, _ in fields]
+    if len(set(tags)) != len(tags):
+        return None  # repeated tag -> ArrayType: per-record path
+    root_m = _re_inf.match(r"\s*<([^\s>/]+)>", xml)
+    if root_m is None:
+        return None
+    parts = ["\\s*<", _re_inf.escape(root_m.group(1)), ">"]
+    for tag in tags:
+        esc = _re_inf.escape(tag)
+        parts.append(f"(?:\\s*<{esc}>([^<]*)</{esc}>)?")
+    parts.append("\\s*</")
+    parts.append(_re_inf.escape(root_m.group(1)))
+    parts.append(">\\s*\\Z")
+    try:
+        return _re_inf.compile("".join(parts)), tags
+    except _re_inf.error:
+        return None
+
+
+def _column_infer_type(vals: List[Optional[str]], options: XmlOptions):
+    """Fold of infer_from over one column's cell strings (None = absent)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    types: List[T.DataType] = []
+    rest = [v for v in vals if v is not None and v != ""]
+    if any(v == "" for v in vals):
+        types.append(T.NullType())
+    if rest:
+        arr = pa.array(rest, pa.string())
+        covered = None
+        for regex, dtype, validators in (
+            (_COL_LONG, T.LongType(), None),
+            (_COL_DOUBLE, T.DoubleType(), None),
+            (_COL_BOOL, T.BooleanType(), None),
+            # a timestamp column is usually all-zoned or all-naive; Arrow
+            # validates each form with a different target type, so try
+            # both — a mixed column (or calendar-invalid values like
+            # month 13) falls back to exact per-cell sniffing
+            (_COL_TS, T.TimestampType(),
+             (pa.timestamp("us", tz="UTC"), pa.timestamp("us"))),
+            (_COL_DATE, T.DateType(), (pa.date32(),)),
+            (_COL_STRINGISH, T.StringType(), None),
+        ):
+            m = pc.match_substring_regex(arr, regex)
+            if dtype == T.StringType() and covered is not None:
+                m = pc.and_(m, pc.invert(covered))  # bool values start with t/f
+            if pc.any(m).as_py():
+                if validators is not None:
+                    sub = arr.filter(m)
+                    for target in validators:
+                        try:
+                            pc.cast(sub, target)
+                            break
+                        except Exception:
+                            continue
+                    else:
+                        return _fold_types(
+                            types + [infer_from(v, options) for v in rest], options
+                        )
+                types.append(dtype)
+            covered = m if covered is None else pc.or_(covered, m)
+        leftovers = arr.filter(pc.invert(covered))
+        if leftovers:
+            types.extend(infer_from(v, options) for v in leftovers.to_pylist())
+    return _fold_types(types, options)
+
+
+def _fold_types(types: List[T.DataType], options: XmlOptions) -> T.DataType:
+    merged: T.DataType = T.NullType()
+    for t in types:
+        merged = compatible_type(merged, t, options)
+    return merged
+
+
+def _columnar_fold(records: Iterable[str], options: XmlOptions, fast) -> T.DataType:
+    """Fold record schemas batch-wise: pattern-matching flat records are
+    typed per column (C regex + Arrow validity); everything else goes
+    through the exact per-record path. Inference folds are commutative, so
+    batching does not change the result."""
+    import itertools
+
+    from spark_xml_spark.xmlcore.parser import _FLAT_DISQUALIFIER
+
+    merged: T.DataType = T.StructType([])
+    pat = None
+    tags: List[str] = []
+    disabled = False  # heterogeneous data: stop paying failed match attempts
+    records = iter(records)
+    while True:
+        batch = list(itertools.islice(records, 4096))
+        if not batch:
+            return merged
+        cols: Optional[List[list]] = None
+        n_matched = 0
+        for xml in batch:
+            matched = False
+            if disabled:
+                pass
+            elif pat is None and not _FLAT_DISQUALIFIER.search(xml):
+                learned = _learn_seq_pattern(xml)
+                if learned is not None:
+                    pat, tags = learned
+            if not disabled and pat is not None and "&" not in xml:
+                m = pat.match(xml)
+                if m is not None:
+                    if cols is None:
+                        cols = [[] for _ in tags]
+                    groups = m.groups()
+                    for i in range(len(tags)):
+                        cols[i].append(groups[i])
+                    matched = True
+                    n_matched += 1
+            if not matched:
+                try:
+                    rt: Optional[T.DataType] = fast.infer(xml)
+                except Exception:
+                    rt = infer_record(xml, options)
+                if rt is not None:
+                    merged = compatible_type(merged, rt, options)
+        if cols is not None:
+            fields = []
+            for tag, vals in zip(tags, cols):
+                if all(v is None for v in vals):
+                    continue  # tag absent from every matched record
+                fields.append(
+                    T.StructField(tag, _column_infer_type(vals, options), True)
+                )
+            if fields:
+                batch_struct = T.StructType(sorted(fields, key=lambda f: f.name))
+                merged = compatible_type(merged, batch_struct, options)
+        if pat is not None and not disabled and n_matched * 2 < len(batch):
+            disabled = True
+
+
 def infer_schema_from_records(
     records: Iterable[str], options: XmlOptions
 ) -> T.StructType:
     """Driver-side / per-partition inference: fold record schemas with
     compatible_type, then canonicalize (InferSchema.scala:67-101). Flat
-    attribute-free records take the FastFlatInfer path."""
+    attribute-free records take the FastFlatInfer path; under default
+    options whole batches of them are typed per COLUMN (C regex masks +
+    Arrow validity casts, exact fallback per cell)."""
     merged: T.DataType = T.StructType([])
     validator = None
     if options.row_validation_xsd_path:
@@ -377,16 +570,19 @@ def infer_schema_from_records(
 
         validator = get_validator(options.row_validation_xsd_path)
     fast = FastFlatInfer(options)
-    for xml in records:
-        rt: Optional[T.DataType]
-        try:
-            if validator is not None:
-                validator(xml)
-            rt = fast.infer(xml)
-        except Exception:
-            rt = infer_record(xml, options, validator=validator)
-        if rt is not None:
-            merged = compatible_type(merged, rt, options)
+    if validator is None and _columnar_infer_ok(options):
+        merged = _columnar_fold(records, options, fast)
+    else:
+        for xml in records:
+            rt: Optional[T.DataType]
+            try:
+                if validator is not None:
+                    validator(xml)
+                rt = fast.infer(xml)
+            except Exception:
+                rt = infer_record(xml, options, validator=validator)
+            if rt is not None:
+                merged = compatible_type(merged, rt, options)
     out = canonicalize_type(merged)
     if isinstance(out, T.StructType):
         return out

@@ -549,3 +549,63 @@ def test_generator_nested_array_item_wrapper():
     o = XmlOptions(row_tag="r")
     xml = row_to_xml(schema, ([[1, 2], [3]],), o)
     assert xml == "<r><aa><item>1</item><item>2</item></aa><aa><item>3</item></aa></r>"
+
+
+def test_columnar_inference_differential():
+    """Columnar per-column inference must produce the identical schema to
+    the per-record fold across value classes, including every mask
+    boundary (sign prefixes, >int64 ints, Infinity, calendar-invalid
+    timestamps, bools vs 1/0, empties, absent tags, nesting/attr
+    fallbacks)."""
+    import random
+
+    from spark_xml_spark.options import XmlOptions
+    from spark_xml_spark.xmlcore import infer
+
+    rng = random.Random(4242)
+    vals = [
+        lambda i: f"<id>{i}</id>",
+        lambda i: f"<price>{rng.random()*1000:.2f}</price>",
+        lambda i: "<flag>true</flag>",
+        lambda i: "<flag>1</flag>",
+        lambda i: "<note>hello world</note>",
+        lambda i: "<note></note>",
+        lambda i: "<ts>2024-01-03T10:00:05Z</ts>",
+        lambda i: "<ts>2024-13-03T10:00:05Z</ts>",  # invalid month -> string
+        lambda i: "<d>2024-01-03</d>",
+        lambda i: "<x>+12</x>",
+        lambda i: "<x>99999999999999999999</x>",
+        lambda i: "<x>Infinity</x>",
+        lambda i: "<x>1e3</x>",
+        lambda i: "<n><deep>1</deep></n>",
+        lambda i: '<a k="v">1</a>',
+        lambda i: "<w>   </w>",
+    ]
+    for trial in range(4):
+        records = []
+        for i in range(800):
+            picks = rng.sample(range(len(vals)), rng.randrange(1, 5))
+            records.append("<r>" + "".join(vals[p](i) for p in sorted(picks)) + "</r>")
+        opts = XmlOptions.from_dict({"rowTag": "r"})
+        s_col = infer.infer_schema_from_records(iter(records), opts)
+        orig = infer._columnar_infer_ok
+        infer._columnar_infer_ok = lambda o: False
+        try:
+            s_row = infer.infer_schema_from_records(iter(records), opts)
+        finally:
+            infer._columnar_infer_ok = orig
+        assert s_col == s_row, (trial, s_col.json(), s_row.json())
+
+
+def test_columnar_inference_homogeneous_exact():
+    """Uniform flat records: the columnar path is used and exact."""
+    from spark_xml_spark.options import XmlOptions
+    from spark_xml_spark.xmlcore import infer
+
+    records = [
+        f"<r><k>{i}</k><v>{i/4}</v><s>w{i}</s><t>2024-01-0{1+i%9}T00:00:0{i%10}Z</t></r>"
+        for i in range(2000)
+    ]
+    opts = XmlOptions.from_dict({"rowTag": "r"})
+    s = infer.infer_schema_from_records(iter(records), opts)
+    assert s.simpleString() == "struct<k:bigint,s:string,t:timestamp,v:double>"
