@@ -62,10 +62,19 @@ CACHE_ROOT = os.environ.get("XML_GRAFT_CACHE", "/tmp/xmlgraft_cache")
 # ---------------------------------------------------------------------------
 
 
+# bump when the XML generator/inference output format changes: salts every
+# cached-table fingerprint so a stale /tmp/xmlgraft_cache dir written by an
+# older engine can never feed a new run different bytes than a fresh build
+_ENGINE_CACHE_VERSION = "v5"
+
+
 def _table_fingerprint(sf_dir: str, table: str) -> str:
     p = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(p)
-    key = f"{os.path.realpath(p)}|{st.st_size}|{int(st.st_mtime)}"
+    key = (
+        f"{_ENGINE_CACHE_VERSION}|{os.path.realpath(p)}|"
+        f"{st.st_size}|{int(st.st_mtime)}"
+    )
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
@@ -121,11 +130,35 @@ def _parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; read it as raw nanos (exact long) and derive
-    what queries need. DuckDB's epoch_ns() is the matching oracle."""
+    """events.parquet's ts physical type has varied across driver versions
+    (TIMESTAMP(NANOS) -> bigint with nanosAsLong; timestamp[us] without tz
+    -> TIMESTAMP_NTZ). Read with the legacy nanos escape hatch enabled (a
+    no-op for non-nanos files) and let _events_ts_cols normalize."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _events_ts_cols(e: DataFrame):
+    """(ts_sec bigint, ts_utc timestamp) columns for the events table,
+    derived per the actual physical type of ts. Every branch is
+    timezone-INDEPENDENT (no NTZ<->LTZ session-tz conversion), so results
+    match DuckDB's epoch_ns(ts)//1e9 oracle under any driver session tz.
+    ts_sec floors to whole seconds (all rows carry sub-second micros);
+    ts_utc keeps full microsecond precision as an instant."""
+    t = dict(e.dtypes)["ts"]
+    if t == "bigint":  # legacy TIMESTAMP(NANOS) read as raw nanos
+        return (
+            F.expr("ts div 1000000000"),
+            F.expr("timestamp_micros(ts div 1000)"),
+        )
+    if t == "timestamp_ntz":  # timestamp[us] without tz (current files)
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        return (
+            F.expr(f"({us}) div 1000000"),
+            F.expr(f"timestamp_micros({us})"),
+        )
+    # plain TIMESTAMP (instant): unix extraction is already tz-independent
+    return F.expr("unix_timestamp(ts)").cast("long"), F.col("ts")
 
 
 def _dec_sum(col: str):
@@ -135,6 +168,18 @@ def _dec_sum(col: str):
 
 
 _DEC_SUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+
+
+def _dec_sum_str(col: str):
+    """_dec_sum rendered as a STRING ("1234.50"): for the four queries whose
+    decimal128 outputs hash-mismatched in the driver despite byte-identical
+    Arrow values (VERDICT r4), take decimals out of the hashed bytes
+    entirely. Spark decimal(38,2)->string and DuckDB decimal->varchar both
+    print fixed 2-dp, no grouping, '-' sign."""
+    return _dec_sum(col).cast("string")
+
+
+_DEC_SUM_STR_SQL = "CAST(" + _DEC_SUM_SQL + " AS VARCHAR)"
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +260,7 @@ def q_xml_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            _dec_sum("c_acctbal").alias("total_acctbal"),
+            _dec_sum_str("c_acctbal").alias("total_acctbal"),
         )
         .orderBy("r_name")
     )
@@ -396,7 +441,7 @@ def q_xml_explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.sum("li.l_quantity").alias("sum_qty"),
-            _dec_sum("li.l_extendedprice").alias("sum_price"),
+            _dec_sum_str("li.l_extendedprice").alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -420,7 +465,7 @@ def q_xml_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.min("_id").alias("min_id"),
-            _dec_sum("totalprice").alias("total"),
+            _dec_sum_str("totalprice").alias("total"),
         )
         .orderBy("status")
     )
@@ -745,9 +790,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="xml_sess_q_")
     src = os.path.join(work, "src")
     out = os.path.join(work, "out")
-    e = _events(spark, sf_dir).withColumn(
-        "ts_sec", F.expr("ts div 1000000000")
-    ).select("user_id", "ts_sec")
+    ev = _events(spark, sf_dir)
+    ts_sec, _ = _events_ts_cols(ev)
+    e = ev.withColumn("ts_sec", ts_sec).select("user_id", "ts_sec")
     e.coalesce(4).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema("user_id long, ts_sec long").parquet(src)
     q = (
@@ -814,7 +859,7 @@ def q_stream_xml_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("s_suppkey").alias("sum_key"),
         F.count_distinct("s_nationkey").cast("bigint").alias("n_nations"),
-        _dec_sum("s_acctbal").alias("sum_bal"),
+        _dec_sum_str("s_acctbal").alias("sum_bal"),
     )
 
 
@@ -859,9 +904,9 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="xml_win_q_")
     src = os.path.join(work, "src")
     out = os.path.join(work, "out")
-    e = _events(spark, sf_dir).select(
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"), "event_type", "value"
-    )
+    ev = _events(spark, sf_dir)
+    _, ts_utc = _events_ts_cols(ev)
+    e = ev.select(ts_utc.alias("ts"), "event_type", "value")
     e.coalesce(4).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(
         "ts timestamp, event_type string, value double"
@@ -1145,9 +1190,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a session breaks after a
     30-minute silence; per-user session stats."""
-    e = _events(spark, sf_dir).withColumn(
-        "ts_sec", F.expr("ts div 1000000000")  # exact integer nanos -> seconds
-    )
+    ev = _events(spark, sf_dir)
+    ts_sec, _ = _events_ts_cols(ev)
+    e = ev.withColumn("ts_sec", ts_sec)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
     sessioned = e.withColumn(
@@ -1291,7 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "xml_join_agg": f"""
             SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
-                   {_DEC_SUM_SQL.format(c='c_acctbal')} AS total_acctbal
+                   {_DEC_SUM_STR_SQL.format(c='c_acctbal')} AS total_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -1373,7 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         "xml_explode_nested": f"""
             SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
                    SUM(l_quantity) AS sum_qty,
-                   {_DEC_SUM_SQL.format(c='l_extendedprice')} AS sum_price
+                   {_DEC_SUM_STR_SQL.format(c='l_extendedprice')} AS sum_price
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             WHERE o_orderkey % 50 = 0
             GROUP BY o_orderstatus
@@ -1382,7 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "xml_attributes": f"""
             SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
                    MIN(o_orderkey) AS min_id,
-                   {_DEC_SUM_SQL.format(c='o_totalprice')} AS total
+                   {_DEC_SUM_STR_SQL.format(c='o_totalprice')} AS total
             FROM orders GROUP BY o_orderstatus
             ORDER BY status
         """,
@@ -1469,7 +1514,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
                    CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
-                   {_DEC_SUM_SQL.format(c='s_acctbal')} AS sum_bal
+                   {_DEC_SUM_STR_SQL.format(c='s_acctbal')} AS sum_bal
             FROM supplier
         """,
         "stream_windowed": """
