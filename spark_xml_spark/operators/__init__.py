@@ -10,10 +10,12 @@ loops over collected data.
 """
 
 from spark_xml_spark.operators.dedup import (
+    capped_buckets,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    observed_drop_metrics,
     simhash,
     simhash_near_dup_pairs,
 )
@@ -37,6 +39,8 @@ from spark_xml_spark.operators.textstats import (
 )
 
 __all__ = [
+    "capped_buckets",
+    "observed_drop_metrics",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",

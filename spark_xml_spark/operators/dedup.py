@@ -26,6 +26,65 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def capped_buckets(grouped: DataFrame, list_col: str, max_bucket: int,
+                   observation=None) -> DataFrame:
+    """Shared LSH bucket guard: drop singleton buckets (no pairs) and
+    buckets larger than ``max_bucket`` members (a viral/boilerplate bucket
+    must not go quadratic at scale). Dropping over-cap buckets loses
+    recall, so the loss must be OBSERVABLE: pass a
+    ``pyspark.sql.Observation`` and after the first action it reports
+    ``dropped_buckets`` / ``dropped_members`` (on a cluster the same
+    metrics reach any QueryExecutionListener). Stays fully in codegen —
+    no accumulator UDF in the hot path."""
+    sz = F.size(list_col)
+    if observation is not None:
+        # AQE's runtime empty-relation propagation can replace the subtree
+        # holding the CollectMetrics node when the capped result is empty
+        # (exactly the all-buckets-dropped case the metric exists to
+        # expose) — exclude that one AQE rule so the metrics always
+        # publish; the rest of AQE stays active
+        spark = grouped.sparkSession
+        rule = (
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+        )
+        cur = spark.conf.get("spark.sql.adaptive.optimizer.excludedRules", "")
+        if not cur:
+            spark.conf.set("spark.sql.adaptive.optimizer.excludedRules", rule)
+        elif rule not in cur:
+            spark.conf.set(
+                "spark.sql.adaptive.optimizer.excludedRules", cur + "," + rule
+            )
+        grouped = grouped.observe(
+            observation,
+            F.count(F.when(sz > max_bucket, 1)).alias("dropped_buckets"),
+            F.coalesce(
+                F.sum(F.when(sz > max_bucket, sz.cast("long"))), F.lit(0)
+            ).alias("dropped_members"),
+        )
+    return grouped.filter((sz > 1) & (sz <= max_bucket))
+
+
+def observed_drop_metrics(observation, timeout_s: float = 60.0) -> dict:
+    """Read the capped_buckets drop metrics from a ``pyspark.sql.
+    Observation`` after an action has run on the returned DataFrame.
+
+    Avoids ``Observation.get`` in this PySpark build: its JVM toPyRow
+    conversion asserts on the schemaless row an unpublished observation
+    returns. Polls the non-blocking JVM map accessor instead."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        metrics = dict(observation._jo.getAsJava())
+        if metrics:
+            return metrics
+        time.sleep(0.25)
+    raise TimeoutError(
+        "observed metrics not published; did an action run on the "
+        "observed DataFrame?"
+    )
+
+
 def _word_shingles(col: Column, n: int) -> Column:
     """Word n-gram shingles as an array<string> (distinct).
 
@@ -166,6 +225,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 200,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate *candidate* pairs via banded MinHash-LSH.
 
@@ -195,12 +255,14 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
     # one shuffle: gather each band bucket's ids, drop singleton and
-    # over-cap buckets (boilerplate guard), then pair-generate locally by
-    # double explode — no self-join, the signature lineage runs ONCE
-    buckets = (
-        banded.groupBy("_band", "_bh")
-        .agg(F.collect_list("_id").alias("_ids"))
-        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket))
+    # over-cap buckets (boilerplate guard, observable), then pair-generate
+    # locally by double explode — no self-join, the signature lineage runs
+    # ONCE
+    buckets = capped_buckets(
+        banded.groupBy("_band", "_bh").agg(F.collect_list("_id").alias("_ids")),
+        "_ids",
+        max_bucket,
+        observation,
     )
     return (
         buckets.select("_ids", F.explode("_ids").alias("id_a"))
@@ -219,12 +281,13 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int = 200,
+    observation=None,
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard — the standard
     two-stage near-dup pipeline (candidates are a tiny fraction of all
     pairs, so the verify join is cheap). Returns (id_a, id_b, jaccard)."""
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n, num_hashes, bands, max_bucket
+        df, id_col, text_col, n, num_hashes, bands, max_bucket, observation
     )
     sh = df.select(
         F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh")
@@ -295,6 +358,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 200,
     portable: bool = False,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -327,12 +391,15 @@ def simhash_near_dup_pairs(
         ).alias("bb"),
     ).select("_id", "simhash", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
     # one shuffle: bucket members (id + signature payload) gathered per
-    # band bucket, capped, pairs generated locally — no self-join, the
-    # 64-agg simhash lineage runs ONCE
-    buckets = (
-        bands.groupBy("_band", "_bh")
-        .agg(F.collect_list(F.struct("_id", "simhash")).alias("_ms"))
-        .filter((F.size("_ms") > 1) & (F.size("_ms") <= max_bucket))
+    # band bucket, capped (observable), pairs generated locally — no
+    # self-join, the 64-agg simhash lineage runs ONCE
+    buckets = capped_buckets(
+        bands.groupBy("_band", "_bh").agg(
+            F.collect_list(F.struct("_id", "simhash")).alias("_ms")
+        ),
+        "_ms",
+        max_bucket,
+        observation,
     )
     cands = (
         buckets.select("_ms", F.explode("_ms").alias("a"))

@@ -201,6 +201,7 @@ def cosine_pairs(
     seed: int = 42,
     dim: Optional[int] = None,
     max_bucket: int = 200,
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs >= threshold.
 
@@ -246,12 +247,16 @@ def cosine_pairs(
         ),
     )
     # one shuffle: gather each band bucket's ids, drop singleton and
-    # over-cap buckets, pair-generate locally by double explode — no
-    # self-join, the signature UDF runs once per vector
-    buckets = (
-        banded.groupBy("_band", "_bh")
-        .agg(F.collect_list("_id").alias("_ids"))
-        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket))
+    # over-cap buckets (observable via capped_buckets), pair-generate
+    # locally by double explode — no self-join, the signature UDF runs
+    # once per vector
+    from spark_xml_spark.operators.dedup import capped_buckets
+
+    buckets = capped_buckets(
+        banded.groupBy("_band", "_bh").agg(F.collect_list("_id").alias("_ids")),
+        "_ids",
+        max_bucket,
+        observation,
     )
     cands = (
         buckets.select("_ids", F.explode("_ids").alias("id_a"))

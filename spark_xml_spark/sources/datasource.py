@@ -561,8 +561,11 @@ def _compile_filter(flt, schema: T.StructType, corrupt_col: str):
         sub = _compile_filter(child, schema, corrupt_col)
         if sub is None:
             return None
-        if isinstance(child, (ds.IsNull, ds.IsNotNull)):
+        if isinstance(child, (ds.IsNull, ds.IsNotNull, ds.EqualNullSafe)):
+            # these child predicates are never UNKNOWN: plain negation
             return lambda row: not sub(row)
+        if not hasattr(child, "attribute"):
+            return None  # Not(Not(..)) / composite child: leave to Spark
         # NOT(pred) on a null operand is UNKNOWN -> row dropped
         loc = _push_field(child.attribute, schema, corrupt_col)
         if loc is None:
@@ -606,6 +609,11 @@ def _compile_filter(flt, schema: T.StructType, corrupt_col: str):
     if isinstance(flt, ds.LessThanOrEqual):
         return lambda row: row[i] is not None and row[i] <= v
     if isinstance(flt, ds.In):
+        if any(x is None for x in flt.value):
+            # x IN (.., NULL) is UNKNOWN for every non-member x; under a
+            # parent NOT that must drop ALL rows, which the Not wrapper
+            # above cannot express -> refuse to push, Spark evaluates it
+            return None
         vals = set(flt.value)
         return lambda row: row[i] is not None and row[i] in vals
     if isinstance(flt, ds.StringStartsWith) and str_field:
@@ -632,8 +640,11 @@ def _compile_filter_arrow(flt, schema: T.StructType, corrupt_col: str):
         sub = _compile_filter_arrow(child, schema, corrupt_col)
         if sub is None:
             return None
-        if isinstance(child, (ds.IsNull, ds.IsNotNull)):
+        if isinstance(child, (ds.IsNull, ds.IsNotNull, ds.EqualNullSafe)):
+            # these child predicates are never UNKNOWN: plain negation
             return lambda b: pc.invert(sub(b))
+        if not hasattr(child, "attribute"):
+            return None  # Not(Not(..)) / composite child: leave to Spark
         loc = _push_field(child.attribute, schema, corrupt_col)
         if loc is None:
             return None
@@ -676,10 +687,11 @@ def _compile_filter_arrow(flt, schema: T.StructType, corrupt_col: str):
     if cmp is not None:
         return lambda b: pc.fill_null(cmp(b.column(i), v), False)
     if isinstance(flt, ds.In):
+        if any(x is None for x in flt.value):
+            return None  # see _compile_filter: NULL member breaks NOT(In)
         try:
             value_set = pa.array(
-                [x for x in flt.value if x is not None],
-                type=_arrow_type(field.dataType),
+                list(flt.value), type=_arrow_type(field.dataType)
             )
         except Exception:
             return None
@@ -920,7 +932,9 @@ class XmlWriter(DataSourceWriter):
                 "Append mode is not supported by the xml data source; "
                 "use INSERT OVERWRITE / mode('overwrite')"
             )
-        if overwrite and existing:
+        if overwrite and _fs.dir_exists(self._path):
+            # whenever the target exists at all — a stale dir holding only
+            # _SUCCESS/hidden files must not survive into the new output
             _fs.delete_dir(self._path)
 
     def write(self, iterator) -> XmlCommitMessage:

@@ -173,6 +173,18 @@ def delete_dir(path: str) -> None:
     filesystem.delete_dir(inner)
 
 
+def dir_exists(path: str) -> bool:
+    """True when the directory exists at all (even holding only marker
+    files like _SUCCESS) — the overwrite path must clear such stale dirs,
+    not just ones dir_has_data() considers populated."""
+    if not is_remote(path):
+        return os.path.isdir(strip_local_scheme(path))
+    from pyarrow import fs as pafs
+
+    filesystem, inner = _resolve(path)
+    return filesystem.get_file_info(inner).type == pafs.FileType.Directory
+
+
 def dir_has_data(path: str) -> bool:
     """True when the directory exists and holds at least one data file."""
     if not is_remote(path):

@@ -114,6 +114,21 @@ def test_write_overwrite_mode(spark, tmp_path):
         write_xml(df, out, mode="append", rowTag="r")
 
 
+def test_write_overwrite_clears_stale_marker_only_dir(spark, tmp_path):
+    """A target dir holding only marker files (_SUCCESS from an aborted or
+    foreign writer) must be deleted on overwrite — dir_has_data() treats it
+    as empty, but its stale contents must not survive into the new output."""
+    out = tmp_path / "ow_stale"
+    out.mkdir()
+    (out / "_SUCCESS").write_text("")
+    (out / ".hidden_tmp").write_text("junk")
+    df = spark.createDataFrame([Row(a=7)], "a long")
+    write_xml(df, str(out), rowTag="r")
+    assert not (out / "_SUCCESS").exists()
+    assert not (out / ".hidden_tmp").exists()
+    assert read_xml(spark, str(out), rowTag="r").count() == 1
+
+
 def test_sql_ddl_using_format(spark, tmp_path):
     register(spark)
     spark.sql("DROP TABLE IF EXISTS cars_xml")

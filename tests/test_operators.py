@@ -244,6 +244,65 @@ def test_bucket_cap_guards_quadratic_buckets(spark):
     assert minhash_lsh_candidates(small, "doc_id", "text").count() == 10
 
 
+def test_bucket_cap_drops_are_observable(spark, embs):
+    """Over-cap bucket drops lose recall; that loss must be reported, not
+    silent: an Observation passed to each candidate generator reports a
+    NONZERO dropped_buckets/dropped_members count on a 300-identical-doc
+    corpus, and zero when nothing exceeds the cap."""
+    from pyspark.sql import Observation
+
+    from spark_xml_spark.operators import observed_drop_metrics
+
+    big = spark.createDataFrame(
+        [(i, "same words repeated here for everyone") for i in range(300)],
+        "doc_id long, text string",
+    )
+    obs = Observation("minhash_drops")
+    assert (
+        minhash_lsh_candidates(
+            big, "doc_id", "text", max_bucket=200, observation=obs
+        ).count()
+        == 0
+    )
+    m = observed_drop_metrics(obs)
+    assert m["dropped_buckets"] > 0
+    assert m["dropped_members"] >= 300
+
+    obs2 = Observation("simhash_drops")
+    assert (
+        simhash_near_dup_pairs(
+            big, "doc_id", "text", max_bucket=200, observation=obs2
+        ).count()
+        == 0
+    )
+    assert observed_drop_metrics(obs2)["dropped_buckets"] > 0
+
+    obs3 = Observation("cosine_drops")
+    dup_vecs = embs.limit(1).select("embedding").crossJoin(
+        spark.range(300).select(F.col("id").alias("vec_id"))
+    ).select("vec_id", "embedding")
+    assert (
+        cosine_pairs(
+            dup_vecs, "vec_id", "embedding", max_bucket=200, observation=obs3
+        ).count()
+        == 0
+    )
+    assert observed_drop_metrics(obs3)["dropped_buckets"] > 0
+
+    # under-cap corpus: the metric exists and reports ZERO drops
+    obs4 = Observation("no_drops")
+    small = big.filter(F.col("doc_id") < 5)
+    assert (
+        minhash_lsh_candidates(
+            small, "doc_id", "text", max_bucket=200, observation=obs4
+        ).count()
+        == 10
+    )
+    m4 = observed_drop_metrics(obs4)
+    assert m4["dropped_buckets"] == 0
+    assert m4["dropped_members"] == 0
+
+
 def test_cosine_pairs_banded_recall_and_cap(embs):
     # planted near-identical copies must all be retrieved by the banded
     # signature join; a >cap bucket of identical vectors must be dropped

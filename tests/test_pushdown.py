@@ -187,3 +187,59 @@ def test_pushdown_columnar_vs_row_paths_agree(spark, tmp_path):
         if k > 17 and k % 5 and (k % 7) in (1, 3)
     }
     assert a == expect
+
+
+def test_pushdown_not_in_with_null_three_valued(push, tmp_path):
+    """x NOT IN (1, NULL) is UNKNOWN for every x != 1 and FALSE for x = 1,
+    so it selects ZERO rows — an In filter whose value list contains a
+    null must therefore be refused (left Spark-side), because the pushed
+    Not wrapper would wrongly keep non-member rows (three-valued logic)."""
+    src = push.createDataFrame(
+        [(i, None if i % 10 == 0 else i % 3) for i in range(30)],
+        "id long, v long",
+    )
+    out = str(tmp_path / "t_xml")
+    write_xml(src, out, rowTag="item")
+    schema = src.schema
+
+    for columnar in ("true", "false"):
+        pushed = read_xml(
+            push, out, rowTag="item", schema=schema,
+            filterPushdown="true", columnar=columnar,
+        )
+        cond = ~F.col("v").isin(1, None)
+        assert pushed.filter(cond).count() == 0, columnar
+        # sanity: same condition without pushdown also selects nothing
+        plain = read_xml(push, out, rowTag="item", schema=schema)
+        assert plain.filter(cond).count() == 0
+        # positive control: without the NULL member the pushed NOT IN
+        # keeps exactly the non-member, non-null rows
+        got = sorted(
+            r.v for r in pushed.filter(~F.col("v").isin(1)).select("v").collect()
+        )
+        want = sorted(i % 3 for i in range(30) if i % 10 != 0 and i % 3 != 1)
+        assert got == want, columnar
+
+
+def test_pushdown_not_eqnullsafe_keeps_null_rows(push, tmp_path):
+    """NOT (x <=> v) is never UNKNOWN: null rows satisfy it and must be
+    KEPT by the pushed predicate (plain negation, no null-drop wrapper)."""
+    src = push.createDataFrame(
+        [(i, None if i % 4 == 0 else i % 2) for i in range(20)],
+        "id long, v long",
+    )
+    out = str(tmp_path / "t_xml")
+    write_xml(src, out, rowTag="item")
+    schema = src.schema
+
+    cond = ~F.col("v").eqNullSafe(1)
+    plain = read_xml(push, out, rowTag="item", schema=schema)
+    expected = sorted(map(tuple, plain.filter(cond).collect()))
+    assert any(v is None for _, v in expected)  # null rows ARE selected
+    for columnar in ("true", "false"):
+        pushed = read_xml(
+            push, out, rowTag="item", schema=schema,
+            filterPushdown="true", columnar=columnar,
+        )
+        got = sorted(map(tuple, pushed.filter(cond).collect()))
+        assert got == expected, columnar
