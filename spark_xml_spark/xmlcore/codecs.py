@@ -10,6 +10,17 @@ the codecs the Python standard library provides:
   xz/lzma   yes   yes    no          .xz / .lzma
   deflate   yes   yes    no          .deflate  (zlib-wrapped, matching
                                      Hadoop DefaultCodec/DeflateCodec)
+  zstd      yes*  yes*   no          .zst / .zstd  (standard zstd frames,
+                                     interoperable with Hadoop
+                                     ZStandardCodec)
+  lz4       yes*  yes*   no          .lz4  (lz4 FRAME format; note Hadoop's
+                                     Lz4Codec historically wrote its own
+                                     block framing — frame-format files are
+                                     what modern tools produce)
+
+(*) zstd/lz4 engage only when the optional ``zstandard`` / ``lz4``
+modules are importable; otherwise their spellings raise at option-parse
+time like any unsupported codec, and their extensions are not sniffed.
 
 Unknown codec names raise at option-parse time instead of silently
 writing uncompressed output.
@@ -21,6 +32,15 @@ import io
 import zlib
 from typing import Optional
 
+try:  # optional codec backends — present on most real clusters
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover - env-dependent
+    _zstd = None
+try:
+    import lz4.frame as _lz4f
+except ImportError:  # pragma: no cover - env-dependent
+    _lz4f = None
+
 # extension -> canonical codec name (longest-match applied by caller order)
 _EXTENSIONS = {
     ".gz": "gzip",
@@ -29,6 +49,11 @@ _EXTENSIONS = {
     ".lzma": "xz",
     ".deflate": "deflate",
 }
+if _zstd is not None:
+    _EXTENSIONS[".zst"] = "zstd"
+    _EXTENSIONS[".zstd"] = "zstd"
+if _lz4f is not None:
+    _EXTENSIONS[".lz4"] = "lz4"
 
 # accepted option spellings (incl. Hadoop codec class-name suffixes the
 # reference's ``codec`` option takes) -> canonical name
@@ -48,8 +73,14 @@ _SPELLINGS = {
     "defaultcodec": "deflate",
     "deflatecodec": "deflate",
 }
+if _zstd is not None:
+    _SPELLINGS.update({"zstd": "zstd", "zst": "zstd", "zstandard": "zstd",
+                       "zstandardcodec": "zstd"})
+if _lz4f is not None:
+    _SPELLINGS.update({"lz4": "lz4", "lz4codec": "lz4"})
 
-WRITE_SUFFIX = {"gzip": ".gz", "bz2": ".bz2", "xz": ".xz", "deflate": ".deflate"}
+WRITE_SUFFIX = {"gzip": ".gz", "bz2": ".bz2", "xz": ".xz", "deflate": ".deflate",
+                "zstd": ".zst", "lz4": ".lz4"}
 
 
 def normalize(name: str) -> str:
@@ -154,6 +185,10 @@ def wrap_read(raw, codec: str):
         return lzma.LZMAFile(raw)  # FORMAT_AUTO: .xz and legacy .lzma
     if codec == "deflate":
         return _ZlibReadFile(raw)
+    if codec == "zstd" and _zstd is not None:
+        return _zstd.ZstdDecompressor().stream_reader(raw, closefd=False)
+    if codec == "lz4" and _lz4f is not None:
+        return _lz4f.LZ4FrameFile(_NoCloseProxy(raw), mode="rb")
     raise ValueError(f"unknown codec: {codec}")
 
 
@@ -174,4 +209,40 @@ def wrap_write(raw, codec: str):
         return lzma.LZMAFile(raw, "wb")  # FORMAT_XZ
     if codec == "deflate":
         return _ZlibWriteFile(raw)
+    if codec == "zstd" and _zstd is not None:
+        return _zstd.ZstdCompressor().stream_writer(raw, closefd=False)
+    if codec == "lz4" and _lz4f is not None:
+        return _lz4f.LZ4FrameFile(_NoCloseProxy(raw), mode="wb")
     raise ValueError(f"unknown codec: {codec}")
+
+
+class _NoCloseProxy(io.RawIOBase):
+    """Pass-through that swallows close(): wrapper codecs must flush their
+    tail on close but leave the raw stream open (the caller owns it —
+    GzipFile/BZ2File convention, which LZ4FrameFile does not follow)."""
+
+    def __init__(self, raw):
+        self._raw = raw
+
+    def readable(self):
+        return self._raw.readable()
+
+    def writable(self):
+        return self._raw.writable()
+
+    def read(self, n=-1):
+        return self._raw.read(n)
+
+    def readinto(self, b):
+        data = self._raw.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def write(self, data):
+        return self._raw.write(data)
+
+    def flush(self):
+        self._raw.flush()
+
+    def close(self):  # deliberately do NOT close the raw stream
+        super().close()

@@ -236,6 +236,57 @@ def test_deflate_bytes_are_zlib(spark, tmp_path):
     assert text.count("<ROW>") == cars.count()
 
 
+def test_save_zstd_lz4_codecs(spark, tmp_path):
+    """Optional zstd/lz4 codecs (present on most clusters, gated behind
+    import-try here) round-trip write -> extension-sniffed read; skipped
+    where the backing modules are absent."""
+    import pytest
+
+    from spark_xml_spark.xmlcore import codecs as C
+
+    available = [
+        (codec, ext)
+        for codec, ext in (("zstd", ".xml.zst"), ("lz4", ".xml.lz4"))
+        if codec in C.WRITE_SUFFIX and _codec_importable(codec)
+    ]
+    if not available:
+        pytest.skip("zstandard / lz4 modules not installed in this env")
+    cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
+    expect = {tuple(r) for r in cars.select(*sorted(cars.columns)).collect()}
+    for codec, ext in available:
+        out = str(tmp_path / codec)
+        write_xml(cars.repartition(1), out, rowTag="ROW", compression=codec)
+        files = glob.glob(os.path.join(out, f"*{ext}"))
+        assert files, f"no {ext} part file for codec {codec}"
+        copy = read_xml(spark, out, rowTag="ROW")
+        got = {tuple(r) for r in copy.select(*sorted(cars.columns)).collect()}
+        assert got == expect, codec
+
+
+def _codec_importable(codec: str) -> bool:
+    mod = {"zstd": "zstandard", "lz4": "lz4.frame"}[codec]
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+def test_optional_codec_spellings_rejected_when_module_missing(spark, tmp_path):
+    """When zstandard/lz4 are not importable their spellings must fail at
+    option-parse time like any unsupported codec (never silently write
+    uncompressed bytes under a .zst/.lz4 name)."""
+    import pytest
+
+    cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
+    for codec in ("zstd", "lz4"):
+        if _codec_importable(codec):
+            continue
+        with pytest.raises(Exception, match="[Uu]nsupported compression"):
+            write_xml(cars, str(tmp_path / f"bad_{codec}"), rowTag="ROW",
+                      compression=codec)
+
+
 def test_unknown_codec_rejected(spark, tmp_path):
     """Unsupported codecs fail loudly instead of writing uncompressed."""
     import pytest

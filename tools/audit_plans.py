@@ -21,12 +21,56 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# nodes that may legitimately sit ABOVE the query's final output sort
+# without invalidating "this sort IS the result ordering": they preserve
+# row order (or only truncate it)
+_ORDER_PRESERVING = (
+    "AdaptiveSparkPlan",
+    "ResultQueryStage",
+    "Project",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "ColumnarToRow",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "Filter",
+)
+
+
+def _strip_tree_art(line: str) -> str:
+    s = re.sub(r"^[|\s:+-]*", "", line)
+    return re.sub(r"^\*\(\d+\)\s*", "", s)  # codegen span marker "*(3) "
+
+
+def _has_mid_plan_global_sort(plan: str) -> bool:
+    """True when a GLOBAL Sort (range-shuffled total order, 'Sort [...],
+    true') appears mid-plan: every node above it must be order-preserving,
+    otherwise the full sort's output ordering is destroyed by a later
+    exchange/join/aggregate and the range shuffle was wasted work at
+    scale. The query's own final output ordering (only order-preserving
+    nodes above) is fine; TakeOrderedAndProject never prints a Sort node."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"Sort \[.*\], true, ", _strip_tree_art(line)):
+            continue
+        for above in lines[:i]:
+            node = _strip_tree_art(above)
+            if not node or node.startswith("== "):
+                continue
+            if not node.startswith(_ORDER_PRESERVING):
+                return True  # something order-destroying sits above
+    return False
+
+
 def audit(plan: str) -> list:
     flags = []
     if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
         flags.append("CARTESIAN")
     if "BatchEvalPython" in plan:
         flags.append("ROWPYTHON")
+    if _has_mid_plan_global_sort(plan):
+        flags.append("GLOBALSORT")
     if re.search(r"HashAggregate\(keys=\[[^\]]+\], functions=\[(?!partial_)\w", plan):
         # a final aggregate exists; fine only if a partial_ pair exists too
         if "partial_" not in plan and "Exchange" in plan:
@@ -34,7 +78,38 @@ def audit(plan: str) -> list:
     return flags
 
 
+def _selftest() -> None:
+    final_sort = """== Physical Plan ==
+AdaptiveSparkPlan isFinalPlan=false
++- Sort [c_custkey#1L ASC NULLS FIRST], true, 0
+   +- Exchange rangepartitioning(c_custkey#1L ASC NULLS FIRST, 8)
+      +- Filter (c_acctbal#2 > 1000.0)
+         +- BatchScan xml-graft[...]"""
+    assert audit(final_sort) == [], audit(final_sort)
+
+    mid_sort = """== Physical Plan ==
+AdaptiveSparkPlan isFinalPlan=false
++- HashAggregate(keys=[k#1], functions=[partial_count(1)])
+   +- Exchange hashpartitioning(k#1, 8)
+      +- Sort [v#2 ASC NULLS FIRST], true, 0
+         +- Exchange rangepartitioning(v#2 ASC NULLS FIRST, 8)
+            +- BatchScan xml-graft[...]"""
+    assert audit(mid_sort) == ["GLOBALSORT"], audit(mid_sort)
+
+    local_sort_window = """== Physical Plan ==
+AdaptiveSparkPlan isFinalPlan=false
++- Window [rank() ...], [n#1], [b#2 DESC]
+   +- Sort [n#1 ASC NULLS FIRST, b#2 DESC NULLS LAST], false, 0
+      +- Exchange hashpartitioning(n#1, 8)
+         +- BatchScan xml-graft[...]"""
+    assert audit(local_sort_window) == [], audit(local_sort_window)
+    print("selftest ok")
+
+
 def main() -> None:
+    if "--selftest" in sys.argv:
+        _selftest()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from pyspark.sql import SparkSession
 

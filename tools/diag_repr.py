@@ -19,6 +19,7 @@ TABLES = [
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
 
     import duckdb
 
@@ -26,8 +27,8 @@ def main():
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -41,6 +42,11 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if not only:
+        only = [n for n in qs if n in oracles]  # default: every oracle query
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; available: {sorted(qs)}")
     for name in only:
         fn = qs[name]
         sdf = fn(spark, sf_dir)
@@ -61,7 +67,11 @@ def main():
         ocols = sorted(otbl.column_names)
         srows = [tuple(repr(r[c]) for c in scols) for r in stbl.to_pylist()]
         orows = [tuple(repr(r[c]) for c in ocols) for r in otbl.to_pylist()]
-        for i, (a, b) in enumerate(zip(srows, orows)):
+        if len(srows) != len(orows):
+            print(f"  ROW-COUNT MISMATCH: spark={len(srows)} oracle={len(orows)}")
+        from itertools import zip_longest
+
+        for i, (a, b) in enumerate(zip_longest(srows, orows)):
             if a != b:
                 print(f"  repr-diff row {i}: spark={a} oracle={b}")
         if srows == orows:
