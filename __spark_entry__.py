@@ -706,23 +706,27 @@ def q_xsd_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _table_fingerprint(sf_dir, "part")
     base = os.path.join(CACHE_ROOT, f"part-plain-{fp}")
     xsd_path = os.path.join(base, "part.xsd")
-    if not os.path.exists(xsd_path):
-        with open(xsd_path, "w") as fh:
-            fh.write(
-                """<?xml version="1.0"?>
+    # xs:sequence order MUST match the generated documents' field order
+    # (the parquet column order) — the validator enforces sequence order
+    # now; an alphabetical declaration would correctly reject every row.
+    # Rewritten unconditionally so a stale cached XSD can't survive a
+    # validator-semantics change.
+    with open(xsd_path, "w") as fh:
+        fh.write(
+            """<?xml version="1.0"?>
 <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
   <xs:element name="part">
     <xs:complexType><xs:sequence>
-      <xs:element name="p_brand" type="xs:string"/>
-      <xs:element name="p_name" type="xs:string"/>
       <xs:element name="p_partkey" type="xs:long"/>
-      <xs:element name="p_retailprice" type="xs:double"/>
-      <xs:element name="p_size" type="xs:long"/>
+      <xs:element name="p_name" type="xs:string"/>
+      <xs:element name="p_brand" type="xs:string"/>
       <xs:element name="p_type" type="xs:string"/>
+      <xs:element name="p_size" type="xs:long"/>
+      <xs:element name="p_retailprice" type="xs:double"/>
     </xs:sequence></xs:complexType>
   </xs:element>
 </xs:schema>"""
-            )
+        )
     with open(os.path.join(base, "schema.json")) as fh:
         schema = T.StructType.fromJson(json.load(fh))
     df = read_xml(

@@ -44,7 +44,11 @@ class XmlOptions:
     value_tag, null_value, column_name_of_corrupt_record,
     ignore_surrounding_spaces, mode, infer_schema, row_validation_xsd_path,
     wildcard_col_name, ignore_namespace, timestamp_format, timezone,
-    date_format.
+    date_format; plus ``locale`` (BCP-47 tag, e.g. "fr-FR"): the
+    NumberFormat-style fallback for float/double/decimal uses that
+    locale's decimal/grouping separators instead of the reference's
+    JVM-default-locale behavior (TypeCast.scala:57-60) — an explicit
+    option is deterministic across executors where a JVM default is not.
 
     Write options: root_tag (may embed literal attributes, e.g.
     ``"books foo='bar'"`` — XmlFile.scala:88-101), declaration,
@@ -76,6 +80,7 @@ class XmlOptions:
     date_format: Optional[str] = None
     compression: Optional[str] = None
     indent: bool = False
+    locale: Optional[str] = None
 
     def __post_init__(self) -> None:
         if not self.row_tag:
@@ -139,6 +144,7 @@ class XmlOptions:
         "compression": "compression",
         "codec": "compression",
         "indent": "indent",
+        "locale": "locale",
     }
 
     _BOOL_FIELDS = {

@@ -230,14 +230,72 @@ def java_time_pattern_to_strptime(pattern: str) -> str:
     return "".join(out)
 
 
-def _float_with_grouping(value: str) -> float:
-    """US-locale NumberFormat fallback: ',' is a grouping separator
-    (TypeCast.scala:57-60; '1,00' parses to 100)."""
+# language (or full lang-REGION override) -> (decimal sep, grouping seps).
+# Grouping is a string of ACCEPTED separator chars (space-grouping locales
+# accept regular/no-break/narrow-no-break spaces interchangeably).
+_LOCALE_SEPS = {
+    "en": (".", ","), "ja": (".", ","), "ko": (".", ","), "zh": (".", ","),
+    "th": (".", ","), "hi": (".", ","), "he": (".", ","), "ar": (".", ","),
+    "de": (",", "."), "es": (",", "."), "it": (",", "."), "pt": (",", "."),
+    "nl": (",", "."), "da": (",", "."), "tr": (",", "."), "id": (",", "."),
+    "vi": (",", "."), "el": (",", "."), "ro": (",", "."), "hr": (",", "."),
+    "sl": (",", "."),
+    "fr": (",", "   "), "ru": (",", "   "),
+    "pl": (",", "   "), "cs": (",", "   "),
+    "sv": (",", "   "), "nb": (",", "   "),
+    "no": (",", "   "), "fi": (",", "   "),
+    "uk": (",", "   "), "sk": (",", "   "),
+    "de-CH": (".", "'’"), "fr-CH": (".", "'’"),
+    "it-CH": (".", "'’"), "en-IN": (".", ","),
+}
+
+
+def _locale_seps(locale: Optional[str]):
+    """(decimal, grouping) separators for a BCP-47 tag; US semantics when
+    unset. Unknown locales raise at first use (loud, like unknown codecs)."""
+    if not locale:
+        return ".", ","
+    tag = locale.replace("_", "-")
+    lang = tag.split("-", 1)[0].lower()
+    exact = next(
+        (v for k, v in _LOCALE_SEPS.items() if k.lower() == tag.lower()), None
+    )
+    seps = exact or _LOCALE_SEPS.get(lang)
+    if seps is None:
+        raise ValueError(f"Unsupported locale for number parsing: {locale!r}")
+    return seps
+
+
+def _float_with_grouping(value: str, locale: Optional[str] = None) -> float:
+    """NumberFormat-style fallback (TypeCast.scala:57-60): grouping
+    separators are stripped, the locale's decimal separator maps to '.'.
+    Default (no locale) keeps the longstanding US behavior: '1,00' parses
+    to 100. With locale='fr-FR', '1,00' parses to 1.0 and '1 234,5' to
+    1234.5."""
     try:
         return float(value)
     except ValueError:
-        stripped = value.replace(",", "")
+        dec, grp = _locale_seps(locale)
+        stripped = value
+        for g in grp:
+            stripped = stripped.replace(g, "")
+        if dec != ".":
+            if "." in stripped:  # '.' is not valid in a comma-decimal locale
+                raise
+            stripped = stripped.replace(dec, ".", 1)
         return float(stripped)
+
+
+def _decimal_lexical(value: str, locale: Optional[str] = None) -> str:
+    """Decimal string with grouping separators removed (TypeCast.scala:
+    62-63 comma-strip, generalized to the configured locale)."""
+    dec, grp = _locale_seps(locale)
+    out = value
+    for g in grp:
+        out = out.replace(g, "")
+    if dec != "." and "." not in out:
+        out = out.replace(dec, ".", 1)
+    return out
 
 
 def cast_to(datum: Optional[str], data_type: T.DataType, options: XmlOptions) -> Any:
@@ -285,10 +343,10 @@ def cast_to(datum: Optional[str], data_type: T.DataType, options: XmlOptions) ->
         body = _strip_sign(value)
         if "_" in body:
             raise ValueError(f"For input string: {value}")
-        fv = _float_with_grouping(body)
+        fv = _float_with_grouping(body, options.locale)
         return -fv if neg else fv
     if tname == "decimal":
-        d = _decimal.Decimal(value.replace(",", ""))
+        d = _decimal.Decimal(_decimal_lexical(value, options.locale))
         return d.quantize(
             _decimal.Decimal(1).scaleb(-data_type.scale),
             rounding=_decimal.ROUND_HALF_UP,

@@ -487,7 +487,7 @@ class FastFlatParser:
                 body = v2[1:] if v2[:1] in ("+", "-") else v2
                 if "_" in body:
                     raise ValueError(f"For input string: {v2}")
-                fv = _float_with_grouping(body)
+                fv = _float_with_grouping(body, o.locale)
                 return -fv if neg else fv
 
             return c_float

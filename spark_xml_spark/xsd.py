@@ -386,12 +386,21 @@ def _xsd_pattern_to_py(pattern: str) -> str:
 
 
 def _check_facets(tag: str, raw_text: str, base: str, restriction) -> None:
-    """Enforce the common restriction facets (pattern / enumeration /
-    length / min-max Length / min-max Inclusive-Exclusive / totalDigits /
-    fractionDigits) — the reference's javax.xml full-schema processing
-    covers these (ValidatorUtil.scala:30-55); this is the structural
-    subset's equivalent."""
+    """Enforce the common restriction facets (whiteSpace / pattern /
+    enumeration / length / min-max Length / min-max Inclusive-Exclusive /
+    totalDigits / fractionDigits) — the reference's javax.xml full-schema
+    processing covers these (ValidatorUtil.scala:30-55); this is the
+    structural subset's equivalent. Multiple pattern facets in ONE
+    restriction step form a UNION per the spec: the value passes when ANY
+    of them matches."""
     text = raw_text if base == "string" else raw_text.strip()
+    for f in restriction:  # whiteSpace applies before every other facet
+        if _tag(f) == "whiteSpace":
+            v = f.get("value")
+            if v == "replace":
+                text = re.sub(r"[\t\r\n]", " ", raw_text)
+            elif v == "collapse":
+                text = " ".join(raw_text.split())
     enums: List[str] = []
     patterns: List[str] = []
     for f in restriction:
@@ -436,24 +445,75 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction) -> None:
         raise XsdValidationError(
             f"<{tag}>: '{text}' not in enumeration {enums[:5]}"
         )
-    for p in patterns:
+    if patterns:
+        matched = False
+        any_untranslatable = False
+        for p in patterns:
+            try:
+                if re.fullmatch(_xsd_pattern_to_py(p), text) is not None:
+                    matched = True
+                    break
+            except re.error:
+                any_untranslatable = True  # might have matched: stay lenient
+        if not matched and not any_untranslatable:
+            raise XsdValidationError(
+                f"<{tag}>: '{text}' matches none of the patterns {patterns[:3]}"
+            )
+
+
+def _identity_rows(scope: ET.Element, selector_xpath: str, field_xpaths):
+    """Evaluate an identity constraint's selector/field XPaths over a
+    scope element -> list of field-value tuples, or None when an XPath
+    falls outside the supported subset (child paths, './/' descendants,
+    '|' unions for selectors; same plus '.'-self and '@attr' for fields).
+    A missing field yields None in the tuple (caller applies the
+    per-constraint absence rule)."""
+    selected: List[ET.Element] = []
+    for branch in selector_xpath.split("|"):
+        p = branch.strip().replace("child::", "")
+        if not p or p.startswith("/"):
+            return None  # absolute paths are outside the subset
         try:
-            if re.fullmatch(_xsd_pattern_to_py(p), text) is None:
-                raise XsdValidationError(
-                    f"<{tag}>: '{text}' does not match pattern '{p}'"
-                )
-        except re.error:
-            pass  # untranslatable XSD construct: facet skipped (subset)
+            selected.extend(scope.findall(p))
+        except (SyntaxError, KeyError):
+            return None
+    rows = []
+    for n in selected:
+        vals = []
+        for fx in field_xpaths:
+            f = fx.strip().replace("child::", "").replace("attribute::", "@")
+            try:
+                if f == ".":
+                    vals.append((n.text or "").strip())
+                elif f.startswith("@"):
+                    vals.append(n.get(f[1:]))
+                elif "/@" in f:
+                    path, attr = f.rsplit("/@", 1)
+                    t = n.find(path)
+                    vals.append(None if t is None else t.get(attr))
+                else:
+                    t = n.find(f)
+                    vals.append(
+                        None if t is None else (t.text or "").strip()
+                    )
+            except (SyntaxError, KeyError):
+                return None
+        rows.append(tuple(vals))
+    return rows
 
 
 class _Validator:
     """Structural validator for one XSD model. Checks, per element: child
     elements are declared (or matched by xs:any), occurrence bounds per
     declared name, required attributes present, lexical form of simple
-    values, and restriction facets (pattern/enumeration/length/ranges).
-    Sequence *ordering* is not enforced (subset). For full W3C schema
-    processing install the PyPI ``xmlschema`` package and validate rows
-    with it instead; this built-in keeps the engine dependency-free."""
+    values, and restriction facets (whiteSpace/pattern-union/enumeration/
+    length/ranges/digits). xs:sequence child ordering IS enforced when the
+    content model is sequences all the way down (choice/all levels keep
+    order free); xs:unique / xs:key / xs:keyref identity constraints are
+    enforced over the common XPath subset, keyrefs resolved document-wide
+    after traversal. For full W3C schema processing install the PyPI
+    ``xmlschema`` package and validate rows with it instead; this
+    built-in keeps the engine dependency-free."""
 
     def __init__(self, model: _XsdModel):
         self.model = model
@@ -468,7 +528,20 @@ class _Validator:
             raise XsdValidationError(
                 f"no global element declaration for <{root.tag}>"
             )
-        self._validate_element(root, decl)
+        # document-scope identity-constraint state: keys collected during
+        # traversal, keyrefs deferred until every key set is known (a
+        # keyref may lexically precede the key it refers to)
+        ctx: Dict[str, object] = {"keys": {}, "keyrefs": []}
+        self._validate_element(root, decl, ctx)
+        for name, refer, rows in ctx["keyrefs"]:  # type: ignore[union-attr]
+            keyset = ctx["keys"].get(refer)  # type: ignore[union-attr]
+            if keyset is None:
+                continue  # referred key outside the validated subset
+            for r in rows:
+                if r not in keyset:
+                    raise XsdValidationError(
+                        f"keyref '{name}': {r} has no match in key '{refer}'"
+                    )
 
     # -- internals ---------------------------------------------------------
     def _resolve_content(self, el_decl: ET.Element):
@@ -495,14 +568,18 @@ class _Validator:
             return "simple", base or "string", restriction
         return "simple", "string", None
 
-    def _validate_element(self, node: ET.Element, decl: ET.Element) -> None:
+    def _validate_element(
+        self, node: ET.Element, decl: ET.Element, ctx: Optional[Dict] = None
+    ) -> None:
+        ctx = ctx if ctx is not None else {"keys": {}, "keyrefs": []}
         ref = decl.get("ref")
         if ref is not None:
             target = self.model.elements_by_name.get(_local(ref))
             if target is None:
                 raise XsdValidationError(f"unresolved ref {ref}")
-            self._validate_element(node, target)
+            self._validate_element(node, target, ctx)
             return
+        self._check_identity_constraints(node, decl, ctx)
         kind, content, restriction = self._resolve_content(decl)
         if kind == "simple":
             if content in ("anyType", "anySimpleType"):
@@ -520,9 +597,60 @@ class _Validator:
                     f"<{node.tag}> declared simple but has child elements"
                 )
             return
-        self._validate_complex(node, content)
+        self._validate_complex(node, content, ctx)
 
-    def _validate_complex(self, node: ET.Element, ct: ET.Element) -> None:
+    def _check_identity_constraints(
+        self, node: ET.Element, decl: ET.Element, ctx: Dict
+    ) -> None:
+        """xs:unique / xs:key / xs:keyref declared on an element decl,
+        evaluated over the element's subtree with the common XPath subset
+        (child paths, .//descendants, @attribute fields, '|' unions).
+        Unsupported selector/field XPath skips that constraint (subset
+        contract) rather than producing false rejections."""
+        for ic in decl:
+            k = _tag(ic)
+            if k not in ("unique", "key", "keyref"):
+                continue
+            name = ic.get("name") or k
+            selector = ic.find(_XS + "selector")
+            fields = ic.findall(_XS + "field")
+            if selector is None or not fields:
+                continue
+            rows = _identity_rows(
+                node,
+                selector.get("xpath", ""),
+                [f.get("xpath", "") for f in fields],
+            )
+            if rows is None:
+                continue
+            if k == "keyref":
+                refer = _local(ic.get("refer"))
+                ctx["keyrefs"].append(
+                    (name, refer,
+                     [r for r in rows if not any(v is None for v in r)])
+                )
+                continue
+            seen = set()
+            for r in rows:
+                if any(v is None for v in r):
+                    if k == "key":
+                        raise XsdValidationError(
+                            f"key '{name}': missing key field in "
+                            f"<{node.tag}> scope"
+                        )
+                    continue  # unique ignores tuples with absent fields
+                if r in seen:
+                    raise XsdValidationError(
+                        f"{k} '{name}' violated: duplicate {r}"
+                    )
+                seen.add(r)
+            if k == "key":
+                ctx["keys"][name] = seen
+
+    def _validate_complex(
+        self, node: ET.Element, ct: ET.Element, ctx: Optional[Dict] = None
+    ) -> None:
+        ctx = ctx if ctx is not None else {"keys": {}, "keyrefs": []}
         # simpleContent: character data + declared attributes, no children
         simple_content = ct.find(_XS + "simpleContent")
         if simple_content is not None:
@@ -550,23 +678,38 @@ class _Validator:
             attr_parent = ext
         else:
             parts.append(_find_particle(ct))
+        order: Dict[str, int] = {}
+        pure_sequence = True  # every particle a plain (nested) sequence
         for particle in parts:
             if particle is None:
                 continue
-            for item in self._iter_particle_items(particle):
+            items, pure = self._flatten_particle(particle)
+            pure_sequence = pure_sequence and pure
+            for item in items:
                 ik = _tag(item)
                 if ik == "element":
                     name = item.get("name") or _local(item.get("ref"))
                     decls[name] = (item, _min_occurs(item), _max_occurs(item))
+                    order.setdefault(name, len(order))
                 elif ik == "any":
                     wildcards.append((_min_occurs(item), _max_occurs(item)))
         counts: Dict[str, int] = {}
         wildcard_used = 0
+        enforce_order = pure_sequence and not wildcards and len(order) > 1
+        last_idx = -1
         for child in node:
             local = _inst_local(child.tag)
             if local in decls:
                 counts[local] = counts.get(local, 0) + 1
-                self._validate_element(child, decls[local][0])
+                if enforce_order:
+                    idx = order[local]
+                    if idx < last_idx:
+                        raise XsdValidationError(
+                            f"<{local}> out of xs:sequence order inside "
+                            f"<{node.tag}>"
+                        )
+                    last_idx = idx
+                self._validate_element(child, decls[local][0], ctx)
             elif wildcards:
                 wildcard_used += 1
             else:
@@ -591,13 +734,23 @@ class _Validator:
                 raise XsdValidationError("xs:any content exceeds maxOccurs")
         self._check_attributes(node, attr_parent)
 
-    def _iter_particle_items(self, particle: ET.Element):
+    def _flatten_particle(self, particle: ET.Element):
+        """-> (items, pure_sequence): every element/any item in document
+        order, plus whether the particle tree is sequences all the way
+        down (only then is child ordering enforceable; any choice/all
+        level makes order free in this subset)."""
+        items: List[ET.Element] = []
+        pure = _tag(particle) == "sequence"
         for item in particle:
             ik = _tag(item)
             if ik in ("element", "any"):
-                yield item
+                items.append(item)
             elif ik in ("choice", "sequence", "all"):
-                yield from self._iter_particle_items(item)
+                sub, sub_pure = self._flatten_particle(item)
+                items.extend(sub)
+                if ik != "sequence" or not sub_pure:
+                    pure = False
+        return items, pure
 
     def _check_attributes(self, node: ET.Element, decl_parent: ET.Element) -> None:
         declared = {

@@ -609,3 +609,55 @@ def test_columnar_inference_homogeneous_exact():
     opts = XmlOptions.from_dict({"rowTag": "r"})
     s = infer.infer_schema_from_records(iter(records), opts)
     assert s.simpleString() == "struct<k:bigint,s:string,t:timestamp,v:double>"
+
+
+def test_cast_locale_aware_floats():
+    """Reference parity gap closed: TypeCast.scala:57-60 falls back to the
+    JVM default locale's NumberFormat; here the locale is an explicit
+    option (deterministic across executors). Unset keeps US semantics."""
+    us = XmlOptions()
+    assert casts.cast_to("1,00", T.DoubleType(), us) == 100.0
+
+    fr = XmlOptions(locale="fr-FR")
+    assert casts.cast_to("1,00", T.DoubleType(), fr) == 1.0
+    assert casts.cast_to("1 234,5", T.DoubleType(), fr) == 1234.5
+    assert casts.cast_to("1 234,5", T.DoubleType(), fr) == 1234.5
+    assert casts.cast_to("2.5", T.DoubleType(), fr) == 2.5  # plain parse first
+
+    de = XmlOptions(locale="de")
+    assert casts.cast_to("1.234,56", T.DoubleType(), de) == 1234.56
+    assert casts.cast_to("1.234,56", T.DecimalType(10, 2), de) == decimal.Decimal(
+        "1234.56"
+    )
+
+    ch = XmlOptions(locale="de-CH")
+    assert casts.cast_to("1'234.5", T.DoubleType(), ch) == 1234.5
+
+    with pytest.raises(ValueError):
+        casts.cast_to("1,2,3", T.DoubleType(), fr)  # two decimal commas
+    with pytest.raises(ValueError):
+        casts.cast_to("1,5", T.DoubleType(), XmlOptions(locale="xx-YY"))
+
+
+def test_locale_option_through_read(spark, tmp_path):
+    """locale threads from the reader option into both the generic and the
+    FastFlatParser cast paths."""
+    from spark_xml_spark.sources import read_xml
+
+    p = tmp_path / "fr.xml"
+    p.write_text(
+        "<rows>"
+        "<r><id>1</id><v>1,5</v></r>"
+        "<r><id>2</id><v>1 234,25</v></r>"
+        "</rows>"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    got = {
+        r.id: r.v
+        for r in read_xml(
+            spark, str(p), schema=schema, rowTag="r", locale="fr-FR"
+        ).collect()
+    }
+    assert got == {1: 1.5, 2: 1234.25}

@@ -401,3 +401,146 @@ def test_facet_violation_lands_in_corrupt_record(spark, tmp_path):
     good = [r for r in rows if r["_corrupt_record"] is None]
     assert len(rows) == 3 and len(corrupt) == 2 and len(good) == 1
     assert good[0]["code"] == "AB-123"
+
+
+def test_pattern_union_semantics(tmp_path):
+    """Multiple xs:pattern facets in ONE restriction step are a UNION per
+    the spec: a value passes when ANY pattern matches."""
+    p = tmp_path / "pat.xsd"
+    p.write_text("""<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="v">
+    <xs:simpleType>
+      <xs:restriction base="xs:string">
+        <xs:pattern value="[A-Z]{2}"/>
+        <xs:pattern value="[0-9]{3}"/>
+      </xs:restriction>
+    </xs:simpleType>
+  </xs:element>
+</xs:schema>""")
+    v = get_validator(str(p))
+    v("<v>AB</v>")     # matches pattern 1
+    v("<v>123</v>")    # matches pattern 2
+    with pytest.raises(XsdValidationError, match="pattern"):
+        v("<v>ab</v>")  # matches neither
+
+
+def test_whitespace_collapse_facet(tmp_path):
+    p = tmp_path / "ws.xsd"
+    p.write_text("""<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="v">
+    <xs:simpleType>
+      <xs:restriction base="xs:string">
+        <xs:whiteSpace value="collapse"/>
+        <xs:maxLength value="5"/>
+      </xs:restriction>
+    </xs:simpleType>
+  </xs:element>
+</xs:schema>""")
+    v = get_validator(str(p))
+    v("<v>  ab   cd  </v>")  # collapses to 'ab cd' (5 chars): passes
+    with pytest.raises(XsdValidationError, match="length"):
+        v("<v>  ab   cde  </v>")  # 'ab cde' is 6 chars
+
+
+def test_sequence_order_enforced(tmp_path):
+    p = tmp_path / "seq.xsd"
+    p.write_text("""<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="r">
+    <xs:complexType><xs:sequence>
+      <xs:element name="a" type="xs:string"/>
+      <xs:element name="b" type="xs:string"/>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>""")
+    v = get_validator(str(p))
+    v("<r><a>1</a><b>2</b></r>")
+    with pytest.raises(XsdValidationError, match="sequence order"):
+        v("<r><b>2</b><a>1</a></r>")
+
+
+def test_choice_order_not_enforced(tmp_path):
+    p = tmp_path / "ch.xsd"
+    p.write_text("""<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="r">
+    <xs:complexType><xs:choice maxOccurs="unbounded">
+      <xs:element name="a" type="xs:string"/>
+      <xs:element name="b" type="xs:string"/>
+    </xs:choice></xs:complexType>
+  </xs:element>
+</xs:schema>""")
+    v = get_validator(str(p))
+    v("<r><b>2</b><a>1</a></r>")  # any order inside a choice
+
+
+_IDENTITY_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="order">
+    <xs:complexType><xs:sequence>
+      <xs:element name="product" minOccurs="0" maxOccurs="unbounded">
+        <xs:complexType>
+          <xs:attribute name="sku" type="xs:string" use="required"/>
+        </xs:complexType>
+      </xs:element>
+      <xs:element name="line" minOccurs="0" maxOccurs="unbounded">
+        <xs:complexType>
+          <xs:attribute name="ref" type="xs:string" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:sequence></xs:complexType>
+    <xs:key name="productKey">
+      <xs:selector xpath="product"/>
+      <xs:field xpath="@sku"/>
+    </xs:key>
+    <xs:keyref name="lineRef" refer="productKey">
+      <xs:selector xpath="line"/>
+      <xs:field xpath="@ref"/>
+    </xs:keyref>
+  </xs:element>
+</xs:schema>"""
+
+
+def test_identity_key_uniqueness(tmp_path):
+    p = tmp_path / "key.xsd"
+    p.write_text(_IDENTITY_XSD)
+    v = get_validator(str(p))
+    v('<order><product sku="A"/><product sku="B"/><line ref="A"/></order>')
+    with pytest.raises(XsdValidationError, match="duplicate"):
+        v('<order><product sku="A"/><product sku="A"/></order>')
+
+
+def test_identity_keyref_resolution(tmp_path):
+    p = tmp_path / "keyref.xsd"
+    p.write_text(_IDENTITY_XSD)
+    v = get_validator(str(p))
+    with pytest.raises(XsdValidationError, match="keyref"):
+        v('<order><product sku="A"/><line ref="MISSING"/></order>')
+
+
+def test_identity_unique_with_element_field(tmp_path):
+    p = tmp_path / "uniq.xsd"
+    p.write_text("""<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="catalog">
+    <xs:complexType><xs:sequence>
+      <xs:element name="item" minOccurs="0" maxOccurs="unbounded">
+        <xs:complexType><xs:sequence>
+          <xs:element name="name" type="xs:string" minOccurs="0"/>
+        </xs:sequence></xs:complexType>
+      </xs:element>
+    </xs:sequence></xs:complexType>
+    <xs:unique name="itemName">
+      <xs:selector xpath=".//item"/>
+      <xs:field xpath="name"/>
+    </xs:unique>
+  </xs:element>
+</xs:schema>""")
+    v = get_validator(str(p))
+    v("<catalog><item><name>x</name></item><item><name>y</name></item></catalog>")
+    # absent fields are ignored by xs:unique
+    v("<catalog><item/><item/></catalog>")
+    with pytest.raises(XsdValidationError, match="unique"):
+        v("<catalog><item><name>x</name></item><item><name>x</name></item></catalog>")
