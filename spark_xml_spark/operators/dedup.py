@@ -202,19 +202,27 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
-    """-> (_id, sig array<long>): per-document MinHash signature, one
-    groupBy with num_hashes JVM-side min aggregations (no Python in the
-    hot path; xxhash64 seeded per hash function)."""
-    sh = (
-        df.select(F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh"))
-        .select("_id", F.explode("_sh").alias("_s"))
+    """-> (_id, sig array<long>): per-document MinHash signature computed
+    entirely PER ROW — array_min over a seeded-xxhash64 transform of the
+    shingle array, no explode, no shuffle (the former explode + 64-min-agg
+    groupBy shuffled the whole shingled corpus; at 100 TB that shuffle was
+    the pipeline's biggest cost, and 2x wall-clock even at bench scale).
+    All JVM codegen; no Python in the hot path."""
+
+    def seeded(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        _word_shingles(F.col(text_col), n).alias("_sh"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+    mins = [
+        F.array_min(F.transform("_sh", seeded(i))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("_id").agg(*aggs)
-    return sig.select("_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
+    return shingled.select("_id", *mins).select(
+        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -313,9 +321,14 @@ def simhash(
     """SimHash per document -> (id_col, simhash long).
 
     Each word hashes to ``num_bits`` bits; bit i of the signature is 1 iff
-    the sum over words of (+1 if bit set else -1) is positive. Expressed as
-    num_bits conditional-sum aggregations in one groupBy — stays entirely
-    in whole-stage codegen; no Python, no UDF.
+    more than half the distinct words have bit i set (equivalent to the
+    classic +1/-1 vote sum being positive). Computed entirely PER ROW:
+    one transform of the distinct-word array into hashes, then num_bits
+    filter-counts over that array — no explode, NO SHUFFLE (the former
+    explode + 64-conditional-sum groupBy shuffled every word of the
+    corpus; at 100 TB the signature stage is now embarrassingly
+    parallel). Codegen CSEs the shared hash transform across the bit
+    tests; no Python, no UDF.
 
     ``portable=False`` (default, the scale path): 64 bits from JVM
     xxhash64. ``portable=True``: 60 bits from the first 15 hex chars of
@@ -324,31 +337,26 @@ def simhash(
     cross-engine checkable.
     """
     num_bits = 60 if portable else 64
-    words = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-        ).alias("_w"),
-    )
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
     if portable:
-        words = words.withColumn(
-            "_h", F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("long")
-        )
+        def hfn(w):
+            return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     else:
-        words = words.withColumn("_h", F.xxhash64("_w"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{i}")
-        for i in range(num_bits)
-    ]
-    bits = words.groupBy(id_col).agg(*aggs)
+        def hfn(w):
+            return F.xxhash64(w)
+    hashed = df.select(F.col(id_col), F.transform(words, hfn).alias("_hs"))
+    n_words = F.size("_hs")
+
+    def bit_set(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
     sig = F.lit(0).cast("long")
     for i in range(num_bits):
         sig = sig + F.when(
-            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.size(F.filter("_hs", bit_set(i))) * 2 > n_words,
+            F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
-    return bits.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
