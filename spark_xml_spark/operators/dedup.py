@@ -203,26 +203,31 @@ def ngram_jaccard_pairs(
 
 def _minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
     """-> (_id, sig array<long>): per-document MinHash signature computed
-    entirely PER ROW — array_min over a seeded-xxhash64 transform of the
-    shingle array, no explode, no shuffle (the former explode + 64-min-agg
-    groupBy shuffled the whole shingled corpus; at 100 TB that shuffle was
-    the pipeline's biggest cost, and 2x wall-clock even at bench scale).
-    All JVM codegen; no Python in the hot path."""
+    entirely PER ROW in ONE pass — F.aggregate folds the shingle array
+    into a running elementwise-min vector (zip_with/least against the
+    num_hashes seeded xxhash64 values of each shingle). No explode, no
+    shuffle, and each shingle is hashed exactly num_hashes times in a
+    single traversal (an array_min-per-hash formulation re-walks the
+    array num_hashes times; the former explode + 64-min-agg groupBy
+    shuffled the whole shingled corpus — 6.7x slower at sf0.1, and at
+    100 TB that shuffle dominated the pipeline). All JVM codegen; no
+    Python in the hot path."""
+    sh = _word_shingles(F.col(text_col), n)
+    init = F.array(
+        *[F.lit((1 << 63) - 1).cast("long")] * num_hashes
+    )  # identity of elementwise min
 
-    def seeded(i: int):
-        return lambda s: F.xxhash64(F.lit(i), s)
+    def shingle_hashes(s):
+        return F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
 
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        _word_shingles(F.col(text_col), n).alias("_sh"),
+    sig = F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, shingle_hashes(s), lambda a, b: F.least(a, b)
+        ),
     )
-    mins = [
-        F.array_min(F.transform("_sh", seeded(i))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    return shingled.select("_id", *mins).select(
-        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -322,13 +327,13 @@ def simhash(
 
     Each word hashes to ``num_bits`` bits; bit i of the signature is 1 iff
     more than half the distinct words have bit i set (equivalent to the
-    classic +1/-1 vote sum being positive). Computed entirely PER ROW:
-    one transform of the distinct-word array into hashes, then num_bits
-    filter-counts over that array — no explode, NO SHUFFLE (the former
-    explode + 64-conditional-sum groupBy shuffled every word of the
-    corpus; at 100 TB the signature stage is now embarrassingly
-    parallel). Codegen CSEs the shared hash transform across the bit
-    tests; no Python, no UDF.
+    classic +1/-1 vote sum being positive). Computed entirely PER ROW in
+    ONE pass: F.aggregate folds the distinct-word array into a running
+    bit-count vector (zip_with/+ against each word's hash bits), so each
+    word is hashed exactly once and the array is traversed once — no
+    explode, NO SHUFFLE (the former explode + 64-conditional-sum groupBy
+    shuffled every word of the corpus; at 100 TB the signature stage is
+    now embarrassingly parallel). No Python, no UDF.
 
     ``portable=False`` (default, the scale path): 64 bits from JVM
     xxhash64. ``portable=True``: 60 bits from the first 15 hex chars of
@@ -344,19 +349,29 @@ def simhash(
     else:
         def hfn(w):
             return F.xxhash64(w)
-    hashed = df.select(F.col(id_col), F.transform(words, hfn).alias("_hs"))
-    n_words = F.size("_hs")
 
-    def bit_set(i: int):
-        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+    def bits(h):
+        return F.array(
+            *[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                for i in range(num_bits)
+            ]
+        )
 
+    init = F.array(*[F.lit(0).cast("long")] * num_bits)
+    counts = F.aggregate(
+        words, init, lambda acc, w: F.zip_with(acc, bits(hfn(w)), lambda a, b: a + b)
+    )
+    with_counts = df.select(
+        F.col(id_col), counts.alias("_c"), F.size(words).alias("_n")
+    )
     sig = F.lit(0).cast("long")
     for i in range(num_bits):
         sig = sig + F.when(
-            F.size(F.filter("_hs", bit_set(i))) * 2 > n_words,
+            F.element_at("_c", i + 1) * 2 > F.col("_n"),
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
-    return hashed.select(F.col(id_col), sig.alias("simhash"))
+    return with_counts.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
