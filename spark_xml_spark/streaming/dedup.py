@@ -1,0 +1,84 @@
+"""Streaming deduplication for ingest pipelines.
+
+The batch engine's exact_dedup (operators/dedup.py) keyed-shuffles the
+whole corpus; on a stream that corpus is unbounded, so streaming dedup
+needs BOUNDED state. Two idiomatic shapes, both pure Structured
+Streaming (no custom state code):
+
+- ``dedup_stream``: exact content dedup with state bounded by an
+  event-time watermark via ``dropDuplicatesWithinWatermark`` — a
+  duplicate arriving within the watermark window of its first sighting
+  is dropped; state for older keys is evicted. This is the 100 TB shape:
+  state size is O(arrival rate x watermark), independent of stream
+  lifetime.
+- ``dedup_stream_exact``: plain ``dropDuplicates`` for availableNow /
+  replay jobs where the "stream" is a finite backlog and exact global
+  dedup is wanted (state grows with distinct keys — bounded by the
+  backlog, NOT safe for an unbounded stream; prefer the watermarked
+  form there).
+
+Content identity is a sha2-256 over the chosen columns, matching
+exact_dedup's definition, so batch and streaming dedup agree on what
+"duplicate" means.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HASH_COL = "_content_hash"
+
+
+def _with_content_hash(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    return df.withColumn(
+        _HASH_COL,
+        F.sha2(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]),
+            256,
+        ),
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    cols: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded exact dedup on a streaming DataFrame: keeps the
+    first arrival of each content hash, drops duplicates that arrive
+    within ``watermark`` (event time on ``ts_col``) of it. State is
+    evicted once the watermark passes — bounded memory on an unbounded
+    stream. Duplicates farther apart than the watermark are NOT caught
+    (that is the explicit state/completeness trade; widen the watermark
+    or run a batch exact_dedup downstream for stragglers)."""
+    hashed = _with_content_hash(df, cols)
+    if df.isStreaming:
+        hashed = hashed.withWatermark(ts_col, watermark)
+        return hashed.dropDuplicatesWithinWatermark([_HASH_COL]).drop(
+            _HASH_COL
+        )
+    # batch parity path (tests drive both): global exact dedup
+    return hashed.dropDuplicates([_HASH_COL]).drop(_HASH_COL)
+
+
+def dedup_stream_exact(
+    df: DataFrame, cols: Sequence[str], id_col: Optional[str] = None
+) -> DataFrame:
+    """Global exact dedup for finite replays (availableNow backlogs):
+    ``dropDuplicates`` over the content hash — first-arrival wins in
+    stream order; with ``id_col`` on a BATCH frame, the minimum id wins
+    (exact_dedup parity). State grows with distinct content; use
+    dedup_stream for unbounded streams."""
+    hashed = _with_content_hash(df, cols)
+    if not df.isStreaming and id_col is not None:
+        keep = hashed.groupBy(_HASH_COL).agg(F.min(id_col).alias(id_col))
+        return (
+            hashed.join(keep, [_HASH_COL, id_col], "left_semi")
+            .dropDuplicates([_HASH_COL])
+            .drop(_HASH_COL)
+        )
+    return hashed.dropDuplicates([_HASH_COL]).drop(_HASH_COL)

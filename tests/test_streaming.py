@@ -193,3 +193,99 @@ def test_watermarked_windowed_agg(spark, tmp_path):
     }
     assert got == expected
     assert ("2024-01-01 00:00:00", "a", 2, 3.0) in got
+
+
+def test_stream_dedup_exact_replay(spark, tmp_path):
+    """dedup_stream_exact on an availableNow replay keeps exactly one row
+    per distinct content; batch path with id_col matches exact_dedup."""
+    from spark_xml_spark.streaming import dedup_stream_exact
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    rows = [(i, f"text-{i % 10}") for i in range(50)]  # 10 distinct texts
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        dedup_stream_exact(stream, cols=["text"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(out)
+    assert kept.count() == 10
+    assert kept.select("text").distinct().count() == 10
+    # batch path with id_col: deterministic min-id keeper (exact_dedup parity)
+    batch = dedup_stream_exact(df, cols=["text"], id_col="doc_id")
+    got = {(r.doc_id, r.text) for r in batch.collect()}
+    assert got == {(i, f"text-{i}") for i in range(10)}
+
+
+def test_stream_dedup_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: a duplicate inside the
+    watermark window is dropped; once the watermark has advanced past the
+    original's event time, its state is evicted and a later re-arrival is
+    kept as new (bounded state on an unbounded stream)."""
+    import datetime as dt
+
+    from spark_xml_spark.streaming import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, "ts timestamp, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(p + ".tmp")
+        # one data file per batch dir, stable mtime so file order is fixed
+        os.rename(p + ".tmp", p)
+        os.utime(p, (mtime, mtime))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+        return p
+
+    # batch 1: original A. batch 2: near-dup A (state alive -> dropped) +
+    # X far ahead (its event time drives the watermark to t0+90, applied
+    # from batch 3 on). batch 3: filler Z; at its end the t0+90 watermark
+    # evicts A's state (expiry t0+10). batch 4: A re-arrives at t0+99 —
+    # above the current watermark (t0+95), state gone -> kept as NEW.
+    write_batch("b1", [(t0, "A")], 1000)
+    write_batch(
+        "b2",
+        [(t0 + dt.timedelta(seconds=5), "A"),
+         (t0 + dt.timedelta(seconds=100), "X")],
+        2000,
+    )
+    write_batch("b3", [(t0 + dt.timedelta(seconds=105), "Z")], 3000)
+    write_batch("b4", [(t0 + dt.timedelta(seconds=99), "A")], 4000)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dedup_stream(stream, cols=["text"], ts_col="ts", watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = spark.read.parquet(out)
+    by_text = {
+        r.text: r.n
+        for r in kept.groupBy("text").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_text.get("X") == 1
+    assert by_text.get("Z") == 1
+    # A kept twice: once in batch 1, once after state eviction in batch 4;
+    # the batch-2 near-duplicate was dropped
+    assert by_text.get("A") == 2
