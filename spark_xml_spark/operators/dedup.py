@@ -158,7 +158,17 @@ def ngram_jaccard_pairs(
     arrays = df.select(
         F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh")
     )
-    sh = arrays.select("_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s"))
+    # candidate generation runs over HASHED shingles: 8-byte longs flow
+    # through the two window shuffles and the inverted-index join instead
+    # of ~n-word strings (4x+ shuffle bytes saved at scale). Still exact:
+    # equal shingles hash equally, so no candidate is lost; a collision
+    # can only ADD a candidate, and the verify below recomputes Jaccard
+    # on the original string arrays.
+    sh = arrays.select(
+        "_id",
+        F.size("_sh").alias("_sz"),
+        F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_s"),
+    )
     # document frequency as a window over the exploded shingles: one shuffle
     # keyed by shingle serves as both the groupBy and the join-back that a
     # separate doc_freq aggregate would need (same result, one less shuffle)
