@@ -237,7 +237,17 @@ def _open_stream(split: FileSplit):
 
 
 def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterator[str]:
-    """Yield decoded record strings whose start tag begins inside the split."""
+    """Yield decoded record strings whose start tag begins inside the split.
+
+    Ownership contract: same-name tags nested INSIDE a record are depth-
+    counted correctly once the record's start is owned, but the first-
+    start scan after a split boundary is context-free — a rowTag element
+    nested inside itself directly after the boundary is claimed as a
+    record (records are never lost, the nested fragment may duplicate).
+    This is byte-for-byte the reference's behavior
+    (XmlInputFormat.scala:193-224 readUntilStartElement); the supported
+    contract is rowTag elements that do not self-nest. Property-tested in
+    tests/test_property_roundtrip.py."""
     if split.compression == "bz2" and not split.whole_file:
         yield from _scan_bz2_range(split, row_tag, charset)
         return
