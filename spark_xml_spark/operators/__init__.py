@@ -28,6 +28,7 @@ from spark_xml_spark.operators.similarity import (
 from spark_xml_spark.operators.multimodal import (
     add_payload_metadata,
     extract_features,
+    resize_images,
     sample_frames,
     synthesize_payload,
 )
@@ -58,5 +59,6 @@ __all__ = [
     "add_payload_metadata",
     "synthesize_payload",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]

@@ -133,6 +133,75 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resizer: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads via ``mapInPandas``
+    (the brief's decode -> resize -> re-encode step). ``resizer(payload,
+    w, h) -> bytes`` is the injectable seam for a real implementation
+    (PIL: decode, ``Image.resize((w, h))``, re-encode); the default is a
+    DETERMINISTIC byte-level stand-in — magic prefix preserved, body
+    stride-resampled to exactly w*h bytes — so the pipeline (schema,
+    batching, output sizing) runs and is testable without media libs.
+    A failing resizer nulls the row's payload instead of killing the task
+    (extract_features' error contract)."""
+    import numpy as np  # executor-side import
+    import pandas as pd
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        prefix_len = 4 if payload[:4] in _MAGIC else next(
+            (len(p) for p in _MAGIC if payload.startswith(p)), 0
+        )
+        prefix, body = payload[:prefix_len], payload[prefix_len:]
+        target = w * h
+        if not body:
+            return prefix + b"\x00" * target
+        arr = np.frombuffer(body, dtype=np.uint8)
+        idx = (np.arange(target) * len(arr)) // target
+        return prefix + arr[idx].tobytes()
+
+    impl = resizer or _fake_resize
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(impl(bytes(payload), width, height))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -334,3 +334,31 @@ def test_cosine_pairs_banded_recall_and_cap(embs):
         ).count()
         == 0
     )
+
+
+def test_resize_images_plumbing(spark, docs):
+    """resize_images: deterministic byte-level stand-in preserves the
+    magic prefix and produces exactly width*height body bytes; a real
+    resizer is a one-function swap; failures null the row."""
+    from spark_xml_spark.operators import resize_images, synthesize_payload
+
+    with_payload = docs.limit(20).withColumn(
+        "payload", synthesize_payload(F.col("text"), "image/png")
+    )
+    out = resize_images(with_payload, width=8, height=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 4
+        assert bytes(r["payload"])[:4] == b"\x89PNG"
+        assert len(r["payload"]) == 4 + 8 * 4  # magic + w*h body bytes
+    # determinism
+    again = resize_images(with_payload, width=8, height=4).collect()
+    assert [bytes(r["payload"]) for r in out] == [
+        bytes(r["payload"]) for r in again
+    ]
+    # injected failing resizer -> null payload, job survives
+    def bad(payload, w, h):
+        raise ValueError("boom")
+
+    nulls = resize_images(with_payload, width=8, height=4, resizer=bad).collect()
+    assert all(r["payload"] is None for r in nulls)
