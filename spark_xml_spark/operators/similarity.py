@@ -171,6 +171,45 @@ class IvfIndex:
         centroids = [list(map(float, c)) for c in model.clusterCenters()]
         return cls(assigned, centroids, vec_col, id_col)
 
+    def save(self, path: str) -> None:
+        """Persist the index: the assigned table partitioned BY CENTROID
+        (a probe then prunes whole partitions at the parquet source — the
+        100 TB read path touches ~nprobe/k of the files) plus the centroid
+        vectors as a JSON sidecar."""
+        import json
+
+        self.assigned.write.mode("overwrite").partitionBy("_centroid").parquet(
+            path
+        )
+        from spark_xml_spark.xmlcore import fs as _fs
+
+        with _fs.open_output(path.rstrip("/") + "/_centroids.json") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "centroids": self.centroids,
+                        "vec_col": self.vec_col,
+                        "id_col": self.id_col,
+                    }
+                ).encode()
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Reopen a saved index; `_centroid` comes back as a partition
+        column, so search() filters compile to partition pruning."""
+        import json
+
+        from spark_xml_spark.xmlcore import fs as _fs
+
+        with _fs.open_input(path.rstrip("/") + "/_centroids.json") as fh:
+            meta = json.loads(fh.read().decode())
+        assigned = spark.read.parquet(path)
+        idx = cls(
+            assigned, meta["centroids"], meta["vec_col"], meta["id_col"]
+        )
+        return idx
+
     def search(self, query: Sequence[float], k: int = 10, nprobe: int = 2) -> DataFrame:
         """Exact cosine top-k within the nprobe nearest centroid cells."""
         q = [float(x) for x in query]

@@ -289,3 +289,38 @@ def test_stream_dedup_watermark_bounds_state(spark, tmp_path):
     # A kept twice: once in batch 1, once after state eviction in batch 4;
     # the batch-2 near-duplicate was dropped
     assert by_text.get("A") == 2
+
+
+def test_ivf_index_save_load_partition_pruning(spark, tmp_path):
+    """A saved IVF index is partitioned by centroid; searching the loaded
+    index returns identical results AND the probe filter compiles to
+    partition pruning at the parquet source (the 100 TB read path touches
+    only nprobe cells' files)."""
+    from spark_xml_spark.operators import IvfIndex
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embs.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    idx = IvfIndex.build(embs, k=8, seed=42)
+    expect = [(r["vec_id"], round(r["cosine"], 9))
+              for r in idx.search(q, k=5, nprobe=2).collect()]
+
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    # partition layout on disk: one dir per centroid cell
+    import os
+    cells = [d for d in os.listdir(path) if d.startswith("_centroid=")]
+    assert len(cells) > 1
+
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.centroids == idx.centroids
+    got = [(r["vec_id"], round(r["cosine"], 9))
+           for r in loaded.search(q, k=5, nprobe=2).collect()]
+    assert got == expect
+
+    # the probe is a partition filter: pruned scan reads < all partitions
+    probe_df = loaded.search(q, k=5, nprobe=2)
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_centroid" in plan.split(
+        "PartitionFilters:"
+    )[1][:200]
