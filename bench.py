@@ -44,26 +44,37 @@ def main() -> None:
     import __spark_entry__ as em
 
     # ---- prep: XML-ify the big table (write path + distributed inference)
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     n_lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     t0 = time.time()
-    em._xml_table(spark, sf_dir, "lineitem", partitions=int(cpus))
+    try:
+        em._xml_table(spark, sf_dir, "lineitem", partitions=int(cpus))
+    except Exception as exc:  # noqa: BLE001  (queries rebuild their own caches)
+        errors["prep_xmlify"] = repr(exc)[:300]
     prep_s = time.time() - t0  # ~0 when cache-hot; cold = write + infer
-
-    timings: dict[str, float] = {}
 
     def run(name: str) -> None:
         # three iterations, report the min: the first pays JVM codegen +
         # Python-worker spin-up + AQE planning (session warmup, not
-        # per-query cost), and min-of-3 damps single-tenant VM noise
+        # per-query cost), and min-of-3 damps single-tenant VM noise.
+        # One failing query must NOT abort the suite (a whole round's
+        # performance evidence was lost that way once): record the error,
+        # keep the remaining timings meaningful.
         fn = em.queries()[name]
         best = None
         n = 0
-        for _ in range(3):
-            t = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(3):
+                t = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.time() - t
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = repr(exc)[:300]
+            sys.stderr.write(f"bench {name}: ERROR {errors[name]}\n")
+            return
         timings[name] = round(best, 3)
         sys.stderr.write(f"bench {name}: {timings[name]}s ({n} rows)\n")
 
@@ -109,6 +120,7 @@ def main() -> None:
                 "prep_xmlify_s": round(prep_s, 3),
                 "lineitem_rows": n_lineitem,
                 "xml_scan_rows_per_s": xml_scan_rows_per_s,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
