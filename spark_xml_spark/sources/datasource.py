@@ -357,6 +357,26 @@ _C_CAST_GUARDS = {
     ),
 }
 
+# Zone-LESS ISO timestamps ("1997-02-15 00:00:00", the overwhelmingly
+# common shape) may take the Arrow cast only when no `timezone` option is
+# set: the row path then resolves naive values as UTC, which is exactly
+# Arrow's string->timestamp cast. With a timezone option the naive value
+# is interpreted in that zone (shifted), so such columns must stay on the
+# Python caster. timestampFormat does NOT affect guard-passing values —
+# the ISO branch runs before the custom format (parse_xml_timestamp).
+_C_TS_GUARD_NO_TZ = (
+    r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}"
+    r"(\.\d{1,6})?(Z|[+-]\d{2}:\d{2})?$"
+)
+
+
+def _cast_guards(xopts: "XmlOptions") -> dict:
+    if xopts.timezone:
+        return _C_CAST_GUARDS
+    g = dict(_C_CAST_GUARDS)
+    g["timestamp"] = _C_TS_GUARD_NO_TZ
+    return g
+
 # Types Arrow casts from string with semantics identical to casts.cast_to
 # (given the guards above); everything else uses the per-cell Python caster.
 _C_CASTABLE = ("string", "long", "integer", "short", "byte",
@@ -389,12 +409,13 @@ def _py_cast_column(vals, caster, target_type):
     )
 
 
-def _cast_column(vals, dt: T.DataType, caster, target_type):
+def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None):
     """One column of raw strings -> Arrow array. C casts when provably
     equivalent; Python casters otherwise. Raises (ValueError /
     parser fallback) only from the Python casters — the caller then
     re-runs the whole batch through the exact row path so the parse-mode
-    policy applies."""
+    policy applies. ``guards`` defaults to the conservative option-free
+    set; pass _cast_guards(xopts) for the option-aware set."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -409,7 +430,7 @@ def _cast_column(vals, dt: T.DataType, caster, target_type):
         # empty element -> null for every non-string scalar (row-path END
         # branch); whitespace-only is NOT empty and falls to the casters
         arr = pc.if_else(empties, pa.scalar(None, pa.string()), arr)
-    guard = _C_CAST_GUARDS.get(tname)
+    guard = (guards if guards is not None else _C_CAST_GUARDS).get(tname)
     if guard is not None:
         ok = pc.match_substring_regex(arr, guard)
         if not pc.all(pc.fill_null(ok, True)).as_py():
@@ -419,6 +440,19 @@ def _cast_column(vals, dt: T.DataType, caster, target_type):
             # two-step to reproduce the row path's double-rounding
             # (python float() -> float32 storage)
             return pc.cast(pc.cast(arr, pa.float64()), pa.float32())
+        if (
+            tname == "timestamp"
+            and pa.types.is_timestamp(target_type)
+            and target_type.tz is not None
+        ):
+            try:
+                # all-zoned column: Arrow parses the offsets and converts
+                return pc.cast(arr, target_type)
+            except Exception:
+                # zone-less column (guard-checked ISO): naive == UTC on
+                # the row path, so attach the zone without shifting
+                naive = pc.cast(arr, pa.timestamp(target_type.unit))
+                return pc.assume_timezone(naive, target_type.tz)
         return pc.cast(arr, target_type)
     except Exception:
         return _py_cast_column(vals, caster, target_type)
@@ -461,6 +495,7 @@ def _columnar_flat_batches(
         [pa.field(f.name, _arrow_type(f.dataType)) for f in fields]
     )
     fix = _tz_fixer(schema)
+    guards = _cast_guards(xopts)
 
     def row_path(batch):
         rows = parser.parse_records(iter(batch), schema, xopts)
@@ -493,6 +528,7 @@ def _columnar_flat_batches(
                     fields[i].dataType,
                     fast.casters[i],
                     arrow_schema.field(i).type,
+                    guards,
                 )
                 for i in range(ncols)
             ]
