@@ -1,0 +1,241 @@
+"""Golden parity cases ported from XmlSuite.scala over previously
+unexercised reference fixtures: attribute+value structs, struct-vs-string
+widening, newline-separated attributes, whitespace/null semantics with
+explicit schemas, nested objects/arrays, parent-named nested elements,
+and unindented documents."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_xml_spark.sources.api import read_xml
+from spark_xml_spark.xmlcore import tokenizer
+
+RES = "/root/reference/src/test/resources"
+
+
+def test_ages_attribute_in_value_struct(spark):
+    """XmlSuite 'elements in array having attributes': <age born="...">25</age>
+    infers {_VALUE long, _born date}; attribute dates parse exactly."""
+    df = read_xml(spark, f"{RES}/ages.xml", rowTag="person")
+    rows = df.orderBy("name").collect()
+    assert len(rows) == 3
+    by_name = {r["name"]: r["age"] for r in rows}
+    assert by_name["Hyukjin"]["_born"] == datetime.date(1990, 2, 24)
+    assert by_name["Lars"]["_born"] == datetime.date(1985, 1, 1)
+    assert by_name["Hyukjin"]["_VALUE"] == 25
+
+
+def test_ages_mixed_struct_and_string(spark):
+    """XmlSuite 'mixed elements (struct, string)': name is sometimes
+    <name>Lars</name>, sometimes <name><firstName>..</firstName></name> —
+    the widened schema still yields 3 rows."""
+    df = read_xml(spark, f"{RES}/ages-mixed-types.xml", rowTag="person")
+    assert df.count() == 3
+
+
+@pytest.mark.parametrize(
+    "file",
+    [
+        "attributesStartWithNewLine.xml",
+        "attributesStartWithNewLineCR.xml",
+        "attributesStartWithNewLineLF.xml",
+    ],
+)
+def test_attributes_separated_by_newlines(spark, file):
+    """XmlSuite newline-attribute trio: start tags whose attributes are
+    split across LF/CR/CRLF lines must still tokenize and parse."""
+    df = read_xml(
+        spark, f"{RES}/{file}", rowTag="note",
+        ignoreNamespace="true", excludeAttribute="false",
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["to"] == "Tove" and r["from"] == "Jani"
+    assert r["heading"] == "Reminder"
+    assert r["body"].startswith("Don't forget")
+
+
+def test_null_numbers_whitespace_preserved_and_empty_as_null(spark):
+    """XmlSuite 'nullable fields' + 'empty string as null': with a string
+    schema bob's whitespace-only age survives verbatim; with
+    treatEmptyValuesAsNulls and an int schema it becomes null."""
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("age", T.StringType()),
+        ]
+    )
+    rows = read_xml(
+        spark, f"{RES}/null-numbers.xml", rowTag="ROW", schema=schema
+    ).orderBy("name").collect()
+    assert [(r["name"], r["age"]) for r in rows] == [
+        ("alice", "35"), ("bob", "    "), ("coc", "24"),
+    ]
+
+    schema_int = T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    rows = read_xml(
+        spark, f"{RES}/null-numbers.xml", rowTag="ROW", schema=schema_int,
+        treatEmptyValuesAsNulls="true", ignoreSurroundingSpaces="true",
+    ).orderBy("name").collect()
+    assert [(r["name"], r["age"]) for r in rows] == [
+        ("alice", 35), ("bob", None), ("coc", 24),
+    ]
+
+
+def test_null_numbers_2_empty_attribute_nullvalue(spark):
+    """XmlSuite null-numbers-2: nullValue='' turns Volume='' into null
+    inside an exploded attribute struct."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "T",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("_Number", T.LongType()),
+                            T.StructField("_VALUE", T.DoubleType()),
+                            T.StructField("_Volume", T.DoubleType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    df = read_xml(
+        spark, f"{RES}/null-numbers-2.xml", rowTag="TEST",
+        schema=schema, nullValue="",
+    ).select(F.explode("T").alias("t"))
+    rows = df.collect()
+    assert rows[0]["t"]["_Volume"] == 20.0
+    assert rows[1]["t"]["_Volume"] is None
+
+
+def test_null_nested_struct_2_empty_vs_missing(spark):
+    """XmlSuite 'empty vs non-existent rows': five precise shapes of
+    absent / empty / whitespace / value nested structs."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "b",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "es",
+                            T.StructType(
+                                [
+                                    T.StructField("e", T.StringType()),
+                                    T.StructField("f", T.StringType()),
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
+    rows = read_xml(
+        spark, f"{RES}/null-nested-struct-2.xml", rowTag="item", schema=schema
+    ).collect()
+    vals = [r["b"] and (r["b"]["es"] and tuple(r["b"]["es"])) for r in rows]
+    assert vals[0] is None  # <b> empty -> es null
+    assert vals[1] == (None, None)  # <es> exists, both children absent
+    assert vals[2] == ("E", None)
+    assert vals[3] == ("E", " ")
+    assert vals[4] == ("E", "")
+
+
+def test_simple_nested_objects_schema_order(spark):
+    """XmlSuite 'correct order of columns for nested rows': a user schema
+    declaring (b, a) in non-document order still maps values by NAME."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "c",
+                T.StructType(
+                    [
+                        T.StructField("b", T.IntegerType()),
+                        T.StructField("a", T.IntegerType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    row = (
+        read_xml(
+            spark, f"{RES}/simple-nested-objects.xml", rowTag="ROW",
+            schema=schema,
+        )
+        .select("c.a", "c.b")
+        .first()
+    )
+    assert (row["a"], row["b"]) == (111, 222)
+
+
+def test_books_nested_object_schema(spark):
+    """XmlSuite 'schema (object) inferred correctly'."""
+    df = read_xml(spark, f"{RES}/books-nested-object.xml", rowTag="book")
+    assert df.count() == 12
+    f = dict((fld.name, fld.dataType) for fld in df.schema.fields)
+    assert isinstance(f["publish_dates"], T.StructType)
+    assert f["publish_dates"]["publish_date"].dataType == T.DateType()
+    assert f["price"] == T.DoubleType()
+    assert f["_id"] == T.StringType()
+
+
+def test_books_nested_array_schema(spark):
+    """XmlSuite 'schema (array) inferred correctly': repeated publish_date
+    siblings infer as array<date>."""
+    df = read_xml(spark, f"{RES}/books-nested-array.xml", rowTag="book")
+    assert df.count() == 12
+    f = dict((fld.name, fld.dataType) for fld in df.schema.fields)
+    assert f["publish_date"] == T.ArrayType(T.DateType())
+
+
+def test_nested_element_named_like_parent(spark):
+    """XmlSuite parent-name trio: <parent><parent>..</parent>..</parent>
+    must tokenize as TWO records (depth counting) and infer
+    child + parent-struct."""
+    for file in (
+        "nested-element-with-name-of-parent.xml",
+        "nested-element-with-attributes-and-name-of-parent.xml",
+    ):
+        path = f"{RES}/{file}"
+        lines = [ln.strip() for ln in open(path).read().splitlines()]
+        splits = tokenizer.plan_splits(path, target_split_size=1 << 30)
+        recs = [r for s in splits for r in tokenizer.scan_split(s, "parent")]
+        assert recs == [lines[2], lines[3]], file
+
+    df = read_xml(
+        spark, f"{RES}/nested-element-with-name-of-parent.xml", rowTag="parent"
+    )
+    f = dict((fld.name, fld.dataType) for fld in df.schema.fields)
+    assert f["child"] == T.StringType()
+    assert isinstance(f["parent"], T.StructType)
+    assert f["parent"]["child"].dataType == T.StringType()
+
+
+def test_cars_no_indentation(spark):
+    """XmlSuite 'files without indentation': records on one physical line."""
+    df = read_xml(spark, f"{RES}/cars-no-indentation.xml", rowTag="ROW")
+    assert {r["model"] for r in df.select("model").collect()} == {
+        "S", "E350", "Volt",
+    }
+
+
+def test_gps_empty_field(spark):
+    """XmlSuite 'unbalanced datatypes': empty nested extension elements
+    with treatEmptyValuesAsNulls still yield both rows."""
+    df = read_xml(
+        spark, f"{RES}/gps-empty-field.xml", rowTag="ROW",
+        treatEmptyValuesAsNulls="true",
+    )
+    assert df.count() == 2
