@@ -434,9 +434,23 @@ def _skip_markup(buf: _Buffer, i: int) -> int:
     return -2  # a real element tag
 
 
+# a start tag (name + attributes) longer than this is declared malformed:
+# bounds the quote-aware walk when an UNBALANCED attribute quote would
+# otherwise swallow the rest of the stream
+_MAX_TAG_BYTES = 1 << 20
+
+
 def _scan_tag_end(buf: _Buffer, i: int) -> Tuple[int, bool]:
     """From '<' at i, find the tag's closing '>' quote-aware.
-    Returns (pos after '>', self_closing)."""
+    Returns (pos after '>', self_closing).
+
+    Malformed-quote recovery: when the quote-aware walk hits EOF or the
+    tag-size bound while a quote is open (e.g. ``id="broken " extra "``),
+    the tag is judged malformed and the scan DEGRADES to the reference's
+    quote-naive rule — the first '>' ends the tag (XmlInputFormat does no
+    quote tracking at all) — so one bad record cannot swallow the split's
+    remaining valid records; the parser's mode policy then judges the
+    mis-framed record itself."""
     # fast path: no quotes anywhere before the first '>' -> it closes the tag
     j = buf.find(b">", i + 1)
     if j != -1:
@@ -446,9 +460,13 @@ def _scan_tag_end(buf: _Buffer, i: int) -> Tuple[int, bool]:
     p = i + 1
     quote = 0
     last = 0
+    limit = i + _MAX_TAG_BYTES
     while True:
         b = buf.byte_at(p)
-        if b is None:
+        if b is None or p > limit:
+            if quote and j != -1:  # unbalanced quote: quote-naive fallback
+                head = buf.slice(i + 1, j)
+                return j + 1, head.rstrip(b" \t\r\n").endswith(b"/")
             return -1, False
         if quote:
             if b == quote:

@@ -239,3 +239,157 @@ def test_gps_empty_field(spark):
         treatEmptyValuesAsNulls="true",
     )
     assert df.count() == 2
+
+
+def test_malformed_attributes_dropmalformed(spark):
+    """XmlSuite 'malformed attributes': DROPMALFORMED keeps the 2 valid
+    books by _id."""
+    df = read_xml(
+        spark, f"{RES}/books-malformed-attributes.xml", rowTag="book",
+        mode="DROPMALFORMED",
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    assert sorted(r["_id"] for r in rows) == ["bk111", "bk112"]
+
+
+def test_complicated_null_attribute_roundtrip(spark, tmp_path):
+    """XmlSuite write-roundtrip over books-complicated-null-attribute:
+    copy equals original as a set."""
+    from spark_xml_spark.sources.api import write_xml
+
+    books = read_xml(
+        spark, f"{RES}/books-complicated-null-attribute.xml", rowTag="book"
+    )
+    out = str(tmp_path / "books-copy")
+    write_xml(books, out, rootTag="books", rowTag="book")
+    copy = read_xml(spark, out, rowTag="book")
+    assert copy.count() == books.count()
+    cols = sorted(books.columns)
+    assert {str(tuple(r)) for r in copy.select(*cols).collect()} == {
+        str(tuple(r)) for r in books.select(*cols).collect()
+    }
+
+
+def test_datatypes_permissive_partial_results(spark):
+    """XmlSuite 'nulls out invalid values ... permissive': the valid row
+    parses fully (incl. a MapType column); the invalid row keeps the
+    parseable fields (string, the valid array element) and captures the
+    raw record in the custom-named corrupt column."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "integer_value",
+                T.StructType(
+                    [
+                        T.StructField("_VALUE", T.IntegerType()),
+                        T.StructField("_int", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "long_value",
+                T.StructType(
+                    [
+                        T.StructField("_VALUE", T.LongType()),
+                        T.StructField("_int", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("float_value", T.FloatType()),
+            T.StructField("double_value", T.DoubleType()),
+            T.StructField("boolean_value", T.BooleanType()),
+            T.StructField("string_value", T.StringType()),
+            T.StructField("integer_array", T.ArrayType(T.IntegerType())),
+            T.StructField(
+                "integer_map", T.MapType(T.StringType(), T.IntegerType())
+            ),
+            T.StructField("_malformed_records", T.StringType()),
+        ]
+    )
+    df = read_xml(
+        spark, f"{RES}/datatypes-valid-and-invalid.xml", rowTag="ROW",
+        schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_malformed_records",
+    )
+    assert df.schema == schema
+    valid, invalid = df.collect()[:2]
+    assert tuple(valid["integer_value"]) == (10, 10)
+    assert tuple(valid["long_value"]) == (10, "Ten")
+    assert (valid["float_value"], valid["double_value"]) == (10.0, 10.0)
+    assert valid["boolean_value"] is True
+    assert valid["string_value"] == "Ten"
+    assert list(valid["integer_array"]) == [1, 2]
+    assert dict(valid["integer_map"]) == {"a": 123, "b": 345}
+    assert valid["_malformed_records"] is None
+
+    assert invalid["integer_value"] is None
+    assert invalid["long_value"] is None
+    assert invalid["float_value"] is None
+    assert invalid["boolean_value"] is None
+    assert invalid["string_value"] == "Ten"
+    assert list(invalid["integer_array"]) == [2]
+    assert invalid["integer_map"] is None
+    assert 'int="Ten"' in invalid["_malformed_records"]
+
+
+def test_mixed_children_as_string_schema(spark):
+    """XmlSuite Issue 614: a mixed-content element read with a STRING
+    schema keeps its inner markup verbatim."""
+    text = (
+        read_xml(
+            spark, f"{RES}/mixed_children_as_string.xml", rowTag="book",
+            schema=T.StructType([T.StructField("text", T.StringType())]),
+        )
+        .select("text")
+        .first()["text"]
+    )
+    assert "Ut <i>voluptas</i> distinctio et impedit deserunt" in text
+    assert "<i>numquam</i> incidunt cum autem temporibus." in text
+
+
+def test_unbalanced_elements_explicit_schema(spark):
+    """XmlSuite 'unbalanced elements': rows with missing fields still
+    count under an explicit schema."""
+    schema = T.StructType(
+        [
+            T.StructField("color", T.StringType()),
+            T.StructField("comment", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+        ]
+    )
+    df = read_xml(
+        spark, f"{RES}/cars-unbalanced-elements.xml", rowTag="ROW",
+        schema=schema,
+    )
+    assert df.count() == 3
+
+
+def test_missing_nested_struct_is_row_of_nulls(spark):
+    """XmlSuite Issue 117: <es></es> parses as a struct of nulls, not a
+    null struct."""
+    rows = (
+        read_xml(spark, f"{RES}/null-nested-struct.xml", rowTag="item")
+        .select("b.es")
+        .collect()
+    )
+    assert rows[1]["es"] is not None
+    assert rows[1]["es"][0] is None
+
+
+def test_mixed_children_2_values(spark):
+    """XmlSuite 'mixed text and complex element children'."""
+    df = read_xml(spark, f"{RES}/mixed_children_2.xml", rowTag="root")
+    assert df.select("foo.bar").first()[0] == " lorem "
+    assert df.select("foo.baz.bing").first()[0] == 2
+    assert df.select("missing").first()[0] == " ipsum "
+
+
+def test_reference_compressed_fixtures(spark):
+    """The reference's own pre-compressed fixtures read transparently."""
+    plain = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
+    expect = {tuple(r) for r in plain.select(*sorted(plain.columns)).collect()}
+    for f in ("cars.xml.gz", "cars.xml.bz2"):
+        df = read_xml(spark, f"{RES}/{f}", rowTag="ROW")
+        got = {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
+        assert got == expect, f
