@@ -393,3 +393,29 @@ def test_reference_compressed_fixtures(spark):
         df = read_xml(spark, f"{RES}/{f}", rowTag="ROW")
         got = {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
         assert got == expect, f
+
+
+def test_mixed_attr_no_child_widening(spark):
+    """XmlSuite 'mixed elements (attributes, no child)': <date> is a
+    valueTag struct in one row, a nested struct in another, absent in the
+    third; the widened schema keeps the _type attribute per row."""
+    df = read_xml(spark, f"{RES}/cars-mixed-attr-no-child.xml", rowTag="ROW")
+    rows = df.orderBy("model").collect()
+    assert len(rows) == 3
+    by_model = {r["model"]: r for r in rows}
+    assert by_model["S"]["date"]["_type"] == "string"
+    assert by_model["E350"]["date"]["_type"] == "struct"
+    assert by_model["Volt"]["date"] is None
+
+
+def test_fias_house_bz2_small_matches_plain(spark):
+    """The reference's small fias bz2 fixture reads identically to its
+    uncompressed twin (the .large variants are covered by the
+    partitioning suite)."""
+    plain = read_xml(spark, f"{RES}/fias_house.xml", rowTag="House")
+    comp = read_xml(spark, f"{RES}/fias_house.xml.bz2", rowTag="House")
+    cols = sorted(plain.columns)
+    assert comp.count() == plain.count() == 37
+    assert {tuple(r) for r in comp.select(*cols).collect()} == {
+        tuple(r) for r in plain.select(*cols).collect()
+    }
