@@ -16,6 +16,7 @@ from spark_xml_spark.operators.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     observed_drop_metrics,
+    restore_aqe_conf,
     simhash,
     simhash_near_dup_pairs,
 )
@@ -42,6 +43,7 @@ from spark_xml_spark.operators.textstats import (
 __all__ = [
     "capped_buckets",
     "observed_drop_metrics",
+    "restore_aqe_conf",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",

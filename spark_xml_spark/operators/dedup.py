@@ -35,7 +35,15 @@ def capped_buckets(grouped: DataFrame, list_col: str, max_bucket: int,
     ``pyspark.sql.Observation`` and after the first action it reports
     ``dropped_buckets`` / ``dropped_members`` (on a cluster the same
     metrics reach any QueryExecutionListener). Stays fully in codegen —
-    no accumulator UDF in the hot path."""
+    no accumulator UDF in the hot path.
+
+    Conf scoping: passing an observation excludes
+    ``AQEPropagateEmptyRelation`` from AQE session-wide so the metrics
+    node cannot be optimized away; the prior ``excludedRules`` value is
+    stashed on the observation and **restored by
+    ``observed_drop_metrics``** once the metrics publish. Read the
+    metrics (or call ``restore_aqe_conf(observation)``) after the action,
+    or the exclusion stays for the session."""
     sz = F.size(list_col)
     if observation is not None:
         # AQE's runtime empty-relation propagation can replace the subtree
@@ -47,13 +55,16 @@ def capped_buckets(grouped: DataFrame, list_col: str, max_bucket: int,
         rule = (
             "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
         )
-        cur = spark.conf.get("spark.sql.adaptive.optimizer.excludedRules", "")
+        key = "spark.sql.adaptive.optimizer.excludedRules"
+        cur = spark.conf.get(key, "")
+        if not getattr(observation, "_sxs_aqe_stash", None):
+            # (spark, prior value) — restored by observed_drop_metrics /
+            # restore_aqe_conf after the observed action has run
+            observation._sxs_aqe_stash = (spark, cur)
         if not cur:
-            spark.conf.set("spark.sql.adaptive.optimizer.excludedRules", rule)
+            spark.conf.set(key, rule)
         elif rule not in cur:
-            spark.conf.set(
-                "spark.sql.adaptive.optimizer.excludedRules", cur + "," + rule
-            )
+            spark.conf.set(key, cur + "," + rule)
         grouped = grouped.observe(
             observation,
             F.count(F.when(sz > max_bucket, 1)).alias("dropped_buckets"),
@@ -64,25 +75,45 @@ def capped_buckets(grouped: DataFrame, list_col: str, max_bucket: int,
     return grouped.filter((sz > 1) & (sz <= max_bucket))
 
 
+def restore_aqe_conf(observation) -> None:
+    """Restore ``spark.sql.adaptive.optimizer.excludedRules`` to the value
+    it had before ``capped_buckets`` stashed it on this observation.
+    Idempotent; no-op for observations never passed to capped_buckets."""
+    stash = getattr(observation, "_sxs_aqe_stash", None)
+    if stash is not None:
+        spark, prior = stash
+        key = "spark.sql.adaptive.optimizer.excludedRules"
+        if prior:
+            spark.conf.set(key, prior)
+        else:
+            spark.conf.unset(key)
+        observation._sxs_aqe_stash = None
+
+
 def observed_drop_metrics(observation, timeout_s: float = 60.0) -> dict:
     """Read the capped_buckets drop metrics from a ``pyspark.sql.
-    Observation`` after an action has run on the returned DataFrame.
+    Observation`` after an action has run on the returned DataFrame, then
+    restore the AQE ``excludedRules`` conf capped_buckets scoped for the
+    query (see its docstring).
 
     Avoids ``Observation.get`` in this PySpark build: its JVM toPyRow
     conversion asserts on the schemaless row an unpublished observation
     returns. Polls the non-blocking JVM map accessor instead."""
     import time
 
-    deadline = time.monotonic() + timeout_s
-    while time.monotonic() < deadline:
-        metrics = dict(observation._jo.getAsJava())
-        if metrics:
-            return metrics
-        time.sleep(0.25)
-    raise TimeoutError(
-        "observed metrics not published; did an action run on the "
-        "observed DataFrame?"
-    )
+    try:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            metrics = dict(observation._jo.getAsJava())
+            if metrics:
+                return metrics
+            time.sleep(0.25)
+        raise TimeoutError(
+            "observed metrics not published; did an action run on the "
+            "observed DataFrame?"
+        )
+    finally:
+        restore_aqe_conf(observation)
 
 
 def _word_shingles(col: Column, n: int) -> Column:
@@ -143,15 +174,18 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity pairs >= threshold via prefix
-    filtering (the AllPairs/PPJoin family): under a global shingle order
-    (ascending document frequency, rarest first), any pair with
-    J(A,B) >= t shares at least one shingle inside both prefixes of length
+    """N-gram Jaccard similarity pairs >= threshold via prefix filtering
+    (the AllPairs/PPJoin family): under a global shingle order (ascending
+    document frequency, rarest first), any pair with J(A,B) >= t shares at
+    least one shingle inside both prefixes of length
     |X| - ceil(t*|X|) + 1, so the inverted-index join only needs those
     prefix shingles. Hot boilerplate shingles rank last and fall OUT of
     prefixes — the quadratic-bucket blowup of a naive shingle join cannot
-    happen, and the result is still exact (candidates are verified with a
-    full array_intersect Jaccard).
+    happen. Exact up to 64-bit hash collisions (~2^-64 per shingle pair):
+    candidate generation runs on xxhash64-hashed shingles, and the verify
+    recomputes Jaccard on the original string arrays, so a collision can
+    only (astronomically rarely) drop a candidate, never admit a false
+    positive.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -159,23 +193,31 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh")
     )
     # candidate generation runs over HASHED shingles: 8-byte longs flow
-    # through the two window shuffles and the inverted-index join instead
-    # of ~n-word strings (4x+ shuffle bytes saved at scale). Still exact:
-    # equal shingles hash equally, so no candidate is lost; a collision
-    # can only ADD a candidate, and the verify below recomputes Jaccard
-    # on the original string arrays.
+    # through the shuffles and the inverted-index join instead of ~n-word
+    # strings (4x+ shuffle bytes saved at scale). array_distinct AFTER
+    # hashing: an in-document hash collision must not consume a prefix
+    # slot (row_number counts every row), which would shorten the distinct
+    # prefix below the AllPairs bound. _sz stays the string-distinct size,
+    # which is >= the hashed size, so the prefix length is conservative
+    # (can only add candidates).
     sh = arrays.select(
         "_id",
         F.size("_sh").alias("_sz"),
-        F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_s"),
+        F.explode(
+            F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s)))
+        ).alias("_s"),
     )
-    # document frequency as a window over the exploded shingles: one shuffle
-    # keyed by shingle serves as both the groupBy and the join-back that a
-    # separate doc_freq aggregate would need (same result, one less shuffle)
-    freq_w = Window.partitionBy("_s")
+    # document frequency via groupBy + join-back, NOT Window.partitionBy(_s):
+    # a window over the exploded shingles sends a hot (boilerplate) shingle's
+    # entire posting list to ONE task, and AQE cannot split a window
+    # partition. The groupBy collapses hot keys map-side before its
+    # exchange, and the join-back on _s is a plain equi-join that AQE
+    # skew-join CAN split (the freq side is one row per distinct shingle,
+    # typically small enough to broadcast anyway).
+    freq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
     w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_s"))
     prefix = (
-        sh.withColumn("_df", F.count("*").over(freq_w))
+        sh.join(freq, "_s")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
         .select("_id", "_s", "_sz")

@@ -303,6 +303,36 @@ def test_bucket_cap_drops_are_observable(spark, embs):
     assert m4["dropped_members"] == 0
 
 
+def test_observed_metrics_restore_aqe_conf(spark):
+    """capped_buckets scopes its AQEPropagateEmptyRelation exclusion to the
+    observed query: after observed_drop_metrics the session's excludedRules
+    conf is back to its prior value (here: unset)."""
+    from pyspark.sql import Observation
+
+    from spark_xml_spark.operators import observed_drop_metrics
+
+    key = "spark.sql.adaptive.optimizer.excludedRules"
+    prior = spark.conf.get(key, "")
+    try:
+        spark.conf.unset(key)
+        docs = spark.createDataFrame(
+            [(i, "same words repeated here for everyone") for i in range(10)],
+            "doc_id long, text string",
+        )
+        obs = Observation("conf_restore")
+        minhash_lsh_candidates(
+            docs, "doc_id", "text", max_bucket=200, observation=obs
+        ).count()
+        # during the query the rule is excluded...
+        assert "AQEPropagateEmptyRelation" in spark.conf.get(key, "")
+        observed_drop_metrics(obs)
+        # ...and restored (unset) afterwards
+        assert spark.conf.get(key, "") == ""
+    finally:
+        if prior:
+            spark.conf.set(key, prior)
+
+
 def test_cosine_pairs_banded_recall_and_cap(embs):
     # planted near-identical copies must all be retrieved by the banded
     # signature join; a >cap bucket of identical vectors must be dropped
