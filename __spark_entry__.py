@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spark_xml_spark.functions.xml_functions import from_xml, to_xml
+from spark_xml_spark.functions.xml_functions import (
+    from_xml,
+    from_xml_string,
+    to_xml,
+)
 from spark_xml_spark.operators import (
     add_fingerprint,
     add_language_id,
@@ -648,6 +652,34 @@ def q_from_xml_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.sum(F.col("p._corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
         F.sum(F.col("p.src").isNotNull().cast("long")).alias("n_parsed"),
+    )
+
+
+def q_from_xml_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 from_xml_string: driver-side single-record parse (reference
+    package.scala:154-157) of a fragment with attributes, a nested struct
+    and an array; every parsed field parameterizes a distributed
+    filter-aggregate so the oracle checks the parse end-to-end."""
+    row = from_xml_string(
+        '<q lo="101" hi="1400">'
+        "<seg>BUILDING</seg><nations><k>3</k><k>9</k><k>14</k></nations></q>",
+        "struct<_lo:bigint,_hi:bigint,seg:string,"
+        "nations:struct<k:array<bigint>>>",
+    )
+    c = _parquet(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            (F.col("c_custkey") >= F.lit(row["_lo"]))
+            & (F.col("c_custkey") <= F.lit(row["_hi"]))
+            & (F.col("c_mktsegment") == F.lit(row["seg"]))
+            & F.col("c_nationkey").isin(list(row["nations"]["k"]))
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .select(F.lit(row["seg"]).alias("seg"), "n", "min_key", "max_key")
     )
 
 
@@ -1283,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_ddl_sql": q_xml_ddl_sql,
         "from_xml_parse": q_from_xml_parse,
         "from_xml_corrupt": q_from_xml_corrupt,
+        "from_xml_string": q_from_xml_string,
         "to_xml_generate": q_to_xml_generate,
         "schema_infer": q_schema_infer,
         "xsd_schema": q_xsd_schema,
@@ -1514,6 +1547,14 @@ def oracle_sql() -> dict[str, str]:
                    MIN(event_id) AS min_id
             FROM events GROUP BY event_type
             ORDER BY event_type
+        """,
+        "from_xml_string": """
+            SELECT 'BUILDING' AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+            FROM customer
+            WHERE c_custkey BETWEEN 101 AND 1400
+              AND c_mktsegment = 'BUILDING'
+              AND c_nationkey IN (3, 9, 14)
         """,
         "from_xml_corrupt": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_total,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional, Union
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -85,13 +85,33 @@ def from_xml(
     return parse_one(col)
 
 
+def _tuple_to_row(value, dt: T.DataType):
+    """Recursively convert parse_record's plain tuples into pyspark Rows so
+    callers get named-field access (the reference returns a Row,
+    package.scala:154-157)."""
+    if value is None:
+        return None
+    if isinstance(dt, T.StructType):
+        return Row(**{
+            f.name: _tuple_to_row(v, f.dataType)
+            for f, v in zip(dt.fields, value)
+        })
+    if isinstance(dt, T.ArrayType):
+        return [_tuple_to_row(v, dt.elementType) for v in value]
+    if isinstance(dt, T.MapType):
+        return {k: _tuple_to_row(v, dt.valueType) for k, v in value.items()}
+    return value
+
+
 def from_xml_string(
     xml: str, schema: Union[str, T.StructType], options: Optional[dict] = None
 ):
-    """Driver-side single-record parse (reference package.scala:154-157)."""
+    """Driver-side single-record parse (reference package.scala:154-157).
+    Returns a ``pyspark.sql.Row`` (nested structs as Rows) or None when the
+    record is dropped by the parse-mode policy."""
     dt = _as_schema(schema)
     xo = XmlOptions.from_dict(options or {})
-    return parser.parse_record(xml, dt, xo)
+    return _tuple_to_row(parser.parse_record(xml, dt, xo), dt)
 
 
 def to_xml(

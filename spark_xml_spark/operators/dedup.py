@@ -153,8 +153,18 @@ def exact_dedup(
     a semi-join, both map-side combinable.
     """
     cols = list(cols) if cols else [c for c in df.columns if c != id_col]
+    # concat_ws SKIPS null arguments, which would hash NULL identically to
+    # '' (SQL DISTINCT keeps them apart) — encode an isnull flag per
+    # column; must match streaming.dedup._with_content_hash exactly.
+    parts = [
+        F.concat(
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.coalesce(F.col(c).cast("string"), F.lit("")),
+        )
+        for c in cols
+    ]
     hashed = df.withColumn(
-        "_content_hash", F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+        "_content_hash", F.sha2(F.concat_ws("\x1f", *parts), 256)
     )
     if id_col is None:
         return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")

@@ -33,12 +33,19 @@ _HASH_COL = "_content_hash"
 
 
 def _with_content_hash(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    # concat_ws SKIPS null arguments, which would hash NULL identically to
+    # '' (SQL DISTINCT keeps them apart). Encode each column as an
+    # isnull flag + coalesced value so NULL and '' stay distinct; must
+    # match operators.dedup.exact_dedup's encoding exactly.
+    parts = [
+        F.concat(
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.coalesce(F.col(c).cast("string"), F.lit("")),
+        )
+        for c in cols
+    ]
     return df.withColumn(
-        _HASH_COL,
-        F.sha2(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]),
-            256,
-        ),
+        _HASH_COL, F.sha2(F.concat_ws("\x1f", *parts), 256)
     )
 
 

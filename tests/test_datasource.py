@@ -170,6 +170,10 @@ def test_from_xml_string_driver():
         "struct<age:struct<_VALUE:bigint,_born:date>,name:string>",
     )
     assert row == ((25, dt.date(1990, 2, 24)), "H")
+    # named-field access (reference returns a Row, package.scala:154-157)
+    assert row["name"] == "H"
+    assert row["age"]["_VALUE"] == 25
+    assert row["age"]["_born"] == dt.date(1990, 2, 24)
 
 
 def test_to_xml_from_xml_inverse(spark):

@@ -79,6 +79,22 @@ def test_exact_dedup(docs):
     assert got == expected
 
 
+def test_exact_dedup_null_vs_empty(spark):
+    """NULL and '' are distinct content under SQL DISTINCT semantics; the
+    content hash must keep them apart (concat_ws alone would merge them).
+    Same for adjacent-column boundary ambiguity ('a',NULL) vs (NULL,'a')."""
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, "", "x"), (3, "a", None), (4, None, "a")],
+        "doc_id long, t1 string, t2 string",
+    )
+    out = exact_dedup(df, cols=["t1", "t2"], id_col="doc_id")
+    assert out.count() == 4
+
+    from spark_xml_spark.streaming import dedup_stream_exact
+
+    assert dedup_stream_exact(df, cols=["t1", "t2"]).count() == 4
+
+
 def test_ngram_jaccard_exact(docs):
     rows = docs.collect()
     expected = _py_jaccard_pairs(rows, n=3, threshold=0.5)
