@@ -464,7 +464,13 @@ def _scan_tag_end(buf: _Buffer, i: int) -> Tuple[int, bool]:
     while True:
         b = buf.byte_at(p)
         if b is None or p > limit:
-            if quote and j != -1:  # unbalanced quote: quote-naive fallback
+            # degrade to the quote-naive rule when a quote is unbalanced
+            # (EOF or bound) OR the size bound was hit with quotes balanced
+            # (an over-long but well-formed tag must not silently vanish —
+            # the first '>' mis-frames at worst, exactly what the reference
+            # would do). EOF with balanced quotes stays -1: the tag is
+            # genuinely unterminated (split/stream boundary).
+            if j != -1 and (quote or p > limit):
                 head = buf.slice(i + 1, j)
                 return j + 1, head.rstrip(b" \t\r\n").endswith(b"/")
             return -1, False

@@ -221,6 +221,77 @@ def test_save_xz_deflate_codecs(spark, tmp_path):
         assert got == expect, codec
 
 
+def test_codec_spellings_unconditional():
+    """Option validation accepts zstd/lz4/snappy spellings regardless of
+    which backends this process can import (driver and executor envs must
+    agree on the accepted set); a missing backend fails at USE time with
+    an install hint, not at option-parse time."""
+    from spark_xml_spark.xmlcore import codecs as C
+
+    for spelling, canon in (
+        ("zstd", "zstd"),
+        ("ZStandardCodec", "zstd"),
+        ("org.apache.hadoop.io.compress.SnappyCodec", "snappy"),
+        ("snappy", "snappy"),
+        ("lz4", "lz4"),
+    ):
+        assert C.normalize(spelling) == canon
+    # sniffing is unconditional too
+    assert C.compression_of("part-0.xml.zst") == "zstd"
+    assert C.compression_of("part-0.xml.snappy") == "snappy"
+
+
+def test_codec_missing_backend_use_time_error(monkeypatch):
+    import io as _io
+
+    import pytest
+
+    from spark_xml_spark.xmlcore import codecs as C
+
+    monkeypatch.setattr(C, "_zstd", None)
+    with pytest.raises(ValueError, match="zstandard"):
+        C.wrap_write(_io.BytesIO(), "zstd")
+    with pytest.raises(ValueError, match="zstandard"):
+        C.wrap_read(_io.BytesIO(), "zstd")
+
+
+def test_hadoop_snappy_framing_roundtrip():
+    """Hadoop BlockCompressorStream framing: multi-block payload (> one
+    256 KiB block) round-trips, and the on-disk layout starts with the
+    BE4 uncompressed block length Hadoop readers expect."""
+    import io as _io
+    import struct as _struct
+
+    import pytest
+
+    from spark_xml_spark.xmlcore import codecs as C
+
+    try:
+        C._snappy_backend()
+    except ValueError:
+        pytest.skip("no snappy backend in this env")
+    payload = (b"<ROW><a>snappy snappy</a></ROW>\n" * 20000)  # ~640 KiB
+    raw = _io.BytesIO()
+    w = C.wrap_write(raw, "snappy")
+    w.write(payload)
+    w.close()
+    data = raw.getvalue()
+    (first_block_len,) = _struct.unpack(">I", data[:4])
+    assert first_block_len == C._SNAPPY_BLOCK  # full first block
+    raw.seek(0)
+    assert C.wrap_read(raw, "snappy").read() == payload
+    # chunked reads agree with the one-shot read
+    raw.seek(0)
+    r = C.wrap_read(raw, "snappy")
+    chunks = []
+    while True:
+        c = r.read(12345)
+        if not c:
+            break
+        chunks.append(c)
+    assert b"".join(chunks) == payload
+
+
 def test_deflate_bytes_are_zlib(spark, tmp_path):
     """.deflate output is a plain zlib stream (what Hadoop DefaultCodec
     writes), decodable without this library."""
@@ -246,11 +317,15 @@ def test_save_zstd_lz4_codecs(spark, tmp_path):
 
     available = [
         (codec, ext)
-        for codec, ext in (("zstd", ".xml.zst"), ("lz4", ".xml.lz4"))
+        for codec, ext in (
+            ("zstd", ".xml.zst"),
+            ("lz4", ".xml.lz4"),
+            ("snappy", ".xml.snappy"),
+        )
         if codec in C.WRITE_SUFFIX and _codec_importable(codec)
     ]
     if not available:
-        pytest.skip("zstandard / lz4 modules not installed in this env")
+        pytest.skip("zstandard / lz4 / snappy backends not in this env")
     cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
     expect = {tuple(r) for r in cars.select(*sorted(cars.columns)).collect()}
     for codec, ext in available:
@@ -264,6 +339,14 @@ def test_save_zstd_lz4_codecs(spark, tmp_path):
 
 
 def _codec_importable(codec: str) -> bool:
+    if codec == "snappy":
+        from spark_xml_spark.xmlcore import codecs as C
+
+        try:
+            C._snappy_backend()
+            return True
+        except ValueError:
+            return False
     mod = {"zstd": "zstandard", "lz4": "lz4.frame"}[codec]
     try:
         __import__(mod)
@@ -272,17 +355,19 @@ def _codec_importable(codec: str) -> bool:
         return False
 
 
-def test_optional_codec_spellings_rejected_when_module_missing(spark, tmp_path):
-    """When zstandard/lz4 are not importable their spellings must fail at
-    option-parse time like any unsupported codec (never silently write
-    uncompressed bytes under a .zst/.lz4 name)."""
+def test_optional_codec_missing_backend_fails_at_use_time(spark, tmp_path):
+    """When a zstd/lz4/snappy backend is not importable the spelling still
+    VALIDATES (the accepted-option set must not depend on this process's
+    environment) and the write fails loudly with an install hint — never
+    silently writing uncompressed bytes under a compressed extension."""
     import pytest
 
     cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
-    for codec in ("zstd", "lz4"):
+    for codec, hint in (("zstd", "zstandard"), ("lz4", "lz4"),
+                        ("snappy", "snappy")):
         if _codec_importable(codec):
             continue
-        with pytest.raises(Exception, match="[Uu]nsupported compression"):
+        with pytest.raises(Exception, match=hint):
             write_xml(cars, str(tmp_path / f"bad_{codec}"), rowTag="ROW",
                       compression=codec)
 
@@ -293,7 +378,7 @@ def test_unknown_codec_rejected(spark, tmp_path):
 
     cars = read_xml(spark, f"{RES}/cars.xml", rowTag="ROW")
     with pytest.raises(Exception, match="[Uu]nsupported compression"):
-        write_xml(cars, str(tmp_path / "bad"), rowTag="ROW", compression="snappy")
+        write_xml(cars, str(tmp_path / "bad"), rowTag="ROW", compression="brotli")
 
 
 def test_indent_pretty_print_roundtrip(spark, tmp_path):

@@ -445,6 +445,23 @@ def test_tokenizer_end_tag_inside_quoted_attr():
     assert _scan(doc) == ['<ROW><a note="</ROW>">x</a></ROW>', "<ROW><b>2</b></ROW>"]
 
 
+def test_tokenizer_overlong_balanced_tag_degrades(monkeypatch):
+    # a start tag longer than _MAX_TAG_BYTES with BALANCED quotes must
+    # degrade to the quote-naive first-'>' rule, not silently drop the
+    # record (bound shrunk so the test stays fast)
+    monkeypatch.setattr(tokenizer, "_MAX_TAG_BYTES", 64)
+    big_attr = "x " * 60  # > 64 bytes of quoted attribute value, no '>'
+    doc = f'<ROWS><ROW a="{big_attr}"><v>1</v></ROW><ROW><v>2</v></ROW></ROWS>'
+    recs = _scan(doc)
+    assert recs == [f'<ROW a="{big_attr}"><v>1</v></ROW>', "<ROW><v>2</v></ROW>"]
+    # unbalanced quote beyond the bound still recovers via the same rule:
+    # the mis-framed record surfaces (for the parser's mode policy) and the
+    # NEXT record is intact
+    doc2 = f'<ROWS><ROW a="{big_attr}<v>1</v></ROW><ROW><v>2</v></ROW></ROWS>'
+    recs2 = _scan(doc2)
+    assert recs2[-1] == "<ROW><v>2</v></ROW>"
+
+
 def test_tokenizer_split_ownership(tmp_path):
     # records straddling split boundaries are read exactly once
     rows = "".join(f"<ROW><v>{i:04d}</v></ROW>\n" for i in range(200))
