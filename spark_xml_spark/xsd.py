@@ -36,6 +36,8 @@ from spark_xml_spark.options import DEFAULT_WILDCARD_COL_NAME
 
 XS_NS = "http://www.w3.org/2001/XMLSchema"
 _XS = "{%s}" % XS_NS
+XSI_NS = "http://www.w3.org/2001/XMLSchema-instance"
+_XSI_NIL = "{%s}nil" % XSI_NS
 _UNBOUNDED = 1 << 30
 
 
@@ -64,6 +66,24 @@ class _XsdModel:
         self.root_elements: List[ET.Element] = []
         self.elements_by_name: Dict[str, ET.Element] = {}
         self.types_by_name: Dict[str, ET.Element] = {}
+        # head element name -> global member element names declared with
+        # substitutionGroup="head" (one hop; walk transitively via
+        # substitution_members)
+        self.substitutions_by_head: Dict[str, List[str]] = {}
+
+    def substitution_members(self, head: str) -> List[str]:
+        """All global element names substitutable for ``head``
+        (transitive: a member can itself head a substitution group)."""
+        out: List[str] = []
+        seen = {head}
+        stack = [head]
+        while stack:
+            for m in self.substitutions_by_head.get(stack.pop(), ()):
+                if m not in seen:
+                    seen.add(m)
+                    out.append(m)
+                    stack.append(m)
+        return out
 
     @classmethod
     def load(cls, source: str, base_dir: Optional[str] = None) -> "_XsdModel":
@@ -91,6 +111,11 @@ class _XsdModel:
                 name = child.get("name")
                 if name:
                     self.elements_by_name[name] = child
+                    sg = child.get("substitutionGroup")
+                    if sg:
+                        self.substitutions_by_head.setdefault(
+                            _local(sg), []
+                        ).append(name)
             elif kind in ("complexType", "simpleType"):
                 name = child.get("name")
                 if name:
@@ -195,17 +220,21 @@ def _element_field(
     (XSDToSchema.scala:211-264). maxOccurs>1 wraps in ArrayType; nullable =
     minOccurs==0 (always true inside xs:choice)."""
     ref = el.get("ref")
+    nillable = el.get("nillable") == "true"
     if ref is not None:
         target = model.elements_by_name.get(_local(ref))
         if target is None:
             raise ValueError(f"unresolved element ref: {ref}")
         base = _element_type(model, target)
         name = _local(ref)
+        nillable = nillable or target.get("nillable") == "true"
     else:
         base = _element_type(model, el)
         name = el.get("name")
     dt: T.DataType = T.ArrayType(base) if _max_occurs(el) > 1 else base
-    nullable = True if force_nullable else _min_occurs(el) == 0
+    # nillable elements may be xsi:nil in any instance, so the field must
+    # be nullable regardless of minOccurs
+    nullable = force_nullable or nillable or _min_occurs(el) == 0
     return T.StructField(name, dt, nullable)
 
 
@@ -511,7 +540,11 @@ class _Validator:
     content model is sequences all the way down (choice/all levels keep
     order free); xs:unique / xs:key / xs:keyref identity constraints are
     enforced over the common XPath subset, keyrefs resolved document-wide
-    after traversal. For full W3C schema processing install the PyPI
+    after traversal. Substitution groups (transitive, abstract heads
+    rejected, members pooled into the head's occurrence bounds and
+    sequence position) and nillable/xsi:nil are honored. Still out of
+    scope: xs:redefine and full facet semantics on every built-in type.
+    For full W3C schema processing install the PyPI
     ``xmlschema`` package and validate rows with it instead; this
     built-in keeps the engine dependency-free."""
 
@@ -527,6 +560,10 @@ class _Validator:
         if decl is None:
             raise XsdValidationError(
                 f"no global element declaration for <{root.tag}>"
+            )
+        if decl.get("abstract") == "true":
+            raise XsdValidationError(
+                f"<{root.tag}> is abstract; use a substitution-group member"
             )
         # document-scope identity-constraint state: keys collected during
         # traversal, keyrefs deferred until every key set is known (a
@@ -579,6 +616,24 @@ class _Validator:
                 raise XsdValidationError(f"unresolved ref {ref}")
             self._validate_element(node, target, ctx)
             return
+        nil = node.get(_XSI_NIL)
+        if nil is not None:
+            nil = nil.strip()
+            if nil not in ("true", "false", "1", "0"):
+                raise XsdValidationError(
+                    f"<{node.tag}>: '{nil}' is not a valid xsi:nil value"
+                )
+            if nil in ("true", "1"):
+                if decl.get("nillable") != "true":
+                    raise XsdValidationError(
+                        f"<{node.tag}> carries xsi:nil but is not declared "
+                        "nillable"
+                    )
+                if len(node) or (node.text or "").strip():
+                    raise XsdValidationError(
+                        f"nil <{node.tag}> must have no content"
+                    )
+                return  # content model skipped for a valid nil element
         self._check_identity_constraints(node, decl, ctx)
         kind, content, restriction = self._resolve_content(decl)
         if kind == "simple":
@@ -679,6 +734,13 @@ class _Validator:
         else:
             parts.append(_find_particle(ct))
         order: Dict[str, int] = {}
+        # substitution groups: a particle REFERENCING a global head element
+        # also admits every global element declared with
+        # substitutionGroup=head (transitively); members count against the
+        # head's occurrence bounds and sequence position, and validate
+        # against their own declarations (javax.xml.validation parity)
+        subst: Dict[str, str] = {}
+        abstract: set = set()
         pure_sequence = True  # every particle a plain (nested) sequence
         for particle in parts:
             if particle is None:
@@ -691,6 +753,12 @@ class _Validator:
                     name = item.get("name") or _local(item.get("ref"))
                     decls[name] = (item, _min_occurs(item), _max_occurs(item))
                     order.setdefault(name, len(order))
+                    if item.get("ref") is not None:
+                        g = self.model.elements_by_name.get(name)
+                        if g is not None and g.get("abstract") == "true":
+                            abstract.add(name)
+                        for m in self.model.substitution_members(name):
+                            subst.setdefault(m, name)
                 elif ik == "any":
                     wildcards.append((_min_occurs(item), _max_occurs(item)))
         counts: Dict[str, int] = {}
@@ -699,17 +767,28 @@ class _Validator:
         last_idx = -1
         for child in node:
             local = _inst_local(child.tag)
-            if local in decls:
-                counts[local] = counts.get(local, 0) + 1
+            if local in decls or local in subst:
+                head = local if local in decls else subst[local]
+                if local in abstract:
+                    raise XsdValidationError(
+                        f"<{local}> is abstract; use a substitution-group "
+                        "member"
+                    )
+                counts[head] = counts.get(head, 0) + 1
                 if enforce_order:
-                    idx = order[local]
+                    idx = order[head]
                     if idx < last_idx:
                         raise XsdValidationError(
                             f"<{local}> out of xs:sequence order inside "
                             f"<{node.tag}>"
                         )
                     last_idx = idx
-                self._validate_element(child, decls[local][0], ctx)
+                child_decl = (
+                    decls[local][0]
+                    if local in decls
+                    else self.model.elements_by_name[local]
+                )
+                self._validate_element(child, child_decl, ctx)
             elif wildcards:
                 wildcard_used += 1
             else:

@@ -544,3 +544,84 @@ def test_identity_unique_with_element_field(tmp_path):
     v("<catalog><item/><item/></catalog>")
     with pytest.raises(XsdValidationError, match="unique"):
         v("<catalog><item><name>x</name></item><item><name>x</name></item></catalog>")
+
+
+def test_nillable_elements(tmp_path):
+    """xsi:nil='true' is valid only on elements declared nillable, must
+    have no content, and skips the content-model check (javax.xml
+    parity); nillable also forces nullable in xsd_to_schema."""
+    p = tmp_path / "nil.xsd"
+    p.write_text("""<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="rec">
+    <xs:complexType><xs:sequence>
+      <xs:element name="qty" type="xs:long" nillable="true"/>
+      <xs:element name="name" type="xs:string"/>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>""")
+    v = get_validator(str(p))
+    xsi = 'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"'
+    v(f'<rec {xsi}><qty xsi:nil="true"/><name>a</name></rec>')
+    v("<rec><qty>5</qty><name>a</name></rec>")
+    # nil with content
+    with pytest.raises(XsdValidationError, match="no content"):
+        v(f'<rec {xsi}><qty xsi:nil="true">5</qty><name>a</name></rec>')
+    # nil on a non-nillable element
+    with pytest.raises(XsdValidationError, match="not declared nillable"):
+        v(f'<rec {xsi}><qty>1</qty><name xsi:nil="true"/></rec>')
+    # malformed nil value
+    with pytest.raises(XsdValidationError, match="xsi:nil"):
+        v(f'<rec {xsi}><qty xsi:nil="maybe"/><name>a</name></rec>')
+    # lexical check still applies when not nil
+    with pytest.raises(XsdValidationError, match="xs:long"):
+        v("<rec><qty>five</qty><name>a</name></rec>")
+    schema = xsd_to_schema(str(p))
+    rec = schema["rec"].dataType
+    assert rec["qty"].nullable is True  # nillable despite minOccurs=1
+    assert rec["name"].nullable is False
+
+
+_SUBST_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="vehicle" abstract="true" type="xs:string"/>
+  <xs:element name="car" substitutionGroup="vehicle" type="xs:string"/>
+  <xs:element name="ev" substitutionGroup="car" type="xs:string"/>
+  <xs:element name="fleet">
+    <xs:complexType><xs:sequence>
+      <xs:element ref="vehicle" minOccurs="1" maxOccurs="2"/>
+      <xs:element name="depot" type="xs:string"/>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+def test_substitution_groups(tmp_path):
+    """A particle referencing a head element admits substitution-group
+    members (transitively); members count against the head's occurrence
+    bounds and sequence position; an abstract head cannot appear itself."""
+    p = tmp_path / "subst.xsd"
+    p.write_text(_SUBST_XSD)
+    v = get_validator(str(p))
+    v("<fleet><car>a</car><depot>d</depot></fleet>")
+    v("<fleet><ev>e</ev><car>a</car><depot>d</depot></fleet>")  # transitive
+    # abstract head used directly
+    with pytest.raises(XsdValidationError, match="abstract"):
+        v("<fleet><vehicle>x</vehicle><depot>d</depot></fleet>")
+    # occurrence bounds pool across members (maxOccurs=2)
+    with pytest.raises(XsdValidationError, match="maxOccurs"):
+        v("<fleet><car>a</car><ev>b</ev><car>c</car><depot>d</depot></fleet>")
+    # minOccurs=1 still enforced when no member appears
+    with pytest.raises(XsdValidationError, match="minOccurs|fewer"):
+        v("<fleet><depot>d</depot></fleet>")
+    # members obey the head's sequence position
+    with pytest.raises(XsdValidationError, match="order"):
+        v("<fleet><depot>d</depot><car>a</car></fleet>")
+    # a member still validates against its own type
+    with pytest.raises(XsdValidationError, match="undeclared"):
+        v("<fleet><truck>a</truck><depot>d</depot></fleet>")
+    # abstract global root rejected
+    with pytest.raises(XsdValidationError, match="abstract"):
+        v("<vehicle>x</vehicle>")
+    # substitution member as document root is a global element: valid
+    v("<car>x</car>")
