@@ -93,8 +93,10 @@ def main() -> None:
         "dedup_jaccard",
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_embedding",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "text_tokens",
         "text_langid",
         "text_fingerprint",

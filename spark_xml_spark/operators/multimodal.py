@@ -4,11 +4,11 @@ frame-sample plumbing.
 
 The Spark-side design is real and tested: BinaryType payload column,
 metadata struct (byte_len, magic, sha), `mapInPandas` feature extraction
-with bounded Arrow batches. The actual media decoding is STUBBED — the
-image/audio libraries are not in this container — behind
-``decode_image(..., impl=...)``: the default impl raises
-NotImplementedError; tests inject a deterministic fake. Swapping in a real
-decoder (PIL/torchaudio) changes ONE function, not the pipeline.
+with bounded Arrow batches. Image HEADER decoding (format/width/height
+for PNG/GIF/JPEG) is real and pure-stdlib (``default_image_decoder``);
+PIXEL decoding is the one injectable seam — the image/audio libraries are
+not in this container — so swapping in a real decoder (PIL/torchaudio)
+changes ONE function, not the pipeline.
 
 Scale notes: payloads never pass through Python except inside the Arrow
 batches of the explicitly-invoked extract step; metadata derivation is
@@ -65,11 +65,47 @@ def synthesize_payload(col: Column, kind: str = "image/png") -> Column:
     return F.concat(F.lit(bytearray(prefix)), F.encode(col, "utf-8"))
 
 
-def default_image_decoder(payload: bytes) -> "object":
-    """Replace with a real decoder (e.g. PIL.Image.open) when available."""
+def default_image_decoder(payload: bytes) -> dict:
+    """Pure-stdlib image HEADER decoder: real width/height/format for PNG
+    (IHDR chunk), GIF (logical screen descriptor) and JPEG (SOF scan) —
+    no media library needed. Pixel decoding still requires a real library
+    (PIL etc.); inject it via the ``decoder``/``resizer`` seams. Raises
+    NotImplementedError for formats this header parse doesn't cover, so
+    the injectable-seam contract is unchanged for them."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        bit_depth, color_type = payload[24], payload[25]
+        return {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "bit_depth": bit_depth,
+            "color_type": color_type,
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if payload[:3] == b"\xff\xd8\xff":
+        # walk JPEG segments to the first SOFn frame header
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            i += 2 + seg_len
+        raise ValueError("corrupt JPEG: no SOF frame header found")
     raise NotImplementedError(
-        "media decoding requires an image library not present in this "
-        "environment; inject impl= with a real or fake decoder"
+        "full media decoding requires an image library not present in "
+        "this environment; inject impl= with a real or fake decoder"
     )
 
 

@@ -408,3 +408,51 @@ def test_resize_images_plumbing(spark, docs):
 
     nulls = resize_images(with_payload, width=8, height=4, resizer=bad).collect()
     assert all(r["payload"] is None for r in nulls)
+
+
+def test_default_image_decoder_headers():
+    """default_image_decoder parses real dimensions from PNG IHDR, GIF
+    screen descriptor, and JPEG SOF — pure stdlib, no media libs."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from spark_xml_spark.operators.multimodal import default_image_decoder
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # fully valid 3x2 grayscale PNG
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * 3 for _ in range(2))  # filter + row
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    meta = default_image_decoder(png)
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", 3, 2)
+    assert meta["bit_depth"] == 8
+
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00" * 3
+    assert default_image_decoder(gif) == {
+        "format": "gif", "width": 640, "height": 480
+    }
+
+    # minimal JPEG: SOI, APP0, SOF0 (height=7, width=9), EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 7, 9) + b"\x01\x01\x11\x00"
+    )
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    meta = default_image_decoder(jpeg)
+    assert (meta["format"], meta["width"], meta["height"]) == ("jpeg", 9, 7)
+
+    with pytest.raises(NotImplementedError):
+        default_image_decoder(b"RIFF....WAVE")
