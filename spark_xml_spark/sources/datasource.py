@@ -409,13 +409,17 @@ def _py_cast_column(vals, caster, target_type):
     )
 
 
-def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None):
+def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None,
+                 is_attr=False):
     """One column of raw strings -> Arrow array. C casts when provably
     equivalent; Python casters otherwise. Raises (ValueError /
     parser fallback) only from the Python casters — the caller then
     re-runs the whole batch through the exact row path so the parse-mode
     policy applies. ``guards`` defaults to the conservative option-free
-    set; pass _cast_guards(xopts) for the option-aware set."""
+    set; pass _cast_guards(xopts) for the option-aware set. ``is_attr``
+    columns carry ATTRIBUTE cell semantics: an empty value is NOT
+    null-coerced (plain cast_to — raises for non-string scalars, which
+    must surface through the row path's parse policy)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -427,6 +431,11 @@ def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None):
         return arr  # defaults only (see _columnar_ok): "" stays "", no nullValue
     empties = pc.equal(arr, "")
     if pc.any(empties).as_py():
+        if is_attr:
+            # empty attribute on a non-string scalar: the generic path
+            # raises from cast_to -> parse policy; route via the Python
+            # caster so the caller re-runs the batch on the row path
+            return _py_cast_column(vals, caster, target_type)
         # empty element -> null for every non-string scalar (row-path END
         # branch); whitespace-only is NOT empty and falls to the casters
         arr = pc.if_else(empties, pa.scalar(None, pa.string()), arr)
@@ -463,7 +472,7 @@ def _collect_columns(batch, pat, group_map, ncols):
     transpose the captured field strings into columns. None when any
     record needs the real parser (no match, or entity references)."""
     cols: List[list] = [[] for _ in range(ncols)]
-    pairs = [(g - 1, i) for g, i in group_map]
+    pairs = [(g - 1, i) for g, i, _is_attr in group_map]
     mapped = {i for _, i in pairs}
     for rec in batch:
         if "&" in rec:
@@ -521,14 +530,16 @@ def _columnar_flat_batches(
         if cols is None:
             yield from row_path(batch)
             continue
+        attr_cols = {i for _g, i, is_attr in fast.group_map if is_attr}
         try:
             arrays = [
                 _cast_column(
                     cols[i],
                     fields[i].dataType,
-                    fast.casters[i],
+                    (fast.attr_casters if i in attr_cols else fast.casters)[i],
                     arrow_schema.field(i).type,
                     guards,
+                    is_attr=i in attr_cols,
                 )
                 for i in range(ncols)
             ]

@@ -351,37 +351,58 @@ import re as _re
 
 # Regex-path guards: any record containing attributes/entities/CDATA/
 # comments/PIs/self-closing tags drops to the expat path (whose anomaly
-# handling is in turn backed by the generic parser).
+# handling is in turn backed by the generic parser). A '=' inside the ROOT
+# open tag alone is re-tried by the attribute-aware branch of _parse_regex.
 _FLAT_DISQUALIFIER = _re.compile(r"[=&]|<!|/>|<\?")
 # One flat field: <tag>text-without-markup</tag> (closing name must match).
 _FLAT_FIELD = _re.compile(r"<([^\s>/]+)>([^<]*)</\1>")
+# Root open tag with optional attributes: <name a="v" b='v'>. The name must
+# start like an XML name so comments/PIs can never match; attr values are
+# quote-delimited and may not contain markup ('<' and '&' are always escaped
+# by conformant writers, and '&' already routed the record to expat).
+_ROOT_OPEN_ATTRS = _re.compile(
+    r"\s*<([A-Za-z_:][^\s>/=]*)((?:\s+[^\s=>/]+=(?:\"[^\"<]*\"|'[^'<]*'))*)\s*>"
+)
+# One attribute inside the captured blob; exactly one of the two value
+# groups is non-None (double- vs single-quoted).
+_ATTR_PAIR = _re.compile(r"([^\s=>/]+)=(?:\"([^\"<]*)\"|'([^'<]*)')")
+# Attribute-free root open tag (the '=' disqualifier already proved there
+# are no attributes anywhere in the record).
+_ROOT_OPEN_PLAIN = _re.compile(r"\s*<([A-Za-z_:][^\s>/=]*)\s*>")
 
 
 class FastFlatParser:
     """Specialized parser for FLAT all-scalar schemas (no structs, arrays,
-    maps, valueTag, wildcard, or attribute-prefixed fields).
+    maps, valueTag, or wildcard). Attribute-prefixed fields are supported
+    when they name ROOT-element attributes (the only flat-scalar shape an
+    attribute can produce — a child element with attributes infers as a
+    struct and is rejected above).
 
     Two tiers, both falling back to the generic parser on ANY anomaly so
     the parse-mode policy and partial-row behavior are always the generic
     path's:
 
     1. regex tier: one C-speed ``findall`` of ``<tag>text</tag>`` over the
-       record. Valid only when the record has no attributes, entities,
-       CDATA, comments, PIs, or self-closing tags (single pre-scan), and
-       the total ``<`` count proves every element was matched at field
-       depth (nested levels or malformed tags break the arithmetic and
-       drop to tier 2). ~10x over per-event Python callbacks.
+       record. Valid only when the record has no entities, CDATA,
+       comments, PIs, self-closing tags, or attributes outside the root
+       open tag (single pre-scan), and the total ``<`` count proves every
+       element was matched at field depth (nested levels or malformed tags
+       break the arithmetic and drop to tier 2). ~10x over per-event
+       Python callbacks.
     2. expat tier: callbacks fill the row directly, skipping the generic
        event-list machinery (~2x).
 
     Casts are hoisted per field at build time (same code paths as
     ``cast_to``, specialized for the scalar types; anything unusual
-    delegates to ``cast_to`` itself).
+    delegates to ``cast_to`` itself). Attribute cells use the generic
+    attribute semantics (attributes_to_values_map + cast_to), which differ
+    from element cells: an empty attribute value is NOT null-coerced.
     """
 
     __slots__ = (
         "schema", "options", "index", "types", "is_string", "n", "strip_ns",
-        "casters", "seq_pattern", "group_map",
+        "casters", "seq_pattern", "group_map", "attr_index", "attr_casters",
+        "has_attr_fields",
     )
 
     @classmethod
@@ -389,7 +410,9 @@ class FastFlatParser:
         names = [f.name for f in schema.fields]
         if options.wildcard_col_name in names or options.value_tag in names:
             return None
-        if any(n.startswith(options.attribute_prefix) for n in names):
+        prefix = options.attribute_prefix
+        if not prefix and names:
+            # no way to tell attr fields from element fields — stay generic
             return None
         if any(
             isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
@@ -407,10 +430,28 @@ class FastFlatParser:
         self.n = len(schema.fields)
         self.strip_ns = options.ignore_namespace
         self.casters = [self._build_caster(f.dataType) for f in schema.fields]
+        # Root-attribute fields: bare attr name -> field index. With
+        # excludeAttribute the generic path never maps attributes (the
+        # fields can still be hit by literally-named elements), so leave
+        # the map empty to match.
+        prefix = options.attribute_prefix
+        self.attr_index = (
+            {}
+            if options.exclude_attribute
+            else {
+                f.name[len(prefix):]: i
+                for i, f in enumerate(schema.fields)
+                if f.name.startswith(prefix)
+            }
+        )
+        self.has_attr_fields = bool(self.attr_index)
+        self.attr_casters = [
+            self._build_attr_caster(f.dataType) for f in schema.fields
+        ]
         # Tier-0 whole-record pattern, learned from the first clean record:
         # one C-speed match with a capturing group per schema field in the
-        # record's observed tag order (every field optional — null elision
-        # drops tags). Records in a different order fall to tier 1.
+        # record's observed attr+tag order (every field optional — null
+        # elision drops tags). Records in a different order fall to tier 1.
         self.seq_pattern = None
         self.group_map: List[tuple] = []
 
@@ -520,6 +561,28 @@ class FastFlatParser:
 
         return c_generic
 
+    def _build_attr_caster(self, dt: T.DataType):
+        """Per-field ATTRIBUTE converter: attributes_to_values_map's
+        whitespace-to-null (treatEmptyValuesAsNulls) fused with the plain
+        ``cast_to`` the generic path applies to attribute values
+        (StaxXmlParserUtils.scala:92-107 + StaxXmlParser.scala:229-242).
+        Cast failures raise — parse_record re-runs the generic path, which
+        raises the same error into the parse-mode policy."""
+        o = self.options
+        if o.treat_empty_values_as_nulls:
+
+            def c_attr_empty(v, _dt=dt):
+                if v.strip() == "":
+                    return None
+                return cast_to(v, _dt, o)
+
+            return c_attr_empty
+
+        def c_attr(v, _dt=dt):
+            return cast_to(v, _dt, o)
+
+        return c_attr
+
     def parse(self, xml: str) -> tuple:
         # entities need real unescaping -> straight to expat
         if "&" in xml:
@@ -530,10 +593,11 @@ class FastFlatParser:
             if m is not None:
                 row: List[Any] = [None] * self.n
                 casters = self.casters
-                for g, i in self.group_map:
+                attr_casters = self.attr_casters
+                for g, i, is_attr in self.group_map:
                     text = m.group(g)
                     if text is not None:
-                        row[i] = casters[i](text)
+                        row[i] = (attr_casters if is_attr else casters)[i](text)
                 return tuple(row)
         row = self._parse_regex(xml)
         if row is not None:
@@ -543,18 +607,59 @@ class FastFlatParser:
     def _parse_regex(self, xml: str):
         """Tier-1 extraction; None when the record needs a real parser.
         The first success also compiles the tier-0 whole-record pattern."""
+        attrs: list = []
+        body = xml
+        body_extra_lt = 2  # '<' of root open + close tags
+        root = None
         if _FLAT_DISQUALIFIER.search(xml):
-            return None
-        fields = _FLAT_FIELD.findall(xml)
+            # Salvageable only when every '=' lives in the root open tag's
+            # attributes (root attrs map to attributePrefix fields exactly
+            # like the generic path's gather_root_attributes).
+            m = _ROOT_OPEN_ATTRS.match(xml)
+            if m is None or not m.group(2):
+                return None
+            body = xml[m.end():]
+            if _FLAT_DISQUALIFIER.search(body):
+                return None
+            # finditer, not findall: findall folds a non-participating
+            # value group to '' which is indistinguishable from a real
+            # empty value
+            attrs = [
+                (am.group(1), am.group(2) if am.group(2) is not None else am.group(3))
+                for am in _ATTR_PAIR.finditer(m.group(2))
+            ]
+            body_extra_lt = 1  # root open tag already consumed
+            root = m.group(1)
+        else:
+            rm = _ROOT_OPEN_PLAIN.match(xml)
+            if rm is None:
+                return None
+            root = rm.group(1)
+        fields = _FLAT_FIELD.findall(body)
         # Structural proof: a flat record has exactly one '<' per start/end
-        # tag — root open+close plus one pair per matched field. Nested
-        # levels, unmatched closes, or stray markup break the arithmetic.
-        if xml.count("<") != 2 + 2 * len(fields):
+        # tag — root open+close plus one pair per matched field — AND the
+        # record ends with the root's close tag. The count alone can be
+        # fooled by an unclosed tag standing in for the root close
+        # (e.g. "<d><id>1</id><src>"); the suffix check closes that hole.
+        if body.count("<") != body_extra_lt + 2 * len(fields):
+            return None
+        if not body.rstrip().endswith(f"</{root}>"):
             return None
         row: List[Any] = [None] * self.n
         index = self.index
         casters = self.casters
         strip_ns = self.strip_ns
+        # attributes first — matching elements overwrite, as in
+        # convert_object (root attrs set before the element loop)
+        if attrs:
+            attr_index = self.attr_index
+            attr_casters = self.attr_casters
+            for name, value in attrs:
+                if strip_ns and ":" in name:
+                    name = name.rsplit(":", 1)[-1]
+                i = attr_index.get(name, -1)
+                if i >= 0:
+                    row[i] = attr_casters[i](value)
         for tag, text in fields:
             if strip_ns and ":" in tag:
                 tag = tag.rsplit(":", 1)[-1]
@@ -566,20 +671,45 @@ class FastFlatParser:
         return tuple(row)
 
     def _compile_seq_pattern(self, xml: str, tags: List[str]) -> None:
-        root_m = _re.match(r"\s*<([^\s>/]+)>", xml)
+        root_m = _ROOT_OPEN_ATTRS.match(xml)
         if root_m is None:
             self.seq_pattern = None
             return
-        parts = ["\\s*<", _re.escape(root_m.group(1)), ">"]
+        parts = ["\\s*<", _re.escape(root_m.group(1))]
         gmap: List[tuple] = []
         g = 0
+        # element fields seen in this record win over a same-named attr
+        # capture (generic order: attrs first, elements overwrite) — and a
+        # field must never be captured twice or the columnar transpose
+        # would double-append.
+        elem_targets = set()
+        for tag in tags:
+            name = tag.rsplit(":", 1)[-1] if self.strip_ns and ":" in tag else tag
+            i = self.index.get(name, -1)
+            if i >= 0:
+                elem_targets.add(i)
+        for am in _ATTR_PAIR.finditer(root_m.group(2)):
+            name = am.group(1)
+            q = '"' if am.group(2) is not None else "'"
+            esc = _re.escape(name)
+            base = (
+                name.rsplit(":", 1)[-1] if self.strip_ns and ":" in name else name
+            )
+            i = self.attr_index.get(base, -1)
+            if i >= 0 and i not in elem_targets:
+                g += 1
+                gmap.append((g, i, True))
+                parts.append(f"(?:\\s+{esc}={q}([^{q}<]*){q})?")
+            else:
+                parts.append(f"(?:\\s+{esc}={q}[^{q}<]*{q})?")
+        parts.append("\\s*>")
         for tag in tags:
             name = tag.rsplit(":", 1)[-1] if self.strip_ns and ":" in tag else tag
             i = self.index.get(name, -1)
             esc = _re.escape(tag)
             if i >= 0:
                 g += 1
-                gmap.append((g, i))
+                gmap.append((g, i, False))
                 parts.append(f"(?:\\s*<{esc}>([^<]*)</{esc}>)?")
             else:
                 parts.append(f"(?:\\s*<{esc}>[^<]*</{esc}>)?")
@@ -604,7 +734,17 @@ class FastFlatParser:
         def start(name, attrs):
             state[0] += 1
             d = state[0]
-            if d == 2:
+            if d == 1:
+                if attrs and self.attr_index:
+                    # root attributes in document order; same-named child
+                    # elements overwrite later (convert_object order)
+                    for an, av in attrs.items():
+                        if self.strip_ns:
+                            an = an.split(":")[-1]
+                        i = self.attr_index.get(an, -1)
+                        if i >= 0:
+                            row[i] = self.attr_casters[i](av)
+            elif d == 2:
                 if self.strip_ns:
                     name = name.split(":")[-1]
                 i = index.get(name, -1)

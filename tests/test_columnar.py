@@ -154,6 +154,112 @@ def test_qualifier_rejects_non_defaults():
     assert not D._columnar_ok(nested, OPTS)
 
 
+ATTR_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.LongType()),
+        T.StructField("_status", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+def _arec(i='id="1"', s='status="O"', p="12.5"):
+    attrs = " ".join(a for a in (i, s) if a)
+    body = f"<price>{p}</price>" if p is not None else ""
+    return f"<r {attrs}>{body}</r>" if attrs else f"<r>{body}</r>"
+
+
+def test_attr_batch_identical():
+    recs = [_arec(i=f'id="{k}"', p=f"{k}.25") for k in range(100)]
+    rt, ct = _both_paths(recs, ATTR_SCHEMA, OPTS)
+    assert rt.equals(ct)
+    assert ct["_id"].to_pylist()[:3] == [0, 1, 2]
+    assert ct["_status"].to_pylist()[0] == "O"
+
+
+def test_attr_missing_reordered_quotes_entities():
+    recs = [
+        _arec(),
+        _arec(s=""),                              # missing attr -> null
+        '<r status="P" id="4"><price>2.0</price></r>',   # reordered
+        "<r id='5' status='Q'><price>3.0</price></r>",   # single quotes
+        '<r id="6" status="a&amp;b"><price>4.0</price></r>',  # entity
+        '<r id="7" status=""><price>5.0</price></r>',    # empty string attr
+        '<r id="8" status="X" extra="z"><price>6.0</price></r>',  # unmapped
+    ]
+    rt, ct = _both_paths(recs, ATTR_SCHEMA, OPTS)
+    assert rt.equals(ct)
+    assert ct["_id"].to_pylist() == [1, 1, 4, 5, 6, 7, 8]
+    assert ct["_status"].to_pylist() == ["O", None, "P", "Q", "a&b", "", "X"]
+
+
+def test_attr_empty_numeric_is_malformed_both_paths():
+    """An empty attribute value does NOT null-coerce (unlike an empty
+    element): cast_to('') raises for long -> PERMISSIVE all-null row."""
+    recs = [_arec(), '<r id="" status="E"><price>9.0</price></r>']
+    rt, ct = _both_paths(recs, ATTR_SCHEMA, OPTS)
+    assert rt.equals(ct)
+    assert ct["_id"].to_pylist()[1] is None
+    assert ct["_status"].to_pylist()[1] is None  # whole row nulled
+
+
+def test_attr_element_collision_element_wins():
+    """A child element literally named like the prefixed field overwrites
+    the root attribute, matching convert_object ordering."""
+    recs = [
+        '<r id="1" status="A"><price>1.0</price><_id>99</_id></r>',
+        '<r id="2" status="B"><price>2.0</price><_id>98</_id></r>',
+    ]
+    rt, ct = _both_paths(recs, ATTR_SCHEMA, OPTS)
+    assert rt.equals(ct)
+    assert ct["_id"].to_pylist() == [99, 98]
+
+
+def test_unclosed_tag_is_malformed_both_paths():
+    """An unclosed tag can satisfy the '<'-count arithmetic by standing in
+    for the root close; the root-close suffix check must reject it so the
+    parse policy fires exactly as on the generic path (regression: these
+    fragments silently parsed as partial rows)."""
+    from spark_xml_spark.options import XmlOptions as XO
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    o = XO()
+    fast = parser.FastFlatParser.try_build(schema, o)
+    bads = ["<d><id>0</id><src>", "<d><id>1</id></src>", "<d><id>1</id><d>"]
+    good = "<d><id>1</id><src>ok</src></d>"
+    for _tier in range(2):  # second pass exercises the learned tier-0 pattern
+        for r in [good] + bads:
+            got = parser.parse_record(r, schema, o, fast=fast)
+            ref = parser.parse_record(r, schema, o, fast=None)
+            assert got == ref, (r, got, ref)
+    for r in bads:
+        row = parser.parse_record(r, schema, o, fast=fast)
+        assert row[2] == r  # corrupt column holds the raw record
+
+
+def test_attr_spark_end_to_end(spark, tmp_path):
+    """Writer emits _-prefixed fields as attributes; the columnar read of
+    that output agrees with the pure row path."""
+    from spark_xml_spark.sources.api import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(k, "FO"[k % 2], k * 1.5) for k in range(500)],
+        "_id bigint, _status string, price double",
+    )
+    out = str(tmp_path / "t")
+    write_xml(df.repartition(2), out, rowTag="row")
+    a = read_xml(spark, out, rowTag="row")
+    b = read_xml(spark, out, rowTag="row", arrowBatches="false")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    assert a.count() == 500
+
+
 def test_spark_end_to_end_matches_cached_table(spark, tmp_path):
     """Full engine read (columnar path active) agrees with arrowBatches=off
     (pure row path) on a real generated file."""
