@@ -106,6 +106,29 @@ class _XsdModel:
                 if loc and base_dir is not None:
                     inc = loc if os.path.isabs(loc) else os.path.join(base_dir, loc)
                     self._load_one(inc, os.path.dirname(inc))
+            elif kind == "redefine":
+                # xs:redefine = include + in-place replacement of same-named
+                # type definitions. A self-reference inside the redefining
+                # definition (restriction/extension base naming the type
+                # being redefined) means the ORIGINAL definition, so the
+                # original is kept under an internal alias and the
+                # self-references rewritten to it before registration.
+                loc = child.get("schemaLocation")
+                if loc and base_dir is not None:
+                    inc = loc if os.path.isabs(loc) else os.path.join(base_dir, loc)
+                    self._load_one(inc, os.path.dirname(inc))
+                for rdef in child:
+                    if _tag(rdef) not in ("complexType", "simpleType"):
+                        continue
+                    name = rdef.get("name")
+                    if not name:
+                        continue
+                    original = self.types_by_name.get(name)
+                    if original is not None:
+                        alias = "__redefined__" + name
+                        self.types_by_name[alias] = original
+                        _rewrite_self_refs(rdef, name, alias)
+                    self.types_by_name[name] = rdef
             elif kind == "element":
                 self.root_elements.append(child)
                 name = child.get("name")
@@ -120,6 +143,17 @@ class _XsdModel:
                 name = child.get("name")
                 if name:
                     self.types_by_name[name] = child
+
+
+def _rewrite_self_refs(node: ET.Element, name: str, alias: str) -> None:
+    """Point base/type/ref attributes at ``alias`` wherever their local
+    name is ``name`` — applied to a redefining definition so its
+    self-references resolve to the pre-redefine original."""
+    for el in node.iter():
+        for attr in ("base", "type", "ref"):
+            v = el.get(attr)
+            if v is not None and _local(v) == name:
+                el.set(attr, alias)
 
 
 # Simple-type table (XSDToSchema.scala:96-124). Decimal handled separately
@@ -542,8 +576,10 @@ class _Validator:
     enforced over the common XPath subset, keyrefs resolved document-wide
     after traversal. Substitution groups (transitive, abstract heads
     rejected, members pooled into the head's occurrence bounds and
-    sequence position) and nillable/xsi:nil are honored. Still out of
-    scope: xs:redefine and full facet semantics on every built-in type.
+    sequence position), nillable/xsi:nil, and xs:redefine (same-named
+    type replacement with self-references resolving to the pre-redefine
+    original; facet layers of a restriction chain all apply) are honored.
+    Still out of scope: full facet semantics on every built-in type.
     For full W3C schema processing install the PyPI
     ``xmlschema`` package and validate rows with it instead; this
     built-in keeps the engine dependency-free."""
@@ -581,29 +617,52 @@ class _Validator:
                     )
 
     # -- internals ---------------------------------------------------------
+    def _simple_chain(
+        self, local: str, restriction: Optional[ET.Element] = None
+    ):
+        """Follow named simpleType restrictions down to the primitive base
+        (restriction-of-restriction chains, e.g. from xs:redefine).
+        Returns (primitive_local, [restriction...]) — EVERY layer's facets
+        apply to a valid value."""
+        restrictions: List[ET.Element] = (
+            [restriction] if restriction is not None else []
+        )
+        seen = set()
+        while True:
+            named = self.model.types_by_name.get(local)
+            if named is None or _tag(named) != "simpleType" or local in seen:
+                return local, restrictions
+            seen.add(local)
+            r = named.find(_XS + "restriction")
+            if r is None:
+                return "string", restrictions
+            restrictions.append(r)
+            local = _local(r.get("base")) or "string"
+
     def _resolve_content(self, el_decl: ET.Element):
-        """-> ('simple', type_local_name, restriction|None)
+        """-> ('simple', primitive_local_name, [restriction...])
            | ('complex', complexType node, None)."""
         tname = el_decl.get("type")
         if tname is not None:
             local = _local(tname)
             named = self.model.types_by_name.get(local)
-            if named is not None:
-                if _tag(named) == "complexType":
-                    return "complex", named, None
-                restriction = named.find(_XS + "restriction")
-                base = _local(restriction.get("base")) if restriction is not None else None
-                return "simple", base or "string", restriction
-            return "simple", local, None
+            if named is not None and _tag(named) == "complexType":
+                return "complex", named, None
+            base, restrictions = self._simple_chain(local)
+            return "simple", base, restrictions
         ct = el_decl.find(_XS + "complexType")
         if ct is not None:
             return "complex", ct, None
         st = el_decl.find(_XS + "simpleType")
         if st is not None:
-            restriction = st.find(_XS + "restriction")
-            base = _local(restriction.get("base")) if restriction is not None else None
-            return "simple", base or "string", restriction
-        return "simple", "string", None
+            r = st.find(_XS + "restriction")
+            if r is None:
+                return "simple", "string", []
+            base, restrictions = self._simple_chain(
+                _local(r.get("base")) or "string", r
+            )
+            return "simple", base, restrictions
+        return "simple", "string", []
 
     def _validate_element(
         self, node: ET.Element, decl: ET.Element, ctx: Optional[Dict] = None
@@ -635,7 +694,7 @@ class _Validator:
                     )
                 return  # content model skipped for a valid nil element
         self._check_identity_constraints(node, decl, ctx)
-        kind, content, restriction = self._resolve_content(decl)
+        kind, content, restrictions = self._resolve_content(decl)
         if kind == "simple":
             if content in ("anyType", "anySimpleType"):
                 return
@@ -645,7 +704,7 @@ class _Validator:
                 raise XsdValidationError(
                     f"<{node.tag}>: '{text}' is not a valid xs:{content}"
                 )
-            if restriction is not None:
+            for restriction in restrictions:
                 _check_facets(node.tag, node.text or "", content, restriction)
             if len(node) and content != "string":
                 raise XsdValidationError(

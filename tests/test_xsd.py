@@ -625,3 +625,94 @@ def test_substitution_groups(tmp_path):
         v("<vehicle>x</vehicle>")
     # substitution member as document root is a global element: valid
     v("<car>x</car>")
+
+
+_REDEFINE_BASE = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:simpleType name="SKU">
+    <xs:restriction base="xs:string">
+      <xs:pattern value="[A-Z]{2}-[0-9]+"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:complexType name="ItemType">
+    <xs:sequence>
+      <xs:element name="sku" type="SKU"/>
+      <xs:element name="qty" type="xs:int"/>
+    </xs:sequence>
+  </xs:complexType>
+</xs:schema>"""
+
+_REDEFINE_MAIN = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:redefine schemaLocation="base.xsd">
+    <xs:simpleType name="SKU">
+      <xs:restriction base="SKU">
+        <xs:maxLength value="6"/>
+      </xs:restriction>
+    </xs:simpleType>
+  </xs:redefine>
+  <xs:element name="item" type="ItemType"/>
+</xs:schema>"""
+
+
+def test_redefine_restriction_chain(tmp_path):
+    """xs:redefine replaces the named type; the self-referential
+    restriction base means the ORIGINAL type, and facets of EVERY layer
+    of the resulting chain apply (pattern from the base schema AND the
+    redefined maxLength)."""
+    (tmp_path / "base.xsd").write_text(_REDEFINE_BASE)
+    p = tmp_path / "main.xsd"
+    p.write_text(_REDEFINE_MAIN)
+    v = get_validator(str(p))
+    v("<item><sku>AB-123</sku><qty>5</qty></item>")
+    # original pattern facet still applies through the redefine
+    with pytest.raises(XsdValidationError, match="pattern"):
+        v("<item><sku>ab-123</sku><qty>5</qty></item>")
+    # redefined maxLength applies on top of it
+    with pytest.raises(XsdValidationError, match="length"):
+        v("<item><sku>AB-12345</sku><qty>5</qty></item>")
+    # untouched types from the redefined document keep working
+    with pytest.raises(XsdValidationError, match="int"):
+        v("<item><sku>AB-123</sku><qty>x</qty></item>")
+
+
+def test_redefine_schema_conversion(tmp_path):
+    (tmp_path / "base.xsd").write_text(_REDEFINE_BASE)
+    p = tmp_path / "main.xsd"
+    p.write_text(_REDEFINE_MAIN)
+    got = xsd_to_schema(str(p))
+    expected = struct(
+        field(
+            "item",
+            struct(
+                field("sku", T.StringType(), nullable=False),
+                field("qty", T.IntegerType(), nullable=False),
+            ),
+            nullable=False,
+        )
+    )
+    assert got == expected
+
+
+def test_restriction_of_named_restriction_without_redefine(tmp_path):
+    """A named simpleType restricting another named simpleType chains
+    facets even outside xs:redefine."""
+    p = tmp_path / "chain.xsd"
+    p.write_text(
+        """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:simpleType name="Code">
+    <xs:restriction base="xs:string"><xs:pattern value="[A-Z]+"/></xs:restriction>
+  </xs:simpleType>
+  <xs:simpleType name="ShortCode">
+    <xs:restriction base="Code"><xs:maxLength value="3"/></xs:restriction>
+  </xs:simpleType>
+  <xs:element name="c" type="ShortCode"/>
+</xs:schema>"""
+    )
+    v = get_validator(str(p))
+    v("<c>ABC</c>")
+    with pytest.raises(XsdValidationError, match="pattern"):
+        v("<c>abc</c>")
+    with pytest.raises(XsdValidationError, match="length"):
+        v("<c>ABCD</c>")
