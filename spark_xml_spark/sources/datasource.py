@@ -28,7 +28,7 @@ import os
 import random
 import uuid
 from dataclasses import dataclass
-from typing import Iterator, List, Optional
+from typing import Iterator, List, Optional, Tuple
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -166,17 +166,46 @@ def _strip_scheme_local(p: str) -> str:
 
 @dataclass
 class XmlInputPartition(InputPartition):
-    path: str
-    start: int
-    end: int
-    compression: Optional[str]
-    whole_file: bool
+    # One task reads these splits sequentially. Small files are bin-packed
+    # Spark-style (FilePartition/maxSplitBytes semantics) so a million
+    # 1 MB files does not mean a million tasks; a large file's byte-range
+    # splits stay one per partition.
+    splits: Tuple[Tuple[str, int, int, Optional[str], bool], ...]
 
 
-def _splits_to_partitions(splits) -> List[XmlInputPartition]:
+def _pack_splits(splits, max_split_bytes: int, open_cost: int) -> List[XmlInputPartition]:
+    """Greedy size-descending bin-packing of file splits into partitions,
+    mirroring Spark's FilePartition.getFilePartitions: a partition closes
+    when adding the next split would exceed ``max_split_bytes``, and every
+    split charges ``open_cost`` on top of its bytes (so tiny files don't
+    pack without bound)."""
+    sized = []
+    for s in splits:
+        if s.end >= 0:
+            size = s.end - s.start
+        else:  # whole-file split (compressed / non-seekable): stat it
+            try:
+                size = os.path.getsize(s.path)
+            except OSError:
+                size = max_split_bytes
+        sized.append((size, s))
+    sized.sort(key=lambda t: (-t[0], t[1].path, t[1].start))
+    parts: List[List] = []
+    cur: List = []
+    cur_cost = 0
+    for size, s in sized:
+        if cur and cur_cost + size > max_split_bytes:
+            parts.append(cur)
+            cur, cur_cost = [], 0
+        cur.append(s)
+        cur_cost += size + open_cost
+    if cur:
+        parts.append(cur)
     return [
-        XmlInputPartition(s.path, s.start, s.end, s.compression, s.whole_file)
-        for s in splits
+        XmlInputPartition(
+            tuple((s.path, s.start, s.end, s.compression, s.whole_file) for s in g)
+        )
+        for g in parts
     ]
 
 
@@ -805,30 +834,60 @@ class XmlReader(DataSourceReader):
         if not self._path:
             raise ValueError("path option is required for the xml data source")
 
+    def _opt(self, *names):
+        # Spark lower-cases option keys (CaseInsensitiveDict) — look up both.
+        for n in names:
+            v = self._opts_dict.get(n) or self._opts_dict.get(n.lower())
+            if v is not None:
+                return v
+        return None
+
     def partitions(self) -> List[InputPartition]:
         xopts = XmlOptions.from_dict(self._opts_dict)
-        # Spark lower-cases option keys (CaseInsensitiveDict) — look up both.
-        target = int(
-            self._opts_dict.get("targetSplitSize")
-            or self._opts_dict.get("targetsplitsize")
-            or 128 * 1024 * 1024
-        )
-        return _splits_to_partitions(
-            tokenizer.plan_splits(self._path, xopts.charset, target)
+        open_cost = int(self._opt("openCostBytes") or 4 * 1024 * 1024)
+        explicit = self._opt("targetSplitSize", "maxPartitionBytes")
+        if explicit is not None:
+            target = int(explicit)
+        else:
+            # Spark's maxSplitBytes: min(maxPartitionBytes,
+            # max(openCostInBytes, totalBytes/minPartitionNum)) — small
+            # corpora split finer to feed every core, huge corpora cap at
+            # 128 MB per task, and the open cost keeps a million tiny
+            # files from becoming a million tasks.
+            total = open_cost  # avoid zero; matches Spark's +openCost/file
+            try:
+                for _f, size in tokenizer._expand_with_sizes(self._path):
+                    total += size + open_cost
+            except OSError:
+                total = 0
+            par = int(self._opt("minPartitions") or 0)
+            if par <= 0:
+                try:
+                    from pyspark.sql import SparkSession
+
+                    sess = SparkSession.getActiveSession()
+                    par = sess.sparkContext.defaultParallelism if sess else 8
+                except Exception:
+                    par = 8
+            bytes_per_core = total // max(par, 1)
+            target = min(128 * 1024 * 1024, max(open_cost, bytes_per_core))
+        return _pack_splits(
+            tokenizer.plan_splits(self._path, xopts.charset, target),
+            target,
+            open_cost,
         )
 
     def read(self, partition: XmlInputPartition) -> Iterator:
         import itertools
 
         xopts = XmlOptions.from_dict(self._opts_dict)
-        split = tokenizer.FileSplit(
-            partition.path,
-            partition.start,
-            partition.end,
-            partition.compression,
-            partition.whole_file,
-        )
-        records = tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
+
+        def _records():
+            for path, start, end, compression, whole_file in partition.splits:
+                split = tokenizer.FileSplit(path, start, end, compression, whole_file)
+                yield from tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
+
+        records = _records()
         corrupt = xopts.column_name_of_corrupt_record
         if self._pushed and xopts.mode != "FAILFAST":
             # raw-text reject shortcut: skip parsing records that can't

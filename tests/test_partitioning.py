@@ -307,3 +307,44 @@ def test_batch_scan_randomized_differential(tmp_path, monkeypatch):
         monkeypatch.undo()
         assert fast == slow, target
         assert len(fast) >= 400
+
+
+def test_pack_splits_bins_small_files(tmp_path):
+    """Spark FilePartition semantics: many small files bin-pack into few
+    partitions under the open-cost accounting; large byte-range splits
+    stay one per partition; no split is lost or duplicated."""
+    from spark_xml_spark.sources.datasource import _pack_splits
+
+    files = []
+    for i in range(100):
+        p = tmp_path / f"f{i}.xml"
+        p.write_text("<r><a>1</a></r>")
+        files.append(str(p))
+    splits = tokenizer.plan_splits(str(tmp_path), "UTF-8", 128 * 1024 * 1024)
+    assert len(splits) == 100
+    # open_cost 1MB, max 8MB -> ~8 files per partition
+    parts = _pack_splits(splits, 8 * 1024 * 1024, 1024 * 1024)
+    assert 10 <= len(parts) <= 15
+    flat = [s for p in parts for s in p.splits]
+    assert sorted(s[0] for s in flat) == sorted(files)
+    # byte-range splits near max_split_bytes do not share partitions
+    big = tokenizer.FileSplit(files[0], 0, 8 * 1024 * 1024, None, False)
+    parts2 = _pack_splits([big] * 4, 8 * 1024 * 1024, 1024 * 1024)
+    assert len(parts2) == 4
+
+
+def test_small_file_read_counts(spark, tmp_path):
+    """End-to-end: a directory of many tiny XML files reads complete and
+    with far fewer partitions than files."""
+    import glob
+
+    from spark_xml_spark.sources.api import write_xml
+
+    df = spark.createDataFrame([(k, f"v{k}") for k in range(300)], "k bigint, v string")
+    out = str(tmp_path / "many")
+    write_xml(df.repartition(60), out, rowTag="row")
+    n_files = len(glob.glob(out + "/*.xml"))
+    assert n_files >= 50
+    back = read_xml(spark, out, rowTag="row")
+    assert back.count() == 300
+    assert back.rdd.getNumPartitions() < n_files
