@@ -200,30 +200,32 @@ def ngram_jaccard_pairs(
     prefix shingles. Hot boilerplate shingles rank last and fall OUT of
     prefixes — the quadratic-bucket blowup of a naive shingle join cannot
     happen. Exact up to 64-bit hash collisions (~2^-64 per shingle pair):
-    candidate generation runs on xxhash64-hashed shingles, and the verify
-    recomputes Jaccard on the original string arrays, so a collision can
-    only (astronomically rarely) drop a candidate, never admit a false
-    positive.
+    BOTH candidate generation and the verify run on xxhash64-hashed
+    shingles — 8-byte longs through every shuffle, join, and
+    intersect/union instead of n-word strings (verify over longs measured
+    3.0s vs 5.1s at sf0.1/t=0.5 with 310k candidate pairs). A collision
+    can (astronomically rarely) drop a candidate or nudge a verified
+    Jaccard across the threshold; recomputing the verify over
+    _word_shingles restores the strict never-admit property at the cost
+    above.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    arrays = df.select(
-        F.col(id_col).alias("_id"), _word_shingles(F.col(text_col), n).alias("_sh")
-    )
     # candidate generation runs over HASHED shingles: 8-byte longs flow
     # through the shuffles and the inverted-index join instead of ~n-word
     # strings (4x+ shuffle bytes saved at scale). array_distinct AFTER
     # hashing: an in-document hash collision must not consume a prefix
     # slot (row_number counts every row), which would shorten the distinct
-    # prefix below the AllPairs bound. _sz stays the string-distinct size,
-    # which is >= the hashed size, so the prefix length is conservative
-    # (can only add candidates).
-    sh = arrays.select(
+    # prefix below the AllPairs bound. _sz is size() BEFORE that distinct,
+    # i.e. the string-distinct size, which is >= the hashed-distinct size,
+    # so the prefix length is conservative (can only add candidates).
+    harr = df.select(
+        F.col(id_col).alias("_id"), _hashed_shingles(F.col(text_col), n).alias("_sh")
+    )
+    sh = harr.select(
         "_id",
         F.size("_sh").alias("_sz"),
-        F.explode(
-            F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s)))
-        ).alias("_s"),
+        F.explode(F.array_distinct("_sh")).alias("_s"),
     )
     # document frequency via groupBy + join-back, NOT Window.partitionBy(_s):
     # a window over the exploded shingles sends a hot (boilerplate) shingle's
@@ -256,8 +258,11 @@ def ngram_jaccard_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    fa = arrays.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    fb = arrays.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # verify over hashed arrays (see docstring for the collision caveat);
+    # set sizes equal the string-set sizes absent collisions, so the
+    # Jaccard VALUE matches the string computation bit-for-bit
+    fa = harr.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    fb = harr.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     return (
         cands.join(fa, "id_a")
         .join(fb, "id_b")
@@ -272,19 +277,9 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
-    """-> (_id, sig array<long>): per-document MinHash signature, computed
-    entirely ARRAY-SIDE with ZERO shuffles: each shingle string is hashed
-    once to a long, then every hash function is an ``array_min`` over a
-    cheap long re-hash of that array (Broder's one-base-hash family).
-
-    This replaced an explode + groupBy(num_hashes min-aggs) formulation:
-    even with map-side partial aggregation, exploding ~shingles-per-doc
-    rows and re-hashing the shingle STRING num_hashes times measured 1.75s
-    vs 0.77s here at sf0.1 — and the groupBy's exchange disappears
-    outright, which is the shape that matters at 100 TB (signatures become
-    a narrow map-only stage; earlier rounds' HOF-vs-explode measurements
-    compared folds that re-hashed full strings per function, which is why
-    they favored explode)."""
+    """-> (_id, sig array<long>): per-document MinHash signature as one
+    array column (see _minhash_sig_cols for the computation and its
+    measured design rationale)."""
     sig = _minhash_sig_cols(df, id_col, text_col, n, num_hashes)
     return sig.select(
         "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
