@@ -61,6 +61,25 @@ def _inject_session_timezone(spark: SparkSession, options: dict) -> dict:
     return out
 
 
+def _inject_parallelism(spark: SparkSession, options: dict) -> dict:
+    """Default the ``minPartitions`` option to the session's
+    defaultParallelism. Split planning runs in Spark's Python planner
+    worker process, where no SparkSession is reachable, so the dynamic
+    maxSplitBytes computation (Spark's bytesPerCore term) needs the core
+    count delivered as an option; without it the planner falls back to
+    os.cpu_count() of the planner host, which can undercount a cluster."""
+    keys = {k.lower() for k in options}
+    if "minpartitions" in keys or "targetsplitsize" in keys or "maxpartitionbytes" in keys:
+        return options
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:
+        return options
+    out = dict(options)
+    out["minPartitions"] = str(par)
+    return out
+
+
 def _inject_filter_pushdown(spark: SparkSession, options: dict) -> dict:
     """Filter pushdown is strictly OPT-IN per read (reader option
     ``filterPushdown=true``) and is never defaulted from the session conf:
@@ -157,6 +176,7 @@ def read_xml(
     register(spark)
     options = _inject_session_timezone(spark, options)
     options = _inject_filter_pushdown(spark, options)
+    options = _inject_parallelism(spark, options)
     xopts = XmlOptions.from_dict(options)
     if schema is None and xopts.infer_schema:
         schema = infer_xml_schema(spark, path, **options)

@@ -862,13 +862,11 @@ class XmlReader(DataSourceReader):
                 total = 0
             par = int(self._opt("minPartitions") or 0)
             if par <= 0:
-                try:
-                    from pyspark.sql import SparkSession
-
-                    sess = SparkSession.getActiveSession()
-                    par = sess.sparkContext.defaultParallelism if sess else 8
-                except Exception:
-                    par = 8
+                # split planning runs in Spark's Python planner worker,
+                # where getActiveSession() is None — read_xml injects the
+                # session's defaultParallelism as minPartitions; raw
+                # format() reads fall back to the planner host's cores
+                par = os.cpu_count() or 8
             bytes_per_core = total // max(par, 1)
             target = min(128 * 1024 * 1024, max(open_cost, bytes_per_core))
         return _pack_splits(
