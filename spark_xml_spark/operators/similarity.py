@@ -114,14 +114,29 @@ def lsh_bucketed_topk(
     """
     dim = len(query)
     planes = _hyperplanes(dim, num_planes, seed)
-    qsig = 0
-    for i, pl in enumerate(planes):
-        if sum(a * b for a, b in zip(pl, query)) >= 0:
-            qsig |= 1 << i
+    # query signature via the same float64 matmul the corpus side uses, so
+    # rounding at a near-zero dot product cannot split q from its bucket
+    pmat = np.asarray(planes, dtype=np.float64).T  # dim x num_planes
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+    qsig = int(
+        ((np.asarray(query, dtype=np.float64) @ pmat >= 0).astype(np.int64) @ weights)
+    )
     probes = {qsig}
     for b in range(multiprobe):
         probes |= {s ^ (1 << b) for s in set(probes)}
-    sigged = df.withColumn("_sig", signature_col(F.col(vec_col), planes))
+
+    # corpus signatures: one Arrow-batched numpy matmul per batch — the
+    # num_planes JVM fold expressions of signature_col are O(planes*dim)
+    # interpreted ops per row and dominated this query's runtime
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sig_udf(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(list(vecs), dtype=np.float64)  # batch x dim
+        bits = (m @ pmat >= 0).astype(np.int64)  # batch x planes
+        return pd.Series(bits @ weights)
+
+    sigged = df.withColumn("_sig", _sig_udf(F.col(vec_col).cast("array<double>")))
     return (
         sigged.filter(F.col("_sig").isin(*[F.lit(s) for s in sorted(probes)]))
         .select(
