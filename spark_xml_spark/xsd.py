@@ -639,30 +639,88 @@ class _Validator:
             restrictions.append(r)
             local = _local(r.get("base")) or "string"
 
+    def _simple_variant(self, st: ET.Element):
+        """simpleType node -> validation descriptor:
+        ('chain', primitive, [restriction...]) — restriction chain;
+        ('union', [variant...]) — valid when ANY member accepts the value;
+        ('list', item_variant) — whitespace-separated items, each valid."""
+        r = st.find(_XS + "restriction")
+        if r is not None:
+            base, restrictions = self._simple_chain(
+                _local(r.get("base")) or "string", r
+            )
+            return ("chain", base, restrictions)
+        u = st.find(_XS + "union")
+        if u is not None:
+            members = []
+            mt = u.get("memberTypes")
+            if mt:
+                members.extend(self._variant_of_name(_local(m)) for m in mt.split())
+            members.extend(
+                self._simple_variant(child) for child in u.findall(_XS + "simpleType")
+            )
+            return ("union", members) if members else ("chain", "string", [])
+        lst = st.find(_XS + "list")
+        if lst is not None:
+            it = lst.get("itemType")
+            if it is not None:
+                return ("list", self._variant_of_name(_local(it)))
+            inline = lst.find(_XS + "simpleType")
+            if inline is not None:
+                return ("list", self._simple_variant(inline))
+            return ("list", ("chain", "string", []))
+        return ("chain", "string", [])
+
+    def _variant_of_name(self, local: str):
+        named = self.model.types_by_name.get(local)
+        if named is not None and _tag(named) == "simpleType":
+            return self._simple_variant(named)
+        return ("chain", local, [])
+
     def _resolve_content(self, el_decl: ET.Element):
-        """-> ('simple', primitive_local_name, [restriction...])
-           | ('complex', complexType node, None)."""
+        """-> ('simple', variant) | ('complex', complexType node)."""
         tname = el_decl.get("type")
         if tname is not None:
             local = _local(tname)
             named = self.model.types_by_name.get(local)
             if named is not None and _tag(named) == "complexType":
-                return "complex", named, None
-            base, restrictions = self._simple_chain(local)
-            return "simple", base, restrictions
+                return "complex", named
+            return "simple", self._variant_of_name(local)
         ct = el_decl.find(_XS + "complexType")
         if ct is not None:
-            return "complex", ct, None
+            return "complex", ct
         st = el_decl.find(_XS + "simpleType")
         if st is not None:
-            r = st.find(_XS + "restriction")
-            if r is None:
-                return "simple", "string", []
-            base, restrictions = self._simple_chain(
-                _local(r.get("base")) or "string", r
+            return "simple", self._simple_variant(st)
+        return "simple", ("chain", "string", [])
+
+    def _check_simple_value(self, tag, raw_text: str, variant) -> None:
+        kind = variant[0]
+        if kind == "chain":
+            _, base, restrictions = variant
+            if base in ("anyType", "anySimpleType"):
+                return
+            check = _LEXICAL_CHECKS.get(base)
+            text = raw_text.strip()
+            if check is not None and not check(text):
+                raise XsdValidationError(
+                    f"<{tag}>: '{text}' is not a valid xs:{base}"
+                )
+            for restriction in restrictions:
+                _check_facets(tag, raw_text, base, restriction)
+        elif kind == "union":
+            for member in variant[1]:
+                try:
+                    self._check_simple_value(tag, raw_text, member)
+                    return
+                except XsdValidationError:
+                    continue
+            raise XsdValidationError(
+                f"<{tag}>: '{raw_text.strip()}' matches no xs:union member type"
             )
-            return "simple", base, restrictions
-        return "simple", "string", []
+        else:  # list
+            for item in raw_text.split():
+                self._check_simple_value(tag, item, variant[1])
 
     def _validate_element(
         self, node: ET.Element, decl: ET.Element, ctx: Optional[Dict] = None
@@ -694,19 +752,16 @@ class _Validator:
                     )
                 return  # content model skipped for a valid nil element
         self._check_identity_constraints(node, decl, ctx)
-        kind, content, restrictions = self._resolve_content(decl)
+        kind, content = self._resolve_content(decl)
         if kind == "simple":
-            if content in ("anyType", "anySimpleType"):
-                return
-            check = _LEXICAL_CHECKS.get(content)
-            text = (node.text or "").strip()
-            if check is not None and not check(text):
-                raise XsdValidationError(
-                    f"<{node.tag}>: '{text}' is not a valid xs:{content}"
-                )
-            for restriction in restrictions:
-                _check_facets(node.tag, node.text or "", content, restriction)
-            if len(node) and content != "string":
+            self._check_simple_value(node.tag, node.text or "", content)
+            # child elements under a declared-simple element: string and
+            # anyType tolerate them (pre-existing subset behavior);
+            # numeric/union/list content models reject
+            children_ok = content[0] == "chain" and content[1] in (
+                "string", "anyType", "anySimpleType"
+            )
+            if len(node) and not children_ok:
                 raise XsdValidationError(
                     f"<{node.tag}> declared simple but has child elements"
                 )

@@ -716,3 +716,39 @@ def test_restriction_of_named_restriction_without_redefine(tmp_path):
         v("<c>abc</c>")
     with pytest.raises(XsdValidationError, match="length"):
         v("<c>ABCD</c>")
+
+
+def test_union_and_list_simple_types(tmp_path):
+    """xs:union validates when ANY member accepts the value; xs:list
+    validates each whitespace-separated item against the item type."""
+    p = tmp_path / "ul.xsd"
+    p.write_text(
+        """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:simpleType name="Size">
+    <xs:restriction base="xs:string">
+      <xs:enumeration value="S"/><xs:enumeration value="M"/><xs:enumeration value="L"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:simpleType name="SizeOrNum">
+    <xs:union memberTypes="Size xs:int"/>
+  </xs:simpleType>
+  <xs:simpleType name="IntList">
+    <xs:list itemType="xs:int"/>
+  </xs:simpleType>
+  <xs:element name="row">
+    <xs:complexType><xs:sequence>
+      <xs:element name="size" type="SizeOrNum"/>
+      <xs:element name="nums" type="IntList" minOccurs="0"/>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    )
+    v = get_validator(str(p))
+    v("<row><size>M</size><nums>1 2 3</nums></row>")
+    v("<row><size>42</size></row>")            # second union member
+    v("<row><size>M</size><nums></nums></row>")  # empty list is valid
+    with pytest.raises(XsdValidationError, match="union"):
+        v("<row><size>XL</size></row>")        # neither enum nor int
+    with pytest.raises(XsdValidationError, match="int"):
+        v("<row><size>M</size><nums>1 two 3</nums></row>")
