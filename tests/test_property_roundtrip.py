@@ -186,3 +186,69 @@ def test_split_nested_same_name_boundary_limitation(tmp_path):
     got = [r for s in tiny for r in tokenizer.scan_split(s, "ROW")]
     assert set(recs) <= set(got)
     assert set(got) - set(recs) <= {'<ROW a="x"><w>1</w></ROW>'}
+
+
+# --- attr fast-path equivalence property -----------------------------------
+# Random flat records whose root carries attributes: FastFlatParser (all
+# three tiers) must agree with the generic parser exactly, including
+# malformed/degenerate shapes, under several option sets.
+
+_ATTR_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.LongType()),
+        T.StructField("_tag", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+_attr_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20,
+        max_codepoint=0x2FF,
+        blacklist_characters='\x7f"<&',
+    ),
+    max_size=12,
+)
+
+
+@st.composite
+def _attr_record(draw):
+    parts = ["<r"]
+    if draw(st.booleans()):
+        parts.append(f' id="{draw(st.integers(-99999, 99999))}"')
+    if draw(st.booleans()):
+        parts.append(f' tag="{draw(_attr_text)}"')
+    if draw(st.booleans()):
+        parts.append(f' extra="{draw(_attr_text)}"')
+    parts.append(">")
+    if draw(st.booleans()):
+        parts.append(f"<name>{draw(_attr_text)}</name>")
+    if draw(st.booleans()):
+        parts.append(f"<price>{draw(st.floats(allow_nan=False, allow_infinity=False, width=32))}</price>")
+    parts.append("</r>")
+    return "".join(parts)
+
+
+_ATTR_OPTION_SETS = [
+    {},
+    {"treatEmptyValuesAsNulls": "true"},
+    {"ignoreSurroundingSpaces": "true"},
+    {"excludeAttribute": "true"},
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    recs=st.lists(_attr_record(), min_size=1, max_size=6),
+    opt_idx=st.integers(0, len(_ATTR_OPTION_SETS) - 1),
+)
+def test_attr_fast_path_equivalence_property(recs, opt_idx):
+    opts = XmlOptions.from_dict({"rowTag": "r", **_ATTR_OPTION_SETS[opt_idx]})
+    fast = parser.FastFlatParser.try_build(_ATTR_SCHEMA, opts)
+    assert fast is not None
+    for _tier_pass in range(2):  # second pass exercises the learned pattern
+        for rec in recs:
+            got = parser.parse_record(rec, _ATTR_SCHEMA, opts, fast=fast)
+            ref = parser.parse_record(rec, _ATTR_SCHEMA, opts, fast=None)
+            assert got == ref, (rec, got, ref)
