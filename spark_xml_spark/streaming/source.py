@@ -35,12 +35,14 @@ from spark_xml_spark.xmlcore import parser, tokenizer
 
 @dataclass
 class XmlStreamPartition(InputPartition):
-    path: str
-    start: int
-    end: int
-    compression: str
-    whole_file: bool
-    snap_size: int = -1  # file size recorded in the committed offset
+    # One task reads these splits sequentially; each tuple is
+    # (path, start, end, compression, whole_file, snap_size) with
+    # snap_size the file size recorded in the committed offset. Small
+    # files are bin-packed like the batch reader's FilePartition
+    # semantics: a micro-batch that discovers thousands of small files
+    # must not schedule thousands of tasks. An empty tuple marks an
+    # empty batch (Spark requires >= 1 partition).
+    splits: tuple
 
 
 class XmlStreamReader(DataSourceStreamReader):
@@ -78,7 +80,7 @@ class XmlStreamReader(DataSourceStreamReader):
         seen = set((start or {}).get("files", {}))
         end_files = (end or {}).get("files", {})
         new_files = [p for p in end_files if p not in seen]
-        parts: List[XmlStreamPartition] = []
+        raw: List[tuple] = []
         xopts = XmlOptions.from_dict(self._opts_dict)
         for f in new_files:
             # Deterministic replay: the offset recorded the file's size at
@@ -98,41 +100,64 @@ class XmlStreamReader(DataSourceStreamReader):
                     if cur != snap:
                         # compressed/whole-file content changed; not replayable
                         continue
-                    parts.append(
-                        XmlStreamPartition(
-                            s.path, s.start, s.end, s.compression or "",
-                            True, snap,
-                        )
-                    )
+                    raw.append((s.path, s.start, s.end, s.compression or "", True, snap))
                 else:
                     if s.start >= snap:
                         continue
-                    parts.append(
-                        XmlStreamPartition(
-                            s.path, s.start, min(s.end, snap),
-                            s.compression or "", False, snap,
-                        )
+                    raw.append(
+                        (s.path, s.start, min(s.end, snap), s.compression or "", False, snap)
                     )
+        # bin-pack small splits so a many-small-files batch stays O(cores)
+        # tasks (same maxSplitBytes/open-cost shape as the batch reader)
+        open_cost = int(
+            self._opts_dict.get("openCostBytes")
+            or self._opts_dict.get("opencostbytes")
+            or 4 * 1024 * 1024
+        )
+
+        def _size(t):
+            if t[2] >= 0:
+                return t[2] - t[1]
+            return t[5] if t[5] >= 0 else self._target
+
+        total = sum(_size(t) + open_cost for t in raw)
+        par = int(
+            self._opts_dict.get("minPartitions")
+            or self._opts_dict.get("minpartitions")
+            or (os.cpu_count() or 8)
+        )
+        pack_target = min(self._target, max(open_cost, total // max(par, 1)))
+        raw.sort(key=lambda t: (-_size(t), t[0], t[1]))
+        parts: List[XmlStreamPartition] = []
+        cur_group: List[tuple] = []
+        cur_cost = 0
+        for t in raw:
+            sz = _size(t)
+            if cur_group and cur_cost + sz > pack_target:
+                parts.append(XmlStreamPartition(tuple(cur_group)))
+                cur_group, cur_cost = [], 0
+            cur_group.append(t)
+            cur_cost += sz + open_cost
+        if cur_group:
+            parts.append(XmlStreamPartition(tuple(cur_group)))
         # Spark requires at least one partition per batch; an empty batch
         # gets an empty marker partition.
         if not parts:
-            parts = [XmlStreamPartition("", 0, 0, "", False, 0)]
+            parts = [XmlStreamPartition(())]
         return parts
 
     def read(self, partition: XmlStreamPartition) -> Iterator[tuple]:
-        if not partition.path:
-            return iter(())
         xopts = XmlOptions.from_dict(self._opts_dict)
-        split = tokenizer.FileSplit(
-            partition.path,
-            partition.start,
-            partition.end,
-            partition.compression or None,
-            partition.whole_file,
-            eof=partition.snap_size,
-        )
-        records = tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
-        return parser.parse_records(records, self._schema, xopts)
+
+        def _rows():
+            for path, start, end, compression, whole_file, snap in partition.splits:
+                split = tokenizer.FileSplit(
+                    path, start, end, compression or None, whole_file, eof=snap
+                )
+                records = tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
+                yield from parser.parse_records(records, self._schema, xopts)
+
+        return _rows()
 
     def commit(self, end: dict) -> None:
         pass
