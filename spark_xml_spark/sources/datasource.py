@@ -427,6 +427,13 @@ def _columnar_ok(schema: T.StructType, xopts: XmlOptions) -> bool:
         return False
     if any(f.name == xopts.column_name_of_corrupt_record for f in schema.fields):
         return False
+    if any(
+        isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+        for f in schema.fields
+    ):
+        # FastFlatParser's struct mode yields row TUPLES; the columnar
+        # Arrow transpose handles flat scalars only
+        return False
     return parser.FastFlatParser.try_build(schema, xopts) is not None
 
 

@@ -252,3 +252,60 @@ def test_attr_fast_path_equivalence_property(recs, opt_idx):
             got = parser.parse_record(rec, _ATTR_SCHEMA, opts, fast=fast)
             ref = parser.parse_record(rec, _ATTR_SCHEMA, opts, fast=None)
             assert got == ref, (rec, got, ref)
+
+
+_STRUCT_SCHEMA = T.StructType(
+    [
+        T.StructField("okey", T.LongType()),
+        T.StructField(
+            "price",
+            T.StructType(
+                [
+                    T.StructField("_VALUE", T.DoubleType()),
+                    T.StructField("_prio", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("note", T.StringType()),
+    ]
+)
+
+
+@st.composite
+def _struct_record(draw):
+    parts = ["<r>"]
+    if draw(st.booleans()):
+        parts.append(f"<okey>{draw(st.integers(-9999, 9999))}</okey>")
+    if draw(st.booleans()):
+        attrs = ""
+        if draw(st.booleans()):
+            attrs += f' prio="{draw(_attr_text)}"'
+        if draw(st.booleans()):
+            attrs += f' junk="{draw(_attr_text)}"'
+        body = draw(st.one_of(
+            st.just(""),
+            st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+            _attr_text,
+        ))
+        parts.append(f"<price{attrs}>{body}</price>")
+    if draw(st.booleans()):
+        parts.append(f"<note>{draw(_attr_text)}</note>")
+    parts.append("</r>")
+    return "".join(parts)
+
+
+@settings(max_examples=120, deadline=None)
+@given(recs=st.lists(_struct_record(), min_size=1, max_size=6))
+def test_simple_struct_fast_path_equivalence_property(recs):
+    """Attribute-only struct children (<price prio="X">12.3</price>) parse
+    identically through the struct-mode learned pattern and the generic
+    parser, including missing elements, empty bodies, unknown attributes
+    (pattern miss -> generic), and malformed bodies (parse policy)."""
+    opts = XmlOptions.from_dict({"rowTag": "r"})
+    fast = parser.FastFlatParser.try_build(_STRUCT_SCHEMA, opts)
+    assert fast is not None and fast.simple_structs
+    for _tier_pass in range(2):
+        for rec in recs:
+            got = parser.parse_record(rec, _STRUCT_SCHEMA, opts, fast=fast)
+            ref = parser.parse_record(rec, _STRUCT_SCHEMA, opts, fast=None)
+            assert got == ref, (rec, got, ref)
