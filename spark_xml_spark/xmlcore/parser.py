@@ -409,7 +409,7 @@ class FastFlatParser:
         "schema", "options", "index", "types", "is_string", "n", "strip_ns",
         "casters", "seq_pattern", "group_map", "attr_index", "attr_casters",
         "has_attr_fields", "simple_structs", "struct_pattern", "struct_gmap",
-        "_struct_learn_attempts",
+        "_struct_learn_attempts", "array_fields",
     )
 
     @classmethod
@@ -421,6 +421,7 @@ class FastFlatParser:
         if not prefix and names:
             # no way to tell attr fields from element fields — stay generic
             return None
+        has_struct = has_array = False
         for f in schema.fields:
             if isinstance(f.dataType, T.StructType):
                 # "simple struct": an attribute-only element, i.e. every
@@ -438,8 +439,21 @@ class FastFlatParser:
                     for sf in f.dataType.fields
                 ):
                     return None
-            elif isinstance(f.dataType, (T.ArrayType, T.MapType)):
+                has_struct = True
+            elif isinstance(f.dataType, T.ArrayType):
+                # repeated-tag scalar arrays parse on tiers 1/2 (variable
+                # occurrence counts are inexpressible in the tier-0
+                # pattern); complex element types stay generic
+                if isinstance(
+                    f.dataType.elementType,
+                    (T.StructType, T.ArrayType, T.MapType),
+                ):
+                    return None
+                has_array = True
+            elif isinstance(f.dataType, T.MapType):
                 return None
+        if has_struct and has_array:
+            return None  # struct mode is tier-0-only; arrays need tier 1/2
         return cls(schema, options)
 
     def __init__(self, schema: T.StructType, options: XmlOptions):
@@ -450,7 +464,22 @@ class FastFlatParser:
         self.is_string = [isinstance(f.dataType, T.StringType) for f in schema.fields]
         self.n = len(schema.fields)
         self.strip_ns = options.ignore_namespace
-        self.casters = [self._build_caster(f.dataType) for f in schema.fields]
+        # repeated-tag scalar arrays: the cell caster runs on the ELEMENT
+        # type; occurrences append in document order (convert_object's
+        # ArrayType branch)
+        self.array_fields = {
+            i
+            for i, f in enumerate(schema.fields)
+            if isinstance(f.dataType, T.ArrayType)
+        }
+        self.casters = [
+            self._build_caster(
+                f.dataType.elementType
+                if isinstance(f.dataType, T.ArrayType)
+                else f.dataType
+            )
+            for f in schema.fields
+        ]
         # Root-attribute fields: bare attr name -> field index. With
         # excludeAttribute the generic path never maps attributes (the
         # fields can still be hit by literally-named elements), so leave
@@ -725,13 +754,23 @@ class FastFlatParser:
                 i = attr_index.get(name, -1)
                 if i >= 0:
                     row[i] = attr_casters[i](value)
+        arrays = self.array_fields
         for tag, text in fields:
             if strip_ns and ":" in tag:
                 tag = tag.rsplit(":", 1)[-1]
             i = index.get(tag, -1)
             if i >= 0:
-                row[i] = casters[i](text)
-        if self.seq_pattern is None:
+                if i in arrays:
+                    v = casters[i](text)
+                    if isinstance(row[i], list):
+                        row[i].append(v)
+                    else:
+                        row[i] = [v]
+                else:
+                    row[i] = casters[i](text)
+        if self.seq_pattern is None and not arrays:
+            # variable occurrence counts are inexpressible in the fixed
+            # tier-0 pattern; array schemas stay on tier 1/2
             self._compile_seq_pattern(xml, [t for t, _ in fields])
         return tuple(row)
 
@@ -987,7 +1026,14 @@ class FastFlatParser:
             if d == 2:
                 i = state[1]
                 if i >= 0:
-                    row[i] = self._convert(i, "".join(buf))
+                    v = self._convert(i, "".join(buf))
+                    if i in self.array_fields:
+                        if isinstance(row[i], list):
+                            row[i].append(v)
+                        else:
+                            row[i] = [v]
+                    else:
+                        row[i] = v
                     state[1] = -1
             state[0] = d - 1
 

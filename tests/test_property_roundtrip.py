@@ -309,3 +309,42 @@ def test_simple_struct_fast_path_equivalence_property(recs):
             got = parser.parse_record(rec, _STRUCT_SCHEMA, opts, fast=fast)
             ref = parser.parse_record(rec, _STRUCT_SCHEMA, opts, fast=None)
             assert got == ref, (rec, got, ref)
+
+
+_ARRAY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("k", T.ArrayType(T.LongType())),
+        T.StructField("tag", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@st.composite
+def _array_record(draw):
+    parts = ["<r>"]
+    items = []
+    if draw(st.booleans()):
+        items.append(f"<id>{draw(st.integers(-999, 999))}</id>")
+    for _ in range(draw(st.integers(0, 4))):
+        items.append(f"<k>{draw(st.integers(-999, 999))}</k>")
+    for _ in range(draw(st.integers(0, 2))):
+        items.append(f"<tag>{draw(_attr_text)}</tag>")
+    draw(st.randoms(use_true_random=False)).shuffle(items)
+    parts.extend(items)
+    parts.append("</r>")
+    return "".join(parts)
+
+
+@settings(max_examples=120, deadline=None)
+@given(recs=st.lists(_array_record(), min_size=1, max_size=6))
+def test_array_fast_path_equivalence_property(recs):
+    """Repeated-tag scalar arrays parse identically through the fast
+    tiers (findall + expat) and the generic parser, in any interleaving."""
+    opts = XmlOptions.from_dict({"rowTag": "r"})
+    fast = parser.FastFlatParser.try_build(_ARRAY_SCHEMA, opts)
+    assert fast is not None and fast.array_fields == {1, 2}
+    for rec in recs:
+        got = parser.parse_record(rec, _ARRAY_SCHEMA, opts, fast=fast)
+        ref = parser.parse_record(rec, _ARRAY_SCHEMA, opts, fast=None)
+        assert got == ref, (rec, got, ref)
