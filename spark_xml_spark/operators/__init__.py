@@ -10,7 +10,7 @@ loops over collected data.
 """
 
 from spark_xml_spark.operators.dedup import (
-    capped_buckets,
+    capped_collect,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_near_dup_pairs,
@@ -41,7 +41,7 @@ from spark_xml_spark.operators.textstats import (
 )
 
 __all__ = [
-    "capped_buckets",
+    "capped_collect",
     "observed_drop_metrics",
     "restore_aqe_conf",
     "exact_dedup",

@@ -26,16 +26,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def capped_buckets(grouped: DataFrame, list_col: str, max_bucket: int,
+def capped_collect(banded: DataFrame, key_cols: Sequence[str], id_col,
+                   list_alias: str, max_bucket: int,
                    observation=None) -> DataFrame:
-    """Shared LSH bucket guard: drop singleton buckets (no pairs) and
-    buckets larger than ``max_bucket`` members (a viral/boilerplate bucket
-    must not go quadratic at scale). Dropping over-cap buckets loses
-    recall, so the loss must be OBSERVABLE: pass a
-    ``pyspark.sql.Observation`` and after the first action it reports
-    ``dropped_buckets`` / ``dropped_members`` (on a cluster the same
-    metrics reach any QueryExecutionListener). Stays fully in codegen —
-    no accumulator UDF in the hot path.
+    """Shared LSH bucket gather + guard: drop singleton buckets (no pairs)
+    and buckets larger than ``max_bucket`` members (a viral/boilerplate
+    bucket must not go quadratic at scale), then collect the surviving
+    buckets' member lists.
+
+    Order matters at 100 TB: COUNT first (map-side combinable — a hot key
+    collapses before its exchange), drop over-cap keys, and only then
+    ``collect_list`` over the join-back — so no aggregation buffer ever
+    materializes more than ``max_bucket`` ids. The previous
+    collect-then-filter shape built a viral bucket's full member list in
+    ONE buffer before discarding it, which is an executor OOM at scale.
+
+    Dropping over-cap buckets loses recall, so the loss must be
+    OBSERVABLE: pass a ``pyspark.sql.Observation`` and after the first
+    action it reports ``dropped_buckets`` / ``dropped_members`` (on a
+    cluster the same metrics reach any QueryExecutionListener). Stays
+    fully in codegen — no accumulator UDF in the hot path.
 
     Conf scoping: passing an observation excludes
     ``AQEPropagateEmptyRelation`` from AQE session-wide so the metrics
@@ -44,14 +54,15 @@ def capped_buckets(grouped: DataFrame, list_col: str, max_bucket: int,
     ``observed_drop_metrics``** once the metrics publish. Read the
     metrics (or call ``restore_aqe_conf(observation)``) after the action,
     or the exclusion stays for the session."""
-    sz = F.size(list_col)
+    keys = list(key_cols)
+    counts = banded.groupBy(*keys).agg(F.count("*").alias("_bsz"))
     if observation is not None:
         # AQE's runtime empty-relation propagation can replace the subtree
         # holding the CollectMetrics node when the capped result is empty
         # (exactly the all-buckets-dropped case the metric exists to
         # expose) — exclude that one AQE rule so the metrics always
         # publish; the rest of AQE stays active
-        spark = grouped.sparkSession
+        spark = banded.sparkSession
         rule = (
             "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
         )
@@ -65,20 +76,28 @@ def capped_buckets(grouped: DataFrame, list_col: str, max_bucket: int,
             spark.conf.set(key, rule)
         elif rule not in cur:
             spark.conf.set(key, cur + "," + rule)
-        grouped = grouped.observe(
+        bsz = F.col("_bsz")
+        counts = counts.observe(
             observation,
-            F.count(F.when(sz > max_bucket, 1)).alias("dropped_buckets"),
+            F.count(F.when(bsz > max_bucket, 1)).alias("dropped_buckets"),
             F.coalesce(
-                F.sum(F.when(sz > max_bucket, sz.cast("long"))), F.lit(0)
+                F.sum(F.when(bsz > max_bucket, bsz.cast("long"))), F.lit(0)
             ).alias("dropped_members"),
         )
-    return grouped.filter((sz > 1) & (sz <= max_bucket))
+    keep = counts.filter(
+        (F.col("_bsz") > 1) & (F.col("_bsz") <= max_bucket)
+    ).drop("_bsz")
+    return (
+        banded.join(keep, keys)
+        .groupBy(*keys)
+        .agg(F.collect_list(id_col).alias(list_alias))
+    )
 
 
 def restore_aqe_conf(observation) -> None:
     """Restore ``spark.sql.adaptive.optimizer.excludedRules`` to the value
-    it had before ``capped_buckets`` stashed it on this observation.
-    Idempotent; no-op for observations never passed to capped_buckets."""
+    it had before ``capped_collect`` stashed it on this observation.
+    Idempotent; no-op for observations never passed to capped_collect."""
     stash = getattr(observation, "_sxs_aqe_stash", None)
     if stash is not None:
         spark, prior = stash
@@ -91,9 +110,9 @@ def restore_aqe_conf(observation) -> None:
 
 
 def observed_drop_metrics(observation, timeout_s: float = 60.0) -> dict:
-    """Read the capped_buckets drop metrics from a ``pyspark.sql.
+    """Read the capped_collect drop metrics from a ``pyspark.sql.
     Observation`` after an action has run on the returned DataFrame, then
-    restore the AQE ``excludedRules`` conf capped_buckets scoped for the
+    restore the AQE ``excludedRules`` conf capped_collect scoped for the
     query (see its docstring).
 
     Avoids ``Observation.get`` in this PySpark build: its JVM toPyRow
@@ -358,15 +377,11 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
-    # one shuffle: gather each band bucket's ids, drop singleton and
-    # over-cap buckets (boilerplate guard, observable), then pair-generate
-    # locally by double explode — no self-join, the signature lineage runs
-    # ONCE
-    buckets = capped_buckets(
-        banded.groupBy("_band", "_bh").agg(F.collect_list("_id").alias("_ids")),
-        "_ids",
-        max_bucket,
-        observation,
+    # gather each band bucket's ids with the count-first cap (boilerplate
+    # guard, observable, no unbounded collect buffer), then pair-generate
+    # locally by double explode — no self-join
+    buckets = capped_collect(
+        banded, ["_band", "_bh"], "_id", "_ids", max_bucket, observation
     )
     return (
         buckets.select("_ids", F.explode("_ids").alias("id_a"))
@@ -509,16 +524,12 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("_id", "simhash", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
-    # one shuffle: bucket members (id + signature payload) gathered per
-    # band bucket, capped (observable), pairs generated locally — no
-    # self-join, the 64-agg simhash lineage runs ONCE
-    buckets = capped_buckets(
-        bands.groupBy("_band", "_bh").agg(
-            F.collect_list(F.struct("_id", "simhash")).alias("_ms")
-        ),
-        "_ms",
-        max_bucket,
-        observation,
+    # bucket members (id + signature payload) gathered per band bucket
+    # with the count-first cap (observable, no unbounded collect buffer),
+    # pairs generated locally — no self-join
+    buckets = capped_collect(
+        bands, ["_band", "_bh"], F.struct("_id", "simhash"), "_ms",
+        max_bucket, observation
     )
     cands = (
         buckets.select("_ms", F.explode("_ms").alias("a"))

@@ -300,17 +300,13 @@ def cosine_pairs(
             "_band", "_bh"
         ),
     )
-    # one shuffle: gather each band bucket's ids, drop singleton and
-    # over-cap buckets (observable via capped_buckets), pair-generate
-    # locally by double explode — no self-join, the signature UDF runs
-    # once per vector
-    from spark_xml_spark.operators.dedup import capped_buckets
+    # gather each band bucket's ids with the count-first cap (observable
+    # via capped_collect, no unbounded collect buffer), pair-generate
+    # locally by double explode — no self-join
+    from spark_xml_spark.operators.dedup import capped_collect
 
-    buckets = capped_buckets(
-        banded.groupBy("_band", "_bh").agg(F.collect_list("_id").alias("_ids")),
-        "_ids",
-        max_bucket,
-        observation,
+    buckets = capped_collect(
+        banded, ["_band", "_bh"], "_id", "_ids", max_bucket, observation
     )
     cands = (
         buckets.select("_ids", F.explode("_ids").alias("id_a"))
