@@ -7,10 +7,11 @@ strategy. The exact-Jaccard verifier joins only candidate pairs.
 
 Scale notes (100 TB):
 - exact_dedup: one hash-keyed shuffle; map-side partial aggregation applies.
-- ngram_jaccard_pairs: the inverted-index join shuffles on shingle; ultra-
-  frequent shingles are dropped by a document-frequency cap (they carry no
-  discriminative signal and create quadratic bucket blowup — the standard
-  guard in web-scale dedup pipelines).
+- ngram_jaccard_pairs: the inverted-index join shuffles on prefix shingles
+  only (AllPairs/PPJoin prefix filtering): ultra-frequent shingles rank
+  LAST under the ascending-document-frequency order and fall out of every
+  prefix, so they never key the join — exactness preserved, quadratic
+  bucket blowup impossible.
 - minhash_lsh_candidates: b bands of r rows; collision probability
   ~ 1-(1-s^r)^b. Bucket-size cap guards pathological buckets (boilerplate).
 - simhash: 64-bit signature from JVM-side xxhash64; near-dup = small Hamming
