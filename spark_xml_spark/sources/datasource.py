@@ -427,14 +427,14 @@ def _columnar_ok(schema: T.StructType, xopts: XmlOptions) -> bool:
         return False
     if any(f.name == xopts.column_name_of_corrupt_record for f in schema.fields):
         return False
-    if any(
-        isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
-        for f in schema.fields
-    ):
-        # FastFlatParser's struct mode yields row TUPLES; the columnar
-        # Arrow transpose handles flat scalars only
+    fast = parser.FastFlatParser.try_build(schema, xopts)
+    if fast is None:
         return False
-    return parser.FastFlatParser.try_build(schema, xopts) is not None
+    if fast.array_fields:
+        # repeated-tag arrays have variable per-record group counts — the
+        # fixed-group columnar transpose can't represent them
+        return False
+    return True
 
 
 def _py_cast_column(vals, caster, target_type):
@@ -446,7 +446,7 @@ def _py_cast_column(vals, caster, target_type):
 
 
 def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None,
-                 is_attr=False):
+                 is_attr=False, vt=False):
     """One column of raw strings -> Arrow array. C casts when provably
     equivalent; Python casters otherwise. Raises (ValueError /
     parser fallback) only from the Python casters — the caller then
@@ -455,7 +455,9 @@ def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None,
     set; pass _cast_guards(xopts) for the option-aware set. ``is_attr``
     columns carry ATTRIBUTE cell semantics: an empty value is NOT
     null-coerced (plain cast_to — raises for non-string scalars, which
-    must surface through the row path's parse policy)."""
+    must surface through the row path's parse policy). ``vt`` columns are
+    an attribute-only element's body: an empty body is an END event, so
+    it nulls even for strings."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -464,6 +466,10 @@ def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None,
         return _py_cast_column(vals, caster, target_type)
     arr = pa.array(vals, pa.string())
     if tname == "string":
+        if vt:
+            empties = pc.equal(arr, "")
+            if pc.any(empties).as_py():
+                arr = pc.if_else(empties, pa.scalar(None, pa.string()), arr)
         return arr  # defaults only (see _columnar_ok): "" stays "", no nullValue
     empties = pc.equal(arr, "")
     if pc.any(empties).as_py():
@@ -473,7 +479,8 @@ def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None,
             # caster so the caller re-runs the batch on the row path
             return _py_cast_column(vals, caster, target_type)
         # empty element -> null for every non-string scalar (row-path END
-        # branch); whitespace-only is NOT empty and falls to the casters
+        # branch, and the END semantics of an attribute-only element's
+        # body); whitespace-only is NOT empty and falls to the casters
         arr = pc.if_else(empties, pa.scalar(None, pa.string()), arr)
     guard = (guards if guards is not None else _C_CAST_GUARDS).get(tname)
     if guard is not None:
@@ -526,6 +533,156 @@ def _collect_columns(batch, pat, group_map, ncols):
     return cols
 
 
+def _collect_group_columns(batch, pat, ngroups):
+    """Match every record against a learned whole-record pattern and
+    transpose ALL capture groups into columns (struct mode: groups map to
+    fields OR struct subfields via the 4-tuple gmap). None when any
+    record needs the real parser."""
+    cols: List[list] = [[] for _ in range(ngroups)]
+    for rec in batch:
+        if "&" in rec:
+            return None
+        m = pat.match(rec)
+        if m is None:
+            return None
+        groups = m.groups()
+        for k in range(ngroups):
+            cols[k].append(groups[k])
+    return cols
+
+
+def _struct_gmap_columnar_ok(gmap) -> bool:
+    """The columnar assembler needs each (field, sub, kind) target fed by
+    at most ONE group: duplicated tags in the learning record (last-wins
+    row semantics) or a field captured as both element and root attribute
+    can't be expressed as independent columns — those batches take the
+    row path."""
+    seen = set()
+    targets = set()
+    for _g, i, sub, kind in gmap:
+        key = (i, sub, kind)
+        if key in seen:
+            return False
+        seen.add(key)
+        if kind in ("elem", "rootattr"):
+            if i in targets:
+                return False
+            targets.add(i)
+    return True
+
+
+def _assemble_struct_arrays(cols, fast, schema, arrow_schema, guards, nrec):
+    """Capture-group columns -> one Arrow array per schema field, building
+    StructArrays (validity = the vt presence group) for simple-struct
+    fields. Raises like _cast_column on anything unprovable — the caller
+    re-runs the batch through the exact row path."""
+    import pyarrow as pa
+
+    by_field: dict = {}
+    for k, (_g, i, sub, kind) in enumerate(fast.struct_gmap):
+        by_field.setdefault(i, {})[(sub, kind)] = cols[k]
+    arrays = []
+    for i, f in enumerate(schema.fields):
+        at = arrow_schema.field(i).type
+        srcs = by_field.get(i)
+        if isinstance(f.dataType, T.StructType):
+            _nsub, _vt_sub, _attr_sub, subcast = fast.simple_structs[i]
+            vt_raw = None
+            sub_raw = {}
+            if srcs:
+                for (sub, kind), raw in srcs.items():
+                    if kind == "vt":
+                        vt_raw = raw
+                        if sub >= 0:
+                            sub_raw[sub] = ("vt", raw)
+                    elif kind == "attr":
+                        sub_raw[sub] = ("attr", raw)
+            if vt_raw is None:  # struct element not in the learned shape
+                arrays.append(pa.nulls(nrec, at))
+                continue
+            children = []
+            for j, sf in enumerate(f.dataType.fields):
+                sat = at.field(j).type
+                src = sub_raw.get(j)
+                if src is None:
+                    children.append(pa.nulls(nrec, sat))
+                    continue
+                skind, raw = src
+                children.append(
+                    _cast_column(
+                        raw, sf.dataType, subcast[j], sat, guards,
+                        is_attr=skind == "attr", vt=skind == "vt",
+                    )
+                )
+            mask = pa.array([v is None for v in vt_raw], pa.bool_())
+            arrays.append(
+                pa.StructArray.from_arrays(children, fields=list(at), mask=mask)
+            )
+        elif srcs is None:
+            arrays.append(pa.nulls(nrec, at))
+        else:
+            (sub, kind), raw = next(iter(srcs.items()))
+            arrays.append(
+                _cast_column(
+                    raw, f.dataType,
+                    (fast.attr_casters if kind == "rootattr" else fast.casters)[i],
+                    at, guards, is_attr=kind == "rootattr",
+                )
+            )
+    return arrays
+
+
+def _columnar_struct_batches(
+    records: Iterator[str], schema: T.StructType, xopts: XmlOptions,
+    batch_size: int, fast,
+):
+    """Struct-mode columnar scan: the generic-verified learned pattern
+    (parser.FastFlatParser struct mode) feeds the Arrow transpose; any
+    batch the pattern or casts can't prove equivalent re-runs through the
+    exact row path."""
+    import itertools
+
+    import pyarrow as pa
+
+    fields = schema.fields
+    arrow_schema = pa.schema(
+        [pa.field(f.name, _arrow_type(f.dataType)) for f in fields]
+    )
+    fix = _tz_fixer(schema)
+    guards = _cast_guards(xopts)
+
+    def row_path(batch):
+        rows = parser.parse_records(iter(batch), schema, xopts)
+        if fix is not None:
+            rows = (fix(row) for row in rows)
+        yield from _rows_to_arrow_batches(rows, schema, batch_size)
+
+    records = iter(records)
+    while True:
+        batch = list(itertools.islice(records, batch_size))
+        if not batch:
+            return
+        if fast.struct_pattern is None and fast._struct_learn_attempts < 16:
+            probe = next((r for r in batch if "&" not in r), None)
+            if probe is not None:
+                fast._learn_struct_pattern(probe)
+        pat = fast.struct_pattern
+        cols = None
+        if pat is not None and _struct_gmap_columnar_ok(fast.struct_gmap):
+            cols = _collect_group_columns(batch, pat, len(fast.struct_gmap))
+        if cols is None:
+            yield from row_path(batch)
+            continue
+        try:
+            arrays = _assemble_struct_arrays(
+                cols, fast, schema, arrow_schema, guards, len(batch)
+            )
+        except Exception:
+            yield from row_path(batch)
+            continue
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
 def _columnar_flat_batches(
     records: Iterator[str], schema: T.StructType, xopts: XmlOptions, batch_size: int
 ):
@@ -534,6 +691,11 @@ def _columnar_flat_batches(
     import pyarrow as pa
 
     fast = parser.FastFlatParser.try_build(schema, xopts)
+    if fast.simple_structs:
+        yield from _columnar_struct_batches(
+            records, schema, xopts, batch_size, fast
+        )
+        return
     fields = schema.fields
     ncols = len(fields)
     arrow_schema = pa.schema(

@@ -275,3 +275,94 @@ def test_spark_end_to_end_matches_cached_table(spark, tmp_path):
     b = read_xml(spark, out, rowTag="row", arrowBatches="false")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
     assert a.count() == 500
+
+
+VT_SCHEMA = T.StructType(
+    [
+        T.StructField("okey", T.LongType()),
+        T.StructField(
+            "price",
+            T.StructType(
+                [
+                    T.StructField("_VALUE", T.DoubleType()),
+                    T.StructField("_prio", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("note", T.StringType()),
+    ]
+)
+
+VT_OPTS = XmlOptions.from_dict({"rowTag": "order", "timezone": "UTC"})
+
+
+def test_struct_columnar_identical():
+    recs = [
+        f'<order><okey>{k}</okey><price prio="P{k % 3}">{k}.25</price>'
+        f"<note>n{k}</note></order>"
+        for k in range(200)
+    ]
+    rt, ct = _both_paths(recs, VT_SCHEMA, VT_OPTS)
+    assert rt.equals(ct)
+    assert ct["price"].to_pylist()[1] == {"_VALUE": 1.25, "_prio": "P1"}
+
+
+def test_struct_columnar_edge_shapes():
+    recs = [
+        '<order><okey>1</okey><price prio="H">5.5</price><note>n1</note></order>',
+        '<order><okey>2</okey><price prio="L">1.5</price></order>',   # no note
+        '<order><okey>3</okey><price>2.5</price><note></note></order>',  # no attr, empty note
+        '<order><okey>4</okey><note>x</note></order>',                # struct absent -> null
+        '<order><okey>5</okey><price prio="X"></price></order>',      # empty body -> _VALUE null
+        '<order><okey>6</okey><price prio="Z" extra="e">3.0</price></order>',  # unknown attr
+        '<order><okey>7</okey><price prio="R">bad</price></order>',   # malformed -> policy
+        "<order><okey>8</okey><price prio='Q'>4.0</price></order>",   # single quotes
+    ]
+    rt, ct = _both_paths(recs, VT_SCHEMA, VT_OPTS)
+    assert rt.equals(ct)
+    got = ct["price"].to_pylist()
+    assert got[3] is None                       # absent element = null struct
+    assert got[4] == {"_VALUE": None, "_prio": "X"}
+    assert ct["okey"].to_pylist()[6] == 7       # PERMISSIVE partial row
+
+
+def test_struct_columnar_string_value_empty_body():
+    schema = T.StructType(
+        [
+            T.StructField(
+                "tag",
+                T.StructType(
+                    [
+                        T.StructField("_VALUE", T.StringType()),
+                        T.StructField("_k", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    recs = [
+        '<order><tag k="a">txt</tag></order>',
+        '<order><tag k="b"></tag></order>',  # string body: END event -> null
+    ]
+    rt, ct = _both_paths(recs, schema, VT_OPTS)
+    assert rt.equals(ct)
+    assert ct["tag"].to_pylist() == [
+        {"_VALUE": "txt", "_k": "a"},
+        {"_VALUE": None, "_k": "b"},
+    ]
+
+
+def test_struct_columnar_spark_end_to_end(spark, tmp_path):
+    from spark_xml_spark.sources.api import read_xml, write_xml
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(k, (k * 1.5, f"p{k % 4}")) for k in range(400)],
+        "okey bigint, price struct<_VALUE:double,_prio:string>",
+    )
+    out = str(tmp_path / "vt")
+    write_xml(df.repartition(2), out, rowTag="order")
+    a = read_xml(spark, out, rowTag="order")
+    b = read_xml(spark, out, rowTag="order", arrowBatches="false")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    assert a.count() == 400
