@@ -56,6 +56,12 @@ def capped_collect(banded: DataFrame, key_cols: Sequence[str], id_col,
     metrics (or call ``restore_aqe_conf(observation)``) after the action,
     or the exclusion stays for the session."""
     keys = list(key_cols)
+    # one explicit hash-shuffle on the bucket keys, SHARED by the counts
+    # branch and the gather branch: both subplans contain the identical
+    # exchange, so Spark's exchange/stage reuse materializes the banded
+    # lineage once; counts then aggregates without another exchange and
+    # the final groupBy inherits the partitioning (no exchange either)
+    banded = banded.repartition(*keys)
     counts = banded.groupBy(*keys).agg(F.count("*").alias("_bsz"))
     if observation is not None:
         # AQE's runtime empty-relation propagation can replace the subtree
