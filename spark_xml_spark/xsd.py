@@ -945,15 +945,85 @@ class _Validator:
                     pure = False
         return items, pure
 
+    def _attr_decl_parents(self, decl_parent: ET.Element) -> List[ET.Element]:
+        """The element's attribute-declaring nodes: the given parent plus
+        the complexContent/simpleContent extension base chain (attributes
+        accumulate through extensions)."""
+        out = [decl_parent]
+        seen = set()
+        cur = decl_parent
+        for _ in range(8):
+            ext = None
+            for wrap in ("complexContent", "simpleContent"):
+                w = cur.find(_XS + wrap)
+                if w is not None:
+                    ext = w.find(_XS + "extension")
+                    break
+            if ext is None and _tag(cur) == "extension":
+                ext = cur
+            base_name = _local(ext.get("base")) if ext is not None else None
+            if ext is not None and ext is not cur:
+                out.append(ext)
+            if base_name is None or base_name in seen:
+                break
+            seen.add(base_name)
+            base = self.model.types_by_name.get(base_name)
+            if base is None or _tag(base) != "complexType":
+                break
+            out.append(base)
+            cur = base
+        return out
+
     def _check_attributes(self, node: ET.Element, decl_parent: ET.Element) -> None:
-        declared = {
-            a.get("name"): a for a in decl_parent.findall(_XS + "attribute")
-        }
+        """Presence, prohibition, TYPED VALUES, and undeclared-attribute
+        rejection (javax.xml.validation parity). xsi:* instance attributes
+        always pass; a declared xs:anyAttribute (or an attributeGroup
+        reference, which this subset does not expand) makes unknown
+        attributes legal rather than producing false rejections."""
+        parents = self._attr_decl_parents(decl_parent)
+        declared: Dict[str, ET.Element] = {}
+        lenient = False
+        for p in parents:
+            for a in p.findall(_XS + "attribute"):
+                n = a.get("name")
+                if n:
+                    declared.setdefault(n, a)
+            if (
+                p.find(_XS + "anyAttribute") is not None
+                or p.find(_XS + "attributeGroup") is not None
+            ):
+                lenient = True
         for a, d in declared.items():
             if d.get("use") == "required" and a not in node.attrib:
                 raise XsdValidationError(
                     f"<{node.tag}> missing required attribute '{a}'"
                 )
+            if d.get("use") == "prohibited" and a in node.attrib:
+                raise XsdValidationError(
+                    f"<{node.tag}>: attribute '{a}' is prohibited"
+                )
+        for name, value in node.attrib.items():
+            if name.startswith("{%s}" % XSI_NS):
+                continue  # xsi:nil / xsi:type / schemaLocation etc.
+            local = _inst_local(name)
+            d = declared.get(local)
+            if d is None:
+                if not lenient:
+                    raise XsdValidationError(
+                        f"<{node.tag}>: undeclared attribute '{local}'"
+                    )
+                continue
+            tname = d.get("type")
+            if tname is not None:
+                variant = self._variant_of_name(_local(tname))
+            else:
+                inline = d.find(_XS + "simpleType")
+                variant = (
+                    self._simple_variant(inline)
+                    if inline is not None
+                    else ("chain", "string", [])
+                )
+            self._check_simple_value(f"{node.tag}@{local}", value, variant)
 
 
 # per-executor compiled-schema cache (ValidatorUtil.scala:32-46)

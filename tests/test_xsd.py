@@ -752,3 +752,46 @@ def test_union_and_list_simple_types(tmp_path):
         v("<row><size>XL</size></row>")        # neither enum nor int
     with pytest.raises(XsdValidationError, match="int"):
         v("<row><size>M</size><nums>1 two 3</nums></row>")
+
+
+def test_attribute_values_and_undeclared(tmp_path):
+    """Attribute VALUES are validated against their declared simple types
+    (lexical + facets), undeclared attributes are rejected unless
+    xs:anyAttribute is present, and use=prohibited is honored."""
+    p = tmp_path / "attrs.xsd"
+    p.write_text(
+        """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="item">
+    <xs:complexType>
+      <xs:sequence><xs:element name="v" type="xs:string" minOccurs="0"/></xs:sequence>
+      <xs:attribute name="n" type="xs:int" use="required"/>
+      <xs:attribute name="grade">
+        <xs:simpleType><xs:restriction base="xs:string">
+          <xs:enumeration value="A"/><xs:enumeration value="B"/>
+        </xs:restriction></xs:simpleType>
+      </xs:attribute>
+      <xs:attribute name="old" use="prohibited"/>
+    </xs:complexType>
+  </xs:element>
+  <xs:element name="open">
+    <xs:complexType>
+      <xs:anyAttribute/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    )
+    v = get_validator(str(p))
+    v('<item n="5" grade="A"><v>x</v></item>')
+    v('<item n="-3"/>')
+    with pytest.raises(XsdValidationError, match="int"):
+        v('<item n="five"/>')
+    with pytest.raises(XsdValidationError, match="enumeration"):
+        v('<item n="1" grade="F"/>')
+    with pytest.raises(XsdValidationError, match="undeclared attribute"):
+        v('<item n="1" zz="9"/>')
+    with pytest.raises(XsdValidationError, match="prohibited"):
+        v('<item n="1" old="y"/>')
+    with pytest.raises(XsdValidationError, match="required"):
+        v("<item/>")
+    v('<open a="1" b="2"/>')  # anyAttribute admits unknowns
