@@ -70,6 +70,7 @@ class _XsdModel:
         # substitutionGroup="head" (one hop; walk transitively via
         # substitution_members)
         self.substitutions_by_head: Dict[str, List[str]] = {}
+        self.attribute_groups_by_name: Dict[str, ET.Element] = {}
 
     def substitution_members(self, head: str) -> List[str]:
         """All global element names substitutable for ``head``
@@ -143,6 +144,10 @@ class _XsdModel:
                 name = child.get("name")
                 if name:
                     self.types_by_name[name] = child
+            elif kind == "attributeGroup":
+                name = child.get("name")
+                if name:
+                    self.attribute_groups_by_name[name] = child
 
 
 def _rewrite_self_refs(node: ET.Element, name: str, alias: str) -> None:
@@ -983,16 +988,32 @@ class _Validator:
         parents = self._attr_decl_parents(decl_parent)
         declared: Dict[str, ET.Element] = {}
         lenient = False
-        for p in parents:
+
+        def collect(p, depth=0):
+            nonlocal lenient
+            if depth > 8:
+                lenient = True  # pathological nesting: don't false-reject
+                return
             for a in p.findall(_XS + "attribute"):
                 n = a.get("name")
                 if n:
                     declared.setdefault(n, a)
-            if (
-                p.find(_XS + "anyAttribute") is not None
-                or p.find(_XS + "attributeGroup") is not None
-            ):
+            if p.find(_XS + "anyAttribute") is not None:
                 lenient = True
+            for ag in p.findall(_XS + "attributeGroup"):
+                ref = _local(ag.get("ref"))
+                target = (
+                    self.model.attribute_groups_by_name.get(ref)
+                    if ref
+                    else None
+                )
+                if target is not None:
+                    collect(target, depth + 1)
+                else:
+                    lenient = True  # unresolvable group: stay lenient
+
+        for p in parents:
+            collect(p)
         for a, d in declared.items():
             if d.get("use") == "required" and a not in node.attrib:
                 raise XsdValidationError(

@@ -795,3 +795,34 @@ def test_attribute_values_and_undeclared(tmp_path):
     with pytest.raises(XsdValidationError, match="required"):
         v("<item/>")
     v('<open a="1" b="2"/>')  # anyAttribute admits unknowns
+
+
+def test_attribute_group_expansion(tmp_path):
+    """Named xs:attributeGroup references expand into the declared set:
+    members validate by type, and attributes outside the group are still
+    rejected."""
+    p = tmp_path / "ag.xsd"
+    p.write_text(
+        """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:attributeGroup name="dims">
+    <xs:attribute name="w" type="xs:int" use="required"/>
+    <xs:attribute name="h" type="xs:int"/>
+  </xs:attributeGroup>
+  <xs:element name="box">
+    <xs:complexType>
+      <xs:attributeGroup ref="dims"/>
+      <xs:attribute name="label" type="xs:string"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    )
+    v = get_validator(str(p))
+    v('<box w="3" h="4" label="a"/>')
+    v('<box w="3"/>')
+    with pytest.raises(XsdValidationError, match="int"):
+        v('<box w="wide"/>')
+    with pytest.raises(XsdValidationError, match="required"):
+        v('<box h="4"/>')
+    with pytest.raises(XsdValidationError, match="undeclared"):
+        v('<box w="1" zz="2"/>')
