@@ -581,7 +581,10 @@ class _Validator:
     enforced over the common XPath subset, keyrefs resolved document-wide
     after traversal. Substitution groups (transitive, abstract heads
     rejected, members pooled into the head's occurrence bounds and
-    sequence position), nillable/xsi:nil, and xs:redefine (same-named
+    sequence position), nillable/xsi:nil, TYPED attributes (values
+    checked against their simple types; undeclared attributes rejected
+    unless xs:anyAttribute; attributeGroup references expanded;
+    use=prohibited honored), and xs:redefine (same-named
     type replacement with self-references resolving to the pre-redefine
     original; facet layers of a restriction chain all apply) are honored.
     Still out of scope: full facet semantics on every built-in type.
