@@ -47,9 +47,13 @@ def _norm(vec_col: Column) -> Column:
 
 
 def cosine_similarity_col(vec_col: Column, q: Sequence[float]) -> Column:
-    """cosine(vec, q) as a Column (double), entirely JVM-side."""
+    """cosine(vec, q) as a Column (double), entirely JVM-side. A
+    zero-norm (all-zero) vector yields NULL rather than an ANSI
+    divide-by-zero error (Spark 4 default), so dirty rows sort last in a
+    top-k instead of failing the query."""
     qn = math.sqrt(sum(float(x) * float(x) for x in q)) or 1.0
-    return _dot_with_literal(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+    denom = F.nullif(_norm(vec_col) * F.lit(qn), F.lit(0.0))
+    return _dot_with_literal(vec_col, q) / denom
 
 
 def brute_force_cosine_topk(
@@ -132,9 +136,33 @@ def lsh_bucketed_topk(
 
     @pandas_udf("long")
     def _sig_udf(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(list(vecs), dtype=np.float64)  # batch x dim
-        bits = (m @ pmat >= 0).astype(np.int64)  # batch x planes
-        return pd.Series(bits @ weights)
+        # fast path: homogeneous batch -> one matmul. Dirty rows (null
+        # vector, null element, wrong dimension) reproduce the replaced
+        # JVM expression's semantics instead of failing the task: a null
+        # dot made every bit 0 (signature 0), and zip_with truncated to
+        # the shorter length.
+        vals = list(vecs)
+        try:
+            m = np.asarray(vals, dtype=np.float64)
+            if m.ndim == 2 and m.shape[1] == len(pmat) and not np.isnan(m).any():
+                bits = (m @ pmat >= 0).astype(np.int64)
+                return pd.Series(bits @ weights)
+        except (ValueError, TypeError):
+            pass
+        out = np.zeros(len(vals), dtype=np.int64)
+        for ix, v in enumerate(vals):
+            if v is None:
+                continue
+            try:
+                a = np.asarray(v, dtype=np.float64)
+            except (ValueError, TypeError):
+                continue
+            if a.ndim != 1 or np.isnan(a).any():
+                continue
+            k = min(len(a), len(pmat))
+            bits = (a[:k] @ pmat[:k] >= 0).astype(np.int64)
+            out[ix] = int(bits @ weights)
+        return pd.Series(out)
 
     sigged = df.withColumn("_sig", _sig_udf(F.col(vec_col).cast("array<double>")))
     return (

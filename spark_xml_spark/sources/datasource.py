@@ -173,7 +173,8 @@ class XmlInputPartition(InputPartition):
     splits: Tuple[Tuple[str, int, int, Optional[str], bool], ...]
 
 
-def _pack_splits(splits, max_split_bytes: int, open_cost: int) -> List[XmlInputPartition]:
+def _pack_splits(splits, max_split_bytes: int, open_cost: int,
+                 sizes: Optional[dict] = None) -> List[XmlInputPartition]:
     """Greedy size-descending bin-packing of file splits into partitions,
     mirroring Spark's FilePartition.getFilePartitions: a partition closes
     when adding the next split would exceed ``max_split_bytes``, and every
@@ -183,11 +184,13 @@ def _pack_splits(splits, max_split_bytes: int, open_cost: int) -> List[XmlInputP
     for s in splits:
         if s.end >= 0:
             size = s.end - s.start
-        else:  # whole-file split (compressed / non-seekable): stat it
-            try:
-                size = os.path.getsize(s.path)
-            except OSError:
-                size = max_split_bytes
+        else:  # whole-file split (compressed / non-seekable)
+            size = (sizes or {}).get(s.path)
+            if size is None:
+                try:
+                    size = os.path.getsize(s.path)
+                except OSError:
+                    size = max_split_bytes
         sized.append((size, s))
     sized.sort(key=lambda t: (-t[0], t[1].path, t[1].start))
     parts: List[List] = []
@@ -723,7 +726,12 @@ def _columnar_flat_batches(
                 except Exception:
                     pass
         cols = None
-        if fast.seq_pattern is not None:
+        targets = [i for _g, i, _a in fast.group_map]
+        if fast.seq_pattern is not None and len(targets) == len(set(targets)):
+            # a field fed by several groups (root attr + same-named element,
+            # or a duplicated tag) parses correctly on the row tiers via
+            # in-order overwrite, but the columnar transpose would
+            # double-append its column — those scans stay on the row path
             cols = _collect_columns(batch, fast.seq_pattern, fast.group_map, ncols)
         if cols is None:
             yield from row_path(batch)
@@ -1014,6 +1022,11 @@ class XmlReader(DataSourceReader):
     def partitions(self) -> List[InputPartition]:
         xopts = XmlOptions.from_dict(self._opts_dict)
         open_cost = int(self._opt("openCostBytes") or 4 * 1024 * 1024)
+        try:
+            listed = tokenizer._expand_with_sizes(self._path)
+        except OSError:
+            listed = None
+        sizes = dict(listed) if listed is not None else {}
         explicit = self._opt("targetSplitSize", "maxPartitionBytes")
         if explicit is not None:
             target = int(explicit)
@@ -1024,11 +1037,8 @@ class XmlReader(DataSourceReader):
             # 128 MB per task, and the open cost keeps a million tiny
             # files from becoming a million tasks.
             total = open_cost  # avoid zero; matches Spark's +openCost/file
-            try:
-                for _f, size in tokenizer._expand_with_sizes(self._path):
-                    total += size + open_cost
-            except OSError:
-                total = 0
+            for _f, size in listed or ():
+                total += size + open_cost
             par = int(self._opt("minPartitions") or 0)
             if par <= 0:
                 # split planning runs in Spark's Python planner worker,
@@ -1039,9 +1049,10 @@ class XmlReader(DataSourceReader):
             bytes_per_core = total // max(par, 1)
             target = min(128 * 1024 * 1024, max(open_cost, bytes_per_core))
         return _pack_splits(
-            tokenizer.plan_splits(self._path, xopts.charset, target),
+            tokenizer.plan_splits(self._path, xopts.charset, target, files=listed),
             target,
             open_cost,
+            sizes,
         )
 
     def read(self, partition: XmlInputPartition) -> Iterator:

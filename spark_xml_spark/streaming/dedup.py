@@ -61,7 +61,14 @@ def dedup_stream(
     evicted once the watermark passes — bounded memory on an unbounded
     stream. Duplicates farther apart than the watermark are NOT caught
     (that is the explicit state/completeness trade; widen the watermark
-    or run a batch exact_dedup downstream for stragglers)."""
+    or run a batch exact_dedup downstream for stragglers).
+
+    Checkpoint compatibility: the dedup state keys on the content-hash
+    ENCODING. Changing the encoding (as the null-flag fix did) makes
+    state entries from checkpoints written by older code unmatchable, so
+    one duplicate per pre-restart record can leak through immediately
+    after an upgrade-and-resume. Restart clean (new checkpoint) across
+    encoding changes, or accept the one-time window."""
     hashed = _with_content_hash(df, cols)
     if df.isStreaming:
         hashed = hashed.withWatermark(ts_col, watermark)

@@ -408,7 +408,7 @@ class FastFlatParser:
     __slots__ = (
         "schema", "options", "index", "types", "is_string", "n", "strip_ns",
         "casters", "seq_pattern", "group_map", "attr_index", "attr_casters",
-        "has_attr_fields", "simple_structs", "struct_pattern", "struct_gmap",
+        "simple_structs", "struct_pattern", "struct_gmap",
         "_struct_learn_attempts", "array_fields",
     )
 
@@ -494,7 +494,6 @@ class FastFlatParser:
                 if f.name.startswith(prefix)
             }
         )
-        self.has_attr_fields = bool(self.attr_index)
         self.attr_casters = [
             self._build_attr_caster(f.dataType) for f in schema.fields
         ]
@@ -782,16 +781,16 @@ class FastFlatParser:
         parts = ["\\s*<", _re.escape(root_m.group(1))]
         gmap: List[tuple] = []
         g = 0
-        # element fields seen in this record win over a same-named attr
-        # capture (generic order: attrs first, elements overwrite) — and a
-        # field must never be captured twice or the columnar transpose
-        # would double-append.
-        elem_targets = set()
-        for tag in tags:
-            name = tag.rsplit(":", 1)[-1] if self.strip_ns and ":" in tag else tag
-            i = self.index.get(name, -1)
-            if i >= 0:
-                elem_targets.add(i)
+        # A field CAN be captured by several groups (a root attr plus a
+        # same-named element, or a duplicated tag): the parse loop applies
+        # groups in document order and only overwrites on a non-None
+        # capture, which reproduces convert_object's attrs-first,
+        # present-elements-overwrite semantics. (An earlier version
+        # suppressed the attr capture when an element targeted the same
+        # field — that silently NULLed the attribute whenever a later
+        # record had the attribute but not the element.) The columnar
+        # transpose cannot express multi-group fields and skips the
+        # pattern when group_map has duplicate targets.
         for am in _ATTR_PAIR.finditer(root_m.group(2)):
             name = am.group(1)
             q = '"' if am.group(2) is not None else "'"
@@ -800,7 +799,7 @@ class FastFlatParser:
                 name.rsplit(":", 1)[-1] if self.strip_ns and ":" in name else name
             )
             i = self.attr_index.get(base, -1)
-            if i >= 0 and i not in elem_targets:
+            if i >= 0:
                 g += 1
                 gmap.append((g, i, True))
                 parts.append(f"(?:\\s+{esc}={q}([^{q}<]*){q})?")

@@ -116,12 +116,15 @@ def plan_splits(
     path,
     charset: str = "UTF-8",
     target_split_size: int = 128 * 1024 * 1024,
+    files: Optional[List[tuple]] = None,
 ) -> List[FileSplit]:
     """Driver-side split planning: uncompressed ASCII-compatible files are
     carved into byte ranges (the analogue of HDFS splits); compressed or
-    non-ASCII-compatible files become one whole-file split each."""
+    non-ASCII-compatible files become one whole-file split each.
+    ``files`` accepts a pre-listed [(path, size), ...] so callers that
+    already enumerated the tree don't list it twice."""
     splits: List[FileSplit] = []
-    for f, size in _expand_with_sizes(path):
+    for f, size in (files if files is not None else _expand_with_sizes(path)):
         comp = _compression_of(f)
         if comp == "bz2" and is_ascii_compatible(charset):
             # bzip2 is block-splittable (Hadoop BYBLOCK semantics,

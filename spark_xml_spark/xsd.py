@@ -71,6 +71,7 @@ class _XsdModel:
         # substitution_members)
         self.substitutions_by_head: Dict[str, List[str]] = {}
         self.attribute_groups_by_name: Dict[str, ET.Element] = {}
+        self.attributes_by_name: Dict[str, ET.Element] = {}
 
     def substitution_members(self, head: str) -> List[str]:
         """All global element names substitutable for ``head``
@@ -148,6 +149,10 @@ class _XsdModel:
                 name = child.get("name")
                 if name:
                     self.attribute_groups_by_name[name] = child
+            elif kind == "attribute":
+                name = child.get("name")
+                if name:
+                    self.attributes_by_name[name] = child
 
 
 def _rewrite_self_refs(node: ET.Element, name: str, alias: str) -> None:
@@ -999,8 +1004,27 @@ class _Validator:
                 return
             for a in p.findall(_XS + "attribute"):
                 n = a.get("name")
-                if n:
-                    declared.setdefault(n, a)
+                if n is None:
+                    # xs:attribute ref= to a global declaration
+                    ref = _local(a.get("ref"))
+                    target = (
+                        self.model.attributes_by_name.get(ref) if ref else None
+                    )
+                    if target is not None:
+                        n = target.get("name")
+                        if n:
+                            # local use= overrides the global declaration
+                            merged = target
+                            if a.get("use") and a.get("use") != target.get("use"):
+                                import copy as _copy
+
+                                merged = _copy.copy(target)
+                                merged.set("use", a.get("use"))
+                            declared.setdefault(n, merged)
+                        continue
+                    lenient = True  # unresolvable ref: don't false-reject
+                    continue
+                declared.setdefault(n, a)
             if p.find(_XS + "anyAttribute") is not None:
                 lenient = True
             for ag in p.findall(_XS + "attributeGroup"):

@@ -366,3 +366,44 @@ def test_struct_columnar_spark_end_to_end(spark, tmp_path):
     b = read_xml(spark, out, rowTag="order", arrowBatches="false")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
     assert a.count() == 400
+
+
+def test_attr_captured_when_element_absent():
+    """Regression: the learned pattern suppressed the root-attr capture
+    whenever the learning record also had a same-named element, silently
+    NULLing the attribute on later records without the element. Both are
+    captured now; in-order overwrite keeps element-wins semantics, and
+    the columnar transpose (which can't express multi-group fields)
+    falls back to the row path."""
+    schema = T.StructType(
+        [T.StructField("_id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    opts = XmlOptions.from_dict({"rowTag": "r"})
+    fast = parser.FastFlatParser.try_build(schema, opts)
+    recs = [
+        '<r id="A"><_id>E</_id><v>1</v></r>',  # learning record: both
+        '<r id="B"><v>2</v></r>',              # attr only
+        "<r><v>3</v></r>",                     # neither
+    ]
+    for _tier in range(2):
+        for r in recs:
+            got = parser.parse_record(r, schema, opts, fast=fast)
+            ref = parser.parse_record(r, schema, opts, fast=None)
+            assert got == ref, (r, got, ref)
+    rt, ct = _both_paths(recs, schema, opts)
+    assert rt.equals(ct)
+    assert ct["_id"].to_pylist() == ["E", "B", None]
+
+
+def test_duplicate_tag_columnar_falls_back():
+    """Regression: a duplicated tag in the learning record compiled two
+    capture groups for one field and the columnar transpose crashed on
+    mismatched column lengths; such scans now take the row path."""
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.StringType())]
+    )
+    opts = XmlOptions.from_dict({"rowTag": "r"})
+    recs = ["<r><a>1</a><a>2</a><b>x</b></r>", "<r><a>3</a><b>y</b></r>"]
+    rt, ct = _both_paths(recs, schema, opts)
+    assert rt.equals(ct)
+    assert ct["a"].to_pylist() == ["2", "3"]  # last occurrence wins

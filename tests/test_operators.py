@@ -456,3 +456,18 @@ def test_default_image_decoder_headers():
 
     with pytest.raises(NotImplementedError):
         default_image_decoder(b"RIFF....WAVE")
+
+
+def test_lsh_topk_tolerates_dirty_vectors(spark):
+    """Regression: a null or wrong-dimension embedding must not fail the
+    LSH query — dirty rows bucket to signature 0 (the replaced JVM
+    expression's null semantics) and the clean top-k still returns."""
+    from spark_xml_spark.operators.similarity import lsh_bucketed_topk
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(20)]
+    rows += [(100, None), (101, [1.0, 2.0]), (102, [float("nan")] * 8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = [1.0] + [0.0] * 7
+    got = lsh_bucketed_topk(df, "embedding", q, k=3, num_planes=4, multiprobe=2)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert ids[0] == 0  # the exact match survives

@@ -826,3 +826,33 @@ def test_attribute_group_expansion(tmp_path):
         v('<box h="4"/>')
     with pytest.raises(XsdValidationError, match="undeclared"):
         v('<box w="1" zz="2"/>')
+
+
+def test_attribute_ref_to_global_declaration(tmp_path):
+    """Regression: xs:attribute ref= to a global declaration must resolve
+    (typed, use= overridable at the reference site), not reject the
+    attribute as undeclared."""
+    p = tmp_path / "refattr.xsd"
+    p.write_text(
+        """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:attribute name="lang" type="xs:string"/>
+  <xs:attribute name="n" type="xs:int"/>
+  <xs:element name="doc">
+    <xs:complexType>
+      <xs:sequence><xs:element name="v" type="xs:string"/></xs:sequence>
+      <xs:attribute ref="lang"/>
+      <xs:attribute ref="n" use="required"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    )
+    v = get_validator(str(p))
+    v('<doc lang="en" n="1"><v>x</v></doc>')
+    v('<doc n="2"><v>x</v></doc>')
+    with pytest.raises(XsdValidationError, match="required"):
+        v('<doc lang="en"><v>x</v></doc>')
+    with pytest.raises(XsdValidationError, match="int"):
+        v('<doc n="x"><v>x</v></doc>')
+    with pytest.raises(XsdValidationError, match="undeclared"):
+        v('<doc n="1" zz="1"><v>x</v></doc>')
