@@ -409,32 +409,68 @@ def _columnar_infer_ok(options: XmlOptions) -> bool:
     )
 
 
-def _learn_seq_pattern(xml: str):
-    """Whole-record pattern with one capture group per top-level tag of a
+def _learn_seq_pattern(xml: str, options: XmlOptions):
+    """Whole-record pattern with one capture group per top-level tag (and
+    per ROOT ATTRIBUTE, as ``attributePrefix``-prefixed field names) of a
     proven-flat record (same structural proof as the parser's tier 1), or
-    None. Groups are ordered; the tag list is returned alongside."""
-    from spark_xml_spark.xmlcore.parser import _FLAT_DISQUALIFIER, _FLAT_FIELD
+    None. Groups are ordered; the field-name list is returned alongside.
+    Attribute "" infers NullType exactly like an empty element
+    (infer_from('') is NullType), so attr columns reuse the same column
+    typer."""
+    from spark_xml_spark.xmlcore.parser import (
+        _ATTR_PAIR,
+        _FLAT_DISQUALIFIER,
+        _FLAT_FIELD,
+        _ROOT_OPEN_ATTRS,
+    )
 
-    if _FLAT_DISQUALIFIER.search(xml):
+    m = _ROOT_OPEN_ATTRS.match(xml)
+    if m is None:
         return None
-    fields = _FLAT_FIELD.findall(xml)
-    if not fields or xml.count("<") != 2 + 2 * len(fields):
+    root = m.group(1)
+    attrs: List[tuple] = []
+    body = xml
+    extra_lt = 2
+    if m.group(2):
+        if options.exclude_attribute:
+            return None  # the event path drops attributes: stay exact
+        attrs = [
+            (am.group(1), '"' if am.group(2) is not None else "'")
+            for am in _ATTR_PAIR.finditer(m.group(2))
+        ]
+        body = xml[m.end():]
+        extra_lt = 1
+        if _FLAT_DISQUALIFIER.search(body):
+            return None
+    elif _FLAT_DISQUALIFIER.search(xml):
         return None
-    tags = [t for t, _ in fields]
-    if len(set(tags)) != len(tags):
-        return None  # repeated tag -> ArrayType: per-record path
-    root_m = _re_inf.match(r"\s*<([^\s>/]+)>", xml)
-    if root_m is None:
+    fields = _FLAT_FIELD.findall(body)
+    if (not fields and not attrs) or body.count("<") != extra_lt + 2 * len(fields):
         return None
-    parts = ["\\s*<", _re_inf.escape(root_m.group(1)), ">"]
-    for tag in tags:
+    if not body.rstrip().endswith(f"</{root}>"):
+        return None
+
+    def local(n: str) -> str:
+        return n.split(":")[-1] if options.ignore_namespace else n
+
+    names = [options.attribute_prefix + local(a) for a, _q in attrs] + [
+        local(t) for t, _ in fields
+    ]
+    if len(set(names)) != len(names):
+        return None  # repeated tag -> ArrayType (or name clash): exact path
+    parts = ["\\s*<", _re_inf.escape(root)]
+    for a, q in attrs:
+        esc = _re_inf.escape(a)
+        parts.append(f"(?:\\s+{esc}={q}([^{q}<]*){q})?")
+    parts.append("\\s*>")
+    for tag, _ in fields:
         esc = _re_inf.escape(tag)
         parts.append(f"(?:\\s*<{esc}>([^<]*)</{esc}>)?")
     parts.append("\\s*</")
-    parts.append(_re_inf.escape(root_m.group(1)))
+    parts.append(_re_inf.escape(root))
     parts.append(">\\s*\\Z")
     try:
-        return _re_inf.compile("".join(parts)), tags
+        return _re_inf.compile("".join(parts)), names
     except _re_inf.error:
         return None
 
@@ -519,8 +555,8 @@ def _columnar_fold(records: Iterable[str], options: XmlOptions, fast) -> T.DataT
             matched = False
             if disabled:
                 pass
-            elif pat is None and not _FLAT_DISQUALIFIER.search(xml):
-                learned = _learn_seq_pattern(xml)
+            elif pat is None and "&" not in xml:
+                learned = _learn_seq_pattern(xml, options)
                 if learned is not None:
                     pat, tags = learned
             if not disabled and pat is not None and "&" not in xml:

@@ -678,3 +678,41 @@ def test_locale_option_through_read(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 1.5, 2: 1234.25}
+
+
+def test_columnar_inference_root_attributes():
+    """The batch column-typing inference path handles ROOT attributes
+    (attributePrefix fields) and must produce exactly the event path's
+    schema, including '' -> NullType folding, struct-vs-scalar merges
+    from child-attribute oddballs, and pattern misses going exact."""
+    from spark_xml_spark.options import XmlOptions
+    from spark_xml_spark.xmlcore import infer
+
+    recs = [
+        f'<order id="{i}" status="O"><totalprice>{i}.25</totalprice></order>'
+        for i in range(200)
+    ]
+    recs += [
+        '<order id="" status="F"><totalprice>1.5</totalprice></order>',
+        '<order status="P"><totalprice>2.0</totalprice><note>n</note></order>',
+        '<order id="x&amp;y"><totalprice>1.5</totalprice></order>',
+        '<order id="7"><totalprice cur="USD">2.5</totalprice></order>',
+    ]
+    opts = XmlOptions.from_dict({"rowTag": "order"})
+    got = infer.infer_schema_from_records(iter(recs), opts)
+    merged = infer.T.StructType([])
+    for xml in recs:
+        rt = infer.infer_record(xml, opts)
+        if rt is not None:
+            merged = infer.compatible_type(merged, rt, opts)
+    exact = infer.canonicalize_type(merged)
+    assert got == exact
+    assert dict((f.name, f.dataType.simpleString()) for f in got.fields)[
+        "_id"
+    ] == "string"  # entity record widens bigint -> string
+
+    # excludeAttribute drops attrs on both paths
+    opts2 = XmlOptions.from_dict({"rowTag": "order", "excludeAttribute": "true"})
+    got2 = infer.infer_schema_from_records(iter(recs), opts2)
+    names = {f.name for f in got2.fields}
+    assert "_id" not in names and "_status" not in names
