@@ -59,6 +59,51 @@ FORMAT_NAME = "xml-graft"
 # raises instead of guessing.
 _CATALOG_STASH: dict = {}
 
+# --- tier-adoption instrumentation (env-gated; off = zero cost) -------------
+# Which parse tier actually served each record is invisible from the plan
+# (the fallbacks are per-batch, inside the Python reader). When
+# SPARK_XML_TIER_STATS_DIR names a directory, every read task appends one
+# JSON line per (tier, phase-time) tally on exhaustion; bench.py aggregates
+# them into BENCH_r{N}'s tier_adoption counters. Local-diagnostics only: on
+# a real cluster the env var is unset and none of this code runs.
+_TIER_STATS_ENV = "SPARK_XML_TIER_STATS_DIR"
+
+
+def _tier_stats_dir() -> Optional[str]:
+    d = os.environ.get(_TIER_STATS_ENV)
+    return d if d and os.path.isdir(d) else None
+
+
+class _TierTally:
+    __slots__ = ("counts", "times")
+
+    def __init__(self):
+        self.counts: dict = {}
+        self.times: dict = {}
+
+    def add(self, tier: str, rows: int, secs: float = 0.0) -> None:
+        self.counts[tier] = self.counts.get(tier, 0) + rows
+        self.times[tier] = self.times.get(tier, 0.0) + secs
+
+    def flush(self) -> None:
+        d = _tier_stats_dir()
+        if not d or not self.counts:
+            return
+        import json as _json
+
+        lines = "".join(
+            _json.dumps(
+                {"tier": t, "rows": n, "secs": round(self.times.get(t, 0.0), 4)}
+            )
+            + "\n"
+            for t, n in self.counts.items()
+        )
+        try:
+            with open(os.path.join(d, f"tally-{os.getpid()}.jsonl"), "a") as fh:
+                fh.write(lines)
+        except OSError:
+            pass  # diagnostics must never fail the scan
+
 
 def _sidecar_dir() -> str:
     import tempfile
@@ -517,19 +562,22 @@ def _collect_columns(batch, pat, group_map, ncols):
     """Match every record against the learned whole-record pattern and
     transpose the captured field strings into columns. None when any
     record needs the real parser (no match, or entity references)."""
-    cols: List[list] = [[] for _ in range(ncols)]
-    pairs = [(g - 1, i) for g, i, _is_attr in group_map]
-    mapped = {i for _, i in pairs}
     for rec in batch:
         if "&" in rec:
             return None
-        m = pat.match(rec)
-        if m is None:
-            return None
-        groups = m.groups()
-        for g0, i in pairs:
-            cols[i].append(groups[g0])
+    try:
+        # map() drives pat.match in C; a None match (record shape drifted)
+        # raises AttributeError on .groups() -> whole batch to the row path
+        groups = [m.groups() for m in map(pat.match, batch)]
+    except AttributeError:
+        return None
+    gcols = list(zip(*groups))  # C-speed transpose: one tuple per group
     nrec = len(batch)
+    cols: List[list] = [None] * ncols  # type: ignore[list-item]
+    mapped = set()
+    for g, i, _is_attr in group_map:
+        cols[i] = list(gcols[g - 1])
+        mapped.add(i)
     for i in range(ncols):
         if i not in mapped:
             cols[i] = [None] * nrec
@@ -541,17 +589,14 @@ def _collect_group_columns(batch, pat, ngroups):
     transpose ALL capture groups into columns (struct mode: groups map to
     fields OR struct subfields via the 4-tuple gmap). None when any
     record needs the real parser."""
-    cols: List[list] = [[] for _ in range(ngroups)]
     for rec in batch:
         if "&" in rec:
             return None
-        m = pat.match(rec)
-        if m is None:
-            return None
-        groups = m.groups()
-        for k in range(ngroups):
-            cols[k].append(groups[k])
-    return cols
+    try:
+        groups = [m.groups() for m in map(pat.match, batch)]
+    except AttributeError:  # a None match: whole batch to the row path
+        return None
+    return [list(c) for c in zip(*groups)]
 
 
 def _struct_gmap_columnar_ok(gmap) -> bool:
@@ -637,7 +682,7 @@ def _assemble_struct_arrays(cols, fast, schema, arrow_schema, guards, nrec):
 
 def _columnar_struct_batches(
     records: Iterator[str], schema: T.StructType, xopts: XmlOptions,
-    batch_size: int, fast,
+    batch_size: int, fast, tally=None,
 ):
     """Struct-mode columnar scan: the generic-verified learned pattern
     (parser.FastFlatParser struct mode) feeds the Arrow transpose; any
@@ -661,10 +706,12 @@ def _columnar_struct_batches(
         yield from _rows_to_arrow_batches(rows, schema, batch_size)
 
     records = iter(records)
+    timer = __import__("time").perf_counter if tally is not None else None
     while True:
         batch = list(itertools.islice(records, batch_size))
         if not batch:
             return
+        t0 = timer() if timer else 0.0
         if fast.struct_pattern is None and fast._struct_learn_attempts < 16:
             probe = next((r for r in batch if "&" not in r), None)
             if probe is not None:
@@ -674,20 +721,33 @@ def _columnar_struct_batches(
         if pat is not None and _struct_gmap_columnar_ok(fast.struct_gmap):
             cols = _collect_group_columns(batch, pat, len(fast.struct_gmap))
         if cols is None:
-            yield from row_path(batch)
+            if tally is not None:
+                out = list(row_path(batch))
+                tally.add("row_fallback", len(batch), timer() - t0)
+                yield from out
+            else:
+                yield from row_path(batch)
             continue
         try:
             arrays = _assemble_struct_arrays(
                 cols, fast, schema, arrow_schema, guards, len(batch)
             )
         except Exception:
-            yield from row_path(batch)
+            if tally is not None:
+                out = list(row_path(batch))
+                tally.add("row_fallback", len(batch), timer() - t0)
+                yield from out
+            else:
+                yield from row_path(batch)
             continue
+        if tally is not None:
+            tally.add("columnar_struct", len(batch), timer() - t0)
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 def _columnar_flat_batches(
-    records: Iterator[str], schema: T.StructType, xopts: XmlOptions, batch_size: int
+    records: Iterator[str], schema: T.StructType, xopts: XmlOptions,
+    batch_size: int, tally=None,
 ):
     import itertools
 
@@ -696,7 +756,7 @@ def _columnar_flat_batches(
     fast = parser.FastFlatParser.try_build(schema, xopts)
     if fast.simple_structs:
         yield from _columnar_struct_batches(
-            records, schema, xopts, batch_size, fast
+            records, schema, xopts, batch_size, fast, tally=tally
         )
         return
     fields = schema.fields
@@ -714,10 +774,12 @@ def _columnar_flat_batches(
         yield from _rows_to_arrow_batches(rows, schema, batch_size)
 
     records = iter(records)
+    timer = __import__("time").perf_counter if tally is not None else None
     while True:
         batch = list(itertools.islice(records, batch_size))
         if not batch:
             return
+        t0 = timer() if timer else 0.0
         if fast.seq_pattern is None:
             probe = next((r for r in batch if "&" not in r), None)
             if probe is not None:
@@ -733,28 +795,35 @@ def _columnar_flat_batches(
             # in-order overwrite, but the columnar transpose would
             # double-append its column — those scans stay on the row path
             cols = _collect_columns(batch, fast.seq_pattern, fast.group_map, ncols)
-        if cols is None:
+        if cols is not None:
+            attr_cols = {i for _g, i, is_attr in fast.group_map if is_attr}
+            try:
+                arrays = [
+                    _cast_column(
+                        cols[i],
+                        fields[i].dataType,
+                        (fast.attr_casters if i in attr_cols else fast.casters)[i],
+                        arrow_schema.field(i).type,
+                        guards,
+                        is_attr=i in attr_cols,
+                    )
+                    for i in range(ncols)
+                ]
+            except Exception:
+                # a Python caster hit a malformed / whitespace-only value:
+                # the parse-mode policy decides, via the exact row path
+                arrays = None
+            if arrays is not None:
+                if tally is not None:
+                    tally.add("columnar_flat", len(batch), timer() - t0)
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+                continue
+        if tally is not None:
+            out = list(row_path(batch))
+            tally.add("row_fallback", len(batch), timer() - t0)
+            yield from out
+        else:
             yield from row_path(batch)
-            continue
-        attr_cols = {i for _g, i, is_attr in fast.group_map if is_attr}
-        try:
-            arrays = [
-                _cast_column(
-                    cols[i],
-                    fields[i].dataType,
-                    (fast.attr_casters if i in attr_cols else fast.casters)[i],
-                    arrow_schema.field(i).type,
-                    guards,
-                    is_attr=i in attr_cols,
-                )
-                for i in range(ncols)
-            ]
-        except Exception:
-            # a Python caster hit a malformed / whitespace-only value:
-            # the parse-mode policy decides, via the exact row path
-            yield from row_path(batch)
-            continue
-        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 # --- filter pushdown -------------------------------------------------------
@@ -1056,6 +1125,16 @@ class XmlReader(DataSourceReader):
         )
 
     def read(self, partition: XmlInputPartition) -> Iterator:
+        tally = _TierTally() if _tier_stats_dir() else None
+        if tally is None:
+            yield from self._read_impl(partition, None)
+            return
+        try:
+            yield from self._read_impl(partition, tally)
+        finally:
+            tally.flush()
+
+    def _read_impl(self, partition: XmlInputPartition, tally) -> Iterator:
         import itertools
 
         xopts = XmlOptions.from_dict(self._opts_dict)
@@ -1090,7 +1169,14 @@ class XmlReader(DataSourceReader):
             or "true"
         ).lower()
         if arrow_flag == "false":
-            yield from rows
+            if tally is None:
+                yield from rows
+            else:
+                nr = 0
+                for row in rows:
+                    nr += 1
+                    yield row
+                tally.add("row_tuple", nr)
             return
         batch_size = int(
             self._opts_dict.get("arrowBatchSize")
@@ -1124,7 +1210,7 @@ class XmlReader(DataSourceReader):
                 import pyarrow.compute as pc
 
                 for batch in _columnar_flat_batches(
-                    records, self._schema, xopts, batch_size
+                    records, self._schema, xopts, batch_size, tally=tally
                 ):
                     if masks:
                         mask = masks[0](batch)
@@ -1145,11 +1231,25 @@ class XmlReader(DataSourceReader):
         try:
             first = next(_rows_to_arrow_batches(iter(buf), self._schema, batch_size))
         except Exception:
+            if tally is not None:
+                tally.add("row_tuple", len(buf))
             yield from buf
-            yield from rows
+            if tally is None:
+                yield from rows
+            else:
+                nr = 0
+                for row in rows:
+                    nr += 1
+                    yield row
+                tally.add("row_tuple", nr)
             return
+        if tally is not None:
+            tally.add("row_arrow", first.num_rows)
         yield first
-        yield from _rows_to_arrow_batches(rows, self._schema, batch_size)
+        for b in _rows_to_arrow_batches(rows, self._schema, batch_size):
+            if tally is not None:
+                tally.add("row_arrow", b.num_rows)
+            yield b
 
 
 class XmlPushdownReader(XmlReader):
