@@ -90,13 +90,20 @@ def _xml_table(
     transform=None,
     partitions: int = 16,
     read_options: dict = None,
+    columns: list = None,
     **write_opts,
 ) -> DataFrame:
     """Parquet table -> cached XML directory -> DataFrame via read_xml.
 
     The write + one distributed schema-inference job run once per
     (table, variant, parquet-identity); later calls read with the cached
-    schema (single scan, no inference pass)."""
+    schema (single scan, no inference pass).
+
+    ``columns`` prunes the read schema to the named fields (cache-schema
+    order): the scan parses/extracts/ships only those columns — the
+    user-schema equivalent of the reference's column pruning
+    (XmlRelation.scala:56-70 buildScan(requiredColumns)), which the
+    Spark 4.1 Python DataSource API cannot yet push down automatically."""
     tag = write_opts.setdefault("rowTag", table[:-1] if table.endswith("s") else table)
     fp = _table_fingerprint(sf_dir, table)
     base = os.path.join(CACHE_ROOT, f"{table}-{variant}-{fp}")
@@ -126,6 +133,12 @@ def _xml_table(
             shutil.rmtree(stage, ignore_errors=True)
     with open(schema_file) as fh:
         schema = T.StructType.fromJson(json.load(fh))
+    if columns is not None:
+        want = set(columns)
+        missing = want - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(f"columns not in {table} schema: {sorted(missing)}")
+        schema = T.StructType([f for f in schema.fields if f.name in want])
     return read_xml(spark, xml_dir, schema=schema, rowTag=tag, **(read_options or {}))
 
 
@@ -209,7 +222,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_xml_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S3/S6/S8/S15: scan, projection, predicate over an XML table
     (XmlSuite.scala:76-83,142-146,665-673 shapes)."""
-    c = _xml_table(spark, sf_dir, "customer")
+    c = _xml_table(spark, sf_dir, "customer",
+                   columns=["c_custkey", "c_name", "c_acctbal"])
     return (
         c.filter(F.col("c_acctbal") > 1000.0)
         .select("c_custkey", "c_name", "c_acctbal")
@@ -224,7 +238,8 @@ def q_xml_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python->JVM boundary, and equality literals prefilter the raw record
     text before parsing. Opt-in read (one read per filtered pipeline)."""
     o = _xml_table(
-        spark, sf_dir, "orders", read_options={"filterPushdown": "true"}
+        spark, sf_dir, "orders", read_options={"filterPushdown": "true"},
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
     )
     return (
         o.filter(
@@ -237,7 +252,9 @@ def q_xml_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_xml_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6/S8 + hash aggregation: TPC-H Q1 shape over XML lineitem."""
-    li = _xml_table(spark, sf_dir, "lineitem")
+    li = _xml_table(spark, sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice"])
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -255,9 +272,12 @@ def q_xml_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_xml_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast join chain over XML tables: customer x nation x region."""
-    c = _xml_table(spark, sf_dir, "customer")
-    n = _xml_table(spark, sf_dir, "nation")
-    r = _xml_table(spark, sf_dir, "region")
+    c = _xml_table(spark, sf_dir, "customer",
+                   columns=["c_nationkey", "c_acctbal"])
+    n = _xml_table(spark, sf_dir, "nation",
+                   columns=["n_nationkey", "n_regionkey"])
+    r = _xml_table(spark, sf_dir, "region",
+                   columns=["r_regionkey", "r_name"])
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -274,7 +294,9 @@ def q_xml_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation over XML lineitem (the §2.2 cube/rollup shape):
     subtotals per (returnflag, linestatus), per returnflag, and grand
     total."""
-    li = _xml_table(spark, sf_dir, "lineitem")
+    li = _xml_table(spark, sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice"])
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -293,7 +315,8 @@ def q_xml_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_xml_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function over XML supplier: top-2 by acctbal per nation."""
-    s = _xml_table(spark, sf_dir, "supplier")
+    s = _xml_table(spark, sf_dir, "supplier",
+                   columns=["s_suppkey", "s_nationkey", "s_acctbal"])
     w = Window.partitionBy("s_nationkey").orderBy(
         F.desc("s_acctbal"), F.asc("s_suppkey")
     )
@@ -307,7 +330,8 @@ def q_xml_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_xml_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic top-10 (TakeOrderedAndProject) over XML part."""
-    p = _xml_table(spark, sf_dir, "part")
+    p = _xml_table(spark, sf_dir, "part",
+                   columns=["p_partkey", "p_name", "p_retailprice"])
     return (
         p.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
         .select("p_partkey", "p_name", "p_retailprice")
@@ -318,7 +342,8 @@ def q_xml_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_xml_distinct_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations over XML customer: market segments of high-balance
     customers minus segments of the most negative balances."""
-    c = _xml_table(spark, sf_dir, "customer")
+    c = _xml_table(spark, sf_dir, "customer",
+                   columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
     mid = (
         c.filter((F.col("c_acctbal") > 8000) & (F.col("c_acctbal") <= 9500))
         .select("c_mktsegment", "c_nationkey")
@@ -332,7 +357,8 @@ def q_xml_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot over XML lineitem: return-flag quantities per line status
     (explicit pivot values keep the plan a single hash aggregate — no
     distinct-values pre-scan)."""
-    li = _xml_table(spark, sf_dir, "lineitem")
+    li = _xml_table(spark, sf_dir, "lineitem",
+                    columns=["l_linestatus", "l_returnflag", "l_quantity"])
     out = (
         li.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
@@ -352,8 +378,10 @@ def q_xml_exists_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins over XML tables: per nation, customers with at
     least one urgent order (left_semi) and customers with no orders at
     all (left_anti), joined on the nation key."""
-    c = _xml_table(spark, sf_dir, "customer")
-    o = _xml_table(spark, sf_dir, "orders")
+    c = _xml_table(spark, sf_dir, "customer",
+                   columns=["c_custkey", "c_nationkey"])
+    o = _xml_table(spark, sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
     semi = (
         c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
@@ -382,7 +410,8 @@ def q_xml_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping() flags disambiguating the null group keys. NULLS FIRST is
     explicit — Spark's ASC default, mirrored in the oracle where DuckDB
     defaults to NULLS LAST."""
-    li = _xml_table(spark, sf_dir, "lineitem")
+    li = _xml_table(spark, sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
     li.createOrReplaceTempView("li_gs")
     return spark.sql(
         """
@@ -402,7 +431,8 @@ def q_xml_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_xml_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery over an XML temp view: orders above the global
     average price, per status."""
-    o = _xml_table(spark, sf_dir, "orders")
+    o = _xml_table(spark, sf_dir, "orders",
+                   columns=["o_orderstatus", "o_orderkey", "o_totalprice"])
     o.createOrReplaceTempView("ord_sq")
     return spark.sql(
         """

@@ -407,7 +407,8 @@ class FastFlatParser:
 
     __slots__ = (
         "schema", "options", "index", "types", "is_string", "n", "strip_ns",
-        "casters", "seq_pattern", "group_map", "attr_index", "attr_casters",
+        "casters", "seq_pattern", "strict_seq_pattern", "group_map",
+        "attr_index", "attr_casters",
         "simple_structs", "struct_pattern", "struct_gmap",
         "_struct_learn_attempts", "array_fields",
     )
@@ -502,6 +503,7 @@ class FastFlatParser:
         # record's observed attr+tag order (every field optional — null
         # elision drops tags). Records in a different order fall to tier 1.
         self.seq_pattern = None
+        self.strict_seq_pattern = None
         self.group_map: List[tuple] = []
         # Simple-struct fields (attribute-only elements): field index ->
         # (n_sub, vt_sub_index|None, {bare attr name: sub index},
@@ -779,6 +781,16 @@ class FastFlatParser:
             self.seq_pattern = None
             return
         parts = ["\\s*<", _re.escape(root_m.group(1))]
+        # strict variant: every probe-observed part REQUIRED and no
+        # inter-tag whitespace (the dominant machine-generated shape) — the
+        # regex engine skips both the per-part optionality branch and the
+        # \s* scans, ~2x faster than the optional pattern. A strict match
+        # produces byte-identical captures to the optional pattern (same
+        # groups, same order, sequential-greedy over the same parts), so
+        # the columnar path tries strict on the whole batch first and falls
+        # back to the optional pattern when any record diverges (null-
+        # elided field, extra attr, reordering, indentation).
+        strict_parts = ["<", _re.escape(root_m.group(1))]
         gmap: List[tuple] = []
         g = 0
         # A field CAN be captured by several groups (a root attr plus a
@@ -803,9 +815,12 @@ class FastFlatParser:
                 g += 1
                 gmap.append((g, i, True))
                 parts.append(f"(?:\\s+{esc}={q}([^{q}<]*){q})?")
+                strict_parts.append(f"\\s+{esc}={q}([^{q}<]*){q}")
             else:
                 parts.append(f"(?:\\s+{esc}={q}[^{q}<]*{q})?")
+                strict_parts.append(f"\\s+{esc}={q}[^{q}<]*{q}")
         parts.append("\\s*>")
+        strict_parts.append(">")
         for tag in tags:
             name = tag.rsplit(":", 1)[-1] if self.strip_ns and ":" in tag else tag
             i = self.index.get(name, -1)
@@ -814,16 +829,22 @@ class FastFlatParser:
                 g += 1
                 gmap.append((g, i, False))
                 parts.append(f"(?:\\s*<{esc}>([^<]*)</{esc}>)?")
+                strict_parts.append(f"<{esc}>([^<]*)</{esc}>")
             else:
                 parts.append(f"(?:\\s*<{esc}>[^<]*</{esc}>)?")
-        parts.append("\\s*</")
-        parts.append(_re.escape(root_m.group(1)))
-        parts.append(">\\s*\\Z")
+                strict_parts.append(f"<{esc}>[^<]*</{esc}>")
+        parts.extend(["\\s*</", _re.escape(root_m.group(1)), ">\\s*\\Z"])
+        strict_parts.extend(["</", _re.escape(root_m.group(1)), ">\\Z"])
         try:
             self.seq_pattern = _re.compile("".join(parts))
             self.group_map = gmap
         except _re.error:
             self.seq_pattern = None
+            return
+        try:
+            self.strict_seq_pattern = _re.compile("".join(strict_parts))
+        except _re.error:
+            self.strict_seq_pattern = None
 
     # -- struct mode (simple-struct fields present) ------------------------
     # Tier-1/expat can't represent attribute-only child elements, so this
