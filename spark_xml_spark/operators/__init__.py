@@ -22,6 +22,7 @@ from spark_xml_spark.operators.dedup import (
 )
 from spark_xml_spark.operators.similarity import (
     IvfIndex,
+    LshIndex,
     brute_force_cosine_topk,
     cosine_pairs,
     lsh_bucketed_topk,
@@ -51,6 +52,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs",
     "IvfIndex",
+    "LshIndex",
     "brute_force_cosine_topk",
     "cosine_pairs",
     "lsh_bucketed_topk",

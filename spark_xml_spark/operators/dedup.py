@@ -60,9 +60,17 @@ def capped_collect(banded: DataFrame, key_cols: Sequence[str], id_col,
     # branch and the gather branch: both subplans contain the identical
     # exchange, so Spark's exchange/stage reuse materializes the banded
     # lineage once; counts then aggregates without another exchange and
-    # the final groupBy inherits the partitioning (no exchange either)
+    # the final groupBy inherits the partitioning (no exchange either).
+    # The count is over id_col, NOT COUNT(*): counting the id keeps the id
+    # column in the counts branch's scan, so Catalyst prunes BOTH branches
+    # to the same (keys, id) projection and the exchanges stay canonically
+    # equal — count(*) pruned the id from one branch and silently broke
+    # ReuseExchange, re-evaluating the banded lineage twice (asserted by
+    # test_plan_hygiene). Semantics are unchanged: collect_list skips
+    # NULL ids exactly as count(id) does, so the cap compares like with
+    # like even on a null-bearing id column.
     banded = banded.repartition(*keys)
-    counts = banded.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    counts = banded.groupBy(*keys).agg(F.count(id_col).alias("_bsz"))
     if observation is not None:
         # AQE's runtime empty-relation propagation can replace the subtree
         # holding the CollectMetrics node when the capped result is empty

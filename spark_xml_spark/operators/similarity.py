@@ -98,49 +98,16 @@ def signature_col(vec_col: Column, planes: List[List[float]]) -> Column:
     return sig
 
 
-def lsh_bucketed_topk(
-    df: DataFrame,
-    vec_col: str,
-    query: Sequence[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    num_planes: int = 8,
-    multiprobe: int = 1,
-    seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k: random-hyperplane bucket prefilter + exact cosine
-    re-rank inside the probed buckets.
-
-    ``multiprobe`` additionally probes the buckets at Hamming distance 1 on
-    the lowest ``multiprobe`` signature bits (recall knob). The bucket
-    filter is a literal IN-list — partition-prunable and codegen'd; the
-    re-rank touches only ~N/2^p of the data.
-    """
-    dim = len(query)
-    planes = _hyperplanes(dim, num_planes, seed)
-    # query signature via the same float64 matmul the corpus side uses, so
-    # rounding at a near-zero dot product cannot split q from its bucket
-    pmat = np.asarray(planes, dtype=np.float64).T  # dim x num_planes
-    weights = 1 << np.arange(num_planes, dtype=np.int64)
-    qsig = int(
-        ((np.asarray(query, dtype=np.float64) @ pmat >= 0).astype(np.int64) @ weights)
-    )
-    probes = {qsig}
-    for b in range(multiprobe):
-        probes |= {s ^ (1 << b) for s in set(probes)}
-
-    # corpus signatures: one Arrow-batched numpy matmul per batch — the
-    # num_planes JVM fold expressions of signature_col are O(planes*dim)
-    # interpreted ops per row and dominated this query's runtime
+def _make_sig_udf(pmat: np.ndarray, weights: np.ndarray):
+    """Arrow-batched signature UDF: one (batch x dim) @ (dim x planes)
+    numpy matmul per batch. Dirty rows (null vector, null element, wrong
+    dimension) reproduce the JVM fold expression's semantics instead of
+    failing the task: a null dot made every bit 0 (signature 0), and
+    zip_with truncated to the shorter length."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     @pandas_udf("long")
     def _sig_udf(vecs: pd.Series) -> pd.Series:
-        # fast path: homogeneous batch -> one matmul. Dirty rows (null
-        # vector, null element, wrong dimension) reproduce the replaced
-        # JVM expression's semantics instead of failing the task: a null
-        # dot made every bit 0 (signature 0), and zip_with truncated to
-        # the shorter length.
         vals = list(vecs)
         try:
             m = np.asarray(vals, dtype=np.float64)
@@ -159,12 +126,64 @@ def lsh_bucketed_topk(
                 continue
             if a.ndim != 1 or np.isnan(a).any():
                 continue
-            k = min(len(a), len(pmat))
-            bits = (a[:k] @ pmat[:k] >= 0).astype(np.int64)
+            n = min(len(a), len(pmat))
+            bits = (a[:n] @ pmat[:n] >= 0).astype(np.int64)
             out[ix] = int(bits @ weights)
         return pd.Series(out)
 
-    sigged = df.withColumn("_sig", _sig_udf(F.col(vec_col).cast("array<double>")))
+    return _sig_udf
+
+
+def _query_signature(query: Sequence[float], pmat: np.ndarray,
+                     weights: np.ndarray) -> int:
+    """Query signature via the same float64 matmul the corpus side uses, so
+    rounding at a near-zero dot product cannot split q from its bucket."""
+    return int(
+        ((np.asarray(query, dtype=np.float64) @ pmat >= 0).astype(np.int64)
+         @ weights)
+    )
+
+
+def _probe_set(qsig: int, multiprobe: int) -> set:
+    probes = {qsig}
+    for b in range(multiprobe):
+        probes |= {s ^ (1 << b) for s in set(probes)}
+    return probes
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket prefilter + exact cosine
+    re-rank inside the probed buckets — the SINGLE-SHOT form (signatures
+    computed inline over this DataFrame). For search-many steady state use
+    :class:`LshIndex`, which persists the signatures partitioned by bucket
+    so each probe prunes partitions at the source instead of re-scanning
+    the corpus.
+
+    ``multiprobe`` additionally probes the buckets at Hamming distance 1 on
+    the lowest ``multiprobe`` signature bits (recall knob). The bucket
+    filter is a literal IN-list — partition-prunable and codegen'd; the
+    re-rank touches only ~N/2^p of the data.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, num_planes, seed)
+    pmat = np.asarray(planes, dtype=np.float64).T  # dim x num_planes
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+    probes = _probe_set(_query_signature(query, pmat, weights), multiprobe)
+
+    # corpus signatures: one Arrow-batched numpy matmul per batch — the
+    # num_planes JVM fold expressions of signature_col are O(planes*dim)
+    # interpreted ops per row and dominated this query's runtime
+    sig_udf = _make_sig_udf(pmat, weights)
+    sigged = df.withColumn("_sig", sig_udf(F.col(vec_col).cast("array<double>")))
     return (
         sigged.filter(F.col("_sig").isin(*[F.lit(s) for s in sorted(probes)]))
         .select(
@@ -174,6 +193,103 @@ def lsh_bucketed_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+class LshIndex:
+    """Persisted random-hyperplane LSH index: corpus signatures are computed
+    ONCE (one Arrow-batched matmul pass), stored ``partitionBy(_sig)``, and
+    every later query probes only its multiprobe bucket set — the probe
+    filter compiles to parquet partition pruning, so a search touches
+    ~|probes|/2^p of the files instead of re-scanning the corpus (the
+    per-query O(corpus) signature pass of single-shot lsh_bucketed_topk).
+
+    Same build-once/search-many shape as :class:`IvfIndex`; the sidecar
+    stores the hyperplanes so a query signature is computed with the exact
+    float64 matmul used for the corpus.
+    """
+
+    def __init__(self, assigned: DataFrame, planes: List[List[float]],
+                 vec_col: str, id_col: str):
+        self.assigned = assigned  # original columns + _sig
+        self.planes = planes
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        num_planes: int = 8,
+        seed: int = 42,
+        dim: Optional[int] = None,
+    ) -> "LshIndex":
+        if dim is None:
+            first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(first["d"]) if first else 0
+        planes = _hyperplanes(dim, num_planes, seed)
+        pmat = np.asarray(planes, dtype=np.float64).T
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
+        sig_udf = _make_sig_udf(pmat, weights)
+        assigned = df.withColumn(
+            "_sig", sig_udf(F.col(vec_col).cast("array<double>"))
+        )
+        return cls(assigned, planes, vec_col, id_col)
+
+    def save(self, path: str) -> None:
+        """Persist: the signed table partitioned BY SIGNATURE (probes prune
+        whole partitions at the parquet source) + hyperplanes sidecar."""
+        import json
+
+        self.assigned.write.mode("overwrite").partitionBy("_sig").parquet(path)
+        from spark_xml_spark.xmlcore import fs as _fs
+
+        with _fs.open_output(path.rstrip("/") + "/_lsh_meta.json") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "planes": self.planes,
+                        "vec_col": self.vec_col,
+                        "id_col": self.id_col,
+                    }
+                ).encode()
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LshIndex":
+        """Reopen a saved index; `_sig` comes back as a partition column, so
+        search() filters compile to partition pruning (PartitionFilters in
+        the scan node)."""
+        import json
+
+        from spark_xml_spark.xmlcore import fs as _fs
+
+        with _fs.open_input(path.rstrip("/") + "/_lsh_meta.json") as fh:
+            meta = json.loads(fh.read().decode())
+        assigned = spark.read.parquet(path)
+        return cls(assigned, meta["planes"], meta["vec_col"], meta["id_col"])
+
+    def search(self, query: Sequence[float], k: int = 10,
+               multiprobe: int = 1) -> DataFrame:
+        """Exact cosine top-k within the probed signature buckets."""
+        pmat = np.asarray(self.planes, dtype=np.float64).T
+        weights = 1 << np.arange(len(self.planes), dtype=np.int64)
+        probes = _probe_set(
+            _query_signature(query, pmat, weights), multiprobe
+        )
+        q = [float(x) for x in query]
+        return (
+            self.assigned.filter(
+                F.col("_sig").isin(*[F.lit(s) for s in sorted(probes)])
+            )
+            .select(
+                F.col(self.id_col),
+                cosine_similarity_col(F.col(self.vec_col), q).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )
 
 
 class IvfIndex:
@@ -202,13 +318,26 @@ class IvfIndex:
         id_col: str = "vec_id",
         k: int = 16,
         seed: int = 42,
+        fit_sample: int = 1_000_000,
     ) -> "IvfIndex":
+        """Fit KMeans on a bounded sample (<= ``fit_sample`` vectors), then
+        assign the FULL corpus in one broadcast-centroid pass
+        (model.transform — no shuffle). Lloyd iterations over 100 TB of
+        vectors for a k-centroid fit would be O(corpus x iterations); the
+        sample fit keeps the build O(corpus) single-pass with statistically
+        equivalent centroids (k << sample)."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+        fit_df = feats
+        n = df.count()
+        if n > fit_sample:
+            # slight over-sample so the materialized sample is >= fit_sample
+            # with high probability; exactness is irrelevant to a KMeans fit
+            fit_df = feats.sample(min(1.0, 1.1 * fit_sample / n), seed=seed)
         model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol="_centroid").fit(
-            feats
+            fit_df
         )
         assigned = model.transform(feats).drop("_features")
         centroids = [list(map(float, c)) for c in model.clusterCenters()]

@@ -7,12 +7,17 @@ directory for new XML files, ``df.writeStream.format("xml-graft")`` emits
 one XML document per partition per microbatch.
 """
 
-from spark_xml_spark.streaming.dedup import dedup_stream, dedup_stream_exact
+from spark_xml_spark.streaming.dedup import (
+    check_checkpoint_encoding,
+    dedup_stream,
+    dedup_stream_exact,
+)
 from spark_xml_spark.streaming.source import XmlStreamReader, XmlStreamWriter
 
 __all__ = [
     "XmlStreamReader",
     "XmlStreamWriter",
+    "check_checkpoint_encoding",
     "dedup_stream",
     "dedup_stream_exact",
 ]

@@ -31,6 +31,45 @@ from pyspark.sql import functions as F
 
 _HASH_COL = "_content_hash"
 
+# Content-hash encoding version. The dedup state keys on this encoding, so
+# a checkpoint written under one version must never be resumed under
+# another (the old state entries become unmatchable and one duplicate per
+# pre-restart record leaks through SILENTLY). History:
+#   1: concat_ws over raw casts (NULL hashed identically to '')
+#   2: per-column null-flag + coalesced value (current; exact_dedup parity)
+ENCODING_VERSION = 2
+_MARKER = "_sxs_dedup_encoding"
+
+
+def check_checkpoint_encoding(checkpoint_dir: str) -> None:
+    """Stamp/validate the content-hash encoding version on a dedup
+    checkpoint. Call before ``writeStream.start`` with this checkpoint
+    (the driver queries do). First use writes the marker; a resume under
+    a DIFFERENT encoding raises instead of silently leaking duplicates —
+    restart with a fresh checkpoint across encoding changes."""
+    import os
+
+    from spark_xml_spark.xmlcore import fs as _fs
+
+    marker = checkpoint_dir.rstrip("/") + "/" + _MARKER
+    try:
+        with _fs.open_input(marker) as fh:
+            seen = fh.read().decode().strip()
+    except (OSError, FileNotFoundError):
+        if not _fs.is_remote(checkpoint_dir):
+            os.makedirs(_fs.strip_local_scheme(checkpoint_dir), exist_ok=True)
+        with _fs.open_output(marker) as fh:
+            fh.write(str(ENCODING_VERSION).encode())
+        return
+    if seen != str(ENCODING_VERSION):
+        raise ValueError(
+            f"dedup checkpoint {checkpoint_dir!r} was written with content-"
+            f"hash encoding v{seen}, but this build uses "
+            f"v{ENCODING_VERSION}: resuming would silently stop matching "
+            "pre-restart state (one leaked duplicate per old record). "
+            "Start a fresh checkpoint, or run the matching build."
+        )
+
 
 def _with_content_hash(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     # concat_ws SKIPS null arguments, which would hash NULL identically to

@@ -48,6 +48,19 @@ def is_ascii_compatible(charset: str) -> bool:
     return c.startswith(_ASCII_COMPAT_PREFIXES)
 
 
+# Fixed code-unit widths for the UTF-16/32 families: these split in
+# parallel via the transcoding scanner (_scan_unit_width_range); other
+# non-ASCII-compatible charsets (EBCDIC etc.) stay whole-file.
+_UNIT_WIDTHS = {
+    "utf-16": 2, "utf-16-le": 2, "utf-16-be": 2, "utf-16le": 2, "utf-16be": 2,
+    "utf-32": 4, "utf-32-le": 4, "utf-32-be": 4, "utf-32le": 4, "utf-32be": 4,
+}
+
+
+def unit_width(charset: str) -> Optional[int]:
+    return _UNIT_WIDTHS.get(charset.lower().replace("_", "-"))
+
+
 @dataclass(frozen=True)
 class FileSplit:
     """One reader task's byte range. end == -1 means 'to EOF'."""
@@ -142,7 +155,9 @@ def plan_splits(
             for i in range(0, size, step):
                 splits.append(FileSplit(f, i, min(i + step, size), comp))
             continue
-        if comp is not None or not is_ascii_compatible(charset):
+        if comp is not None or not (
+            is_ascii_compatible(charset) or unit_width(charset)
+        ):
             splits.append(FileSplit(f, 0, -1, comp, whole_file=True))
             continue
         if size <= target_split_size:
@@ -150,6 +165,9 @@ def plan_splits(
             continue
         n = (size + target_split_size - 1) // target_split_size
         step = (size + n - 1) // n
+        w = unit_width(charset)
+        if w:
+            step += (-step) % w  # unit-aligned boundaries for UTF-16/32
         for i in range(0, size, step):
             splits.append(FileSplit(f, i, min(i + step, size)))
     return splits
@@ -239,6 +257,155 @@ def _open_stream(split: FileSplit):
     return fs.open_input_at(split.path, 0)
 
 
+class _Utf8Transcoder:
+    """Binary-stream adapter: serves the UTF-8 transcoding of a unit-width
+    charset stream (UTF-16/32) so the byte-space scanner machinery
+    (_Buffer, _batch_scan_window, _find_start_tag, _find_record_end, the
+    quote/comment/CDATA/depth rules) applies unchanged — the analogue of
+    the reference's per-split InputStreamReader decode
+    (XmlInputFormat.scala:76-122).
+
+    Ownership: ``owned_src_bytes`` counts source bytes belonging to this
+    split (unit-aligned; -1 = unbounded). Reads are split exactly at that
+    boundary, so ``owned_utf8_end`` — the transcoded offset of the first
+    byte produced from unowned source — is exact. A surrogate pair
+    straddling the boundary is held in decoder state and materializes on
+    the unowned side; '<' is a single BMP unit and can never straddle, so
+    record-start ownership is unaffected.
+    """
+
+    __slots__ = ("_fh", "_dec", "_owned_left", "owned_utf8_end", "_produced",
+                 "_src_eof")
+
+    def __init__(self, fh, py_charset: str, owned_src_bytes: int):
+        import codecs as _pyc
+
+        self._fh = fh
+        self._dec = _pyc.getincrementaldecoder(py_charset)(errors="replace")
+        self._owned_left = owned_src_bytes
+        self.owned_utf8_end: Optional[int] = None
+        self._produced = 0
+        self._src_eof = False
+
+    def read(self, n: int = -1) -> bytes:
+        while not self._src_eof:
+            if self._owned_left > 0:
+                src = self._fh.read(min(_CHUNK, self._owned_left))
+            else:
+                src = self._fh.read(_CHUNK)
+            if not src:
+                self._src_eof = True
+                out = self._dec.decode(b"", final=True).encode("utf-8")
+                self._produced += len(out)
+                return out
+            crossing = False
+            if self._owned_left > 0:
+                self._owned_left -= len(src)
+                crossing = self._owned_left == 0
+            out = self._dec.decode(src).encode("utf-8")
+            self._produced += len(out)
+            if crossing:
+                # boundary reached exactly at this chunk's end: everything
+                # produced so far came from owned source bytes
+                self.owned_utf8_end = self._produced
+                self._owned_left = -1
+            if out:
+                return out
+        return b""
+
+
+def _resolve_unit_charset(split: FileSplit, charset: str, w: int) -> str:
+    """Endianness-explicit Python codec name for a unit-width charset.
+
+    Bare 'utf-16'/'utf-32' with a mid-file split needs the file-head BOM
+    (there is none mid-stream); absent BOM falls back to LE, matching
+    Python's own bare-codec default. Whole-stream reads (split.start == 0
+    or compressed) keep the bare codec, which consumes the BOM itself."""
+    c = charset.lower().replace("_", "-")
+    if c in ("utf-16", "utf-32") and split.start > 0 and split.compression is None:
+        with fs.open_input_at(split.path, 0) as fh:
+            head = fh.read(w)
+        if c == "utf-16":
+            return "utf-16-be" if head[:2] == b"\xfe\xff" else "utf-16-le"
+        if head[:4] == b"\x00\x00\xfe\xff":
+            return "utf-32-be"
+        return "utf-32-le"
+    return c
+
+
+def _scan_unit_width_range(
+    split: FileSplit, row_tag: str, charset: str, w: int
+) -> Iterator[str]:
+    """Split-parallel scan for UTF-16/32: transcode the owned unit-aligned
+    byte range (plus unowned overflow for the last straddling record) to
+    UTF-8 and run the standard byte scanner over it. Ownership contract
+    identical to scan_split: a record belongs to the split where its start
+    tag's first source byte lies; both neighbours align the boundary to
+    the same unit grid (BOM is exactly one unit, so the grid is byte 0)."""
+    cs = _resolve_unit_charset(split, charset, w)
+    if split.compression is not None:
+        fh = _open_stream(split)  # decompressed whole stream, all owned
+        owned = -1
+    else:
+        start = split.start - (split.start % w)
+        end = split.end if split.end < 0 else split.end - (split.end % w)
+        fh = _open_stream(split)
+        try:
+            fh.seek(start)
+        except (OSError, ValueError):
+            # non-seekable: skip forward by reading
+            left = start
+            while left > 0:
+                skipped = fh.read(min(_CHUNK, left))
+                if not skipped:
+                    break
+                left -= len(skipped)
+        if split.eof >= 0:
+            fh = _CapReader(fh, split.eof - start)
+        owned = -1 if end < 0 else max(end - start, 0)
+        if owned == 0 and end >= 0:
+            fh.close()
+            return
+    tc = _Utf8Transcoder(fh, cs, owned)
+    try:
+        buf = _Buffer(tc)  # utf-8 transcoded offsets, base 0
+        start_pat = b"<" + row_tag.encode("utf-8")
+        end_pat = b"</" + row_tag.encode("utf-8")
+        pos = 0
+        dirty_until = -1
+        while True:
+            # dynamic ownership limit: None until the transcoder crosses the
+            # source boundary — every byte produced before that IS owned
+            if pos >= dirty_until:
+                buf.ensure(pos + _CHUNK)
+                spans, new_pos, mark_dirty = _batch_scan_window(
+                    buf, start_pat, end_pat, pos
+                )
+                if spans:
+                    limit = tc.owned_utf8_end
+                    for s, e in spans:
+                        if limit is not None and s >= limit:
+                            return
+                        yield buf.slice(s, e).decode("utf-8", errors="replace")
+                    pos = new_pos
+                    buf.discard_to(pos)
+                    continue
+                if mark_dirty:
+                    dirty_until = buf.end_loaded
+            i = _find_start_tag(buf, start_pat, pos)
+            limit = tc.owned_utf8_end
+            if i == -1 or (limit is not None and i >= limit):
+                return
+            rec_end = _find_record_end(buf, start_pat, end_pat, i)
+            if rec_end == -1:
+                return
+            yield buf.slice(i, rec_end).decode("utf-8", errors="replace")
+            pos = rec_end
+            buf.discard_to(pos)
+    finally:
+        fh.close()
+
+
 def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterator[str]:
     """Yield decoded record strings whose start tag begins inside the split.
 
@@ -254,8 +421,16 @@ def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterat
     if split.compression == "bz2" and not split.whole_file:
         yield from _scan_bz2_range(split, row_tag, charset)
         return
+    w = unit_width(charset)
+    if w is not None:
+        # UTF-16/32: split-parallel via per-split transcode (the
+        # reference's InputStreamReader-per-split shape,
+        # XmlInputFormat.scala:76-122) — no whole-file degrade
+        yield from _scan_unit_width_range(split, row_tag, charset, w)
+        return
     if not is_ascii_compatible(charset) and split.compression is None:
-        # Non-ASCII-compatible charset: decode the whole file and scan text.
+        # Other non-ASCII-compatible charsets (no fixed unit width):
+        # decode the whole file and scan text.
         with fs.open_input(split.path) as fh:
             text = fh.read().decode(charset)
         yield from scan_string(text, row_tag)

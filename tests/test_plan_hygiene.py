@@ -55,3 +55,53 @@ def test_partial_aggregation_in_agg_q1(push_conf):
     # map-side combine must exist: partial_ aggregate below the exchange
     plan = _plan(push_conf, "xml_agg_q1")
     assert "partial_" in plan
+
+
+def test_capped_collect_reuses_one_exchange(spark):
+    """capped_collect's counts and gather branches must share ONE exchange
+    (the banded lineage materializes once): count(id) keeps the id column
+    in the counts branch so Catalyst prunes both branches identically and
+    ReuseExchange fires. A regression to count(*) breaks canonical
+    equality and silently doubles the bounded-buffer cap's cost."""
+    from pyspark.sql import functions as F
+
+    from spark_xml_spark.operators.dedup import capped_collect
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    banded = docs.select(
+        (F.col("doc_id") % 3).alias("_band"),
+        (F.col("doc_id") % 17).alias("_bh"),
+        F.col("doc_id").alias("_id"),
+    )
+    out = capped_collect(banded, ["_band", "_bh"], "_id", "_ids", 50)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # and under AQE (the bench configuration) the reuse survives as
+    # exchange/stage reuse in the final adaptive plan
+    out.collect()
+    aqe_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in aqe_plan or "ReusedQueryStage" in aqe_plan
+
+
+def test_simhash_single_banded_evaluation(spark):
+    """dedup_simhash's plan must evaluate the banded lineage once: the
+    counts and gather branches share one exchange (ReusedExchange). AQE
+    off for a deterministic compiled plan — under AQE the same reuse
+    materializes as stage reuse, asserted separately in
+    test_capped_collect_reuses_one_exchange, whose rendering depends on
+    runtime stage order and is flaky to string-match on a full plan."""
+    import __spark_entry__ as em
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = em.queries()["dedup_simhash"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in plan
