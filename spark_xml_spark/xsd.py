@@ -20,7 +20,15 @@ Python re-implementation of the reference's semantics:
   numeric/boolean/date simple types) — enough to reproduce the reference's
   validation behavior on its fixtures (XmlSuite.scala:1090-1121: undeclared
   ``<extra>`` children make the row malformed); it is not a full W3C XSD
-  processor.
+  processor. Restriction FACETS are enforced in the type's VALUE SPACE with
+  javax/Xerces parity (_check_facets: decimal-exact ranges, tz-normalized
+  datetime compare, octet lengths for the binary types, errata totalDigits,
+  value-space enumerations, per-type whiteSpace defaults, item-count length
+  facets on list restrictions) — the fixture matrix in tests/test_xsd.py
+  documents each behavior. Remaining out-of-scope: duration value-space
+  ordering (lexical), XSD regex character-class subtraction (lenient), and
+  gYear*/gMonth* range facets (lexical compare, correct for same-format
+  values).
 """
 
 from __future__ import annotations
@@ -458,22 +466,114 @@ def _xsd_pattern_to_py(pattern: str) -> str:
     )
 
 
-def _check_facets(tag: str, raw_text: str, base: str, restriction) -> None:
-    """Enforce the common restriction facets (whiteSpace / pattern /
-    enumeration / length / min-max Length / min-max Inclusive-Exclusive /
-    totalDigits / fractionDigits) — the reference's javax.xml full-schema
-    processing covers these (ValidatorUtil.scala:30-55); this is the
-    structural subset's equivalent. Multiple pattern facets in ONE
-    restriction step form a UNION per the spec: the value passes when ANY
-    of them matches."""
-    text = raw_text if base == "string" else raw_text.strip()
-    for f in restriction:  # whiteSpace applies before every other facet
+# whiteSpace DEFAULT per built-in base (XSD part 2 §4.3.6): string
+# preserves, normalizedString replaces, everything else (incl. token and
+# all atomic non-string types) collapses — javax applies these before any
+# explicit whiteSpace facet tightens them.
+_WS_DEFAULTS = {"string": "preserve", "normalizedString": "replace"}
+
+_DECIMAL_BASES = frozenset(
+    "decimal integer nonPositiveInteger negativeInteger long int short byte "
+    "nonNegativeInteger unsignedLong unsignedInt unsignedShort unsignedByte "
+    "positiveInteger".split()
+)
+_FLOAT_BASES = frozenset(("float", "double"))
+_DATETIME_BASES = frozenset(("dateTime", "date", "time"))
+
+
+def _facet_value(base: str, text: str):
+    """Parse ``text`` into the base type's VALUE SPACE for ordered-facet
+    and enumeration comparison, as javax does (float compare loses
+    precision past 2^53 on decimals; timezone spellings differ lexically):
+    Decimal for the decimal family, float (INF/NaN lexicals) for
+    float/double, timezone-normalized datetimes for dateTime/date/time,
+    the lexical string otherwise (gYear* and duration order lexically for
+    the same-format values this subset targets). Raises ValueError when
+    the text is not in the type's lexical space."""
+    if base in _DECIMAL_BASES:
+        from decimal import Decimal, InvalidOperation
+
+        try:
+            return Decimal(text)
+        except InvalidOperation as exc:
+            raise ValueError(str(exc)) from exc
+    if base in _FLOAT_BASES:
+        t = {"INF": "inf", "-INF": "-inf", "NaN": "nan"}.get(text, text)
+        return float(t)
+    if base in _DATETIME_BASES:
+        from datetime import date, datetime, time, timezone
+
+        t = text.replace("Z", "+00:00")
+        try:
+            if base == "dateTime":
+                v = datetime.fromisoformat(t)
+            elif base == "date":
+                # date may carry a timezone suffix; fromisoformat rejects it
+                m = re.fullmatch(r"(-?\d{4,}-\d{2}-\d{2})([+-]\d{2}:\d{2})?", t)
+                if not m:
+                    raise ValueError(t)
+                v = datetime.fromisoformat(m.group(1) + "T00:00:00" + (m.group(2) or ""))
+            else:
+                tt = time.fromisoformat(t)
+                v = datetime(2000, 1, 1, tt.hour, tt.minute, tt.second,
+                             tt.microsecond, tt.tzinfo)
+        except ValueError:
+            raise
+        # normalize zoned values to UTC; naive values compare among
+        # themselves (mixed zoned/naive is a partial order — fall back to
+        # the lexical compare by raising)
+        if v.tzinfo is not None:
+            return ("z", v.astimezone(timezone.utc).replace(tzinfo=None))
+        return ("n", v)
+    return text
+
+
+def _facet_length(base: str, text: str) -> int:
+    """length/minLength/maxLength units per type: OCTETS for the binary
+    types (hexBinary counts pairs, base64Binary counts decoded bytes),
+    characters otherwise. (For list types the unit is items — handled by
+    the list branch of _check_simple_value.)"""
+    if base == "hexBinary":
+        return len(text) // 2
+    if base == "base64Binary":
+        import base64
+
+        try:
+            return len(base64.b64decode("".join(text.split()), validate=True))
+        except Exception:
+            return len(text)  # not valid base64: let other checks reject
+    return len(text)
+
+
+def _check_facets(tag: str, raw_text: str, base: str, restriction,
+                  length_unit: str = "chars") -> None:
+    """Enforce restriction facets in the TYPE'S VALUE SPACE (whiteSpace /
+    pattern / enumeration / length / min-max Length / ranges /
+    totalDigits / fractionDigits) — parity with the reference's
+    javax.xml full-schema processing (ValidatorUtil.scala:30-55):
+    decimal-exact range compare, timezone-normalized datetime compare,
+    octet lengths for binary types, errata-correct totalDigits (leading/
+    trailing zeros insignificant), value-space enumerations, and the
+    per-type whiteSpace defaults applied before every facet. Multiple
+    pattern facets in ONE restriction step form a UNION per the spec.
+    ``length_unit='items'`` applies length facets to whitespace-separated
+    item counts (restriction on a list type)."""
+    ws = _WS_DEFAULTS.get(base, "collapse")
+    for f in restriction:  # explicit whiteSpace overrides the default
         if _tag(f) == "whiteSpace":
-            v = f.get("value")
-            if v == "replace":
-                text = re.sub(r"[\t\r\n]", " ", raw_text)
-            elif v == "collapse":
-                text = " ".join(raw_text.split())
+            ws = f.get("value") or ws
+    if ws == "replace":
+        text = re.sub(r"[\t\r\n]", " ", raw_text)
+    elif ws == "collapse":
+        text = " ".join(raw_text.split())
+    else:
+        text = raw_text
+
+    def _vlen() -> int:
+        if length_unit == "items":
+            return len(text.split())
+        return _facet_length(base, text)
+
     enums: List[str] = []
     patterns: List[str] = []
     for f in restriction:
@@ -485,17 +585,19 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction) -> None:
             enums.append(v)
         elif k == "pattern":
             patterns.append(v)
-        elif k == "length" and len(text) != int(v):
-            raise XsdValidationError(f"<{tag}>: length {len(text)} != {v}")
-        elif k == "minLength" and len(text) < int(v):
-            raise XsdValidationError(f"<{tag}>: length {len(text)} < {v}")
-        elif k == "maxLength" and len(text) > int(v):
-            raise XsdValidationError(f"<{tag}>: length {len(text)} > {v}")
+        elif k == "length" and _vlen() != int(v):
+            raise XsdValidationError(f"<{tag}>: length {_vlen()} != {v}")
+        elif k == "minLength" and _vlen() < int(v):
+            raise XsdValidationError(f"<{tag}>: length {_vlen()} < {v}")
+        elif k == "maxLength" and _vlen() > int(v):
+            raise XsdValidationError(f"<{tag}>: length {_vlen()} > {v}")
         elif k in ("minInclusive", "maxInclusive", "minExclusive", "maxExclusive"):
             try:
-                tv, fv = float(text), float(v)
-            except ValueError:
-                tv, fv = text, v  # ISO dates compare lexically
+                tv, fv = _facet_value(base, text), _facet_value(base, v)
+                if isinstance(tv, tuple) and tv[0] != fv[0]:
+                    raise ValueError("mixed zoned/naive datetime")
+            except (ValueError, ArithmeticError):
+                tv, fv = text, v  # outside the parsed subset: lexical
             ok = (
                 tv >= fv if k == "minInclusive"
                 else tv <= fv if k == "maxInclusive"
@@ -505,7 +607,14 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction) -> None:
             if not ok:
                 raise XsdValidationError(f"<{tag}>: '{text}' violates {k}={v}")
         elif k == "totalDigits":
-            digits = sum(c.isdigit() for c in text)
+            # errata: leading/trailing zeros are NOT significant digits
+            from decimal import Decimal, InvalidOperation
+
+            try:
+                d = Decimal(text).normalize()
+                digits = len(d.as_tuple().digits)
+            except InvalidOperation:
+                digits = sum(c.isdigit() for c in text)
             if digits > int(v):
                 raise XsdValidationError(f"<{tag}>: more than {v} digits")
         elif k == "fractionDigits":
@@ -514,10 +623,19 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction) -> None:
                 raise XsdValidationError(
                     f"<{tag}>: more than {v} fraction digits"
                 )
-    if enums and text not in enums:
-        raise XsdValidationError(
-            f"<{tag}>: '{text}' not in enumeration {enums[:5]}"
-        )
+    if enums:
+        try:
+            tv = _facet_value(base, text)
+            hit = any(
+                _facet_value(base, e) == tv
+                for e in enums
+            )
+        except (ValueError, ArithmeticError):
+            hit = text in enums
+        if not hit:
+            raise XsdValidationError(
+                f"<{tag}>: '{text}' not in enumeration {enums[:5]}"
+            )
     if patterns:
         matched = False
         any_untranslatable = False
@@ -648,6 +766,25 @@ class _Validator:
             seen.add(local)
             r = named.find(_XS + "restriction")
             if r is None:
+                lst = named.find(_XS + "list")
+                if lst is not None:
+                    # restriction whose base is a LIST type: length facets
+                    # count ITEMS, and each item validates against the
+                    # item type (javax semantics)
+                    it = lst.get("itemType")
+                    if it is not None:
+                        item_v = self._variant_of_name(_local(it))
+                    else:
+                        inline = lst.find(_XS + "simpleType")
+                        item_v = (
+                            self._simple_variant(inline)
+                            if inline is not None
+                            else ("chain", "string", [])
+                        )
+                    return ("__list__", item_v), restrictions
+                u = named.find(_XS + "union")
+                if u is not None:
+                    return ("__union__", self._simple_variant(named)), restrictions
                 return "string", restrictions
             restrictions.append(r)
             local = _local(r.get("base")) or "string"
@@ -711,6 +848,23 @@ class _Validator:
         kind = variant[0]
         if kind == "chain":
             _, base, restrictions = variant
+            if isinstance(base, tuple):
+                marker, inner = base
+                if marker == "__list__":
+                    # restriction on a list type: items validate against
+                    # the item type; length facets count ITEMS
+                    for item in raw_text.split():
+                        self._check_simple_value(tag, item, inner)
+                    for restriction in restrictions:
+                        _check_facets(tag, raw_text, "string", restriction,
+                                      length_unit="items")
+                    return
+                # __union__: the restriction's facets apply around the
+                # union membership check (enumeration/pattern layer)
+                self._check_simple_value(tag, raw_text, inner)
+                for restriction in restrictions:
+                    _check_facets(tag, raw_text, "string", restriction)
+                return
             if base in ("anyType", "anySimpleType"):
                 return
             check = _LEXICAL_CHECKS.get(base)

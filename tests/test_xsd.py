@@ -856,3 +856,148 @@ def test_attribute_ref_to_global_declaration(tmp_path):
         v('<doc n="x"><v>x</v></doc>')
     with pytest.raises(XsdValidationError, match="undeclared"):
         v('<doc n="1" zz="1"><v>x</v></doc>')
+
+
+# --- facet value-space matrix (VERDICT r6 task 7) ---------------------------
+# Each case documents the javax.xml.validation (Xerces) behavior it
+# reproduces: value-space (not lexical/float) comparison for ranges and
+# enumerations, octet lengths for binary types, value-space totalDigits
+# (leading/trailing zeros insignificant per the XSD errata, as Xerces
+# implements), per-type whiteSpace defaults, item-count lengths for list
+# restrictions.
+
+
+def _facet_schema(body: str) -> str:
+    return (
+        '<?xml version="1.0"?>\n'
+        '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">\n'
+        '<xs:element name="root"><xs:complexType><xs:sequence>\n'
+        f"{body}\n"
+        "</xs:sequence></xs:complexType></xs:element>\n"
+        "</xs:schema>\n"
+    )
+
+
+def _el(name: str, base: str, facets: str) -> str:
+    return (
+        f'<xs:element name="{name}"><xs:simpleType>'
+        f'<xs:restriction base="xs:{base}">{facets}</xs:restriction>'
+        "</xs:simpleType></xs:element>"
+    )
+
+
+def _accepts(validate, xml: str) -> bool:
+    try:
+        validate(xml)
+        return True
+    except XsdValidationError:
+        return False
+
+
+FACET_MATRIX = [
+    # (base, facets, value, valid, javax/Xerces behavior note)
+    # -- decimal-exact ranges: float compare would collapse 2^53 neighbours
+    ("long", '<xs:minInclusive value="9007199254740993"/>',
+     "9007199254740992", False, "compares in decimal value space"),
+    ("long", '<xs:minInclusive value="9007199254740993"/>',
+     "9007199254740993", True, "boundary value accepted"),
+    ("decimal", '<xs:maxExclusive value="10.00"/>', "10", False,
+     "10 == 10.00 in value space -> excluded"),
+    ("decimal", '<xs:maxInclusive value="10.00"/>', "10", True,
+     "10 == 10.00 in value space -> included"),
+    # -- float/double special lexicals
+    ("double", '<xs:minInclusive value="0"/>', "INF", True,
+     "INF is in double's value space and > 0"),
+    ("double", '<xs:maxInclusive value="0"/>', "-INF", True, "-INF <= 0"),
+    # -- datetime: timezone spellings normalize before comparison
+    ("dateTime", '<xs:minInclusive value="2024-01-01T00:00:00Z"/>',
+     "2024-01-01T01:00:00+02:00", False,
+     "23:00Z of the prior day < midnight Z despite larger lexical"),
+    ("dateTime", '<xs:minInclusive value="2024-01-01T00:00:00Z"/>',
+     "2024-01-01T01:00:00+00:00", True, "+00:00 == Z"),
+    ("date", '<xs:maxInclusive value="2024-06-30"/>', "2024-06-30", True,
+     "date boundary"),
+    ("date", '<xs:maxInclusive value="2024-06-30"/>', "2024-07-01", False,
+     "date beyond max"),
+    ("time", '<xs:minInclusive value="09:00:00"/>', "08:59:59", False,
+     "time below min"),
+    # -- binary lengths count OCTETS
+    ("hexBinary", '<xs:length value="2"/>', "0FB7", True,
+     "4 hex chars = 2 octets"),
+    ("hexBinary", '<xs:length value="2"/>', "0FB7AA", False, "3 octets"),
+    ("base64Binary", '<xs:length value="3"/>', "QUJD", True,
+     "QUJD decodes to 3 bytes ('ABC')"),
+    ("base64Binary", '<xs:length value="2"/>', "QUJD", False,
+     "3 bytes != 2"),
+    # -- totalDigits/fractionDigits per errata (Xerces value-space):
+    #    leading/trailing zeros insignificant
+    ("decimal", '<xs:totalDigits value="2"/>', "007", True,
+     "leading zeros insignificant: 007 has 1 significant digit"),
+    ("decimal", '<xs:totalDigits value="2"/>', "123", False,
+     "3 significant digits > 2"),
+    ("decimal", '<xs:totalDigits value="2"/>', "1.10", True,
+     "1.1 normalized: 2 digits"),
+    ("decimal", '<xs:fractionDigits value="1"/>', "1.10", True,
+     "trailing zero insignificant in fraction"),
+    ("decimal", '<xs:fractionDigits value="1"/>', "1.12", False,
+     "2 significant fraction digits"),
+    # -- whiteSpace defaults: token collapses, string preserves
+    ("token", '<xs:length value="3"/>', "  a b  ", True,
+     "token collapses to 'a b' (3 chars) before length"),
+    ("token", '<xs:length value="7"/>', "  a b  ", False,
+     "collapsed length is 3, not the raw 7"),
+    ("string", '<xs:length value="7"/>', "  a b  ", True,
+     "string preserves whitespace: length 7"),
+    # -- value-space enumerations on numerics
+    ("int", '<xs:enumeration value="1"/><xs:enumeration value="2"/>',
+     "01", True, "01 == 1 in value space"),
+    ("int", '<xs:enumeration value="1"/><xs:enumeration value="2"/>',
+     "3", False, "not a member"),
+    # -- pattern union within one step
+    ("string", '<xs:pattern value="[a-z]+"/><xs:pattern value="[0-9]+"/>',
+     "abc", True, "patterns in one step are a union"),
+    ("string", '<xs:pattern value="[a-z]+"/><xs:pattern value="[0-9]+"/>',
+     "abc1", False, "matches neither branch"),
+]
+
+
+@pytest.mark.parametrize(
+    "base,facets,value,valid,note",
+    [m[:5] for m in FACET_MATRIX],
+    ids=[f"{m[0]}-{i}" for i, m in enumerate(FACET_MATRIX)],
+)
+def test_facet_value_space_matrix(tmp_path, base, facets, value, valid, note):
+    from spark_xml_spark.xsd import get_validator
+
+    xsd = tmp_path / f"f_{base}.xsd"
+    xsd.write_text(_facet_schema(_el("v", base, facets)))
+    validate = get_validator(str(xsd))
+    ok = _accepts(validate, f"<root><v>{value}</v></root>")
+    assert ok is valid, f"{base} {facets} {value!r}: {note}"
+
+
+def test_list_restriction_counts_items(tmp_path):
+    """A restriction whose base is a LIST type applies length facets to
+    ITEM COUNTS (javax), not characters, and validates each item against
+    the item type."""
+    from spark_xml_spark.xsd import get_validator
+
+    xsd = tmp_path / "list.xsd"
+    xsd.write_text(
+        '<?xml version="1.0"?>\n'
+        '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">\n'
+        '<xs:simpleType name="ints">'
+        '<xs:list itemType="xs:int"/></xs:simpleType>\n'
+        '<xs:simpleType name="threeInts">'
+        '<xs:restriction base="ints"><xs:length value="3"/>'
+        "</xs:restriction></xs:simpleType>\n"
+        '<xs:element name="root"><xs:complexType><xs:sequence>'
+        '<xs:element name="v" type="threeInts"/>'
+        "</xs:sequence></xs:complexType></xs:element>\n"
+        "</xs:schema>\n"
+    )
+    validate = get_validator(str(xsd))
+    assert _accepts(validate, "<root><v>1 2 3</v></root>")
+    assert not _accepts(validate, "<root><v>1 2</v></root>")
+    assert not _accepts(validate, "<root><v>1 2 3 4</v></root>")
+    assert not _accepts(validate, "<root><v>1 x 3</v></root>")
