@@ -545,14 +545,18 @@ def _cast_column(vals, dt: T.DataType, caster, target_type, guards=None,
             and pa.types.is_timestamp(target_type)
             and target_type.tz is not None
         ):
+            # zone-less column first (the dominant shape; guard-checked
+            # ISO): naive == UTC on the row path, so attach the zone
+            # without shifting. The doomed-parse branch order matters:
+            # each branch either raises or is correct, and trying the
+            # common case first saves a full failed parse pass per batch
+            # (~65% of all cast time on a timestamp-bearing scan).
             try:
-                # all-zoned column: Arrow parses the offsets and converts
-                return pc.cast(arr, target_type)
-            except Exception:
-                # zone-less column (guard-checked ISO): naive == UTC on
-                # the row path, so attach the zone without shifting
                 naive = pc.cast(arr, pa.timestamp(target_type.unit))
                 return pc.assume_timezone(naive, target_type.tz)
+            except Exception:
+                # all-zoned column: Arrow parses the offsets and converts
+                return pc.cast(arr, target_type)
         return pc.cast(arr, target_type)
     except Exception:
         return _py_cast_column(vals, caster, target_type)
@@ -753,6 +757,193 @@ def _columnar_struct_batches(
         if tally is not None:
             tally.add("columnar_struct", len(batch), timer() - t0)
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+def _columnar_window_batches(
+    witer, schema: T.StructType, xopts: XmlOptions, batch_size: int, tally=None
+):
+    """Fused window scan: consume tokenizer.scan_split_windows items and run
+    the learned STRICT whole-record pattern's findall straight over each
+    clean window — no per-record slicing, decoding, or match objects.
+
+    Soundness: a window is already proven clean by _batch_scan_window (no
+    quotes/comments/PIs, aligned starts/ends, no nested same-name rows), a
+    strict-pattern match is confined to one record ([^<]* fields, literal
+    tags) and can occur at most once per record, so
+    ``len(findall) == len(spans)`` implies per-record strict.match
+    equivalence; strict has no optional groups, so every findall tuple has
+    all groups participating (None-vs-'' never arises — missing-field
+    records fail strict and route to the per-record path). Any
+    ineligibility (entities in the window, unlearned pattern, duplicate
+    group targets, cast failure) falls back to the exact per-record
+    machinery with nothing lost."""
+    import itertools
+
+    import pyarrow as pa
+
+    fast = parser.FastFlatParser.try_build(schema, xopts)
+    if fast.simple_structs:
+        def _recs():
+            for item in witer:
+                if item[0] == "rec":
+                    yield item[1]
+                else:
+                    text, spans = item[1], item[2]
+                    for s, e in spans:
+                        yield text[s:e]
+
+        yield from _columnar_struct_batches(
+            _recs(), schema, xopts, batch_size, fast, tally=tally
+        )
+        return
+    fields = schema.fields
+    ncols = len(fields)
+    arrow_schema = pa.schema(
+        [pa.field(f.name, _arrow_type(f.dataType)) for f in fields]
+    )
+    fix = _tz_fixer(schema)
+    guards = _cast_guards(xopts)
+    attr_cols = {i for _g, i, is_attr in fast.group_map if is_attr}
+    timer = __import__("time").perf_counter if tally is not None else None
+
+    def row_path(batch):
+        rows = parser.parse_records(iter(batch), schema, xopts)
+        if fix is not None:
+            rows = (fix(row) for row in rows)
+        yield from _rows_to_arrow_batches(rows, schema, batch_size)
+
+    def emit_records(batch):
+        """Per-record path for a list of records (strict/optional match,
+        row fallback) — the same ladder as _columnar_flat_batches."""
+        t0 = timer() if timer else 0.0
+        cols = None
+        targets = [i for _g, i, _a in fast.group_map]
+        if fast.seq_pattern is not None and len(targets) == len(set(targets)):
+            cols = _collect_columns(
+                batch, fast.seq_pattern, fast.group_map, ncols,
+                strict=fast.strict_seq_pattern,
+            )
+        if cols is not None:
+            try:
+                arrays = [
+                    _cast_column(
+                        cols[i],
+                        fields[i].dataType,
+                        (fast.attr_casters if i in attr_cols else fast.casters)[i],
+                        arrow_schema.field(i).type,
+                        guards,
+                        is_attr=i in attr_cols,
+                    )
+                    for i in range(ncols)
+                ]
+            except Exception:
+                arrays = None
+            if arrays is not None:
+                if tally is not None:
+                    tally.add("columnar_flat", len(batch), timer() - t0)
+                return [pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)]
+        out = list(row_path(batch))
+        if tally is not None:
+            tally.add("row_fallback", len(batch), timer() - t0)
+        return out
+
+    def emit_groups(groups, refs):
+        """Group tuples (strict window captures) -> one arrow batch; cast
+        failure re-slices the records and uses the per-record ladder."""
+        t0 = timer() if timer else 0.0
+        gcols = list(zip(*groups))
+        cols: List = [None] * ncols
+        mapped = set()
+        for g, i, _a in fast.group_map:
+            cols[i] = list(gcols[g - 1])
+            mapped.add(i)
+        n = len(groups)
+        for i in range(ncols):
+            if i not in mapped:
+                cols[i] = [None] * n
+        try:
+            arrays = [
+                _cast_column(
+                    cols[i],
+                    fields[i].dataType,
+                    (fast.attr_casters if i in attr_cols else fast.casters)[i],
+                    arrow_schema.field(i).type,
+                    guards,
+                    is_attr=i in attr_cols,
+                )
+                for i in range(ncols)
+            ]
+        except Exception:
+            return emit_records([t[s:e] for t, s, e in refs])
+        if tally is not None:
+            tally.add("columnar_window", n, timer() - t0)
+        return [pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)]
+
+    pending_groups: List[tuple] = []
+    pending_refs: List[tuple] = []
+    rec_buf: List[str] = []
+    learn_attempts = 0
+    ngroups = None
+
+    for item in witer:
+        if item[0] == "win":
+            text, spans = item[1], item[2]
+            if fast.seq_pattern is None and learn_attempts < 16:
+                s0, e0 = spans[0]
+                probe = text[s0:e0]
+                if "&" not in probe:
+                    learn_attempts += 1
+                    try:
+                        fast._parse_regex(probe)
+                    except Exception:
+                        pass
+            wp = fast.strict_window_pattern
+            targets = [i for _g, i, _a in fast.group_map]
+            if (
+                wp is not None
+                and len(targets) == len(set(targets))
+                and "&" not in text
+            ):
+                t0 = timer() if timer else 0.0
+                found = wp.findall(text)
+                if len(found) == len(spans):
+                    if rec_buf:
+                        yield from emit_records(rec_buf)
+                        rec_buf = []
+                    if ngroups is None:
+                        ngroups = wp.groups
+                    if ngroups == 1:
+                        found = [(v,) for v in found]
+                    pending_groups.extend(found)
+                    pending_refs.extend((text, s, e) for s, e in spans)
+                    if tally is not None:
+                        # findall cost booked to the window tier
+                        tally.add("columnar_window", 0, timer() - t0)
+                    while len(pending_groups) >= batch_size:
+                        yield from emit_groups(
+                            pending_groups[:batch_size],
+                            pending_refs[:batch_size],
+                        )
+                        pending_groups = pending_groups[batch_size:]
+                        pending_refs = pending_refs[batch_size:]
+                    continue
+            # ineligible window: records through the per-record ladder
+            if pending_groups:
+                yield from emit_groups(pending_groups, pending_refs)
+                pending_groups, pending_refs = [], []
+            rec_buf.extend(text[s:e] for s, e in spans)
+        else:
+            if pending_groups:
+                yield from emit_groups(pending_groups, pending_refs)
+                pending_groups, pending_refs = [], []
+            rec_buf.append(item[1])
+        while len(rec_buf) >= batch_size:
+            yield from emit_records(rec_buf[:batch_size])
+            rec_buf = rec_buf[batch_size:]
+    if pending_groups:
+        yield from emit_groups(pending_groups, pending_refs)
+    if rec_buf:
+        yield from emit_records(rec_buf)
 
 
 def _columnar_flat_batches(
@@ -1211,6 +1402,26 @@ class XmlReader(DataSourceReader):
             # which composes). Pushed filters are evaluated per batch
             # with pyarrow.compute masks when every filter maps; if any
             # doesn't, the row path below handles them all.
+            if not self._pushed:
+                # fused window scan: no pushed filters -> consume clean
+                # tokenizer windows directly (no per-record slicing or
+                # match objects); pushed scans keep the record path so
+                # the raw-text prefilter composes
+                def _windows():
+                    for path, start, end, compression, whole_file in (
+                        partition.splits
+                    ):
+                        sp = tokenizer.FileSplit(
+                            path, start, end, compression, whole_file
+                        )
+                        yield from tokenizer.scan_split_windows(
+                            sp, xopts.row_tag, xopts.charset
+                        )
+
+                yield from _columnar_window_batches(
+                    _windows(), self._schema, xopts, batch_size, tally=tally
+                )
+                return
             masks = None
             if self._pushed:
                 masks = [

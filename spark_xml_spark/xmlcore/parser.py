@@ -407,7 +407,8 @@ class FastFlatParser:
 
     __slots__ = (
         "schema", "options", "index", "types", "is_string", "n", "strip_ns",
-        "casters", "seq_pattern", "strict_seq_pattern", "group_map",
+        "casters", "seq_pattern", "strict_seq_pattern",
+        "strict_window_pattern", "group_map",
         "attr_index", "attr_casters",
         "simple_structs", "struct_pattern", "struct_gmap",
         "_struct_learn_attempts", "array_fields",
@@ -504,6 +505,7 @@ class FastFlatParser:
         # elision drops tags). Records in a different order fall to tier 1.
         self.seq_pattern = None
         self.strict_seq_pattern = None
+        self.strict_window_pattern = None
         self.group_map: List[tuple] = []
         # Simple-struct fields (attribute-only elements): field index ->
         # (n_sub, vt_sub_index|None, {bare attr name: sub index},
@@ -843,8 +845,16 @@ class FastFlatParser:
             return
         try:
             self.strict_seq_pattern = _re.compile("".join(strict_parts))
+            # unanchored variant for window-level findall (datasource fused
+            # scan): strict has NO optional groups, so every findall tuple
+            # has all groups participating — no None-vs-'' ambiguity — and
+            # [^<]* fields + literal tags confine a match to one record
+            self.strict_window_pattern = _re.compile(
+                "".join(strict_parts[:-1]) + ">"  # drop only the \Z anchor
+            )
         except _re.error:
             self.strict_seq_pattern = None
+            self.strict_window_pattern = None
 
     # -- struct mode (simple-struct fields present) ------------------------
     # Tier-1/expat can't represent attribute-only child elements, so this

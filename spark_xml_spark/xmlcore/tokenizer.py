@@ -418,24 +418,63 @@ def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterat
     (XmlInputFormat.scala:193-224 readUntilStartElement); the supported
     contract is rowTag elements that do not self-nest. Property-tested in
     tests/test_property_roundtrip.py."""
+    for item in scan_split_windows(split, row_tag, charset):
+        if item[0] == "rec":
+            yield item[1]
+        else:
+            text, spans = item[1], item[2]
+            for s, e in spans:
+                yield text[s:e]
+
+
+# single-byte charsets: one byte == one character, so byte offsets from the
+# window scanner are valid str offsets after decoding
+_SINGLE_BYTE_PREFIXES = ("ascii", "latin", "iso-8859", "cp12", "koi8")
+
+
+def scan_split_windows(
+    split: FileSplit, row_tag: str, charset: str = "UTF-8"
+) -> Iterator[tuple]:
+    """Window-granular variant of :func:`scan_split` — the fused-scan
+    interface for the columnar reader. Yields, in document order:
+
+    - ``("win", text, spans)``: a provably-clean batch window decoded
+      ONCE; ``spans`` are ``(start, end)`` *str* offsets of the owned
+      records inside ``text``. Emitted only when byte offsets are valid
+      str offsets (single-byte charset, or an all-ASCII window under an
+      ASCII-compatible charset) — so downstream can run a learned
+      whole-record regex straight over the window without per-record
+      slicing/decoding.
+    - ``("rec", record_str)``: one decoded record from the exact path
+      (dirty windows, compressed bz2 ranges, unit-width charsets,
+      non-ASCII windows).
+
+    scan_split() is the flattening wrapper, so both views share one
+    scanner and one ownership rule."""
     if split.compression == "bz2" and not split.whole_file:
-        yield from _scan_bz2_range(split, row_tag, charset)
+        for r in _scan_bz2_range(split, row_tag, charset):
+            yield ("rec", r)
         return
     w = unit_width(charset)
     if w is not None:
         # UTF-16/32: split-parallel via per-split transcode (the
         # reference's InputStreamReader-per-split shape,
         # XmlInputFormat.scala:76-122) — no whole-file degrade
-        yield from _scan_unit_width_range(split, row_tag, charset, w)
+        for r in _scan_unit_width_range(split, row_tag, charset, w):
+            yield ("rec", r)
         return
     if not is_ascii_compatible(charset) and split.compression is None:
         # Other non-ASCII-compatible charsets (no fixed unit width):
         # decode the whole file and scan text.
         with fs.open_input(split.path) as fh:
             text = fh.read().decode(charset)
-        yield from scan_string(text, row_tag)
+        for r in scan_string(text, row_tag):
+            yield ("rec", r)
         return
 
+    single_byte = charset.lower().replace("_", "-").startswith(
+        _SINGLE_BYTE_PREFIXES
+    )
     fh = _open_stream(split)
     try:
         tag = row_tag.encode(charset if is_ascii_compatible(charset) else "utf-8")
@@ -473,10 +512,30 @@ def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterat
                     buf, start_pat, end_pat, pos
                 )
                 if spans:
-                    for s, e in spans:
-                        if limit != -1 and s >= limit:
-                            return
-                        yield buf.slice(s, e).decode(charset, errors="replace")
+                    owned = spans
+                    past_limit = False
+                    if limit != -1 and spans[-1][0] >= limit:
+                        owned = [(s, e) for s, e in spans if s < limit]
+                        past_limit = True
+                    if owned:
+                        lo, hi = owned[0][0], owned[-1][1]
+                        wb = buf.slice(lo, hi)
+                        if single_byte or wb.isascii():
+                            yield (
+                                "win",
+                                wb.decode(charset, errors="replace"),
+                                [(s - lo, e - lo) for s, e in owned],
+                            )
+                        else:
+                            for s, e in owned:
+                                yield (
+                                    "rec",
+                                    buf.slice(s, e).decode(
+                                        charset, errors="replace"
+                                    ),
+                                )
+                    if past_limit:
+                        return
                     pos = new_pos
                     buf.discard_to(pos)
                     continue
@@ -488,7 +547,7 @@ def scan_split(split: FileSplit, row_tag: str, charset: str = "UTF-8") -> Iterat
             rec_end = _find_record_end(buf, start_pat, end_pat, i)
             if rec_end == -1:
                 return  # unterminated trailing record: no full row region
-            yield buf.slice(i, rec_end).decode(charset, errors="replace")
+            yield ("rec", buf.slice(i, rec_end).decode(charset, errors="replace"))
             pos = rec_end
             buf.discard_to(pos)
     finally:
