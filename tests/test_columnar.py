@@ -407,3 +407,83 @@ def test_duplicate_tag_columnar_falls_back():
     rt, ct = _both_paths(recs, schema, opts)
     assert rt.equals(ct)
     assert ct["a"].to_pylist() == ["2", "3"]  # last occurrence wins
+
+
+# --- fused window path (scan_split_windows -> _columnar_window_batches) ----
+
+
+def _window_vs_record_paths(doc: str, schema, opts, row_tag="r",
+                            target=512, charset="utf-8"):
+    """Write doc, scan via forced-small splits, run BOTH the fused window
+    path and the record path end-to-end; return (window_tbl, record_tbl,
+    flat_records)."""
+    import os
+    import tempfile
+
+    from spark_xml_spark.xmlcore import tokenizer as tok
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml")
+    with open(p, "wb") as fh:
+        fh.write(doc.encode(charset))
+    splits = tok.plan_splits(p, charset, target)
+
+    def windows():
+        for s in splits:
+            yield from tok.scan_split_windows(s, row_tag, charset)
+
+    def records():
+        for s in splits:
+            yield from tok.scan_split(s, row_tag, charset)
+
+    win = list(D._columnar_window_batches(windows(), schema, opts, 256))
+    rec = list(D._columnar_flat_batches(records(), schema, opts, 256))
+    wt = pa.Table.from_batches(win) if win else None
+    rt = pa.Table.from_batches(rec) if rec else None
+    return wt, rt, list(records())
+
+
+def test_window_path_identical_clean_data():
+    doc = "<root>" + "".join(_rec(i=str(k)) for k in range(900)) + "</root>"
+    wt, rt, recs = _window_vs_record_paths(doc, SCHEMA, OPTS)
+    assert len(recs) == 900
+    assert wt.num_rows == 900
+    assert wt.equals(rt)
+
+
+def test_window_path_null_elided_and_entities():
+    """Records with missing fields fail the strict window findall (count
+    mismatch) and route through the per-record ladder; entity-bearing
+    windows fall back entirely. Results must equal the record path."""
+    recs = []
+    for k in range(300):
+        if k % 7 == 0:
+            recs.append(_rec(i=str(k), s=None, d=None))  # null-elided
+        elif k % 11 == 0:
+            recs.append(_rec(i=str(k), s="a&amp;b"))  # entity
+        else:
+            recs.append(_rec(i=str(k)))
+    doc = "<root>" + "".join(recs) + "</root>"
+    wt, rt, _ = _window_vs_record_paths(doc, SCHEMA, OPTS)
+    assert wt.num_rows == 300
+    assert wt.equals(rt)
+    # null elision really produced nulls
+    scol = wt.column("s").to_pylist()
+    assert scol[0] is None and scol[1] == "x"
+
+
+def test_window_path_quoted_attr_windows_fall_back():
+    """Windows containing quotes (attributes) are rejected by the batch
+    window scanner and arrive as per-record items; results still equal
+    the record path."""
+    schema = T.StructType(
+        [T.StructField("_a", T.StringType()), T.StructField("i", T.LongType())]
+    )
+    opts = XmlOptions.from_dict({"rowTag": "r"})
+    doc = "<root>" + "".join(
+        f'<r a="v{k}"><i>{k}</i></r>' for k in range(200)
+    ) + "</root>"
+    wt, rt, _ = _window_vs_record_paths(doc, schema, opts)
+    assert wt.num_rows == 200
+    assert wt.equals(rt)
+    assert wt.column("_a").to_pylist()[:2] == ["v0", "v1"]
