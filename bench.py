@@ -104,32 +104,46 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(n_lineitem / best), round(best, 3)
 
+    def drain_tiers() -> dict:
+        """Read AND CLEAR the tier tallies, so each snapshot covers exactly
+        one measurement (the prep/inference and warm-up scans would
+        otherwise pollute the measured scan's counters)."""
+        tiers: dict[str, dict] = {}
+        try:
+            for fn in os.listdir(stats_dir):
+                p = os.path.join(stats_dir, fn)
+                with open(p) as fh:
+                    for line in fh:
+                        rec = json.loads(line)
+                        t = tiers.setdefault(rec["tier"], {"rows": 0, "secs": 0.0})
+                        t["rows"] += rec["rows"]
+                        t["secs"] = round(t["secs"] + rec.get("secs", 0.0), 2)
+                os.unlink(p)
+        except OSError:
+            pass
+        return tiers
+
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    tiers_full: dict = {}
+    tiers_pruned: dict = {}
     try:
+        # warm-up happens inside scan_rate; drain right before so each
+        # snapshot holds warm-up + 5 measured iterations of ONE scan shape
+        drain_tiers()  # discard prep/inference tallies
         scan_full_rate, scan_full_s = scan_rate()
+        tiers_full = drain_tiers()
         scan_pruned_rate, scan_pruned_s = scan_rate(
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice"]
         )
+        tiers_pruned = drain_tiers()
     except Exception as exc:  # noqa: BLE001
         errors["xml_scan_rate"] = repr(exc)[:300]
         scan_full_rate = scan_full_s = scan_pruned_rate = scan_pruned_s = None
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
-    # tier adoption during the scan measurement
-    tiers: dict[str, dict] = {}
-    try:
-        for fn in os.listdir(stats_dir):
-            with open(os.path.join(stats_dir, fn)) as fh:
-                for line in fh:
-                    rec = json.loads(line)
-                    t = tiers.setdefault(rec["tier"], {"rows": 0, "secs": 0.0})
-                    t["rows"] += rec["rows"]
-                    t["secs"] = round(t["secs"] + rec.get("secs", 0.0), 2)
-    except OSError:
-        pass
     # the rest of the bench runs uninstrumented (zero-cost path)
     del os.environ["SPARK_XML_TIER_STATS_DIR"]
     shutil.rmtree(stats_dir, ignore_errors=True)
@@ -175,7 +189,8 @@ def main() -> None:
                 "xml_scan_s": scan_full_s,
                 "xml_scan_pruned_rows_per_s": scan_pruned_rate,
                 "xml_scan_pruned_s": scan_pruned_s,
-                "tier_adoption": tiers,
+                "tier_adoption": tiers_full,
+                "tier_adoption_pruned": tiers_pruned,
                 "excluded": {},
                 **({"errors": errors} if errors else {}),
             }

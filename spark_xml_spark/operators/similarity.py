@@ -331,6 +331,9 @@ class IvfIndex:
 
         feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
         fit_df = feats
+        # one count() to size the sample fraction: on parquet sources this
+        # is a row-group-metadata read (no data scan); on other sources it
+        # is one extra pass, amortized by the index's save/load persistence
         n = df.count()
         if n > fit_sample:
             # slight over-sample so the materialized sample is >= fit_sample

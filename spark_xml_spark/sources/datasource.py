@@ -759,6 +759,28 @@ def _columnar_struct_batches(
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
+def _cast_ladder(cols, fast, fields, arrow_schema, guards, attr_cols):
+    """The shared column-cast step of every flat columnar path: one Arrow
+    array per schema field via _cast_column with attribute-caster
+    dispatch. None when a Python caster rejected a value (malformed /
+    whitespace-only) — the caller re-runs the batch through the exact row
+    path so the parse-mode policy applies."""
+    try:
+        return [
+            _cast_column(
+                cols[i],
+                fields[i].dataType,
+                (fast.attr_casters if i in attr_cols else fast.casters)[i],
+                arrow_schema.field(i).type,
+                guards,
+                is_attr=i in attr_cols,
+            )
+            for i in range(len(fields))
+        ]
+    except Exception:
+        return None
+
+
 def _columnar_window_batches(
     witer, schema: T.StructType, xopts: XmlOptions, batch_size: int, tally=None
 ):
@@ -814,8 +836,19 @@ def _columnar_window_batches(
 
     def emit_records(batch):
         """Per-record path for a list of records (strict/optional match,
-        row fallback) — the same ladder as _columnar_flat_batches."""
+        row fallback) — the same ladder as _columnar_flat_batches,
+        INCLUDING pattern learning: on corpora whose windows are all
+        dirty (attributes or apostrophes make every window quote-bearing)
+        all records arrive here, so this must be able to learn the
+        pattern or the scan would silently run the row tier forever."""
         t0 = timer() if timer else 0.0
+        if fast.seq_pattern is None:
+            probe = next((r for r in batch if "&" not in r), None)
+            if probe is not None:
+                try:
+                    fast._parse_regex(probe)  # compiles pattern on success
+                except Exception:
+                    pass
         cols = None
         targets = [i for _g, i, _a in fast.group_map]
         if fast.seq_pattern is not None and len(targets) == len(set(targets)):
@@ -824,20 +857,8 @@ def _columnar_window_batches(
                 strict=fast.strict_seq_pattern,
             )
         if cols is not None:
-            try:
-                arrays = [
-                    _cast_column(
-                        cols[i],
-                        fields[i].dataType,
-                        (fast.attr_casters if i in attr_cols else fast.casters)[i],
-                        arrow_schema.field(i).type,
-                        guards,
-                        is_attr=i in attr_cols,
-                    )
-                    for i in range(ncols)
-                ]
-            except Exception:
-                arrays = None
+            arrays = _cast_ladder(cols, fast, fields, arrow_schema, guards,
+                                  attr_cols)
             if arrays is not None:
                 if tally is not None:
                     tally.add("columnar_flat", len(batch), timer() - t0)
@@ -861,19 +882,9 @@ def _columnar_window_batches(
         for i in range(ncols):
             if i not in mapped:
                 cols[i] = [None] * n
-        try:
-            arrays = [
-                _cast_column(
-                    cols[i],
-                    fields[i].dataType,
-                    (fast.attr_casters if i in attr_cols else fast.casters)[i],
-                    arrow_schema.field(i).type,
-                    guards,
-                    is_attr=i in attr_cols,
-                )
-                for i in range(ncols)
-            ]
-        except Exception:
+        arrays = _cast_ladder(cols, fast, fields, arrow_schema, guards,
+                              attr_cols)
+        if arrays is None:
             return emit_records([t[s:e] for t, s, e in refs])
         if tally is not None:
             tally.add("columnar_window", n, timer() - t0)
@@ -1001,22 +1012,8 @@ def _columnar_flat_batches(
             )
         if cols is not None:
             attr_cols = {i for _g, i, is_attr in fast.group_map if is_attr}
-            try:
-                arrays = [
-                    _cast_column(
-                        cols[i],
-                        fields[i].dataType,
-                        (fast.attr_casters if i in attr_cols else fast.casters)[i],
-                        arrow_schema.field(i).type,
-                        guards,
-                        is_attr=i in attr_cols,
-                    )
-                    for i in range(ncols)
-                ]
-            except Exception:
-                # a Python caster hit a malformed / whitespace-only value:
-                # the parse-mode policy decides, via the exact row path
-                arrays = None
+            arrays = _cast_ladder(cols, fast, fields, arrow_schema, guards,
+                                  attr_cols)
             if arrays is not None:
                 if tally is not None:
                     tally.add("columnar_flat", len(batch), timer() - t0)

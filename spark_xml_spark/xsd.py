@@ -558,7 +558,10 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction,
     pattern facets in ONE restriction step form a UNION per the spec.
     ``length_unit='items'`` applies length facets to whitespace-separated
     item counts (restriction on a list type)."""
-    ws = _WS_DEFAULTS.get(base, "collapse")
+    if length_unit == "items":
+        ws = "collapse"  # list types FIX whiteSpace=collapse (XSD §4.3.6)
+    else:
+        ws = _WS_DEFAULTS.get(base, "collapse")
     for f in restriction:  # explicit whiteSpace overrides the default
         if _tag(f) == "whiteSpace":
             ws = f.get("value") or ws
@@ -607,12 +610,23 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction,
             if not ok:
                 raise XsdValidationError(f"<{tag}>: '{text}' violates {k}={v}")
         elif k == "totalDigits":
-            # errata: leading/trailing zeros are NOT significant digits
+            # Xerces (DecimalDV) semantics: integer digits sans LEADING
+            # zeros plus fraction digits sans TRAILING zeros. Trailing
+            # INTEGER zeros are significant ('100' = 3 digits; a naive
+            # Decimal.normalize() would say 1E+2 = 1 digit); leading
+            # fraction zeros count ('0.05' = 2 digits).
             from decimal import Decimal, InvalidOperation
 
             try:
-                d = Decimal(text).normalize()
-                digits = len(d.as_tuple().digits)
+                tup = Decimal(text).as_tuple()
+                digs, exp = list(tup.digits), tup.exponent
+                while exp < 0 and digs and digs[-1] == 0:
+                    digs.pop()
+                    exp += 1
+                if exp >= 0:
+                    digits = len(digs) + exp if digs != [0] else 0
+                else:
+                    digits = max(len(digs) + exp, 0) + (-exp)
             except InvalidOperation:
                 digits = sum(c.isdigit() for c in text)
             if digits > int(v):
@@ -626,10 +640,15 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction,
     if enums:
         try:
             tv = _facet_value(base, text)
-            hit = any(
-                _facet_value(base, e) == tv
-                for e in enums
-            )
+            tv_is_nan = isinstance(tv, float) and tv != tv
+            hit = False
+            for e in enums:
+                ev = _facet_value(base, e)
+                # XSD value-space equality treats NaN equal to itself
+                # (float semantics say NaN != NaN)
+                if ev == tv or (tv_is_nan and isinstance(ev, float) and ev != ev):
+                    hit = True
+                    break
         except (ValueError, ArithmeticError):
             hit = text in enums
         if not hit:

@@ -487,3 +487,39 @@ def test_window_path_quoted_attr_windows_fall_back():
     assert wt.num_rows == 200
     assert wt.equals(rt)
     assert wt.column("_a").to_pylist()[:2] == ["v0", "v1"]
+
+
+def test_window_path_learns_on_dirty_window_corpora():
+    """Review r7: attribute corpora make EVERY window quote-dirty, so all
+    records arrive as per-record items — the window consumer must learn
+    the pattern there too, or the scan silently runs the row tier
+    forever (~10x)."""
+    import os
+    import tempfile
+
+    from spark_xml_spark.xmlcore import tokenizer as tok
+
+    schema = T.StructType(
+        [T.StructField("_a", T.StringType()), T.StructField("i", T.LongType())]
+    )
+    opts = XmlOptions.from_dict({"rowTag": "r"})
+    doc = "<root>" + "".join(
+        f'<r a="v{k}"><i>{k}</i></r>' for k in range(2000)
+    ) + "</root>"
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml")
+    with open(p, "w") as fh:
+        fh.write(doc)
+
+    def windows():
+        for s in tok.plan_splits(p, "utf-8", 1 << 20):
+            yield from tok.scan_split_windows(s, "r", "utf-8")
+
+    tally = D._TierTally()
+    batches = list(
+        D._columnar_window_batches(windows(), schema, opts, 256, tally=tally)
+    )
+    assert pa.Table.from_batches(batches).num_rows == 2000
+    # the learned-pattern tier served everything; zero rows on the row tier
+    assert tally.counts.get("columnar_flat") == 2000
+    assert "row_fallback" not in tally.counts

@@ -958,6 +958,19 @@ FACET_MATRIX = [
      "abc", True, "patterns in one step are a union"),
     ("string", '<xs:pattern value="[a-z]+"/><xs:pattern value="[0-9]+"/>',
      "abc1", False, "matches neither branch"),
+    # -- review r7: totalDigits trailing INTEGER zeros are significant
+    ("decimal", '<xs:totalDigits value="2"/>', "100", False,
+     "Xerces: 100 has 3 digits (integer trailing zeros significant)"),
+    ("decimal", '<xs:totalDigits value="3"/>', "100", True, "3 digits ok"),
+    ("decimal", '<xs:totalDigits value="2"/>', "0.05", True,
+     "leading fraction zeros count but int part is empty: 2 digits"),
+    ("decimal", '<xs:totalDigits value="1"/>', "0.05", False,
+     "0.05 has 2 digits"),
+    # -- review r7: NaN is equal to itself in XSD value space
+    ("double", '<xs:enumeration value="NaN"/><xs:enumeration value="1.0"/>',
+     "NaN", True, "NaN equals NaN in XSD value space"),
+    ("double", '<xs:enumeration value="NaN"/>', "2.0", False,
+     "2.0 not in the enumeration"),
 ]
 
 
