@@ -1267,6 +1267,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (16-word windows, step 12 = 25%
+    overlap): the operator that turns raw documents into model-context
+    pieces. Pure codegen (split/sequence/transform/slice) — no UDF, no
+    shuffle before the final aggregate. Output verifies exact chunk
+    BOUNDARIES per document (first/last chunk text), not just counts."""
+    from spark_xml_spark.operators import chunk_documents
+
+    d = chunk_documents(
+        _parquet(spark, sf_dir, "documents"), window=16, step=12
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+            F.size("chunks").alias("n_chunks"),
+            F.element_at("chunks", 1).alias("first_chunk"),
+            F.element_at("chunks", -1).alias("last_chunk"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (BPE-ish regex, JVM regexp_extract_all) per source."""
     d = add_token_count(_parquet(spark, sf_dir, "documents"))
@@ -1398,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filter_pipeline": q_text_filter_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "text_chunk": q_text_chunk,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1892,6 +1916,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids,
                    round(AVG(quality_score), 6) AS avg_quality
             FROM kept
+        """,
+        "text_chunk": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+              FROM documents
+            ), c AS (
+              SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+                     GREATEST(CAST(CEIL((len(words) - 16) / 12.0) AS BIGINT), 0) + 1 AS k,
+                     words
+              FROM w
+            ), e AS (
+              SELECT doc_id, n_words, k, i,
+                     array_to_string(words[(i*12+1):(i*12+16)], ' ') AS chunk
+              FROM c, LATERAL (SELECT unnest(generate_series(0, k-1)) AS i) g
+            )
+            SELECT doc_id, n_words, CAST(k AS INT) AS n_chunks,
+                   MIN(CASE WHEN i = 0 THEN chunk END) AS first_chunk,
+                   MIN(CASE WHEN i = k-1 THEN chunk END) AS last_chunk
+            FROM e GROUP BY doc_id, n_words, k
+            ORDER BY doc_id
         """,
         "text_tokens": f"""
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -36,6 +36,7 @@ from spark_xml_spark.operators.multimodal import (
 )
 from spark_xml_spark.operators.textstats import (
     add_fingerprint,
+    chunk_documents,
     add_language_id,
     add_quality_score,
     add_token_count,
@@ -60,6 +61,7 @@ __all__ = [
     "add_quality_score",
     "add_language_id",
     "add_fingerprint",
+    "chunk_documents",
     "add_payload_metadata",
     "synthesize_payload",
     "extract_features",

@@ -143,3 +143,41 @@ def add_fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint", n: int = 8
 ) -> DataFrame:
     return df.withColumn(out_col, fingerprint_col(F.col(text_col), n))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 256,
+    step: Optional[int] = None,
+    out_col: str = "chunks",
+) -> DataFrame:
+    """Sliding-window word chunking — the training-data shape that turns
+    documents into model-context-sized pieces with overlap.
+
+    Whitespace-token windows of ``window`` words advancing by ``step``
+    (default 3/4 window = 25% overlap); the final window is the remainder
+    (never empty for non-empty text; an all-whitespace/empty document
+    yields one "" chunk). Adds ``out_col`` as ``array<string>``.
+
+    Scale shape: pure codegen — split / sequence / transform / slice /
+    array_join; no UDF, no shuffle, no per-row Python. Memory per row is
+    O(window x chunks) strings inside whole-stage codegen, and the
+    operator composes with explode for a one-row-per-chunk layout whose
+    partitioning follows the source (no exchange until the caller
+    aggregates)."""
+    if step is None:
+        step = max((window * 3) // 4, 1)
+    if step <= 0 or window <= 0:
+        raise ValueError("window and step must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    k = (
+        F.greatest(F.ceil((n - F.lit(window)) / F.lit(step)), F.lit(0))
+        + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i * step + 1, window), " "),
+    )
+    return df.withColumn(out_col, chunks)

@@ -471,3 +471,43 @@ def test_lsh_topk_tolerates_dirty_vectors(spark):
     got = lsh_bucketed_topk(df, "embedding", q, k=3, num_planes=4, multiprobe=2)
     ids = [r["vec_id"] for r in got.collect()]
     assert ids[0] == 0  # the exact match survives
+
+
+def test_chunk_documents_boundaries(spark):
+    """Sliding-window chunking: window/step arithmetic, remainder tail,
+    single-chunk short docs, empty text, and 25% overlap reconstruction."""
+    from pyspark.sql import functions as F
+
+    from spark_xml_spark.operators import chunk_documents
+
+    words = [f"w{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(words)),       # 40 words: chunks at 0,12,24 (w=16,s=12)
+            (2, " ".join(words[:10])),  # short: one chunk
+            (3, ""),                    # empty: one "" chunk
+            (4, " ".join(words[:16])),  # exactly one window
+            (5, " ".join(words[:17])),  # one word past: two chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.chunks
+        for r in chunk_documents(df, window=16, step=12).collect()
+    }
+    assert [c.split(" ")[0] for c in out[1]] == ["w0", "w12", "w24"]
+    assert out[1][0] == " ".join(words[0:16])
+    assert out[1][-1] == " ".join(words[24:40])  # remainder tail
+    assert out[2] == [" ".join(words[:10])]
+    assert out[3] == [""]
+    assert out[4] == [" ".join(words[:16])]
+    assert len(out[5]) == 2 and out[5][1] == " ".join(words[12:17])
+    # overlap: consecutive chunks share window-step words
+    a, b = out[1][0].split(" "), out[1][1].split(" ")
+    assert a[12:] == b[:4]
+    # codegen only: no Python evaluation nodes in the plan
+    plan = (
+        chunk_documents(df, window=16, step=12)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
