@@ -1290,6 +1290,47 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs whose distinct word-3-gram
+    overlap with a planted 'benchmark' subset (doc_id % 37 == 0) is >= 0.8
+    — the subset itself plus its near-duplicates. The benchmark shingle
+    set broadcasts (eval suites are tiny next to a 100 TB corpus); the
+    corpus side is one explode + broadcast semi join + keyed count."""
+    from spark_xml_spark.operators import contamination_check
+
+    d = _parquet(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return (
+        contamination_check(d, bench, "doc_id", "text", n=3, threshold=0.8)
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+            F.round("contamination", 6).alias("contamination_r"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (30% of docs by md5 bucket of the id):
+    reproducible across runs, partitionings, and ENGINES — the identical
+    membership is recomputed independently by the DuckDB oracle, which is
+    the whole point of hash sampling over df.sample at scale."""
+    from spark_xml_spark.operators import deterministic_sample
+
+    d = _parquet(spark, sf_dir, "documents")
+    s = deterministic_sample(d, "doc_id", 30, salt="r7")
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (BPE-ish regex, JVM regexp_extract_all) per source."""
     d = add_token_count(_parquet(spark, sf_dir, "documents"))
@@ -1422,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_chunk": q_text_chunk,
+        "text_contamination": q_text_contamination,
+        "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1936,6 +1979,38 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN i = k-1 THEN chunk END) AS last_chunk
             FROM e GROUP BY doc_id, n_words, k
             ORDER BY doc_id
+        """,
+        "text_contamination": (
+            "WITH "
+            + _SHINGLES_CTE
+            + """
+            , b AS (
+              SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 37 = 0
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS g FROM s
+            ), hits AS (
+              SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+              FROM e JOIN b USING (g) GROUP BY e.doc_id
+            ), tot AS (
+              SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles FROM s
+            )
+            SELECT t.doc_id, t.n_shingles,
+                   COALESCE(h.n_hits, 0) AS n_contaminated,
+                   round(COALESCE(h.n_hits, 0) * 1.0 / t.n_shingles, 6)
+                     AS contamination_r
+            FROM tot t LEFT JOIN hits h USING (doc_id)
+            WHERE COALESCE(h.n_hits, 0) * 1.0 / t.n_shingles >= 0.8
+            ORDER BY doc_id
+        """
+        ),
+        "text_sample": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE CAST(('0x' || substr(md5('r7' || CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 100 < 30
+            GROUP BY source
+            ORDER BY source
         """,
         "text_tokens": f"""
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

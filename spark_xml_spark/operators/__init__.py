@@ -19,6 +19,7 @@ from spark_xml_spark.operators.dedup import (
     restore_aqe_conf,
     simhash,
     simhash_near_dup_pairs,
+    contamination_check,
 )
 from spark_xml_spark.operators.similarity import (
     IvfIndex,
@@ -37,12 +38,14 @@ from spark_xml_spark.operators.multimodal import (
 from spark_xml_spark.operators.textstats import (
     add_fingerprint,
     chunk_documents,
+    deterministic_sample,
     add_language_id,
     add_quality_score,
     add_token_count,
 )
 
 __all__ = [
+    "contamination_check",
     "capped_collect",
     "observed_drop_metrics",
     "restore_aqe_conf",
@@ -62,6 +65,7 @@ __all__ = [
     "add_language_id",
     "add_fingerprint",
     "chunk_documents",
+    "deterministic_sample",
     "add_payload_metadata",
     "synthesize_payload",
     "extract_features",

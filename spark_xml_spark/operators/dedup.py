@@ -566,3 +566,50 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene operator:
+    fraction of each corpus document's DISTINCT word n-grams that appear
+    anywhere in the benchmark set; documents at/over ``threshold`` are
+    flagged for removal. Returns (id, n_shingles, n_contaminated,
+    contamination) for flagged docs.
+
+    Scale shape: the benchmark's distinct shingle set is tiny next to a
+    100 TB corpus (eval suites are thousands of docs), so it BROADCASTS —
+    the corpus side is one explode + broadcast-hash semi join + keyed
+    count, no shuffle of corpus shingles, no all-pairs anything. Same
+    shingle definition as the Jaccard/minhash family (_word_shingles:
+    lowercase, \\s+ split, distinct n-grams, whole-text fallback)."""
+    sid = F.col(id_col).alias("_cid")
+    cs = corpus.select(
+        sid, F.explode(_word_shingles(F.col(text_col), n)).alias("_s")
+    )
+    bs = benchmark.select(
+        F.explode(_word_shingles(F.col(text_col), n)).alias("_s")
+    ).distinct()
+    hits = cs.join(F.broadcast(bs), "_s").groupBy("_cid").agg(
+        F.count("*").alias("_hits")
+    )
+    totals = corpus.select(
+        sid, F.size(_word_shingles(F.col(text_col), n)).alias("_total")
+    )
+    return (
+        totals.join(hits, "_cid", "left")
+        .select(
+            F.col("_cid").alias(id_col),
+            F.col("_total").alias("n_shingles"),
+            F.coalesce(F.col("_hits"), F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_total")
+            ).alias("contamination"),
+        )
+        .filter(F.col("contamination") >= threshold)
+    )

@@ -181,3 +181,30 @@ def chunk_documents(
         lambda i: F.array_join(F.slice(words, i * step + 1, window), " "),
     )
     return df.withColumn(out_col, chunks)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: str = ""
+) -> DataFrame:
+    """Reproducible corpus sampling: keep a row iff the md5 of
+    (salt || id) hashes into the first ``rate_pct`` of 100 buckets.
+
+    Unlike ``df.sample`` (seed- AND partitioning-dependent: a repartition
+    changes the sample), membership depends only on the id — stable
+    across runs, cluster sizes, and engines (any md5 implementation picks
+    the identical rows, so a DuckDB/Trino/Spark pipeline agrees on the
+    sample). Pure codegen filter: pushes down to the scan like any
+    predicate; changing ``salt`` draws an independent sample."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct must be in [0, 100]")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return df.filter(bucket < F.lit(rate_pct))

@@ -511,3 +511,50 @@ def test_chunk_documents_boundaries(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_contamination_check_broadcast_and_values(spark):
+    """Decontamination: exact overlap ratios, docs fully inside the
+    benchmark flag at 1.0, disjoint docs unflagged; the benchmark shingle
+    side must BROADCAST (the 100 TB shape: never shuffle corpus shingles
+    against a tiny eval set)."""
+    from pyspark.sql import functions as F
+
+    from spark_xml_spark.operators import contamination_check
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # == benchmark doc
+            (2, "a b c d x y"),        # shares 2 of 4 shingles (0.5)
+            (3, "p q r s t u"),        # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    out = contamination_check(corpus, bench, "doc_id", "text", n=3, threshold=0.5)
+    got = {r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination)
+           for r in out.collect()}
+    assert got[1] == (4, 4, 1.0)
+    assert got[2] == (4, 2, 0.5)
+    assert 3 not in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_deterministic_sample_stability(spark):
+    """Hash sampling: identical membership across repartitionings (where
+    df.sample diverges), ~rate fraction kept, salt draws independently,
+    rate 0/100 degenerate cases."""
+    from spark_xml_spark.operators import deterministic_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in deterministic_sample(df, "doc_id", 30).collect()}
+    b = {r.doc_id
+         for r in deterministic_sample(df.repartition(13), "doc_id", 30).collect()}
+    assert a == b  # partitioning-independent
+    assert 0.25 < len(a) / 2000 < 0.35
+    c = {r.doc_id for r in deterministic_sample(df, "doc_id", 30, salt="x").collect()}
+    assert c != a  # independent draw
+    assert deterministic_sample(df, "doc_id", 0).count() == 0
+    assert deterministic_sample(df, "doc_id", 100).count() == 2000
