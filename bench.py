@@ -22,7 +22,11 @@ Extras:
   tier_adoption          rows (and in-worker seconds) served by each parse
                          tier during the scan measurement, from the
                          env-gated reader instrumentation — proves which
-                         code path the bench actually exercised
+                         code path the bench actually exercised. Caveat:
+                         each worker's ONE-TIME pyarrow.compute/pandas
+                         import (~0.3s) is booked to whichever tier runs
+                         its first batch, so a tiny tier can show outsized
+                         secs on a cold session; rows are exact
 
 Every queries() entry is timed (min-of-N, N=3 batch / N=2 for streaming
 queries whose fixed micro-batch setup dominates); exclusions would be
