@@ -809,6 +809,32 @@ def q_xsd_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _stream_source(spark: SparkSession, sf_dir: str, name: str,
+                   base_table: str, build) -> str:
+    """Cached stream-source parquet directory keyed by (name, corpus
+    fingerprint): the replayed corpus is fixed per sf_dir, so each call
+    measures the STREAMING pipeline (readStream -> state/sink), not the
+    one-time source materialization — the same steady-state contract as
+    _xml_table. Checkpoints and sink outputs stay per-call temp dirs
+    (stream state is never reused across calls). ``build(path)`` writes
+    the source parquet on first use."""
+    fp = _table_fingerprint(sf_dir, base_table)
+    base = os.path.join(CACHE_ROOT, f"ssrc-{name}-{fp}")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        stage = base + f".stage-{os.getpid()}"
+        build(os.path.join(stage, "src"))
+        with open(os.path.join(stage, "_DONE"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(stage, base)
+        except OSError:  # concurrent builder won; use its result
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    return os.path.join(base, "src")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (streaming/dedup.py): documents plus planted
     duplicates (every 7th doc repeated under a shifted id, the dedup_exact
@@ -824,13 +850,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = tempfile.mkdtemp(prefix="xml_sdedup_q_")
-    src = os.path.join(work, "src")
     out = os.path.join(work, "out")
-    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    d.unionAll(planted).coalesce(4).write.mode("overwrite").parquet(src)
+
+    def _build(path):
+        d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+        planted = d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        d.unionAll(planted).coalesce(4).write.mode("overwrite").parquet(path)
+
+    src = _stream_source(spark, sf_dir, "dedup", "documents", _build)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     ckpt = os.path.join(work, "ckpt")
     check_checkpoint_encoding(ckpt)  # refuse cross-encoding resume
@@ -896,12 +925,15 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_xml_spark.streaming.stateful import sessionize_stream
 
     work = tempfile.mkdtemp(prefix="xml_sess_q_")
-    src = os.path.join(work, "src")
     out = os.path.join(work, "out")
-    ev = _events(spark, sf_dir)
-    ts_sec, _ = _events_ts_cols(ev)
-    e = ev.withColumn("ts_sec", ts_sec).select("user_id", "ts_sec")
-    e.coalesce(4).write.mode("overwrite").parquet(src)
+
+    def _build(path):
+        ev = _events(spark, sf_dir)
+        ts_sec, _ = _events_ts_cols(ev)
+        e = ev.withColumn("ts_sec", ts_sec).select("user_id", "ts_sec")
+        e.coalesce(4).write.mode("overwrite").parquet(path)
+
+    src = _stream_source(spark, sf_dir, "sessionize", "events", _build)
     stream = spark.readStream.schema("user_id long, ts_sec long").parquet(src)
     q = (
         sessionize_stream(stream, gap_seconds=1800, expire_open_sessions=False)
@@ -932,12 +964,16 @@ def q_stream_xml_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     work = tempfile.mkdtemp(prefix="xml_sink_q_")
-    src = os.path.join(work, "src")
     out = os.path.join(work, "out")
-    sup = _parquet(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", F.col("s_nationkey").cast("long"), "s_acctbal"
-    )
-    sup.coalesce(4).write.mode("overwrite").parquet(src)
+
+    def _build(path):
+        sup = _parquet(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", F.col("s_nationkey").cast("long"),
+            "s_acctbal",
+        )
+        sup.coalesce(4).write.mode("overwrite").parquet(path)
+
+    src = _stream_source(spark, sf_dir, "sink", "supplier", _build)
     stream = spark.readStream.schema(
         "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
     ).parquet(src)
@@ -1010,12 +1046,15 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_xml_spark.streaming.windowed import windowed_event_counts
 
     work = tempfile.mkdtemp(prefix="xml_win_q_")
-    src = os.path.join(work, "src")
     out = os.path.join(work, "out")
-    ev = _events(spark, sf_dir)
-    _, ts_utc = _events_ts_cols(ev)
-    e = ev.select(ts_utc.alias("ts"), "event_type", "value")
-    e.coalesce(4).write.mode("overwrite").parquet(src)
+
+    def _build(path):
+        ev = _events(spark, sf_dir)
+        _, ts_utc = _events_ts_cols(ev)
+        e = ev.select(ts_utc.alias("ts"), "event_type", "value")
+        e.coalesce(4).write.mode("overwrite").parquet(path)
+
+    src = _stream_source(spark, sf_dir, "windowed", "events", _build)
     stream = spark.readStream.schema(
         "ts timestamp, event_type string, value double"
     ).parquet(src)
