@@ -1329,6 +1329,23 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components (min-id label
+    propagation) over the exact word-3-gram Jaccard pairs at 0.5 — the
+    principled successor to pair-based removal (transitive chains
+    collapse to one canonical representative even for pairs never
+    emitted). Iterative Spark joins; the oracle recomputes the same
+    components with a DuckDB RECURSIVE CTE, so the final labels are
+    fully value-checked despite the iterative (non-single-SQL) plan."""
+    from spark_xml_spark.operators import connected_components
+
+    d = _parquet(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b",
+                              out_id="doc_id", out_comp="cluster_id")
+    return cc.orderBy("doc_id")
+
+
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs whose distinct word-3-gram
     overlap with a planted 'benchmark' subset (doc_id % 37 == 0) is >= 0.8
@@ -1492,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_near_keep": q_dedup_near_keep,
@@ -1843,6 +1861,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
             FROM kept
         """,
+        "dedup_clusters": (
+            "WITH RECURSIVE "
+            + _SHINGLES_CTE.strip()
+            + """
+            , p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), cc AS (
+              SELECT src AS id, src AS comp FROM edges
+              UNION
+              SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src
+            )
+            SELECT id AS doc_id, MIN(comp) AS cluster_id
+            FROM cc GROUP BY id ORDER BY doc_id
+        """
+        ),
         "dedup_jaccard": _JACCARD_PAIRS_SQL.format(thr=0.5),
         "dedup_minhash": _JACCARD_PAIRS_SQL.format(thr=0.8),
         "dedup_near_keep": (

@@ -19,6 +19,7 @@ from spark_xml_spark.operators.dedup import (
     restore_aqe_conf,
     simhash,
     simhash_near_dup_pairs,
+    connected_components,
     contamination_check,
 )
 from spark_xml_spark.operators.similarity import (
@@ -45,6 +46,7 @@ from spark_xml_spark.operators.textstats import (
 )
 
 __all__ = [
+    "connected_components",
     "contamination_check",
     "capped_collect",
     "observed_drop_metrics",

@@ -613,3 +613,82 @@ def contamination_check(
         )
         .filter(F.col("contamination") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+    out_id: str = "id",
+    out_comp: str = "component",
+) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair list:
+    min-id label propagation. Returns (id, component) for every id that
+    appears in ``pairs``; component = the minimum id reachable, i.e. the
+    cluster's canonical representative — the principled version of
+    pair-based removal (a transitive dup chain a~b~c collapses to ONE
+    keeper even when (a,c) was never emitted as a pair).
+
+    Scale shape: each iteration is one keyed join + map-side-combinable
+    min-aggregation over the edge list — no adjacency materialization, no
+    driver-side graph. Iterations needed = component diameter; near-dup
+    graphs are star/clique-shaped (dups link through a common doc), so
+    2-4 passes converge. Each iteration's labels are localCheckpoint-ed:
+    persist() alone caches DATA but the logical plan still nests one level
+    per iteration and the optimizer blows up exponentially (observed OOM
+    at ~12 iterations) — checkpointing truncates the lineage, the standard
+    discipline for iterative Spark. (On a cluster with executor loss,
+    swap localCheckpoint for reliable checkpoint() with a checkpoint dir.)
+    Non-convergence within ``max_iterations`` raises rather than returning
+    silently-partial clusters."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            nbr = edges.join(labels, edges.dst == labels.id).select(
+                F.col("src").alias("id"), F.col("comp")
+            )
+            new_labels = (
+                labels.select("id", "comp")
+                .union(nbr)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)  # truncate iteration lineage
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("comp", "_old"), "id"
+                )
+                .filter(F.col("comp") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                edges.unpersist()
+                return labels.select(
+                    F.col("id").alias(out_id), F.col("comp").alias(out_comp)
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iterations"
+        )
+    except Exception:
+        edges.unpersist()
+        raise
+    # note: the converged labels frame stays locally checkpointed — the
+    # returned DataFrame reads from it; blocks free when the RDD is GC'd

@@ -558,3 +558,38 @@ def test_deterministic_sample_stability(spark):
     assert c != a  # independent draw
     assert deterministic_sample(df, "doc_id", 0).count() == 0
     assert deterministic_sample(df, "doc_id", 100).count() == 2000
+
+
+def test_connected_components_transitive_chain(spark):
+    """CC labels: a transitive chain collapses to one min-id component
+    even though (1,3) was never a pair; disjoint clusters stay apart;
+    star shapes converge."""
+    from spark_xml_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),          # chain 1-2-3
+         (10, 11), (10, 12), (10, 13),  # star around 10
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_and_cap(spark):
+    """A long chain needs ~diameter iterations; the cap raises (never
+    silently partial) when insufficient."""
+    import pytest as _pytest
+
+    from spark_xml_spark.operators import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component
+           for r in connected_components(chain, max_iterations=20).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2).collect()
