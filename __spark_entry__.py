@@ -82,6 +82,30 @@ def _table_fingerprint(sf_dir: str, table: str) -> str:
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
+def _cached_build(base: str, build) -> None:
+    """Shared build-once cache protocol: build into a process-unique
+    staging dir, stamp _DONE, rename into place. A rename failure is
+    'concurrent builder won' ONLY if the winner's marker actually exists
+    — any other failure (EXDEV cross-mount cache, EACCES) re-raises
+    instead of silently deleting the fresh build and returning a missing
+    path. ``build(stage_dir)`` populates the staging directory."""
+    marker = os.path.join(base, "_DONE")
+    if os.path.exists(marker):
+        return
+    stage = base + f".stage-{os.getpid()}"
+    build(stage)
+    with open(os.path.join(stage, "_DONE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise  # not a lost race: the winner's result is absent
+
+
 def _xml_table(
     spark: SparkSession,
     sf_dir: str,
@@ -109,11 +133,7 @@ def _xml_table(
     base = os.path.join(CACHE_ROOT, f"{table}-{variant}-{fp}")
     xml_dir = os.path.join(base, "xml")
     schema_file = os.path.join(base, "schema.json")
-    marker = os.path.join(base, "_DONE")
-    if not os.path.exists(marker):
-        # build in a process-unique staging dir and rename into place so a
-        # concurrent builder can't interleave with the overwrite-delete
-        stage = base + f".stage-{os.getpid()}"
+    def _build(stage):
         stage_xml = os.path.join(stage, "xml")
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
         if transform is not None:
@@ -122,15 +142,8 @@ def _xml_table(
         schema = infer_xml_schema(spark, stage_xml, rowTag=tag)
         with open(os.path.join(stage, "schema.json"), "w") as fh:
             fh.write(schema.json())
-        with open(os.path.join(stage, "_DONE"), "w") as fh:
-            fh.write("ok")
-        try:
-            os.rename(stage, base)
-        except OSError:
-            # a concurrent builder won the race; use its result
-            import shutil
 
-            shutil.rmtree(stage, ignore_errors=True)
+    _cached_build(base, _build)
     with open(schema_file) as fh:
         schema = T.StructType.fromJson(json.load(fh))
     if columns is not None:
@@ -811,27 +824,20 @@ def q_xsd_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_source(spark: SparkSession, sf_dir: str, name: str,
                    base_table: str, build) -> str:
-    """Cached stream-source parquet directory keyed by (name, corpus
-    fingerprint): the replayed corpus is fixed per sf_dir, so each call
-    measures the STREAMING pipeline (readStream -> state/sink), not the
-    one-time source materialization — the same steady-state contract as
-    _xml_table. Checkpoints and sink outputs stay per-call temp dirs
+    """Cached stream-source parquet directory keyed by (name+recipe,
+    corpus fingerprint): the replayed corpus is fixed per sf_dir, so each
+    call measures the STREAMING pipeline (readStream -> state/sink), not
+    the one-time source materialization — the same steady-state contract
+    as _xml_table. Checkpoints and sink outputs stay per-call temp dirs
     (stream state is never reused across calls). ``build(path)`` writes
-    the source parquet on first use."""
+    the source parquet on first use.
+
+    ``name`` MUST encode the build recipe (e.g. 'dedup-mod7'): the cache
+    key cannot see inside the closure, so editing a _build without
+    renaming would silently replay the OLD corpus from a warm cache."""
     fp = _table_fingerprint(sf_dir, base_table)
     base = os.path.join(CACHE_ROOT, f"ssrc-{name}-{fp}")
-    marker = os.path.join(base, "_DONE")
-    if not os.path.exists(marker):
-        stage = base + f".stage-{os.getpid()}"
-        build(os.path.join(stage, "src"))
-        with open(os.path.join(stage, "_DONE"), "w") as fh:
-            fh.write("ok")
-        try:
-            os.rename(stage, base)
-        except OSError:  # concurrent builder won; use its result
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
+    _cached_build(base, lambda stage: build(os.path.join(stage, "src")))
     return os.path.join(base, "src")
 
 
@@ -859,7 +865,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         d.unionAll(planted).coalesce(4).write.mode("overwrite").parquet(path)
 
-    src = _stream_source(spark, sf_dir, "dedup", "documents", _build)
+    src = _stream_source(spark, sf_dir, "dedup-mod7shift1m", "documents", _build)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     ckpt = os.path.join(work, "ckpt")
     check_checkpoint_encoding(ckpt)  # refuse cross-encoding resume
@@ -933,7 +939,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = ev.withColumn("ts_sec", ts_sec).select("user_id", "ts_sec")
         e.coalesce(4).write.mode("overwrite").parquet(path)
 
-    src = _stream_source(spark, sf_dir, "sessionize", "events", _build)
+    src = _stream_source(spark, sf_dir, "sessionize-uid-tssec", "events", _build)
     stream = spark.readStream.schema("user_id long, ts_sec long").parquet(src)
     q = (
         sessionize_stream(stream, gap_seconds=1800, expire_open_sessions=False)
@@ -973,7 +979,7 @@ def q_stream_xml_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sup.coalesce(4).write.mode("overwrite").parquet(path)
 
-    src = _stream_source(spark, sf_dir, "sink", "supplier", _build)
+    src = _stream_source(spark, sf_dir, "sink-sup4col", "supplier", _build)
     stream = spark.readStream.schema(
         "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
     ).parquet(src)
@@ -1054,7 +1060,7 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = ev.select(ts_utc.alias("ts"), "event_type", "value")
         e.coalesce(4).write.mode("overwrite").parquet(path)
 
-    src = _stream_source(spark, sf_dir, "windowed", "events", _build)
+    src = _stream_source(spark, sf_dir, "windowed-ts-evtype-val", "events", _build)
     stream = spark.readStream.schema(
         "ts timestamp, event_type string, value double"
     ).parquet(src)
@@ -2086,7 +2092,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM documents
-            WHERE CAST(('0x' || substr(md5('r7' || CAST(doc_id AS VARCHAR)), 1, 4))
+            WHERE CAST(('0x' || substr(md5('r7' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
                        AS BIGINT) % 100 < 30
             GROUP BY source
             ORDER BY source

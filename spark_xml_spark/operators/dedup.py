@@ -588,28 +588,38 @@ def contamination_check(
     count, no shuffle of corpus shingles, no all-pairs anything. Same
     shingle definition as the Jaccard/minhash family (_word_shingles:
     lowercase, \\s+ split, distinct n-grams, whole-text fallback)."""
-    sid = F.col(id_col).alias("_cid")
-    cs = corpus.select(
-        sid, F.explode(_word_shingles(F.col(text_col), n)).alias("_s")
+    # ONE shingle computation per corpus doc (the dominant per-doc cost),
+    # carried through the explode; hits counted via a LEFT broadcast join
+    # so zero-hit docs survive into the same keyed aggregation — no second
+    # corpus scan and no totals-vs-hits shuffle join
+    sh = corpus.select(
+        F.col(id_col).alias("_cid"),
+        _word_shingles(F.col(text_col), n).alias("_sh"),
     )
-    bs = benchmark.select(
-        F.explode(_word_shingles(F.col(text_col), n)).alias("_s")
-    ).distinct()
-    hits = cs.join(F.broadcast(bs), "_s").groupBy("_cid").agg(
-        F.count("*").alias("_hits")
+    ex = sh.select(
+        "_cid", F.size("_sh").alias("_total"), F.explode("_sh").alias("_s")
     )
-    totals = corpus.select(
-        sid, F.size(_word_shingles(F.col(text_col), n)).alias("_total")
+    bs = (
+        benchmark.select(
+            F.explode(_word_shingles(F.col(text_col), n)).alias("_s")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     return (
-        totals.join(hits, "_cid", "left")
+        ex.join(F.broadcast(bs), "_s", "left")
+        .groupBy("_cid")
+        .agg(
+            F.first("_total").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
         .select(
             F.col("_cid").alias(id_col),
-            F.col("_total").alias("n_shingles"),
-            F.coalesce(F.col("_hits"), F.lit(0)).alias("n_contaminated"),
-            (
-                F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_total")
-            ).alias("contamination"),
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
         )
         .filter(F.col("contamination") >= threshold)
     )

@@ -158,7 +158,10 @@ def chunk_documents(
     Whitespace-token windows of ``window`` words advancing by ``step``
     (default 3/4 window = 25% overlap); the final window is the remainder
     (never empty for non-empty text; an all-whitespace/empty document
-    yields one "" chunk). Adds ``out_col`` as ``array<string>``.
+    yields one "" chunk; NULL text yields NULL). ``step > window`` is
+    allowed (stride SAMPLING: gaps between chunks) — window starts are
+    clamped below the word count, so no phantom empty tail chunk ever
+    appears. Adds ``out_col`` as ``array<string>``.
 
     Scale shape: pure codegen — split / sequence / transform / slice /
     array_join; no UDF, no shuffle, no per-row Python. Memory per row is
@@ -176,9 +179,17 @@ def chunk_documents(
         F.greatest(F.ceil((n - F.lit(window)) / F.lit(step)), F.lit(0))
         + 1
     ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.array_join(F.slice(words, i * step + 1, window), " "),
+    # clamp: every window START must fall inside the word list — with
+    # step > window the coverage formula above can overshoot by one and
+    # emit an empty "" tail chunk
+    k = F.least(k, (F.floor((n - 1) / F.lit(step)) + 1).cast("int"))
+    chunks = F.when(
+        F.col(text_col).isNull(), F.lit(None)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(words, i * step + 1, window), " "),
+        )
     )
     return df.withColumn(out_col, chunks)
 
@@ -194,13 +205,23 @@ def deterministic_sample(
     across runs, cluster sizes, and engines (any md5 implementation picks
     the identical rows, so a DuckDB/Trino/Spark pipeline agrees on the
     sample). Pure codegen filter: pushes down to the scan like any
-    predicate; changing ``salt`` draws an independent sample."""
+    predicate; changing ``salt`` draws an independent sample.
+
+    NULL ids hash as the empty string (one fixed bucket for all of them),
+    so rate 100 keeps every row and a rate/complement split over salts
+    never silently drops null-id rows — a bare md5(NULL) would NULL the
+    predicate and filter them out at any rate."""
     if not 0 <= rate_pct <= 100:
         raise ValueError("rate_pct must be in [0, 100]")
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                    )
+                ),
                 1, 4,
             ),
             16, 10,

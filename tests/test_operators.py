@@ -593,3 +593,41 @@ def test_connected_components_long_chain_and_cap(spark):
     assert set(got.values()) == {0} and len(got) == 13
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=2).collect()
+
+
+def test_connected_components_empty_pairs(spark):
+    from spark_xml_spark.operators import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []
+
+
+def test_chunk_documents_stride_and_null(spark):
+    """Review r7b: step > window (stride sampling) must not emit a phantom
+    empty tail chunk; NULL text yields NULL chunks (not [NULL])."""
+    from spark_xml_spark.operators import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.chunks
+           for r in chunk_documents(df, window=10, step=50).collect()}
+    assert out[1] == [" ".join(words[0:10]), " ".join(words[50:60])]
+    assert "" not in out[1]
+    assert out[2] is None
+
+
+def test_deterministic_sample_null_ids(spark):
+    """Review r7b: NULL ids hash as '' (one stable bucket) — rate 100
+    keeps every row; a rate/complement split never drops null-id rows."""
+    from spark_xml_spark.operators import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id long"
+    )
+    assert deterministic_sample(df, "doc_id", 100).count() == 3
+    kept30 = deterministic_sample(df, "doc_id", 30).count()
+    # the null row lands in exactly one of the split halves
+    comp = df.exceptAll(deterministic_sample(df, "doc_id", 30)).count()
+    assert kept30 + comp == 3
