@@ -419,3 +419,57 @@ def test_fias_house_bz2_small_matches_plain(spark):
     assert {tuple(r) for r in comp.select(*cols).collect()} == {
         tuple(r) for r in plain.select(*cols).collect()
     }
+
+
+def test_manual_schema_corrupt_record_permissive(spark):
+    """XmlSuite.scala:1298-1346 (#517): a user schema WITH a corrupt-record
+    column on PERMISSIVE mode — the record fails to parse (c192='M' as
+    double), so the whole malformed row lands in _corrupt_record."""
+    from pyspark.sql import types as T
+
+    from spark_xml_spark.sources.api import read_xml
+
+    def arr_vt():
+        return T.ArrayType(T.StructType([
+            T.StructField("_VALUE", T.StringType()),
+            T.StructField("_m", T.IntegerType()),
+        ]))
+
+    schema = T.StructType(
+        [T.StructField("_id", T.StringType()),
+         T.StructField("_space", T.StringType()),
+         T.StructField("c2", T.DoubleType()),
+         T.StructField("c3", T.StringType()),
+         T.StructField("c4", T.StringType()),
+         T.StructField("c5", T.StringType()),
+         T.StructField("c6", T.StringType()),
+         T.StructField("c7", T.StringType()),
+         T.StructField("c8", T.StringType()),
+         T.StructField("c9", T.DoubleType()),
+         T.StructField("c11", T.DoubleType()),
+         T.StructField("c20", arr_vt()),
+         T.StructField("c46", T.StringType()),
+         T.StructField("c76", T.StringType()),
+         T.StructField("c78", T.StringType()),
+         T.StructField("c85", T.DoubleType()),
+         T.StructField("c93", T.StringType()),
+         T.StructField("c95", T.StringType()),
+         T.StructField("c99", arr_vt()),
+         T.StructField("c100", arr_vt()),
+         T.StructField("c108", T.StringType()),
+         T.StructField("c192", T.DoubleType()),
+         T.StructField("c193", T.StringType()),
+         T.StructField("c194", T.StringType()),
+         T.StructField("c195", T.StringType()),
+         T.StructField("c196", T.StringType()),
+         T.StructField("c197", T.DoubleType()),
+         T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = read_xml(
+        spark,
+        "/root/reference/src/test/resources/manual_schema_corrupt_record.xml",
+        schema=schema,
+        rowTag="row",
+    )
+    row = df.collect()[0]
+    assert row["_corrupt_record"] is not None
