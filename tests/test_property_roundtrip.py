@@ -348,3 +348,93 @@ def test_array_fast_path_equivalence_property(recs):
         got = parser.parse_record(rec, _ARRAY_SCHEMA, opts, fast=fast)
         ref = parser.parse_record(rec, _ARRAY_SCHEMA, opts, fast=None)
         assert got == ref, (rec, got, ref)
+
+
+# --- round 7: strict-pattern + fused-window equivalence --------------------
+
+_flat_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0x2FF,
+        blacklist_characters="\x7f<>&",
+    ),
+    max_size=14,
+)
+
+
+@st.composite
+def _flat_record(draw):
+    """Flat records exercising the strict pattern's fallback edges:
+    all-fields-present (strict hit), null-elided fields and inter-tag
+    whitespace (strict miss -> optional), entities (row path)."""
+    parts = ["<r>"]
+    ws = draw(st.sampled_from(["", "", "", " ", "\n  "]))
+    if draw(st.integers(0, 9)) > 0:  # usually present
+        parts.append(f"{ws}<a>{draw(st.integers(-10**9, 10**9))}</a>")
+    if draw(st.integers(0, 9)) > 0:
+        txt = draw(_flat_text)
+        if draw(st.integers(0, 19)) == 0:
+            txt += "&amp;x"
+        parts.append(f"{ws}<s>{txt}</s>")
+    if draw(st.integers(0, 9)) > 0:
+        parts.append(
+            f"{ws}<d>{draw(st.floats(allow_nan=False, allow_infinity=False, width=32))}</d>"
+        )
+    parts.append(f"{ws}</r>")
+    return "".join(parts)
+
+
+_FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DoubleType()),
+    ]
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(recs=st.lists(_flat_record(), min_size=1, max_size=8))
+def test_strict_and_window_paths_equivalence_property(recs):
+    """The strict-pattern collect, the optional-pattern collect, the fused
+    window path, and the generic row path must produce identical Arrow
+    tables on ANY flat record mix (present/missing fields, whitespace,
+    entities)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from spark_xml_spark.options import XmlOptions
+    from spark_xml_spark.sources import datasource as D
+    from spark_xml_spark.xmlcore import tokenizer as tok
+
+    opts = XmlOptions.from_dict({"rowTag": "r"})
+
+    # reference: generic row path via arrow conversion
+    fix = D._tz_fixer(_FLAT_SCHEMA)
+    rows = list(parser.parse_records(iter(recs), _FLAT_SCHEMA, opts))
+    if fix:
+        rows = [fix(r) for r in rows]
+    ref = pa.Table.from_batches(
+        list(D._rows_to_arrow_batches(iter(rows), _FLAT_SCHEMA, 256))
+    )
+
+    # record-based columnar (strict tried first internally)
+    col = pa.Table.from_batches(
+        list(D._columnar_flat_batches(iter(recs), _FLAT_SCHEMA, opts, 4))
+    )
+    assert col.equals(ref)
+
+    # fused window path over a real file with forced-small splits
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml")
+    with open(p, "w") as fh:
+        fh.write("<root>" + "".join(recs) + "</root>")
+
+    def windows():
+        for sp in tok.plan_splits(p, "utf-8", 64):
+            yield from tok.scan_split_windows(sp, "r", "utf-8")
+
+    win = list(D._columnar_window_batches(windows(), _FLAT_SCHEMA, opts, 4))
+    wt = pa.Table.from_batches(win) if win else ref.slice(0, 0)
+    assert wt.equals(ref)
