@@ -667,7 +667,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
             nbr = edges.join(labels, edges.dst == labels.id).select(
                 F.col("src").alias("id"), F.col("comp")
             )
@@ -678,14 +678,21 @@ def connected_components(
                 .agg(F.min("comp").alias("comp"))
                 .localCheckpoint(eager=True)  # truncate iteration lineage
             )
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("comp", "_old"), "id"
+            if it == 0:
+                # any edge changes a label in pass 1 (dst takes min(src)),
+                # so the convergence probe is a wasted action here; an
+                # EMPTY pair list just pays one extra trivial iteration
+                # before pass 2's probe returns 0
+                changed = 1
+            else:
+                changed = (
+                    new_labels.join(
+                        labels.withColumnRenamed("comp", "_old"), "id"
+                    )
+                    .filter(F.col("comp") != F.col("_old"))
+                    .limit(1)
+                    .count()
                 )
-                .filter(F.col("comp") != F.col("_old"))
-                .limit(1)
-                .count()
-            )
             labels = new_labels
             if changed == 0:
                 edges.unpersist()
