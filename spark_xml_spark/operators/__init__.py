@@ -31,6 +31,7 @@ from spark_xml_spark.operators.similarity import (
 )
 from spark_xml_spark.operators.multimodal import (
     add_payload_metadata,
+    default_audio_decoder,
     extract_features,
     resize_images,
     sample_frames,
@@ -67,6 +68,7 @@ __all__ = [
     "add_language_id",
     "add_fingerprint",
     "chunk_documents",
+    "default_audio_decoder",
     "deterministic_sample",
     "add_payload_metadata",
     "synthesize_payload",

@@ -109,6 +109,56 @@ def default_image_decoder(payload: bytes) -> dict:
     )
 
 
+def default_audio_decoder(payload: bytes) -> dict:
+    """Pure-stdlib audio HEADER decoder: real sample rate / channels / bit
+    depth / frame count / duration for RIFF/WAVE payloads via a fmt+data
+    chunk walk (word-aligned chunk stepping; struct.unpack only — no audio
+    library). Non-WAV payloads raise NotImplementedError: the same
+    injectable-seam contract as default_image_decoder (swap in torchaudio/
+    soundfile outside this container)."""
+    import struct
+
+    if (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        pos = 12
+        fmt = None
+        data_size = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (csize,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body = payload[pos + 8:pos + 8 + csize]
+            if cid == b"fmt " and len(body) >= 16:
+                audio_fmt, ch, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", body[:16]
+                )
+                fmt = (audio_fmt, ch, rate, bits)
+            elif cid == b"data":
+                data_size = csize
+            pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+        if fmt is None:
+            raise ValueError("corrupt WAV: no fmt chunk")
+        audio_fmt, ch, rate, bits = fmt
+        out = {
+            "format": "wav",
+            "codec": int(audio_fmt),
+            "channels": int(ch),
+            "sample_rate": int(rate),
+            "bits_per_sample": int(bits),
+        }
+        if data_size is not None and ch and bits and rate:
+            frames = data_size // max(ch * (bits // 8), 1)
+            out["n_frames"] = int(frames)
+            out["duration_s"] = frames / rate
+        return out
+    raise NotImplementedError(
+        "audio decoding beyond WAV headers requires an audio library not "
+        "present in this environment; inject a real decoder"
+    )
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

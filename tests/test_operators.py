@@ -631,3 +631,45 @@ def test_deterministic_sample_null_ids(spark):
     # the null row lands in exactly one of the split halves
     comp = df.exceptAll(deterministic_sample(df, "doc_id", 30)).count()
     assert kept30 + comp == 3
+
+
+def test_default_audio_decoder_wav_headers():
+    """Pure-stdlib WAV header decode: real rate/channels/bits/frames/
+    duration from a wave-module-generated payload; word-aligned chunk
+    walk; corrupt and non-WAV cases raise per the seam contract."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from spark_xml_spark.operators import default_audio_decoder
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)       # 16-bit
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x01" * 2 * 44100)  # exactly 1 second
+    meta = default_audio_decoder(buf.getvalue())
+    assert meta["format"] == "wav" and meta["codec"] == 1
+    assert meta["channels"] == 2
+    assert meta["sample_rate"] == 44100
+    assert meta["bits_per_sample"] == 16
+    assert meta["n_frames"] == 44100
+    assert abs(meta["duration_s"] - 1.0) < 1e-9
+
+    # odd-sized pre-data chunk exercises word alignment
+    odd = b"RIFF" + struct.pack("<I", 0) + b"WAVE" \
+        + b"junk" + struct.pack("<I", 3) + b"abc\x00" \
+        + b"fmt " + struct.pack("<I", 16) \
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8) \
+        + b"data" + struct.pack("<I", 8000) + b"\x00" * 8000
+    m2 = default_audio_decoder(odd)
+    assert m2["sample_rate"] == 8000 and m2["n_frames"] == 8000
+    assert abs(m2["duration_s"] - 1.0) < 1e-9
+
+    with _pytest.raises(ValueError, match="no fmt chunk"):
+        default_audio_decoder(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with _pytest.raises(NotImplementedError):
+        default_audio_decoder(b"ID3\x04rest-of-an-mp3")
