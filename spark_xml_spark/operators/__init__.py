@@ -32,6 +32,7 @@ from spark_xml_spark.operators.similarity import (
 from spark_xml_spark.operators.multimodal import (
     add_payload_metadata,
     default_audio_decoder,
+    default_video_decoder,
     extract_features,
     resize_images,
     sample_frames,
@@ -69,6 +70,7 @@ __all__ = [
     "add_fingerprint",
     "chunk_documents",
     "default_audio_decoder",
+    "default_video_decoder",
     "deterministic_sample",
     "add_payload_metadata",
     "synthesize_payload",

@@ -159,6 +159,62 @@ def default_audio_decoder(payload: bytes) -> dict:
     )
 
 
+def default_video_decoder(payload: bytes) -> dict:
+    """Pure-stdlib video HEADER decoder: ISO BMFF (MP4/MOV) box walk —
+    major brand from ftyp, timescale/duration from moov/mvhd (v0 and v1
+    layouts). struct.unpack only; non-BMFF payloads raise
+    NotImplementedError (the injectable-seam contract of the image/audio
+    decoders — swap in pyav/ffprobe outside this container)."""
+    import struct
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos:pos + 4])
+            btype = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                hdr = 16
+            elif size == 0:  # box extends to end
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError(
+            "video decoding beyond ISO-BMFF (MP4/MOV) headers requires a "
+            "video library not present in this environment; inject a real "
+            "decoder"
+        )
+    out = {"format": "mp4", "brand": payload[8:12].decode("ascii", "replace")}
+    for btype, body_s, body_e in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, c_s, c_e in boxes(payload, body_s, body_e):
+            if ctype != b"mvhd" or c_e - c_s < 4:
+                continue
+            version = payload[c_s]
+            if version == 1 and c_e - c_s >= 28:
+                timescale, duration = struct.unpack(
+                    ">IQ", payload[c_s + 20:c_s + 32]
+                )
+            elif c_e - c_s >= 20:
+                timescale, duration = struct.unpack(
+                    ">II", payload[c_s + 12:c_s + 20]
+                )
+            else:
+                continue
+            out["timescale"] = int(timescale)
+            if timescale:
+                out["duration_s"] = duration / timescale
+            return out
+    return out  # valid BMFF without moov (e.g. fragmented init segment)
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -673,3 +673,45 @@ def test_default_audio_decoder_wav_headers():
         default_audio_decoder(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
     with _pytest.raises(NotImplementedError):
         default_audio_decoder(b"ID3\x04rest-of-an-mp3")
+
+
+def test_default_video_decoder_mp4_headers():
+    """Pure-stdlib ISO-BMFF box walk: brand from ftyp, timescale/duration
+    from moov/mvhd (v0 and v1), 64-bit largesize boxes, fragmented
+    no-moov payloads, and the non-BMFF seam contract."""
+    import struct
+
+    import pytest as _pytest
+
+    from spark_xml_spark.operators import default_video_decoder
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2")
+    mvhd_v0 = box(
+        b"mvhd",
+        bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 600, 3000) + b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd_v0)
+    meta = default_video_decoder(ftyp + moov)
+    assert meta["format"] == "mp4" and meta["brand"] == "isom"
+    assert meta["timescale"] == 600
+    assert abs(meta["duration_s"] - 5.0) < 1e-9
+
+    # v1 mvhd: 64-bit times
+    mvhd_v1 = box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 1000, 90000) + b"\x00" * 80,
+    )
+    m1 = default_video_decoder(ftyp + box(b"moov", mvhd_v1))
+    assert m1["timescale"] == 1000 and abs(m1["duration_s"] - 90.0) < 1e-9
+
+    # fragmented init segment: valid BMFF, no moov -> brand only
+    frag = default_video_decoder(ftyp + box(b"moof", b""))
+    assert frag == {"format": "mp4", "brand": "isom"}
+
+    with _pytest.raises(NotImplementedError):
+        default_video_decoder(b"\x1aE\xdf\xa3webm-ish")
