@@ -25,10 +25,11 @@ Python re-implementation of the reference's semantics:
   datetime compare, octet lengths for the binary types, errata totalDigits,
   value-space enumerations, per-type whiteSpace defaults, item-count length
   facets on list restrictions) — the fixture matrix in tests/test_xsd.py
-  documents each behavior. Remaining out-of-scope: duration value-space
-  ordering (lexical), XSD regex character-class subtraction (lenient), and
-  gYear*/gMonth* range facets (lexical compare, correct for same-format
-  values).
+  documents each behavior. Durations order in value space via the
+  month-length-bounds partial order (_duration_cmp; indeterminate
+  comparisons violate the facet, as in Xerces). Remaining out-of-scope:
+  XSD regex character-class subtraction (lenient) and gYear*/gMonth*
+  range facets (lexical compare, correct for same-format values).
 """
 
 from __future__ import annotations
@@ -500,6 +501,26 @@ def _facet_value(base: str, text: str):
     if base in _FLOAT_BASES:
         t = {"INF": "inf", "-INF": "-inf", "NaN": "nan"}.get(text, text)
         return float(t)
+    if base == "duration":
+        # value space is (months, seconds); ordering is PARTIAL — see
+        # _duration_cmp (month-length bounds method; indeterminate
+        # comparisons violate the facet, as in Xerces).
+        m = re.fullmatch(
+            r"(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+            r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+            text,
+        )
+        if m is None or text.rstrip("-") in ("P", "PT"):
+            raise ValueError(f"not a duration: {text}")
+        sign = -1 if m.group(1) else 1
+        months = sign * (int(m.group(2) or 0) * 12 + int(m.group(3) or 0))
+        seconds = sign * (
+            int(m.group(4) or 0) * 86400
+            + int(m.group(5) or 0) * 3600
+            + int(m.group(6) or 0) * 60
+            + float(m.group(7) or 0)
+        )
+        return ("dur", months, seconds)
     if base in _DATETIME_BASES:
         from datetime import date, datetime, time, timezone
 
@@ -526,6 +547,33 @@ def _facet_value(base: str, text: str):
             return ("z", v.astimezone(timezone.utc).replace(tzinfo=None))
         return ("n", v)
     return text
+
+
+def _duration_cmp(a: tuple, b: tuple):
+    """XSD duration partial order via month-length bounds: a month spans
+    [28, 31] days (exactly the spread of the spec's four reference
+    dates), so dur1 < dur2 determinately iff dur1's MAXIMUM total seconds
+    is below dur2's MINIMUM. Returns -1/0/1, or None when the bounds
+    overlap (indeterminate — Xerces treats that as a facet violation).
+    Equal iff the (months, seconds) values are identical."""
+    _, ma, sa = a
+    _, mb, sb = b
+    if (ma, sa) == (mb, sb):
+        return 0
+    dm, ds = ma - mb, sa - sb
+    if dm == 0:  # same month part: the seconds remainder orders exactly
+        return -1 if ds < 0 else 1
+    # bound the DIFFERENCE dm months + ds seconds (the month-length
+    # variable applies to the difference, not to each side independently:
+    # 13 months > 12 months always, whatever a month's length)
+    day = 86400.0
+    diff_lo = min(dm * 28, dm * 31) * day + ds
+    diff_hi = max(dm * 28, dm * 31) * day + ds
+    if diff_hi < 0:
+        return -1
+    if diff_lo > 0:
+        return 1
+    return None
 
 
 def _facet_length(base: str, text: str) -> int:
@@ -601,6 +649,27 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction,
                     raise ValueError("mixed zoned/naive datetime")
             except (ValueError, ArithmeticError):
                 tv, fv = text, v  # outside the parsed subset: lexical
+            if isinstance(tv, tuple) and tv[0] == "dur":
+                c = _duration_cmp(tv, fv)
+                if c is None:
+                    # INDETERMINATE order (overlapping month-length
+                    # bounds) violates the facet, as in Xerces — never a
+                    # lexical guess
+                    raise XsdValidationError(
+                        f"<{tag}>: duration '{text}' is not comparable "
+                        f"with {k}={v}"
+                    )
+                ok = (
+                    c >= 0 if k == "minInclusive"
+                    else c <= 0 if k == "maxInclusive"
+                    else c > 0 if k == "minExclusive"
+                    else c < 0
+                )
+                if not ok:
+                    raise XsdValidationError(
+                        f"<{tag}>: '{text}' violates {k}={v}"
+                    )
+                continue
             ok = (
                 tv >= fv if k == "minInclusive"
                 else tv <= fv if k == "maxInclusive"

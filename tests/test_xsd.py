@@ -971,6 +971,20 @@ FACET_MATRIX = [
      "NaN", True, "NaN equals NaN in XSD value space"),
     ("double", '<xs:enumeration value="NaN"/>', "2.0", False,
      "2.0 not in the enumeration"),
+    # -- review r7c: duration value-space ordering (month-length bounds;
+    #    indeterminate comparisons violate the facet, as in Xerces)
+    ("duration", '<xs:minInclusive value="P1Y"/>', "P13M", True,
+     "13 months >= 12 months (pure year-month order)"),
+    ("duration", '<xs:minInclusive value="P1Y"/>', "P11M", False,
+     "11 months < 12 months"),
+    ("duration", '<xs:maxInclusive value="PT1H"/>', "PT59M", True,
+     "day-time order: 59min <= 1h"),
+    ("duration", '<xs:maxInclusive value="PT1H"/>', "P1D", False,
+     "1 day > 1 hour determinately"),
+    ("duration", '<xs:minInclusive value="P1M"/>', "P32D", True,
+     "32 days > any month length (28-31d): determinate"),
+    ("duration", '<xs:minInclusive value="P1M"/>', "P30D", False,
+     "30 days vs 1 month is INDETERMINATE -> facet violation"),
 ]
 
 
