@@ -27,9 +27,11 @@ Python re-implementation of the reference's semantics:
   facets on list restrictions) — the fixture matrix in tests/test_xsd.py
   documents each behavior. Durations order in value space via the
   month-length-bounds partial order (_duration_cmp; indeterminate
-  comparisons violate the facet, as in Xerces). Remaining out-of-scope:
-  XSD regex character-class subtraction (lenient) and gYear*/gMonth*
-  range facets (lexical compare, correct for same-format values).
+  comparisons violate the facet, as in Xerces). Character-class subtraction
+  translates to lookahead form (single level; nested subtrahends stay
+  lenient). Remaining out-of-scope: gYear*/gMonth* range facets with
+  timezone suffixes (lexical compare — exact for the zone-less
+  same-format values this subset targets).
 """
 
 from __future__ import annotations
@@ -459,12 +461,26 @@ def _inst_local(tag: str) -> str:
 
 def _xsd_pattern_to_py(pattern: str) -> str:
     """XSD regex -> Python re (anchored by fullmatch at the call site).
-    The XSD-specific multi-char classes \\i/\\c (name start/char) are
-    translated; everything else of the common subset is re-compatible."""
-    return (
+    Translated XSD-specifics: the multi-char classes \\i/\\c (name
+    start/char) and single-level character-class SUBTRACTION
+    ``[outer-[inner]]`` -> ``(?:(?![inner])[outer])`` (one character in
+    outer but not inner — Python re has no native subtraction). Nested
+    subtraction inside the subtrahend stays untranslated (the caller is
+    lenient on re.error); everything else of the common subset is
+    re-compatible."""
+    out = (
         pattern.replace(r"\i", "[A-Za-z_:]")
         .replace(r"\c", r"[-.\w:]")
     )
+    # [outer-[inner]] — outer/inner must themselves be bracket-free;
+    # escaped brackets \[ \] inside classes are rare enough to leave to
+    # the lenient re.error path
+    sub = re.compile(r"\[((?:[^\[\]\\]|\\.)*)-\[((?:[^\[\]\\]|\\.)*)\]\]")
+    prev = None
+    while prev != out:  # innermost-first across multiple occurrences
+        prev = out
+        out = sub.sub(r"(?:(?![\2])[\1])", out)
+    return out
 
 
 # whiteSpace DEFAULT per built-in base (XSD part 2 §4.3.6): string

@@ -985,6 +985,11 @@ FACET_MATRIX = [
      "32 days > any month length (28-31d): determinate"),
     ("duration", '<xs:minInclusive value="P1M"/>', "P30D", False,
      "30 days vs 1 month is INDETERMINATE -> facet violation"),
+    # -- review r7c: character-class subtraction translated to lookahead
+    ("string", '<xs:pattern value="[a-z-[aeiou]]+"/>', "bcdfg", True,
+     "class subtraction: consonants only"),
+    ("string", '<xs:pattern value="[a-z-[aeiou]]+"/>', "bca", False,
+     "contains a vowel"),
 ]
 
 
