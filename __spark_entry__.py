@@ -1039,6 +1039,52 @@ def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join: the events stream joins a BROADCAST
+    static dimension inside every micro-batch — the canonical streaming
+    enrichment shape (at 100 TB the stream side never shuffles; the dim
+    broadcasts per batch), stateless so availableNow/append needs no
+    watermark. Sink rows are then aggregated per region name; the money
+    sum uses the decimal pattern (order-insensitive, hash-stable)."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="xml_enrich_q_")
+    out = os.path.join(work, "out")
+
+    def _build(path):
+        ev = _events(spark, sf_dir)
+        ev.select("event_id", "user_id", "value").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    src = _stream_source(spark, sf_dir, "enrich-id-uid-val", "events", _build)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).parquet(src)
+    nat = _xml_table(spark, sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"])
+    enriched = stream.join(
+        F.broadcast(nat), stream.user_id % 25 == nat.n_nationkey
+    ).select("event_id", "n_name", "value")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    return (
+        got.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum_str("value").alias("sum_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time windowed aggregation as a STREAM: events
     replayed with availableNow through readStream -> withWatermark(30m) ->
@@ -1510,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xsd_validate": q_xsd_validate,
         "stream_xml_ingest": q_stream_xml_ingest,
         "stream_sessionize": q_stream_sessionize,
+        "stream_enrich": q_stream_enrich,
         "stream_windowed": q_stream_windowed,
         "stream_xml_sink": q_stream_xml_sink,
         "stream_dedup": q_stream_dedup,
@@ -1804,6 +1851,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
                    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
             FROM kept
+        """,
+        "stream_enrich": f"""
+            SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {_DEC_SUM_STR_SQL.format(c='e.value')} AS sum_value
+            FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
         """,
         "stream_windowed": """
             -- hourly tumbling windows over event time; append mode only

@@ -50,6 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _STREAMING = {
     "stream_xml_ingest",
     "stream_sessionize",
+    "stream_enrich",
     "stream_windowed",
     "stream_xml_sink",
     "stream_dedup",
