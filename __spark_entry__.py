@@ -1190,12 +1190,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prune whole partitions at the parquet source (the 100 TB read path).
     fp = _table_fingerprint(sf_dir, "embeddings")
     base = os.path.join(CACHE_ROOT, f"ivf-planted-{fp}")
-    marker = os.path.join(base, "_DONE")
-    if not os.path.exists(marker):
-        corpus = _planted_neighbors(e)
-        IvfIndex.build(corpus, k=8, seed=42).save(base)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    _cached_build(
+        base,
+        lambda stage: IvfIndex.build(
+            _planted_neighbors(e), k=8, seed=42
+        ).save(stage),
+    )
     idx = IvfIndex.load(spark, base)
     return idx.search(q, k=10, nprobe=3).select(
         "vec_id", F.round("cosine", 9).alias("cosine_r")
@@ -1346,12 +1346,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     fp = _table_fingerprint(sf_dir, "embeddings")
     base = os.path.join(CACHE_ROOT, f"lsh-planted-{fp}")
-    marker = os.path.join(base, "_DONE")
-    if not os.path.exists(marker):
-        corpus = _planted_neighbors(e)
-        LshIndex.build(corpus, num_planes=6, seed=42).save(base)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    # same staged-rename protocol as every other cache: a concurrent
+    # reader can never observe a half-written partitioned index, and a
+    # crash mid-build leaves only an orphan stage dir, not a partial
+    # cache that a later overwrite-mode rebuild races against
+    _cached_build(
+        base,
+        lambda stage: LshIndex.build(
+            _planted_neighbors(e), num_planes=6, seed=42
+        ).save(stage),
+    )
     idx = LshIndex.load(spark, base)
     return idx.search(q, k=10, multiprobe=2).select(
         "vec_id", F.round("cosine", 9).alias("cosine_r")

@@ -427,6 +427,19 @@ _LEXICAL_CHECKS: Dict[str, Callable[[str], bool]] = {
     "dateTime": lambda s: re.fullmatch(
         r"-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?", s.strip()
     ) is not None,
+    # at least one component is required after P (and after T if present):
+    # '-P', 'P', 'PT' are invalid lexical forms (XSD 1.0 §3.2.6; the sign
+    # is LEADING, so strip it from the left when guarding)
+    "duration": lambda s: (
+        re.fullmatch(
+            r"-?P(?:\d+Y)?(?:\d+M)?(?:\d+D)?"
+            r"(?:T(?:\d+H)?(?:\d+M)?(?:\d+(?:\.\d+)?S)?)?",
+            s.strip(),
+        )
+        is not None
+        and s.strip().lstrip("-") not in ("P", "PT")
+        and not s.strip().endswith("T")
+    ),
 }
 
 
@@ -468,19 +481,27 @@ def _xsd_pattern_to_py(pattern: str) -> str:
     subtraction inside the subtrahend stays untranslated (the caller is
     lenient on re.error); everything else of the common subset is
     re-compatible."""
-    out = (
-        pattern.replace(r"\i", "[A-Za-z_:]")
-        .replace(r"\c", r"[-.\w:]")
-    )
     # [outer-[inner]] — outer/inner must themselves be bracket-free;
     # escaped brackets \[ \] inside classes are rare enough to leave to
-    # the lenient re.error path
+    # the lenient re.error path. Rewrite BEFORE substituting \i/\c: the
+    # canonical idiom [\i-[:]] must become (?:(?![:])[\i]) first — the
+    # substituted [A-Za-z_:] contains brackets the sub pattern rejects,
+    # and the broken [[A-Za-z_:]-[:]] COMPILES (class, '-', ':', ']')
+    # so the lenient re.error path would never catch the mistranslation.
     sub = re.compile(r"\[((?:[^\[\]\\]|\\.)*)-\[((?:[^\[\]\\]|\\.)*)\]\]")
+    out = pattern
     prev = None
     while prev != out:  # innermost-first across multiple occurrences
         prev = out
         out = sub.sub(r"(?:(?![\2])[\1])", out)
-    return out
+    # class-wrapped occurrences first ([\i] as produced by the rewrite
+    # above must become ONE class, not a class nested in brackets)
+    return (
+        out.replace(r"[\i]", "[A-Za-z_:]")
+        .replace(r"[\c]", r"[-.\w:]")
+        .replace(r"\i", "[A-Za-z_:]")
+        .replace(r"\c", r"[-.\w:]")
+    )
 
 
 # whiteSpace DEFAULT per built-in base (XSD part 2 §4.3.6): string
@@ -526,7 +547,7 @@ def _facet_value(base: str, text: str):
             r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
             text,
         )
-        if m is None or text.rstrip("-") in ("P", "PT"):
+        if m is None or text.lstrip("-") in ("P", "PT"):
             raise ValueError(f"not a duration: {text}")
         sign = -1 if m.group(1) else 1
         months = sign * (int(m.group(2) or 0) * 12 + int(m.group(3) or 0))

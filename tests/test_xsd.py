@@ -990,6 +990,28 @@ FACET_MATRIX = [
      "class subtraction: consonants only"),
     ("string", '<xs:pattern value="[a-z-[aeiou]]+"/>', "bca", False,
      "contains a vowel"),
+    # -- advice r7: subtraction must rewrite BEFORE \i/\c substitution —
+    #    the canonical NCName idiom [\i-[:]][\c-[:]]* compiled into wrong
+    #    semantics (valid names falsely malformed) when \i was expanded
+    #    first, and the lenient re.error path never fired
+    ("string", r'<xs:pattern value="[\i-[:]][\c-[:]]*"/>', "a", True,
+     "NCName: single name-start char (the advice's failing case)"),
+    ("string", r'<xs:pattern value="[\i-[:]][\c-[:]]*"/>', "ab-c.d_e", True,
+     "NCName: name chars minus colon"),
+    ("string", r'<xs:pattern value="[\i-[:]][\c-[:]]*"/>', "a:b", False,
+     "NCName: colon excluded by subtraction"),
+    ("string", r'<xs:pattern value="[\i-[:]][\c-[:]]*"/>', "1ab", False,
+     "NCName: digit is not a name-start char"),
+    ("string", r'<xs:pattern value="\i\c*"/>', "a:b", True,
+     "bare \\i/\\c (no subtraction) still substitute"),
+    # -- advice r7: '-P'/'-PT' are invalid duration lexicals (the sign is
+    #    LEADING, so the old rstrip guard let them parse as zero)
+    ("duration", '<xs:maxInclusive value="P1Y"/>', "-P", False,
+     "Xerces rejects '-P' as an invalid lexical form"),
+    ("duration", '<xs:maxInclusive value="P1Y"/>', "-PT", False,
+     "Xerces rejects '-PT' as an invalid lexical form"),
+    ("duration", '<xs:maxInclusive value="P1Y"/>', "-P1D", True,
+     "negative durations themselves remain valid lexicals"),
 ]
 
 
