@@ -652,22 +652,38 @@ def connected_components(
     swap localCheckpoint for reliable checkpoint() with a checkpoint dir.)
     Non-convergence within ``max_iterations`` raises rather than returning
     silently-partial clusters."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # both orientations via one explode, NOT union(pairs, pairs.swapped):
+    # union branches do not share subplans, so a union would evaluate the
+    # (possibly expensive — e.g. a full Jaccard-verify pipeline) ``pairs``
+    # plan twice in the materializing job
     edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
+    # fused first pass: with comp initialized to id, iteration 1's
+    # neighbor-min is exactly min(id, min(dst)) — one aggregation over the
+    # edge list, no join, no separate init checkpoint
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_m"))
+        .select("id", F.least(F.col("id"), F.col("_m")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     try:
-        for it in range(max_iterations):
+        for it in range(1, max_iterations):
             nbr = edges.join(labels, edges.dst == labels.id).select(
                 F.col("src").alias("id"), F.col("comp")
             )
@@ -678,21 +694,17 @@ def connected_components(
                 .agg(F.min("comp").alias("comp"))
                 .localCheckpoint(eager=True)  # truncate iteration lineage
             )
-            if it == 0:
-                # any edge changes a label in pass 1 (dst takes min(src)),
-                # so the convergence probe is a wasted action here; an
-                # EMPTY pair list just pays one extra trivial iteration
-                # before pass 2's probe returns 0
-                changed = 1
-            else:
-                changed = (
-                    new_labels.join(
-                        labels.withColumnRenamed("comp", "_old"), "id"
-                    )
-                    .filter(F.col("comp") != F.col("_old"))
-                    .limit(1)
-                    .count()
+            # pass 1 is fused into the label init above, so every loop
+            # pass probes convergence (star/clique-shaped near-dup graphs
+            # usually converge at the fused pass and exit here first)
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("comp", "_old"), "id"
                 )
+                .filter(F.col("comp") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
             labels = new_labels
             if changed == 0:
                 edges.unpersist()
