@@ -1474,6 +1474,119 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition over word 2-grams,
+    aggregated per source. Corpus-level dup fraction is computed from
+    BIGINT gram sums (deterministic across engines/orderings); the
+    per-document top-gram fraction averages like the other quality
+    scores. Entirely per-row codegen before one map-side-combinable
+    aggregate — no UDF, no extra shuffle."""
+    from spark_xml_spark.operators import repetition_metrics
+
+    d = repetition_metrics(_parquet(spark, sf_dir, "documents"), n=2)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("rep_total").alias("total_grams"),
+            F.sum("rep_distinct").alias("distinct_grams"),
+            F.round(
+                F.lit(1.0) - F.sum("rep_distinct") / F.sum("rep_total"), 6
+            ).alias("corpus_dup_frac"),
+            F.round(F.avg("rep_top_frac"), 6).alias("avg_top_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: every 3rd document gets a planted email / IPv4 /
+    phone (both engines plant identically from doc_id), the operator
+    counts and scrubs them, and the REDACTED TEXT is value-compared
+    exactly for the first 20 docs — placeholder positions included."""
+    from spark_xml_spark.operators import pii_redact
+
+    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com from 10.0."),
+                (did % 256).cast("string"), F.lit("."),
+                (did % 100).cast("string"), F.lit(" tel 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    r = pii_redact(planted)
+    return (
+        r.select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain distribution: planted mixed-case URLs (one per doc,
+    a second on even ids), host extraction + lowercasing, then the
+    domain-frequency aggregate every blocklist/source-weighting pass
+    needs. One explode + one keyed map-side-combinable aggregate."""
+    from spark_xml_spark.operators import extract_url_domains
+
+    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"), (did % 7).cast("string"),
+            F.lit(".Example.org/p/"), did.cast("string"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" http://cdn"), (did % 3).cast("string"),
+                    F.lit(".example.net/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        extract_url_domains(planted)
+        .groupBy("domain")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+        .orderBy("domain")
+    )
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-normalization + int8 scalar quantization (the vector
+    index storage format). floor(u*127 + 0.5) rounding makes the bytes
+    engine-portable, so the oracle recomputes the identical ints; norms
+    compare at 6 decimals like the cosine queries."""
+    from spark_xml_spark.operators import normalize_quantize_int8
+
+    e = _parquet(spark, sf_dir, "embeddings")
+    d = normalize_quantize_int8(e)
+    return (
+        d.select(
+            "vec_id",
+            F.round("norm", 6).alias("norm_r"),
+            F.aggregate(
+                "q_int8", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.array_min("q_int8").alias("q_min"),
+            F.array_max("q_int8").alias("q_max"),
+            F.size("q_int8").alias("dim"),
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: synthesized PNG-magic payloads, JVM-side
     metadata (length / magic sniff / content hash over hex)."""
@@ -1582,6 +1695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "text_urls": q_text_urls,
+        "emb_quantize": q_emb_quantize,
         "multimodal_meta": q_multimodal_meta,
         "events_sessionize": q_events_sessionize,
     }
@@ -2198,6 +2315,105 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE doc_id < 100
             ORDER BY doc_id
+        """,
+        "text_repetition": """
+            WITH g AS (
+              SELECT source,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(range(len(w) - 1),
+                                 i -> array_to_string(w[i+1:i+2], ' '))
+                          ELSE [array_to_string(w, ' ')] END AS grams
+              FROM (SELECT source,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                    FROM documents)
+            ), m AS (
+              SELECT source,
+                     CAST(len(grams) AS BIGINT) AS total,
+                     CAST(len(list_distinct(grams)) AS BIGINT) AS dist,
+                     list_aggregate(
+                       list_transform(list_distinct(grams),
+                         d -> len(list_filter(grams, x -> x = d))),
+                       'max') / CAST(len(grams) AS DOUBLE) AS top_frac
+              FROM g
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   SUM(total) AS total_grams,
+                   SUM(dist) AS distinct_grams,
+                   round(1.0 - SUM(dist) / CAST(SUM(total) AS DOUBLE), 6)
+                     AS corpus_dup_frac,
+                   round(AVG(top_frac), 6) AS avg_top_frac
+            FROM m GROUP BY source ORDER BY source
+        """,
+        "text_pii": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.'
+                            || CAST(doc_id % 100 AS VARCHAR) || ' tel 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+                     '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS text_redacted
+            FROM planted ORDER BY doc_id LIMIT 20
+        """,
+        "text_urls": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' see https://Site' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.Example.org/p/' || CAST(doc_id AS VARCHAR)
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN ' http://cdn'
+                                       || CAST(doc_id % 3 AS VARCHAR)
+                                       || '.example.net/x'
+                                  ELSE '' END AS text
+              FROM documents
+            )
+            SELECT lower(d) AS domain, CAST(COUNT(*) AS BIGINT) AS n_urls
+            FROM planted,
+                 unnest(regexp_extract_all(text,
+                        'https?://([A-Za-z0-9.-]+)', 1)) AS t(d)
+            GROUP BY lower(d) ORDER BY domain
+        """,
+        "emb_quantize": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, ev,
+                     sqrt(list_dot_product(ev, ev)) AS norm
+              FROM v
+            ), q AS (
+              SELECT vec_id, norm,
+                     CASE WHEN norm > 0 THEN
+                       list_transform(ev, x ->
+                         greatest(-127, least(127,
+                           CAST(floor(x / norm * 127 + 0.5) AS INT))))
+                     END AS qv
+              FROM n
+            )
+            SELECT vec_id, round(norm, 6) AS norm_r,
+                   CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+                   CAST(list_aggregate(qv, 'min') AS INT) AS q_min,
+                   CAST(list_aggregate(qv, 'max') AS INT) AS q_max,
+                   CAST(len(qv) AS INT) AS dim
+            FROM q ORDER BY vec_id LIMIT 50
         """,
         "multimodal_meta": """
             SELECT source, 'image/png' AS kind, CAST(COUNT(*) AS BIGINT) AS n,

@@ -28,6 +28,7 @@ from spark_xml_spark.operators.similarity import (
     brute_force_cosine_topk,
     cosine_pairs,
     lsh_bucketed_topk,
+    normalize_quantize_int8,
 )
 from spark_xml_spark.operators.multimodal import (
     add_payload_metadata,
@@ -45,6 +46,9 @@ from spark_xml_spark.operators.textstats import (
     add_language_id,
     add_quality_score,
     add_token_count,
+    extract_url_domains,
+    pii_redact,
+    repetition_metrics,
 )
 
 __all__ = [
@@ -64,6 +68,10 @@ __all__ = [
     "brute_force_cosine_topk",
     "cosine_pairs",
     "lsh_bucketed_topk",
+    "normalize_quantize_int8",
+    "repetition_metrics",
+    "pii_redact",
+    "extract_url_domains",
     "add_token_count",
     "add_quality_score",
     "add_language_id",

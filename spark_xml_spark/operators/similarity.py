@@ -494,3 +494,45 @@ def cosine_pairs(
         .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def normalize_quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    norm_col: str = "norm",
+    unit_col: str = "unit",
+    q_col: str = "q_int8",
+) -> DataFrame:
+    """L2-normalize an embedding column and scalar-quantize the unit
+    vector to int8 — the standard storage/transport compression for
+    vector indexes (4x smaller than float32, dot products stay within
+    ~1e-2 of the float value at d>=16).
+
+    Adds ``norm_col`` (double L2 norm), ``unit_col`` (unit vector,
+    NULL for zero-norm or NULL input), and ``q_col``:
+    ``clamp(floor(u_i * 127 + 0.5), -127, 127)`` per component.
+    floor(x + 0.5) rather than round(): half-up-toward-+inf is the one
+    rounding rule every SQL engine implements identically, so quantized
+    bytes match bit-for-bit across Spark / DuckDB / a C++ serving stack
+    and a content hash of q is a valid cross-engine fingerprint.
+
+    Scale shape: pure per-row codegen (aggregate / transform) over the
+    cast-to-double array — no shuffle, no UDF; composes with
+    partitionBy writes for an index build."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = _norm(F.col(vec_col))
+    unit = F.when(
+        norm > 0, F.transform(v, lambda x: x / F.col(norm_col))
+    )
+    q = F.transform(
+        F.col(unit_col),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x * 127 + F.lit(0.5)).cast("int")),
+        ),
+    )
+    return (
+        df.withColumn(norm_col, norm)
+        .withColumn(unit_col, unit)
+        .withColumn(q_col, q)
+    )

@@ -229,3 +229,125 @@ def deterministic_sample(
         % 100
     )
     return df.filter(bucket < F.lit(rate_pct))
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB/Go tooling): no backreferences, no lookaround — a redaction
+# applied by any engine in the pipeline removes the same spans.
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_REGEX = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_REGEX = r"\b\d{3}-\d{4}\b"
+
+URL_DOMAIN_REGEX = r"https?://([A-Za-z0-9.-]+)"
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    prefix: str = "rep_",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    ``n``-grams: ``<prefix>total`` (n-gram count), ``<prefix>distinct``,
+    ``<prefix>dup_frac`` (fraction of n-grams that repeat an earlier
+    one), ``<prefix>top_frac`` (fraction held by the single most frequent
+    n-gram). Heavily repetitive machine-generated text scores high on
+    both; the thresholds in Rae et al. (Gopher) drop documents above
+    ~0.2 dup / ~0.18 top for 2-grams.
+
+    Documents shorter than ``n`` words count as ONE whole-text gram
+    (dup_frac 0, top_frac 1) — same fallback as the shingle operators.
+
+    Scale shape: entirely per-row codegen (split / transform / slice /
+    array_distinct / filter) — no shuffle, no UDF; the per-row cost is
+    O(distinct x total) string compares on short arrays, which stays
+    inside whole-stage codegen. Embarrassingly parallel at any corpus
+    size."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(F.size(words) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )).otherwise(F.array(F.array_join(words, " ")))
+    # materialize grams once in a projection so the four metrics don't
+    # re-evaluate the transform (codegen common-subexpression reuse is
+    # not guaranteed across withColumns)
+    g = F.col("_grams")
+    dist = F.array_distinct(g)
+    top = F.array_max(
+        F.transform(F.array_distinct(g),
+                    lambda d: F.size(F.filter(g, lambda x: x == d)))
+    )
+    return (
+        df.withColumn("_grams", grams)
+        .withColumn(prefix + "total", F.size(g).cast("bigint"))
+        .withColumn(prefix + "distinct", F.size(dist).cast("bigint"))
+        .withColumn(
+            prefix + "dup_frac",
+            (F.col(prefix + "total") - F.col(prefix + "distinct"))
+            / F.col(prefix + "total"),
+        )
+        .withColumn(prefix + "top_frac", top / F.size(g))
+        .drop("_grams")
+    )
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """PII scrubbing for training corpora: counts emails / IPv4 addresses
+    / short phone forms in ``text_col`` and adds ``out_col`` with each
+    span replaced by a typed placeholder ([EMAIL], [IP], [PHONE]).
+
+    Counts are measured on the ORIGINAL text per pattern independently;
+    redaction applies email -> ip -> phone in sequence (the patterns
+    cannot create each other's matches: emails require an alphabetic
+    TLD, phones a hyphen). Pure codegen regexp_extract_all /
+    regexp_replace — no shuffle, no UDF, scan-parallel at any size."""
+    col = F.col(text_col)
+    red = F.regexp_replace(col, PII_EMAIL_REGEX, "[EMAIL]")
+    red = F.regexp_replace(red, PII_IPV4_REGEX, "[IP]")
+    red = F.regexp_replace(red, PII_PHONE_REGEX, "[PHONE]")
+    return (
+        df.withColumn(
+            "n_emails",
+            F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_REGEX), 0))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "n_ipv4",
+            F.size(F.regexp_extract_all(col, F.lit(PII_IPV4_REGEX), 0))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "n_phones",
+            F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_REGEX), 0))
+            .cast("bigint"),
+        )
+        .withColumn(out_col, red)
+    )
+
+
+def extract_url_domains(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "domain",
+) -> DataFrame:
+    """One row per URL occurrence in ``text_col`` with its lowercased
+    host in ``out_col`` (http/https only). Documents without URLs drop
+    out (explode of an empty array) — callers wanting per-document
+    presence join back or use explode_outer semantics themselves.
+
+    The usual consumer is a domain-distribution aggregate (blocklists,
+    source weighting): explode + groupBy(domain) is one map-side
+    combinable shuffle keyed on the domain — scale-safe; hot domains
+    collapse in the partial aggregate."""
+    return df.withColumn(
+        out_col,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_REGEX), 1)
+        ),
+    ).withColumn(out_col, F.lower(F.col(out_col)))

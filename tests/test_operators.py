@@ -715,3 +715,94 @@ def test_default_video_decoder_mp4_headers():
 
     with _pytest.raises(NotImplementedError):
         default_video_decoder(b"\x1aE\xdf\xa3webm-ish")
+
+
+def test_repetition_metrics_values(spark):
+    from spark_xml_spark.operators import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # 2-grams: ab ba ab ba -> 2 distinct of 4
+            (2, "x y z w"),            # xy yz zw all distinct
+            (3, "hi"),                 # shorter than n -> one whole-text gram
+            (4, "A a a"),              # lowercased: aa aa -> top_frac 1.0
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in repetition_metrics(df, n=2).collect()
+    }
+    assert rows[1]["rep_total"] == 4 and rows[1]["rep_distinct"] == 2
+    assert rows[1]["rep_dup_frac"] == 0.5
+    assert rows[1]["rep_top_frac"] == 0.5
+    assert rows[2]["rep_dup_frac"] == 0.0
+    assert rows[3]["rep_total"] == 1 and rows[3]["rep_top_frac"] == 1.0
+    assert rows[4]["rep_top_frac"] == 1.0  # case-folded before gramming
+
+
+def test_pii_redact_counts_and_spans(spark):
+    from spark_xml_spark.operators import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org ip 10.0.0.1 tel 555-0199"),
+            (2, "clean text with no pii at all"),
+            (3, "version 1.2.3.4 is an ip-shaped string"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in pii_redact(df).collect()}
+    assert rows[1]["n_emails"] == 2
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_phones"] == 1
+    assert rows[1]["text_redacted"] == (
+        "mail [EMAIL] and [EMAIL] ip [IP] tel [PHONE]"
+    )
+    assert rows[2]["n_emails"] == rows[2]["n_ipv4"] == rows[2]["n_phones"] == 0
+    assert rows[2]["text_redacted"] == rows[2]["text"]
+    # dotted version numbers DO match the ipv4 shape — documented tradeoff
+    # of a regex-only scrubber (prefer over-redaction for training data)
+    assert rows[3]["n_ipv4"] == 1
+
+
+def test_extract_url_domains(spark):
+    from spark_xml_spark.operators import extract_url_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://WWW.Example.org/p and http://cdn.example.net/x"),
+            (2, "no urls here"),
+            (3, "ftp://ignored.example.com plus https://a.b.c/q?x=1"),
+        ],
+        ["id", "text"],
+    )
+    out = extract_url_domains(df).select("id", "domain").collect()
+    got = sorted((r["id"], r["domain"]) for r in out)
+    assert got == [
+        (1, "cdn.example.net"),
+        (1, "www.example.org"),
+        (3, "a.b.c"),
+    ]
+
+
+def test_normalize_quantize_int8(spark):
+    import math
+
+    from spark_xml_spark.operators import normalize_quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),       # norm 5, unit (0.6, 0.8) -> q (76, 102)
+            (2, [0.0, 0.0]),       # zero norm -> NULL unit/q
+            (3, [-1.0, 0.0]),      # q (-127, 0)
+        ],
+        ["id", "vec"],
+    )
+    rows = {r["id"]: r for r in normalize_quantize_int8(df, "vec").collect()}
+    assert abs(rows[1]["norm"] - 5.0) < 1e-12
+    assert rows[1]["q_int8"] == [76, 102]  # floor(.6*127+.5)=76, floor(.8*127+.5)=102
+    assert all(abs(u) <= 1.0 for u in rows[1]["unit"])
+    assert abs(math.hypot(*rows[1]["unit"]) - 1.0) < 1e-12
+    assert rows[2]["unit"] is None and rows[2]["q_int8"] is None
+    assert rows[3]["q_int8"] == [-127, 0]
