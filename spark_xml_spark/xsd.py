@@ -29,9 +29,13 @@ Python re-implementation of the reference's semantics:
   month-length-bounds partial order (_duration_cmp; indeterminate
   comparisons violate the facet, as in Xerces). Character-class subtraction
   translates to lookahead form (single level; nested subtrahends stay
-  lenient). Remaining out-of-scope: gYear*/gMonth* range facets with
-  timezone suffixes (lexical compare — exact for the zone-less
-  same-format values this subset targets).
+  lenient; the rewrite runs BEFORE \\i/\\c substitution so [\\i-[:]]
+  keeps its semantics). The Gregorian partials (gYear/gYearMonth/gMonth/
+  gMonthDay/gDay) order on representative moments per the dateTime
+  seven-property model, including timezone suffixes; mixed zoned/naive
+  comparisons across the whole dateTime family follow the spec's
+  +/-14:00 window, with indeterminate comparisons violating the facet as
+  in Xerces (_moment_cmp).
 """
 
 from __future__ import annotations
@@ -518,6 +522,18 @@ _DECIMAL_BASES = frozenset(
 _FLOAT_BASES = frozenset(("float", "double"))
 _DATETIME_BASES = frozenset(("dateTime", "date", "time"))
 
+# Gregorian partial types order on a representative moment (XSD 1.1
+# maps them onto the dateTime seven-property model; the spec's reference
+# year for gMonth/gMonthDay is 1972 — a leap year, so --02-29 is valid —
+# and gDay uses 1972-12, a 31-day month).
+_G_LEXICAL = {
+    "gYear": (r"(-?\d{4,})", lambda m: (int(m[0]), 1, 1)),
+    "gYearMonth": (r"(-?\d{4,})-(\d{2})", lambda m: (int(m[0]), int(m[1]), 1)),
+    "gMonth": (r"--(\d{2})", lambda m: (1972, int(m[0]), 1)),
+    "gMonthDay": (r"--(\d{2})-(\d{2})", lambda m: (1972, int(m[0]), int(m[1]))),
+    "gDay": (r"---(\d{2})", lambda m: (1972, 12, int(m[0]))),
+}
+
 
 def _facet_value(base: str, text: str):
     """Parse ``text`` into the base type's VALUE SPACE for ordered-facet
@@ -583,7 +599,47 @@ def _facet_value(base: str, text: str):
         if v.tzinfo is not None:
             return ("z", v.astimezone(timezone.utc).replace(tzinfo=None))
         return ("n", v)
+    if base in _G_LEXICAL:
+        from datetime import datetime, timedelta, timezone
+
+        pat, to_ymd = _G_LEXICAL[base]
+        m = re.fullmatch(pat + r"(Z|[+-]\d{2}:\d{2})?", text)
+        if m is None:
+            raise ValueError(f"not a {base}: {text}")
+        groups = m.groups()
+        y, mo, d = to_ymd(groups[:-1])
+        tz = groups[-1]
+        v = datetime(y, mo, d)  # raises ValueError on out-of-range parts
+        if tz is None:
+            return ("n", v)
+        if tz != "Z":
+            sign = -1 if tz[0] == "-" else 1
+            off = timedelta(hours=int(tz[1:3]), minutes=int(tz[4:6]))
+            v -= sign * off
+        return ("z", v)
     return text
+
+
+def _moment_cmp(a: tuple, b: tuple):
+    """XSD dateTime-family partial order. Both zoned (UTC-normalized) or
+    both naive: total order. Mixed: the spec's +/-14:00 rule — a naive
+    moment N covers the instant range [N-14h, N+14h], so N < Z
+    determinately iff N+14h < Z and N > Z iff N-14h > Z; anything inside
+    the window is INDETERMINATE (None), which range facets treat as a
+    violation, as Xerces does."""
+    from datetime import timedelta
+
+    ka, va = a
+    kb, vb = b
+    if ka == kb:
+        return (va > vb) - (va < vb)
+    w = timedelta(hours=14)
+    n, z, flip = (va, vb, 1) if ka == "n" else (vb, va, -1)
+    if n + w < z:
+        return -flip
+    if n - w > z:
+        return flip
+    return None
 
 
 def _duration_cmp(a: tuple, b: tuple):
@@ -682,18 +738,22 @@ def _check_facets(tag: str, raw_text: str, base: str, restriction,
         elif k in ("minInclusive", "maxInclusive", "minExclusive", "maxExclusive"):
             try:
                 tv, fv = _facet_value(base, text), _facet_value(base, v)
-                if isinstance(tv, tuple) and tv[0] != fv[0]:
-                    raise ValueError("mixed zoned/naive datetime")
             except (ValueError, ArithmeticError):
                 tv, fv = text, v  # outside the parsed subset: lexical
-            if isinstance(tv, tuple) and tv[0] == "dur":
-                c = _duration_cmp(tv, fv)
+            if isinstance(tv, tuple) and tv[0] in ("dur", "z", "n"):
+                # PARTIAL orders: duration (month-length bounds) and the
+                # dateTime family incl. gYear*/gMonth*/gDay (mixed
+                # zoned/naive under the +/-14:00 window). INDETERMINATE
+                # comparisons violate the facet, as in Xerces — never a
+                # lexical guess.
+                c = (
+                    _duration_cmp(tv, fv)
+                    if tv[0] == "dur"
+                    else _moment_cmp(tv, fv)
+                )
                 if c is None:
-                    # INDETERMINATE order (overlapping month-length
-                    # bounds) violates the facet, as in Xerces — never a
-                    # lexical guess
                     raise XsdValidationError(
-                        f"<{tag}>: duration '{text}' is not comparable "
+                        f"<{tag}>: '{text}' is not comparable "
                         f"with {k}={v}"
                     )
                 ok = (

@@ -1012,6 +1012,35 @@ FACET_MATRIX = [
      "Xerces rejects '-PT' as an invalid lexical form"),
     ("duration", '<xs:maxInclusive value="P1Y"/>', "-P1D", True,
      "negative durations themselves remain valid lexicals"),
+    # -- r8: zoned gYear*/gMonth*/gDay range facets in VALUE SPACE (the
+    #    last documented out-of-scope item): representative-moment order,
+    #    mixed zoned/naive under the spec's +/-14:00 window
+    ("gYear", '<xs:minInclusive value="2020"/>', "2024", True,
+     "plain year order"),
+    ("gYear", '<xs:minInclusive value="2020"/>', "2019", False,
+     "below the minimum"),
+    ("gYear", '<xs:minInclusive value="2020Z"/>', "2020+14:00", False,
+     "2020+14:00 begins 14h BEFORE 2020Z -> minExclusive window"),
+    ("gYear", '<xs:minInclusive value="2020Z"/>', "2021-14:00", True,
+     "zoned both sides: instants compare totally"),
+    ("gYear", '<xs:minInclusive value="2020Z"/>', "2021", True,
+     "naive 2021 is >14h after 2020Z at any offset: determinate"),
+    ("gYear", '<xs:minInclusive value="2020Z"/>', "2020", False,
+     "naive 2020 vs 2020Z is within the 14h window: INDETERMINATE"),
+    ("gYearMonth", '<xs:maxInclusive value="2024-06"/>', "2024-06", True,
+     "boundary month"),
+    ("gYearMonth", '<xs:maxInclusive value="2024-06"/>', "2024-07", False,
+     "month beyond max"),
+    ("gMonth", '<xs:minInclusive value="--03"/>', "--11", True,
+     "gMonth orders in the reference year"),
+    ("gMonth", '<xs:minInclusive value="--03"/>', "--02", False,
+     "February < March"),
+    ("gMonthDay", '<xs:maxInclusive value="--06-15"/>', "--02-29", True,
+     "leap-day lexical is valid (reference year 1972 is a leap year)"),
+    ("gDay", '<xs:minExclusive value="---10"/>', "---11", True,
+     "gDay orders on the day number"),
+    ("gDay", '<xs:minExclusive value="---10"/>', "---10", False,
+     "exclusive boundary"),
 ]
 
 
