@@ -156,7 +156,18 @@ def _xml_table(
 
 
 def _parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    """Read a test table, fanning out to session parallelism when the
+    file yields fewer input partitions than cores. A single small
+    parquet file is ONE row group = one task, which serializes every
+    per-row-heavy pipeline stage (shingling, 64 minhash lanes, langid)
+    upstream of the first exchange; the ~1 MB shuffle is far cheaper
+    than the lost cores. At production scale the scan already has more
+    partitions than cores and this is a no-op — no shuffle is added."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1027,10 +1038,21 @@ def q_text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _parquet(spark, sf_dir, "documents")
     d = add_token_count(add_quality_score(add_language_id(d)))
+    # Pushdown barrier: Catalyst substitutes the three signal expressions
+    # into the filter and pushes the result through the repartition into
+    # the scan stage — which for a one-row-group file is a SINGLE task
+    # evaluating every mega-expression serially (2.4s vs 0.6s observed at
+    # sf0.1). One non-deterministic column in the projection (referenced
+    # by an always-true conjunct so pruning keeps it) pins the signals in
+    # the fanned-out stage. At scale the scan is already parallel and the
+    # expression cost dwarfs the row width, so the lost scan-stage
+    # filtering is noise.
+    d = d.withColumn("_fanout_barrier", F.rand(7))
     kept = d.filter(
         (F.col("lang_pred") == "en")
         & (F.col("quality_score") >= 0.5)
         & F.col("n_tokens").between(50, 100000)
+        & (F.col("_fanout_barrier") >= -1.0)
     )
     return kept.agg(
         F.count("*").cast("bigint").alias("n_kept"),
