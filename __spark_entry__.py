@@ -1609,6 +1609,76 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup clustering: embedding-cosine pairs (banded
+    hyperplane LSH + exact verify, same construction as dedup_embedding)
+    fed into connected components — the embedding-space analogue of
+    dedup_clusters. Planted perturbed copies make the expected clusters
+    exactly the (k, k+1000000) pairs, which the oracle recomputes from
+    exact cosine, so the composed operator chain is fully value-checked."""
+    from spark_xml_spark.operators import connected_components, cosine_pairs
+
+    e = _parquet(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x + F.lit(0.01).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    pairs = cosine_pairs(
+        e.unionAll(planted), "vec_id", "embedding",
+        threshold=0.99, num_planes=16, bands=8, seed=42,
+    )
+    cc = connected_components(
+        pairs, "id_a", "id_b", out_id="vec_id", out_comp="cluster_id"
+    )
+    return cc.orderBy("vec_id")
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in ONE composed pipeline —
+    the shape a 100 TB ingest actually runs: exact dedup (planted
+    re-keyed copies removed, min-id keeper) -> quality filter -> sliding
+    -window chunking -> per-source corpus accounting (docs, chunks,
+    chunk words). One content-hash shuffle + one keyed aggregate; the
+    chunk arithmetic never shuffles. The oracle replays every stage in
+    SQL, including the chunk-boundary word counts."""
+    from spark_xml_spark.operators import (
+        add_quality_score,
+        chunk_documents,
+        exact_dedup,
+    )
+
+    d = _parquet(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dupes = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+    )
+    deduped = exact_dedup(d.unionAll(dupes), cols=["text"], id_col="doc_id")
+    kept = add_quality_score(deduped).filter(F.col("quality_score") >= 0.45)
+    chunked = chunk_documents(kept, window=16, step=12)
+    return (
+        chunked.select(
+            "source",
+            F.size("chunks").alias("n_chunks"),
+            F.aggregate(
+                "chunks",
+                F.lit(0).cast("bigint"),
+                lambda a, c: a + F.size(F.split(c, r"\s+")),
+            ).alias("chunk_words"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("chunk_words").alias("chunk_words"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: synthesized PNG-magic payloads, JVM-side
     metadata (length / magic sniff / content hash over hex)."""
@@ -1721,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_urls": q_text_urls,
         "emb_quantize": q_emb_quantize,
+        "emb_clusters": q_emb_clusters,
+        "corpus_pipeline": q_corpus_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "events_sessionize": q_events_sessionize,
     }
@@ -2436,6 +2508,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_aggregate(qv, 'max') AS INT) AS q_max,
                    CAST(len(qv) AS INT) AS dim
             FROM q ORDER BY vec_id LIMIT 50
+        """,
+        "emb_clusters": """
+            WITH pert AS (
+              SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     CAST(list_transform(embedding,
+                            x -> CAST(x + CAST(0.01 AS FLOAT) AS FLOAT))
+                          AS DOUBLE[]) AS p
+              FROM embeddings WHERE vec_id % 20 = 0
+            ), prs AS (
+              SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+              FROM pert
+              WHERE list_dot_product(v, p)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p)))
+                    >= 0.99
+            )
+            SELECT id_a AS vec_id, id_a AS cluster_id FROM prs
+            UNION ALL
+            SELECT id_b AS vec_id, id_a AS cluster_id FROM prs
+            ORDER BY vec_id
+        """,
+        "corpus_pipeline": """
+            WITH all_docs AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, source, text
+              FROM documents WHERE doc_id % 7 = 0
+            ), keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY text
+            ), deduped AS (
+              SELECT a.doc_id, a.source, a.text
+              FROM all_docs a JOIN keepers k ON a.doc_id = k.doc_id
+            ), scored AS (
+              SELECT doc_id, source, text,
+                     round(
+                       0.4 * least(((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                     ) / CAST(greatest(length(text), 1) AS DOUBLE)) / 0.7, 1.0)
+                     + 0.3 * least((len(list_filter(
+                           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> lower(x)),
+                           x -> x IN ('the','and','of','to','in','is','that','with','for','was')))
+                         / CAST(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS DOUBLE)) / 0.3, 1.0)
+                     + 0.3 * (1 - least(
+                           length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+                             / CAST(greatest(length(text), 1) AS DOUBLE)
+                         + length(regexp_replace(text, '[^0-9]', '', 'g'))
+                             / CAST(greatest(length(text), 1) AS DOUBLE), 1.0)), 6)
+                       AS quality_score
+              FROM deduped
+            ), kept AS (
+              SELECT source,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n
+              FROM scored WHERE quality_score >= 0.45
+            ), chunked AS (
+              SELECT source,
+                     least(greatest(CAST(ceil((n - 16) / 12.0) AS BIGINT), 0) + 1,
+                           CAST(floor((n - 1) / 12.0) AS BIGINT) + 1) AS k,
+                     n
+              FROM kept
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(k) AS BIGINT) AS n_chunks,
+                   CAST(SUM(list_aggregate(
+                     list_transform(range(k), i -> least(16, n - i * 12)),
+                     'sum')) AS BIGINT) AS chunk_words
+            FROM chunked GROUP BY source ORDER BY source
         """,
         "multimodal_meta": """
             SELECT source, 'image/png' AS kind, CAST(COUNT(*) AS BIGINT) AS n,
