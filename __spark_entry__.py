@@ -2482,7 +2482,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lower(d) AS domain, CAST(COUNT(*) AS BIGINT) AS n_urls
             FROM planted,
                  unnest(regexp_extract_all(text,
-                        'https?://([A-Za-z0-9.-]+)', 1)) AS t(d)
+                        'https?://(?:[^/\\s@]*@)?([A-Za-z0-9.-]+)', 1)) AS t(d)
             GROUP BY lower(d) ORDER BY domain
         """,
         "emb_quantize": """

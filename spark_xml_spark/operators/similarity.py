@@ -521,8 +521,11 @@ def normalize_quantize_int8(
     partitionBy writes for an index build."""
     v = F.col(vec_col).cast("array<double>")
     norm = _norm(F.col(vec_col))
+    # reference the materialized norm column in BOTH the guard and the
+    # division — repeating the O(d) aggregate fold here would double the
+    # per-row normalization cost on wide embeddings
     unit = F.when(
-        norm > 0, F.transform(v, lambda x: x / F.col(norm_col))
+        F.col(norm_col) > 0, F.transform(v, lambda x: x / F.col(norm_col))
     )
     q = F.transform(
         F.col(unit_col),

@@ -238,7 +238,10 @@ PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_REGEX = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE_REGEX = r"\b\d{3}-\d{4}\b"
 
-URL_DOMAIN_REGEX = r"https?://([A-Za-z0-9.-]+)"
+# skip an optional userinfo@ prefix so 'https://good.com@evil.net/x'
+# reports the real HOST (evil.net), not the userinfo bait — the classic
+# blocklist-bypass URL shape
+URL_DOMAIN_REGEX = r"https?://(?:[^/\s@]*@)?([A-Za-z0-9.-]+)"
 
 
 def repetition_metrics(
@@ -257,6 +260,9 @@ def repetition_metrics(
 
     Documents shorter than ``n`` words count as ONE whole-text gram
     (dup_frac 0, top_frac 1) — same fallback as the shingle operators.
+    NULL text propagates NULL through every metric (chunk_documents
+    convention; also what the SQL mirror computes, where aggregates
+    skip the NULLs).
 
     Scale shape: entirely per-row codegen (split / transform / slice /
     array_distinct / filter) — no shuffle, no UDF; the per-row cost is
@@ -265,11 +271,18 @@ def repetition_metrics(
     size."""
     if n <= 0:
         raise ValueError("n must be positive")
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # materialize the split once: a lambda body referencing the raw
+    # split() subtree re-evaluates it per n-gram (higher-order functions
+    # don't hoist subexpressions out of lambdas)
+    df = df.withColumn(
+        "_rep_words", F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    words = F.col("_rep_words")
     grams = F.when(F.size(words) >= n, F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )).otherwise(F.array(F.array_join(words, " ")))
+    grams = F.when(F.col(text_col).isNotNull(), grams)
     # materialize grams once in a projection so the four metrics don't
     # re-evaluate the transform (codegen common-subexpression reuse is
     # not guaranteed across withColumns)
@@ -289,7 +302,7 @@ def repetition_metrics(
             / F.col(prefix + "total"),
         )
         .withColumn(prefix + "top_frac", top / F.size(g))
-        .drop("_grams")
+        .drop("_grams", "_rep_words")
     )
 
 

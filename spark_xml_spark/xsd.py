@@ -539,11 +539,14 @@ def _facet_value(base: str, text: str):
     """Parse ``text`` into the base type's VALUE SPACE for ordered-facet
     and enumeration comparison, as javax does (float compare loses
     precision past 2^53 on decimals; timezone spellings differ lexically):
-    Decimal for the decimal family, float (INF/NaN lexicals) for
-    float/double, timezone-normalized datetimes for dateTime/date/time,
-    the lexical string otherwise (gYear* and duration order lexically for
-    the same-format values this subset targets). Raises ValueError when
-    the text is not in the type's lexical space."""
+    Decimal for the decimal family; float (INF/NaN lexicals) for
+    float/double; ('dur', months, seconds) for duration (ordered by
+    _duration_cmp's month-length-bounds partial order); ('z'|'n',
+    datetime) for the dateTime family AND the Gregorian partials
+    (gYear*/gMonth*/gDay map onto representative moments; ordered by
+    _moment_cmp, mixed zoned/naive under the +/-14:00 window); the
+    lexical string for everything else. Raises ValueError when the text
+    is not in the type's lexical space."""
     if base in _DECIMAL_BASES:
         from decimal import Decimal, InvalidOperation
 
@@ -563,7 +566,11 @@ def _facet_value(base: str, text: str):
             r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
             text,
         )
-        if m is None or text.lstrip("-") in ("P", "PT"):
+        if (
+            m is None
+            or text.lstrip("-") in ("P", "PT")
+            or text.endswith("T")  # 'P1YT': T with no time components
+        ):
             raise ValueError(f"not a duration: {text}")
         sign = -1 if m.group(1) else 1
         months = sign * (int(m.group(2) or 0) * 12 + int(m.group(3) or 0))

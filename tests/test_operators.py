@@ -741,6 +741,27 @@ def test_repetition_metrics_values(spark):
     assert rows[4]["rep_top_frac"] == 1.0  # case-folded before gramming
 
 
+def test_repetition_metrics_null_text(spark):
+    from pyspark.sql import types as T
+
+    from spark_xml_spark.operators import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+    rows = {r["id"]: r for r in repetition_metrics(df, n=2).collect()}
+    # NULL text propagates NULL through every metric (chunk_documents
+    # convention, and what SQL aggregates over the mirror compute)
+    assert rows[1]["rep_total"] is None
+    assert rows[1]["rep_dup_frac"] is None
+    assert rows[1]["rep_top_frac"] is None
+    assert rows[2]["rep_total"] == 2
+
+
 def test_pii_redact_counts_and_spans(spark):
     from spark_xml_spark.operators import pii_redact
 
@@ -774,6 +795,7 @@ def test_extract_url_domains(spark):
             (1, "see https://WWW.Example.org/p and http://cdn.example.net/x"),
             (2, "no urls here"),
             (3, "ftp://ignored.example.com plus https://a.b.c/q?x=1"),
+            (4, "bait https://good.com@evil.net/x userinfo form"),
         ],
         ["id", "text"],
     )
@@ -783,6 +805,8 @@ def test_extract_url_domains(spark):
         (1, "cdn.example.net"),
         (1, "www.example.org"),
         (3, "a.b.c"),
+        # userinfo@ is skipped: the HOST is evil.net, not the bait
+        (4, "evil.net"),
     ]
 
 

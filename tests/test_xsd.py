@@ -1012,6 +1012,8 @@ FACET_MATRIX = [
      "Xerces rejects '-PT' as an invalid lexical form"),
     ("duration", '<xs:maxInclusive value="P1Y"/>', "-P1D", True,
      "negative durations themselves remain valid lexicals"),
+    ("duration", '<xs:maxInclusive value="P1Y"/>', "P1DT", False,
+     "trailing T with no time components is an invalid lexical"),
     # -- r8: zoned gYear*/gMonth*/gDay range facets in VALUE SPACE (the
     #    last documented out-of-scope item): representative-moment order,
     #    mixed zoned/naive under the spec's +/-14:00 window
