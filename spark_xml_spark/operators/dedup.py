@@ -191,8 +191,11 @@ def exact_dedup(
     ``id_col`` when given (deterministic), else an arbitrary one
     (``dropDuplicates`` semantics).
 
-    One shuffle keyed by the hash; with id_col this is a min-aggregation and
-    a semi-join, both map-side combinable.
+    ONE shuffle keyed by the hash, ONE evaluation of the input: with
+    id_col the keeper row travels through a map-side-combinable
+    ``min_by(struct(*), id)`` aggregate. (The groupBy-then-semi-join
+    formulation reads the input in TWO plan branches — at 100 TB that is
+    a second full scan — and its keep-list join is an extra shuffle.)
     """
     cols = list(cols) if cols else [c for c in df.columns if c != id_col]
     # concat_ws SKIPS null arguments, which would hash NULL identically to
@@ -210,12 +213,13 @@ def exact_dedup(
     )
     if id_col is None:
         return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")
-    keep = hashed.groupBy("_content_hash").agg(F.min(id_col).alias(id_col))
+    out_cols = df.columns
     return (
-        hashed.join(keep, ["_content_hash", id_col], "left_semi")
-        # identical full rows (same id) can both satisfy the semi-join
-        .dropDuplicates(["_content_hash"])
-        .drop("_content_hash")
+        hashed.groupBy("_content_hash")
+        .agg(
+            F.min_by(F.struct(*out_cols), F.col(id_col)).alias("_row")
+        )
+        .select("_row.*")
     )
 
 

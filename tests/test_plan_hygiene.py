@@ -105,3 +105,36 @@ def test_simhash_single_banded_evaluation(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "ReusedExchange" in plan
+
+
+def test_new_pipeline_queries_stay_codegen(push_conf):
+    # round-8 operators are pure-codegen column work: no Python eval
+    # node of any kind, no cartesian product may appear
+    for name in ("text_repetition", "text_pii", "text_urls",
+                 "emb_quantize", "corpus_pipeline"):
+        plan = _plan(push_conf, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_corpus_pipeline_shuffle_budget(push_conf):
+    # exact dedup (hash groupBy + semi join share one keyed exchange
+    # lineage) + the final per-source aggregate + the small-input fanout:
+    # the composed pipeline must not accrete extra shuffles as stages are
+    # added. AQE reuse can dedupe, so bound rather than pin: <= 6
+    # Exchange nodes in the executed plan.
+    plan = _plan(push_conf, "corpus_pipeline")
+    assert plan.count("Exchange") <= 6, plan.count("Exchange")
+    # and the per-source aggregate must partial-aggregate map-side
+    assert "partial_" in plan
+
+
+def test_text_filter_pipeline_not_serialized_by_pushdown(push_conf):
+    # the fanout barrier must keep the three signal mega-expressions OUT
+    # of the scan stage: the filter must sit above the round-robin
+    # repartition exchange, not be pushed into the FileScan's DataFilters
+    plan = _plan(push_conf, "text_filter_pipeline")
+    scan = plan[plan.index("FileScan"):]
+    assert "lang" not in scan.split("ReadSchema")[0].split("DataFilters")[-1][:2000] or \
+        "DataFilters: []" in scan[:2000]
