@@ -505,6 +505,44 @@ def q_xml_explode_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-flatten of a nested XML read (functions.flatten_xml): the
+    orders-with-lineitems document relationalized without hand-written
+    explode/select chains — struct fields promoted to item_* columns,
+    the repeated <item> element exploded OUTER. Aggregates must equal
+    the hand-written xml_explode_nested totals."""
+    from spark_xml_spark.functions import flatten_xml
+
+    def nest(_df):
+        o = _parquet(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+        li = _parquet(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_orderstatus")
+            .agg(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+                ).alias("item")
+            )
+        )
+
+    nested = _xml_table(
+        spark, sf_dir, "orders", variant="nested", transform=nest, rowTag="order"
+    )
+    flat = flatten_xml(nested)
+    return (
+        flat.groupBy("o_orderstatus")
+        .agg(
+            F.count("item_l_linenumber").alias("n_items"),
+            F.sum("item_l_quantity").alias("sum_qty"),
+            _dec_sum_str("item_l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_xml_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 attribute handling: attribute-prefixed fields round-trip as XML
     attributes (StaxXmlGenerator attr partition; parse via
@@ -1750,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_grouping_sets": q_xml_grouping_sets,
         "xml_scalar_subquery": q_xml_scalar_subquery,
         "xml_explode_nested": q_xml_explode_nested,
+        "xml_flatten": q_xml_flatten,
         "xml_attributes": q_xml_attributes,
         "xml_valuetag": q_xml_valuetag,
         "xml_nulls": q_xml_nulls,
@@ -1946,6 +1985,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "xml_explode_nested": f"""
             SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   SUM(l_quantity) AS sum_qty,
+                   {_DEC_SUM_STR_SQL.format(c='l_extendedprice')} AS sum_price
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey % 50 = 0
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "xml_flatten": f"""
+            SELECT o_orderstatus, CAST(COUNT(l_linenumber) AS BIGINT) AS n_items,
                    SUM(l_quantity) AS sum_qty,
                    {_DEC_SUM_STR_SQL.format(c='l_extendedprice')} AS sum_price
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -1,3 +1,4 @@
+from spark_xml_spark.functions.flatten import flatten_xml
 from spark_xml_spark.functions.xml_functions import (
     from_xml,
     from_xml_string,
@@ -7,6 +8,7 @@ from spark_xml_spark.functions.xml_functions import (
 )
 
 __all__ = [
+    "flatten_xml",
     "from_xml",
     "from_xml_string",
     "schema_of_xml",

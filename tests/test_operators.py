@@ -830,3 +830,60 @@ def test_normalize_quantize_int8(spark):
     assert abs(math.hypot(*rows[1]["unit"]) - 1.0) < 1e-12
     assert rows[2]["unit"] is None and rows[2]["q_int8"] is None
     assert rows[3]["q_int8"] == [-127, 0]
+
+
+def test_flatten_xml_structs_arrays_and_outer(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from spark_xml_spark.functions import flatten_xml
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("geo", T.StructType([
+                T.StructField("lat", T.DoubleType()),
+            ])),
+        ])),
+        T.StructField("items", T.ArrayType(T.StructType([
+            T.StructField("qty", T.LongType()),
+        ]))),
+    ])
+    df = spark.createDataFrame(
+        [
+            Row(id=1, meta=Row(name="a", geo=Row(lat=1.5)),
+                items=[Row(qty=2), Row(qty=3)]),
+            Row(id=2, meta=Row(name="b", geo=None), items=[]),  # outer keep
+            Row(id=3, meta=None, items=None),
+        ],
+        schema,
+    )
+    flat = flatten_xml(df)
+    assert sorted(flat.columns) == [
+        "id", "items_qty", "meta_geo_lat", "meta_name",
+    ]
+    rows = sorted(
+        (r["id"], r["items_qty"]) for r in flat.collect()
+    )
+    # id=1 explodes to two rows; empty/NULL arrays keep their parent
+    assert rows == [(1, 2), (1, 3), (2, None), (3, None)]
+    # arrays='none' leaves the array intact
+    kept = flatten_xml(df, arrays="none")
+    assert any(c == "items" for c in kept.columns)
+    assert kept.count() == 3
+
+
+def test_flatten_xml_sibling_arrays_cross_product(spark):
+    from pyspark.sql import Row
+
+    from spark_xml_spark.functions import flatten_xml
+
+    df = spark.createDataFrame(
+        [Row(id=1, a=[1, 2], b=["x", "y"])]
+    )
+    flat = flatten_xml(df)
+    # two sibling arrays -> relational cross product per parent row
+    assert flat.count() == 4
+    got = sorted((r["a"], r["b"]) for r in flat.collect())
+    assert got == [(1, "x"), (1, "y"), (2, "x"), (2, "y")]
