@@ -887,3 +887,41 @@ def test_flatten_xml_sibling_arrays_cross_product(spark):
     assert flat.count() == 4
     got = sorted((r["a"], r["b"]) for r in flat.collect())
     assert got == [(1, "x"), (1, "y"), (2, "x"), (2, "y")]
+
+
+def test_repetition_metrics_property_vs_python(spark):
+    """Property: repetition metrics equal a pure-Python reference on
+    randomized word lists (hypothesis drives the corpus; one Spark job
+    per batch keeps the run fast)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_xml_spark.operators import repetition_metrics
+
+    words = st.sampled_from(["a", "b", "ab", "ba", "x", "yz"])
+
+    def py_metrics(text, n=2):
+        w = text.lower().strip().split()
+        if len(w) >= n:
+            grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        else:
+            grams = [" ".join(w)]
+        total, dist = len(grams), len(set(grams))
+        top = max(grams.count(g) for g in set(grams))
+        return total, dist, (total - dist) / total, top / total
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=st.lists(st.lists(words, min_size=1, max_size=12),
+                         min_size=1, max_size=6))
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r for r in repetition_metrics(df, n=2).collect()}
+        for i, text in rows:
+            t, d, dup, top = py_metrics(text)
+            r = got[i]
+            assert r["rep_total"] == t and r["rep_distinct"] == d
+            assert abs(r["rep_dup_frac"] - dup) < 1e-12
+            assert abs(r["rep_top_frac"] - top) < 1e-12
+
+    check()
