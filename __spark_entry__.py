@@ -165,9 +165,19 @@ def _parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     partitions than cores and this is a no-op — no shuffle is added."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    key = (id(spark), sf_dir, table)
+    fan_out = _PARQUET_FANOUT.get(key)
+    if fan_out is None:
+        # df.rdd materializes a plan per call; probe the layout once per
+        # (session, table) — the file's partitioning doesn't change
+        fan_out = df.rdd.getNumPartitions() < cores
+        _PARQUET_FANOUT[key] = fan_out
+    if fan_out:
         df = df.repartition(cores)
     return df
+
+
+_PARQUET_FANOUT: dict = {}
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
