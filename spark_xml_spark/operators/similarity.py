@@ -454,17 +454,29 @@ def cosine_pairs(
         sigs = bits.reshape(len(m), bands, num_planes) @ weights  # batch x bands
         return pd.Series(list(sigs))
 
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(_band_sigs(F.col(vec_col).cast("array<double>"))).alias(
-            "_band", "_bh"
-        ),
+    # one persisted cast-vector frame feeds the signature pass AND both
+    # verify sides — three corpus evaluations otherwise (same shared-
+    # intermediate discipline as the shingle pipelines)
+    from spark_xml_spark.operators.dedup import (
+        _persist_intermediate,
+        _retire_intermediates,
+        capped_collect,
+    )
+
+    _retire_intermediates()
+    vecs = _persist_intermediate(
+        df.select(
+            F.col(id_col).alias("_vid"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    )
+    banded = vecs.select(
+        F.col("_vid").alias("_id"),
+        F.posexplode(_band_sigs(F.col("_v"))).alias("_band", "_bh"),
     )
     # gather each band bucket's ids with the count-first cap (observable
     # via capped_collect, no unbounded collect buffer), pair-generate
     # locally by double explode — no self-join
-    from spark_xml_spark.operators.dedup import capped_collect
-
     buckets = capped_collect(
         banded, ["_band", "_bh"], "_id", "_ids", max_bucket, observation
     )
@@ -473,9 +485,6 @@ def cosine_pairs(
         .select("id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
-    )
-    vecs = df.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     dot = F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
