@@ -165,7 +165,9 @@ def _parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     partitions than cores and this is a no-op — no shuffle is added."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     cores = spark.sparkContext.defaultParallelism
-    key = (id(spark), sf_dir, table)
+    # applicationId is session-unique; id(spark) could alias a new
+    # session allocated at a dead one's address
+    key = (spark.sparkContext.applicationId, sf_dir, table)
     fan_out = _PARQUET_FANOUT.get(key)
     if fan_out is None:
         # df.rdd materializes a plan per call; probe the layout once per

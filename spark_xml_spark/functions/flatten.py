@@ -31,8 +31,13 @@ from pyspark.sql import types as T
 
 def _flat_cols(schema: T.StructType, sep: str) -> List:
     """One promotion pass: struct fields -> prefixed columns; everything
-    else passes through. Returns (columns, changed)."""
+    else passes through. Returns (columns, changed). Raises on an alias
+    collision (e.g. existing column ``a_b`` next to struct ``a.b``) —
+    silently emitting duplicate column names would break the first
+    downstream select/write with an ambiguity error that doesn't point
+    back here."""
     cols = []
+    names: List[str] = []
     changed = False
     for f in schema.fields:
         if isinstance(f.dataType, T.StructType):
@@ -43,8 +48,17 @@ def _flat_cols(schema: T.StructType, sep: str) -> List:
                         f"{f.name}{sep}{sub.name}"
                     )
                 )
+                names.append(f"{f.name}{sep}{sub.name}")
         else:
             cols.append(F.col(f"`{f.name}`"))
+            names.append(f.name)
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"flatten_xml alias collision on {sorted(dupes)}: a promoted "
+            f"struct field clashes with an existing column; pass a "
+            f"different sep"
+        )
     return cols, changed
 
 
@@ -58,43 +72,52 @@ def flatten_xml(
 
     ``arrays``: ``"all"`` (default) explodes arrays at every nesting
     level until none remain; ``"none"`` only promotes struct fields and
-    leaves arrays as-is; ``"first"`` explodes one level of arrays then
-    continues flattening structs only. ``explode_outer`` keeps parents
-    with empty/NULL arrays (their element columns become NULL) — the
-    relational OUTER semantics a sink table wants.
+    leaves arrays as-is; ``"first"`` explodes EVERY array of the
+    outermost level once, then continues flattening structs only
+    (arrays surfaced from deeper levels stay arrays). ``explode_outer``
+    keeps parents with empty/NULL arrays (their element columns become
+    NULL) — the relational OUTER semantics a sink table wants.
 
-    ``max_depth`` bounds the promotion loop; a deeper (adversarial)
-    schema raises instead of looping.
+    ``max_depth`` bounds ARRAY-NESTING depth (one iteration per level,
+    however many sibling arrays the level holds); a deeper (adversarial)
+    schema raises instead of looping. Struct promotion terminates on its
+    own — each pass strictly reduces struct depth.
     """
     if arrays not in ("all", "none", "first"):
         raise ValueError("arrays must be 'all', 'none' or 'first'")
     exploded_once = False
     for _ in range(max_depth):
-        # promote structs first so array-of-struct explosions surface
-        # their fields on the next pass
-        cols, changed = _flat_cols(df.schema, sep)
-        if changed:
+        # promote structs until none remain at this level, so
+        # array-of-struct explosions surface their fields before the
+        # next level's explode
+        while True:
+            cols, changed = _flat_cols(df.schema, sep)
+            if not changed:
+                break
             df = df.select(*cols)
-            continue
-        if arrays == "none" or (arrays == "first" and exploded_once):
+        arrs = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.ArrayType)
+        ]
+        if not arrs or arrays == "none" or (
+            arrays == "first" and exploded_once
+        ):
             return df
-        arr = next(
-            (
-                f.name
-                for f in df.schema.fields
-                if isinstance(f.dataType, T.ArrayType)
-            ),
-            None,
-        )
-        if arr is None:
-            return df
+        # one LEVEL: every current sibling array exploded exactly once
+        # (sequential selects — Spark allows a single generator per
+        # projection; sibling arrays produce the relational cross
+        # product per parent row)
+        for arr in arrs:
+            df = df.select(
+                *[
+                    F.explode_outer(F.col(f"`{c}`")).alias(arr)
+                    if c == arr
+                    else F.col(f"`{c}`")
+                    for c in df.columns
+                ]
+            )
         exploded_once = True
-        df = df.select(
-            *[
-                F.explode_outer(F.col(f"`{c}`")).alias(arr)
-                if c == arr
-                else F.col(f"`{c}`")
-                for c in df.columns
-            ]
-        )
-    raise ValueError(f"schema still nested after {max_depth} passes")
+    raise ValueError(
+        f"array nesting deeper than {max_depth} levels"
+    )

@@ -253,10 +253,17 @@ def exact_dedup(
     if id_col is None:
         return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")
     out_cols = df.columns
+    # order by (id IS NULL, id): non-NULL ids win with the minimum id;
+    # a group whose ids are ALL NULL still keeps one real row
+    # (dropDuplicates semantics) — a bare min_by(_, id) would skip every
+    # NULL ordering value and fabricate an all-NULL phantom row
     return (
         hashed.groupBy("_content_hash")
         .agg(
-            F.min_by(F.struct(*out_cols), F.col(id_col)).alias("_row")
+            F.min_by(
+                F.struct(*out_cols),
+                F.struct(F.col(id_col).isNull(), F.col(id_col)),
+            ).alias("_row")
         )
         .select("_row.*")
     )

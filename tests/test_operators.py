@@ -925,3 +925,64 @@ def test_repetition_metrics_property_vs_python(spark):
             assert abs(r["rep_top_frac"] - top) < 1e-12
 
     check()
+
+
+def test_exact_dedup_null_ids_keep_one_row(spark):
+    """A content group whose ids are ALL NULL keeps one REAL row
+    (dropDuplicates semantics) — min_by must not fabricate an all-NULL
+    phantom row by skipping NULL ordering values."""
+    df = spark.createDataFrame(
+        [(None, "hello"), (None, "hello"), (7, "hello"), (None, "solo")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df, cols=["text"], id_col="doc_id").collect()
+    by_text = {r["text"]: r for r in out}
+    assert set(by_text) == {"hello", "solo"}  # no all-NULL phantom
+    assert by_text["hello"]["doc_id"] == 7    # non-NULL id wins
+    assert by_text["solo"]["doc_id"] is None  # all-NULL group keeps a row
+
+
+def test_flatten_xml_first_explodes_all_sibling_arrays(spark):
+    from pyspark.sql import Row
+
+    from spark_xml_spark.functions import flatten_xml
+
+    df = spark.createDataFrame(
+        [Row(id=1, a=[1, 2], b=["x"], c=[Row(inner=[5, 6])])]
+    )
+    flat = flatten_xml(df, arrays="first")
+    # every OUTERMOST array exploded once: a (2 rows) x b (1) x c (1)
+    assert flat.count() == 2
+    # the deeper array surfaced from c's struct stays an array
+    import pyspark.sql.types as T
+    inner = dict((f.name, f.dataType) for f in flat.schema.fields)
+    assert isinstance(inner["c_inner"], T.ArrayType)
+
+
+def test_flatten_xml_collision_raises(spark):
+    from pyspark.sql import Row
+
+    from spark_xml_spark.functions import flatten_xml
+
+    df = spark.createDataFrame([Row(a_b=1, a=Row(b=2))])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collision"):
+        flatten_xml(df)
+    # a different separator resolves it
+    flat = flatten_xml(df, sep="__")
+    assert sorted(flat.columns) == ["a__b", "a_b"]
+
+
+def test_flatten_xml_wide_schema_depth_bound(spark):
+    """max_depth bounds array NESTING depth, not total passes: 40 sibling
+    arrays at one level must flatten fine with the default bound."""
+    from pyspark.sql import Row
+
+    from spark_xml_spark.functions import flatten_xml
+
+    row = {f"a{i}": [1] for i in range(40)}
+    df = spark.createDataFrame([Row(id=1, **row)])
+    flat = flatten_xml(df)
+    assert flat.count() == 1  # every array had exactly one element
+    assert not any("array" in f.dataType.simpleString()
+                   for f in flat.schema.fields)

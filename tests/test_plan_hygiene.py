@@ -119,11 +119,12 @@ def test_new_pipeline_queries_stay_codegen(push_conf):
 
 
 def test_corpus_pipeline_shuffle_budget(push_conf):
-    # exact dedup (hash groupBy + semi join share one keyed exchange
-    # lineage) + the final per-source aggregate + the small-input fanout:
-    # the composed pipeline must not accrete extra shuffles as stages are
-    # added. AQE reuse can dedupe, so bound rather than pin: <= 6
-    # Exchange nodes in the executed plan.
+    # exact dedup (one min_by hash aggregate) + the final per-source
+    # aggregate + sort + the small-input fanout repartitions (one per
+    # union branch): the composed pipeline must not accrete extra
+    # shuffles as stages are added — the old groupBy+semi-join dedup
+    # shape cost 13 Exchanges; the single-pass min_by plan costs 5.
+    # Bound rather than pin (AQE reuse can dedupe): <= 6.
     plan = _plan(push_conf, "corpus_pipeline")
     assert plan.count("Exchange") <= 6, plan.count("Exchange")
     # and the per-source aggregate must partial-aggregate map-side
