@@ -1634,6 +1634,29 @@ def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing: sample each source toward 3:1 target
+    weights (even-numbered sources upweighted), total 300, via the
+    deterministic md5-bucket membership — the all-integer rate math and
+    the per-row membership are recomputed independently by the oracle,
+    so the SAMPLED ROWS themselves match, not just approximate counts."""
+    from spark_xml_spark.operators import mix_sample
+
+    d = _parquet(spark, sf_dir, "documents")
+    weights = {f"src{i}": 3 if i % 2 == 0 else 1 for i in range(20)}
+    kept = mix_sample(
+        d, "source", "doc_id", weights, total=300, salt="mix8"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding L2-normalization + int8 scalar quantization (the vector
     index storage format). floor(u*127 + 0.5) rounding makes the bytes
@@ -1841,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_urls": q_text_urls,
+        "text_mix": q_text_mix,
         "emb_quantize": q_emb_quantize,
         "emb_clusters": q_emb_clusters,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2544,6 +2568,37 @@ def oracle_sql() -> dict[str, str]:
                  unnest(regexp_extract_all(text,
                         'https?://(?:[^/\\s@]*@)?([A-Za-z0-9.-]+)', 1)) AS t(d)
             GROUP BY lower(d) ORDER BY domain
+        """,
+        "text_mix": """
+            WITH counts AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY source
+            ), wts AS (
+              SELECT source, n,
+                     CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                          THEN 3 ELSE 1 END AS wt
+              FROM counts
+            ), wtot AS (SELECT CAST(SUM(wt) AS BIGINT) AS W FROM wts),
+            caps AS (
+              SELECT source, n, wt, W,
+                     CAST(floor(n * W / CAST(wt AS DOUBLE)) AS BIGINT) AS cap
+              FROM wts, wtot
+            ), tmax AS (SELECT MIN(cap) AS Tmax FROM caps),
+            rates AS (
+              SELECT source,
+                     CAST(floor(10000 * CAST(floor(least(Tmax, 300) * wt
+                                / CAST(W AS DOUBLE)) AS BIGINT)
+                                / CAST(n AS DOUBLE)) AS BIGINT) AS rate
+              FROM caps, tmax
+            )
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE CAST(('0x' || substr(md5('mix8' ||
+                    COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
+                  AS BIGINT) % 10000 < r.rate
+            GROUP BY d.source
+            ORDER BY d.source
         """,
         "emb_quantize": """
             WITH v AS (

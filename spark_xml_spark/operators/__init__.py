@@ -43,6 +43,7 @@ from spark_xml_spark.operators.textstats import (
     add_fingerprint,
     chunk_documents,
     deterministic_sample,
+    mix_sample,
     add_language_id,
     add_quality_score,
     add_token_count,
@@ -80,6 +81,7 @@ __all__ = [
     "default_audio_decoder",
     "default_video_decoder",
     "deterministic_sample",
+    "mix_sample",
     "add_payload_metadata",
     "synthesize_payload",
     "extract_features",

@@ -364,3 +364,78 @@ def extract_url_domains(
             F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_REGEX), 1)
         ),
     ).withColumn(out_col, F.lower(F.col(out_col)))
+
+
+def mix_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: Dict[str, int],
+    total: Optional[int] = None,
+    salt: str = "",
+    bp: int = 10000,
+) -> DataFrame:
+    """Source-mix rebalancing — the "data mixing" stage of corpus prep:
+    sample each group toward TARGET PROPORTIONS ``weights`` (integers;
+    groups absent from the map are dropped) using the same deterministic
+    md5-bucket membership as ``deterministic_sample`` (basis-point
+    granularity), so the sampled corpus is reproducible across runs,
+    partitionings, and engines.
+
+    With W = sum(weights over groups present), the largest feasible
+    sample is T_max = min_g floor(n_g * W / w_g) (no group can be asked
+    for more rows than it has); T = min(total, T_max); each group's
+    target is t_g = floor(T * w_g / W) and its keep-rate
+    floor(bp * t_g / n_g) basis points. All-integer arithmetic, so any
+    engine recomputes the identical rates and membership.
+
+    Scale shape: one map-side-combinable count per group, an
+    O(#groups) DRIVER fold for the rate table (groups are
+    dimension-sized — the same scale class as the schema folds), then a
+    broadcast join + pure codegen hash filter over the corpus — the
+    corpus itself is scanned ONCE and never shuffled."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    if bp <= 0:
+        raise ValueError("bp must be positive")
+    counts = {
+        r["_g"]: r["_n"]
+        for r in df.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count("*").alias("_n"))
+        .collect()
+        if weights.get(r["_g"], 0) > 0
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    # all-integer rate math so ANY engine recomputes identical rates:
+    # T_max = min_g floor(n_g*W/w_g); t_g = floor(T*w_g/W);
+    # rate_g = floor(bp*t_g/n_g) basis points
+    W = sum(weights[g] for g in counts)
+    t_cap = min(n * W // weights[g] for g, n in counts.items())
+    T = t_cap if total is None else min(total, t_cap)
+    rates = df.sparkSession.createDataFrame(
+        [(g, bp * (T * weights[g] // W) // n) for g, n in counts.items()],
+        f"_g string, _rate long",
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                    )
+                ),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("long")
+        % bp
+    )
+    return (
+        df.join(F.broadcast(rates), df[group_col] == F.col("_g"))
+        .filter(bucket < F.col("_rate"))
+        .drop("_g", "_rate")
+    )

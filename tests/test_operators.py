@@ -986,3 +986,31 @@ def test_flatten_xml_wide_schema_depth_bound(spark):
     assert flat.count() == 1  # every array had exactly one element
     assert not any("array" in f.dataType.simpleString()
                    for f in flat.schema.fields)
+
+
+def test_mix_sample_rates_and_determinism(spark):
+    from spark_xml_spark.operators import mix_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    # g0 gets 2x weight of g1; g2 excluded entirely
+    out = mix_sample(df, "grp", "id", {"g0": 2, "g1": 1}, total=90,
+                     salt="t")
+    got = {r["grp"]: r["n"] for r in
+           out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert "g2" not in got
+    # targets: W=3, T=90 -> t_g0=60 of 100 (60%), t_g1=30 of 100 (30%);
+    # md5-bucket granularity keeps realized counts near targets
+    assert 45 <= got.get("g0", 0) <= 75
+    assert 20 <= got.get("g1", 0) <= 40
+    assert got["g0"] > got["g1"]
+    # deterministic: same inputs -> identical membership
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in
+               mix_sample(df, "grp", "id", {"g0": 2, "g1": 1}, total=90,
+                          salt="t").collect())
+    assert a == b
+    # infeasible weights clamp to availability: total much larger than
+    # the corpus keeps at most everything, never errors
+    big = mix_sample(df, "grp", "id", {"g0": 1}, total=10**6)
+    assert big.count() <= 100
