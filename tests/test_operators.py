@@ -1014,3 +1014,24 @@ def test_mix_sample_rates_and_determinism(spark):
     # the corpus keeps at most everything, never errors
     big = mix_sample(df, "grp", "id", {"g0": 1}, total=10**6)
     assert big.count() <= 100
+
+
+def test_flatten_xml_on_real_xml_read(spark, tmp_path):
+    """flatten_xml over an actual XML read: attribute structs and
+    repeated elements from the reader's own schema shapes."""
+    from spark_xml_spark.functions import flatten_xml
+    from spark_xml_spark.sources.api import read_xml
+
+    p = tmp_path / "books.xml"
+    p.write_text(
+        "<books>"
+        '<book id="1"><title>A</title><author>x</author><author>y</author></book>'
+        '<book id="2"><title>B</title><author>z</author></book>'
+        "</books>"
+    )
+    df = read_xml(spark, str(p), rowTag="book")
+    flat = flatten_xml(df)
+    # repeated <author> exploded; attribute column survives flat
+    rows = sorted((r["_id"], r["author"]) for r in flat.collect())
+    assert rows == [(1, "x"), (1, "y"), (2, "z")]
+    assert "title" in flat.columns
