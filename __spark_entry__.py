@@ -1434,6 +1434,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators.pack_sequences): lay
+    documents end-to-end by doc_id and cut every 512 whitespace tokens —
+    the step that turns a filtered corpus into fixed-length training
+    sequences. Distributed prefix-sum (range shuffle + O(P) driver fold
+    + streaming Arrow carry), never a global-order window. The checksum
+    folds every per-doc (seq_first, n_seqs) into the result, so a
+    one-token offset error anywhere in the corpus flips the value."""
+    from spark_xml_spark.operators import pack_sequences
+
+    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn(
+        "n_tok",
+        F.coalesce(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"),
+            F.lit(0),
+        ),
+    )
+    packed = pack_sequences(d, "doc_id", "n_tok", seq_len=512)
+    return packed.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (F.max("seq_last") + 1).cast("bigint").alias("n_sequences"),
+        F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_straddlers"),
+        F.sum(F.col("seq_first") * F.col("doc_id") + F.col("n_seqs"))
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (16-word windows, step 12 = 25%
     overlap): the operator that turns raw documents into model-context
@@ -1856,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_chunk": q_text_chunk,
+        "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
@@ -2397,6 +2430,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids,
                    round(AVG(quality_score), 6) AS avg_quality
             FROM kept
+        """,
+        "text_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(COALESCE(
+                       len(regexp_split_to_array(trim(text), '\s+')), 0
+                     ) AS BIGINT) AS n
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n,
+                     COALESCE(SUM(n) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS off
+              FROM t
+            ), s AS (
+              SELECT doc_id, n,
+                     off // 512 AS seq_first,
+                     CASE WHEN n > 0 THEN (off + n - 1) // 512
+                          ELSE off // 512 END AS seq_last,
+                     CASE WHEN n > 0
+                          THEN (off + n - 1) // 512 - off // 512 + 1
+                          ELSE 0 END AS n_seqs
+              FROM c
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   CAST(MAX(seq_last) + 1 AS BIGINT) AS n_sequences,
+                   CAST(SUM(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_straddlers,
+                   CAST(SUM(seq_first * doc_id + n_seqs) AS BIGINT)
+                     AS checksum
+            FROM s
         """,
         "text_chunk": r"""
             WITH w AS (

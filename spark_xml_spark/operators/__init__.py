@@ -48,6 +48,7 @@ from spark_xml_spark.operators.textstats import (
     add_quality_score,
     add_token_count,
     extract_url_domains,
+    pack_sequences,
     pii_redact,
     repetition_metrics,
 )
@@ -78,6 +79,7 @@ __all__ = [
     "add_language_id",
     "add_fingerprint",
     "chunk_documents",
+    "pack_sequences",
     "default_audio_decoder",
     "default_video_decoder",
     "deterministic_sample",

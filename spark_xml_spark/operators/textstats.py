@@ -439,3 +439,106 @@ def mix_sample(
         .filter(bucket < F.col("_rate"))
         .drop("_g", "_rate")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the pretraining step that lays
+    documents end-to-end in deterministic ascending ``id_col`` order and
+    cuts the token stream every ``seq_len`` tokens. Adds, per document:
+
+      tok_offset  exclusive prefix sum of tokens before this document
+      seq_first   training-sequence index of its first token
+      seq_last    training-sequence index of its last token
+      n_seqs      sequences it spans (0 for empty documents)
+
+    Ids must be unique and non-null (the order must be total for offsets
+    to be well-defined); NULL token counts pack as 0 tokens. All
+    arithmetic is integral (`div`), so any engine replays the identical
+    sequence layout from the same (id, token-count) pairs.
+
+    Scale shape — the distributed prefix-sum pattern: range-repartition
+    on id, ONE per-partition token sum collected to the driver (O(P)
+    rows, the same scale class as the schema folds), then a single
+    streaming Arrow pass that adds each partition's broadcast base
+    offset to a running within-partition cumsum (mapInPandas sees one
+    partition's batches in order, so the carry is exact). The naive
+    ``SUM(n) OVER (ORDER BY id)`` global window — one task sorting the
+    whole corpus — never appears, and the only shuffle is the range
+    exchange; a window keyed on the partition id would add a second
+    full-corpus exchange, which the carry pass avoids. The ranged frame
+    persists so the sum pass and the output branch share one evaluation
+    (same generation discipline as the dedup intermediates).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql import types as T
+    from spark_xml_spark.operators.dedup import (
+        _persist_intermediate,
+        _retire_intermediates,
+    )
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    _retire_intermediates()
+    ranged = _persist_intermediate(
+        df.withColumn(
+            "_pk_tok", F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+        )
+        .repartitionByRange(p, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pk_pid", F.spark_partition_id())
+    )
+    sums = {
+        r["_pk_pid"]: r["_s"]
+        for r in ranged.groupBy("_pk_pid")
+        .agg(F.sum("_pk_tok").alias("_s"))
+        .collect()
+    }
+    base, offs = 0, {}
+    for pid in range(ranged.rdd.getNumPartitions()):
+        offs[pid] = base
+        base += sums.get(pid, 0)
+
+    out_schema = T.StructType(
+        ranged.schema.fields + [T.StructField("_pk_off", T.LongType(), False)]
+    )
+
+    def add_offsets(batches):
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(_pk_off=pdf.get("_pk_tok"))
+                continue
+            if carry is None:
+                carry = offs.get(int(pdf["_pk_pid"].iloc[0]), 0)
+            n = pdf["_pk_tok"].to_numpy(dtype="int64")
+            ends = n.cumsum() + carry
+            carry = int(ends[-1])
+            yield pdf.assign(_pk_off=ends - n)
+
+    packed = ranged.mapInPandas(add_offsets, schema=out_schema)
+    return (
+        packed.withColumn("tok_offset", F.col("_pk_off"))
+        .withColumn("seq_first", F.expr(f"_pk_off div {seq_len}"))
+        .withColumn(
+            "seq_last",
+            F.expr(
+                f"CASE WHEN _pk_tok > 0 THEN (_pk_off + _pk_tok - 1)"
+                f" div {seq_len} ELSE _pk_off div {seq_len} END"
+            ),
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(
+                F.col("_pk_tok") > 0,
+                F.col("seq_last") - F.col("seq_first") + F.lit(1),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_pk_tok", "_pk_pid", "_pk_off")
+    )

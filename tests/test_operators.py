@@ -1035,3 +1035,48 @@ def test_flatten_xml_on_real_xml_read(spark, tmp_path):
     rows = sorted((r["_id"], r["author"]) for r in flat.collect())
     assert rows == [(1, "x"), (1, "y"), (2, "z")]
     assert "title" in flat.columns
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Distributed prefix-sum packing equals a single-threaded greedy
+    reference: shuffled input partitions, empty and NULL-token docs, and
+    a second run (determinism) all produce identical per-doc offsets."""
+    from spark_xml_spark.operators import pack_sequences
+
+    rows = [(i, (i * 37) % 11 if i % 9 else 0) for i in range(300)]
+    rows[5] = (5, None)  # NULL token count packs as 0
+    df = (
+        spark.createDataFrame(rows, "doc_id int, n_tok int")
+        .repartition(7)  # destroy any helpful input order
+    )
+    L = 13
+
+    def reference():
+        out, off = {}, 0
+        for i, n in sorted(rows):
+            n = n or 0
+            first = off // L
+            last = (off + n - 1) // L if n > 0 else first
+            out[i] = (off, first, last, (last - first + 1) if n > 0 else 0)
+            off += n
+        return out
+
+    expected = reference()
+    for _ in range(2):
+        got = {
+            r["doc_id"]: (
+                r["tok_offset"], r["seq_first"], r["seq_last"], r["n_seqs"]
+            )
+            for r in pack_sequences(
+                df, "doc_id", "n_tok", seq_len=L, num_partitions=5
+            ).collect()
+        }
+        assert got == expected
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from spark_xml_spark.operators import pack_sequences
+
+    df = spark.createDataFrame([(1, 2)], "doc_id int, n_tok int")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", seq_len=0)
