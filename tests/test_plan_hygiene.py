@@ -139,3 +139,19 @@ def test_text_filter_pipeline_not_serialized_by_pushdown(push_conf):
     scan = plan[plan.index("FileScan"):]
     assert "lang" not in scan.split("ReadSchema")[0].split("DataFilters")[-1][:2000] or \
         "DataFilters: []" in scan[:2000]
+
+
+def test_text_pack_single_exchange_no_global_window(push_conf):
+    # the distributed prefix-sum must stay one range exchange + a
+    # streaming Arrow carry pass: no second hash exchange (the
+    # window-on-partition-id shape) and never a global-order window
+    # (one task sorting the whole corpus).
+    plan = _plan(push_conf, "text_pack")
+    assert "Window" not in plan
+    # the only corpus exchange is the range shuffle; the final scalar
+    # agg's SinglePartition exchange and the small-input fan-out's
+    # RoundRobin are the only others allowed — a hash exchange would
+    # mean the carry pass regressed to a window/join shape
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
