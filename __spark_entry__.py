@@ -746,7 +746,7 @@ def q_from_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_from_xml_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 parse-mode policy through from_xml: malformed records land in the
     corrupt-record column, valid ones parse (StaxXmlParser.scala:54-124)."""
-    d = _parquet(spark, sf_dir, "documents")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
     good = F.concat(
         F.lit("<d><id>"),
         F.col("doc_id").cast("string"),
@@ -931,7 +931,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "out")
 
     def _build(path):
-        d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+        d = _parquet(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
         planted = d.filter(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
@@ -1288,7 +1288,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash with deterministic min-id keeper; the
     input is documents plus re-keyed copies of every 7th document."""
-    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
     dupes = (
         d.filter(F.col("doc_id") % 7 == 0)
         .withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -1347,7 +1347,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the full signature pipeline and (because 4-band
     pigeonhole candidates are recall-complete at Hamming<=3) compares
     against the exact all-pairs answer."""
-    d = _parquet(spark, sf_dir, "documents")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
     return simhash_near_dup_pairs(
         d, "doc_id", "text", max_hamming=3, portable=True
     ).orderBy("id_a", "id_b")
@@ -1389,7 +1389,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (regex counts, stopword ratios, bounded score)."""
     from spark_xml_spark.operators import add_quality_score
 
-    d = add_quality_score(_parquet(spark, sf_dir, "documents"))
+    d = add_quality_score(_parquet(spark, sf_dir, "documents", fan_out=False))
     return (
         d.groupBy("source")
         .agg(
@@ -1455,7 +1455,7 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-token offset error anywhere in the corpus flips the value."""
     from spark_xml_spark.operators import pack_sequences
 
-    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
     d = d.withColumn(
         "n_tok",
         F.coalesce(
@@ -1486,7 +1486,7 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_xml_spark.operators import chunk_documents
 
     d = chunk_documents(
-        _parquet(spark, sf_dir, "documents"), window=16, step=12
+        _parquet(spark, sf_dir, "documents", fan_out=False), window=16, step=12
     )
     return (
         d.select(
@@ -1546,7 +1546,7 @@ def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole point of hash sampling over df.sample at scale."""
     from spark_xml_spark.operators import deterministic_sample
 
-    d = _parquet(spark, sf_dir, "documents")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
     s = deterministic_sample(d, "doc_id", 30, salt="r7")
     return (
         s.groupBy("source")
@@ -1560,7 +1560,7 @@ def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (BPE-ish regex, JVM regexp_extract_all) per source."""
-    d = add_token_count(_parquet(spark, sf_dir, "documents"))
+    d = add_token_count(_parquet(spark, sf_dir, "documents", fan_out=False))
     return (
         d.groupBy("source")
         .agg(
@@ -1581,7 +1581,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-md5-shingle document fingerprint (portable: md5 in both
     engines); distinct fingerprints ~ distinct contents."""
-    d = add_fingerprint(_parquet(spark, sf_dir, "documents"), n=8)
+    d = add_fingerprint(_parquet(spark, sf_dir, "documents", fan_out=False), n=8)
     return (
         d.select("doc_id", "fingerprint")
         .filter(F.col("doc_id") < 100)
@@ -1598,7 +1598,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — no UDF, no extra shuffle."""
     from spark_xml_spark.operators import repetition_metrics
 
-    d = repetition_metrics(_parquet(spark, sf_dir, "documents"), n=2)
+    d = repetition_metrics(_parquet(spark, sf_dir, "documents", fan_out=False), n=2)
     return (
         d.groupBy("source")
         .agg(
@@ -1621,7 +1621,7 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly for the first 20 docs — placeholder positions included."""
     from spark_xml_spark.operators import pii_redact
 
-    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
     did = F.col("doc_id")
     planted = d.withColumn(
         "text",
@@ -1652,7 +1652,7 @@ def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs. One explode + one keyed map-side-combinable aggregate."""
     from spark_xml_spark.operators import extract_url_domains
 
-    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
     did = F.col("doc_id")
     planted = d.withColumn(
         "text",
@@ -1685,7 +1685,7 @@ def q_text_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the SAMPLED ROWS themselves match, not just approximate counts."""
     from spark_xml_spark.operators import mix_sample
 
-    d = _parquet(spark, sf_dir, "documents")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
     weights = {f"src{i}": 3 if i % 2 == 0 else 1 for i in range(20)}
     kept = mix_sample(
         d, "source", "doc_id", weights, total=300, salt="mix8"
@@ -1768,7 +1768,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_dedup,
     )
 
-    d = _parquet(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select("doc_id", "source", "text")
     dupes = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
     )
@@ -1798,7 +1798,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: synthesized PNG-magic payloads, JVM-side
     metadata (length / magic sniff / content hash over hex)."""
-    d = _parquet(spark, sf_dir, "documents").withColumn(
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).withColumn(
         "payload", synthesize_payload(F.col("text"), "image/png")
     )
     m = add_payload_metadata(d)
