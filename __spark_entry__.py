@@ -1747,6 +1747,50 @@ def q_text_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (md5-bucket of the
+    doc id, salt 'split8'): membership depends only on the id, so the
+    split is stable across runs, partitionings, engines, and corpus
+    growth — the property that prevents silent train/test leakage. The
+    oracle recomputes the identical per-row assignment, so the exact
+    membership is value-checked via per-split id sums, not just the
+    proportions."""
+    from spark_xml_spark.operators import train_val_test_split
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    s = train_val_test_split(d, "doc_id", val_pct=10, test_pct=10, salt="split8")
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-25 tokens by frequency (lowercased
+    TOKEN_REGEX tokens, ties broken by token asc). Explode -> ONE
+    map-side-combinable hash aggregate -> TakeOrderedAndProject(25);
+    the driver only ever sees k rows."""
+    from spark_xml_spark.operators import vocab_topk
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    return vocab_topk(d, "text", k=25)
+
+
+def q_text_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram for batch planning: docs bucketed by
+    token count into closed integer edges (<=16/64/256/1024/4096,
+    gt4096) with per-bucket doc/token counts. All-integer comparisons
+    keep the bucket assignment byte-identical across engines."""
+    from spark_xml_spark.operators import length_bucket_stats
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    return length_bucket_stats(d, "text").orderBy("bucket")
+
+
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding L2-normalization + int8 scalar quantization (the vector
     index storage format). floor(u*127 + 0.5) rounding makes the bytes
@@ -1956,6 +2000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_urls": q_text_urls,
         "text_mix": q_text_mix,
+        "data_split": q_data_split,
+        "text_vocab": q_text_vocab,
+        "text_lengths": q_text_lengths,
         "emb_quantize": q_emb_quantize,
         "emb_clusters": q_emb_clusters,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2723,6 +2770,49 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT) % 10000 < r.rate
             GROUP BY d.source
             ORDER BY d.source
+        """,
+        "data_split": """
+            SELECT CASE
+                     WHEN CAST(('0x' || substr(md5('split8' ||
+                            COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
+                          AS BIGINT) % 100 < 10 THEN 'test'
+                     WHEN CAST(('0x' || substr(md5('split8' ||
+                            COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
+                          AS BIGINT) % 100 < 20 THEN 'val'
+                     ELSE 'train'
+                   END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            GROUP BY split
+            ORDER BY split
+        """,
+        "text_vocab": f"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                   '{TOKEN_REGEX}')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 25
+        """,
+        "text_lengths": f"""
+            WITH t AS (
+              SELECT len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n
+              FROM documents
+            )
+            SELECT CASE WHEN n <= 16 THEN 'le16'
+                        WHEN n <= 64 THEN 'le64'
+                        WHEN n <= 256 THEN 'le256'
+                        WHEN n <= 1024 THEN 'le1024'
+                        WHEN n <= 4096 THEN 'le4096'
+                        ELSE 'gt4096' END AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                   CAST(MAX(n) AS BIGINT) AS max_tokens
+            FROM t
+            GROUP BY bucket
+            ORDER BY bucket
         """,
         "emb_quantize": """
             WITH v AS (

@@ -41,6 +41,9 @@ from spark_xml_spark.operators.multimodal import (
 )
 from spark_xml_spark.operators.textstats import (
     add_fingerprint,
+    length_bucket_stats,
+    train_val_test_split,
+    vocab_topk,
     chunk_documents,
     deterministic_sample,
     mix_sample,
@@ -83,7 +86,10 @@ __all__ = [
     "default_audio_decoder",
     "default_video_decoder",
     "deterministic_sample",
+    "length_bucket_stats",
     "mix_sample",
+    "train_val_test_split",
+    "vocab_topk",
     "add_payload_metadata",
     "synthesize_payload",
     "extract_features",

@@ -213,22 +213,7 @@ def deterministic_sample(
     predicate and filter them out at any rate."""
     if not 0 <= rate_pct <= 100:
         raise ValueError("rate_pct must be in [0, 100]")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
-                    )
-                ),
-                1, 4,
-            ),
-            16, 10,
-        ).cast("long")
-        % 100
-    )
-    return df.filter(bucket < F.lit(rate_pct))
+    return df.filter(_md5_bucket(F.col(id_col), salt) < F.lit(rate_pct))
 
 
 # PII patterns chosen to parse identically under Java regex (Spark) and
@@ -541,4 +526,110 @@ def pack_sequences(
             ).otherwise(F.lit(0)).cast("long"),
         )
         .drop("_pk_tok", "_pk_pid", "_pk_off")
+    )
+
+
+def _md5_bucket(col: Column, salt: str, mod: int = 100) -> Column:
+    """Engine-portable [0, mod) bucket of (salt || id): first 16 bits of
+    the md5 hex digest, mod ``mod``. NULL ids hash as '' (one fixed
+    bucket) so a split/sample over buckets never silently drops null-id
+    rows. Any md5 implementation (Spark, DuckDB, Trino, Python) assigns
+    the identical bucket, so a mixed-engine pipeline agrees on splits."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.coalesce(col.cast("string"), F.lit("")))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("long")
+        % mod
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment for a training corpus:
+    md5 bucket of (salt || id) over 100 — bucket < test_pct -> 'test',
+    next val_pct buckets -> 'val', the rest -> 'train'.
+
+    Membership depends only on the id (not seed, partitioning, or
+    cluster size), so the split is reproducible across runs and engines,
+    new data lands in the same proportions without resplitting the old,
+    and a doc can never migrate between splits as the corpus grows — the
+    property that prevents silent train/test contamination. Pure codegen
+    projection; changing ``salt`` draws an independent split."""
+    if not (0 <= val_pct and 0 <= test_pct and val_pct + test_pct <= 100):
+        raise ValueError("val_pct/test_pct must be >= 0 and sum to <= 100")
+    b = _md5_bucket(F.col(id_col), salt)
+    return df.withColumn(
+        out_col,
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100, lowercase: bool = True
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent tokens (TOKEN_REGEX
+    tokenization, lowercased by default) with their total counts.
+    Ties break by token ascending, so the result is a deterministic
+    total order on (n desc, token asc).
+
+    Plan shape for 100 TB: explode -> hash-aggregate on token (partial
+    map-side combine collapses each partition's counts before the ONE
+    shuffle) -> TakeOrderedAndProject(k) — the driver receives k rows,
+    never the vocabulary."""
+    tok = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+            F.lit(TOKEN_REGEX),
+            0,
+        )
+    ).alias("token")
+    return (
+        df.select(tok)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+# Closed integer bucket edges (tokens <= edge). Integer comparisons keep
+# the bucketing byte-identical across engines — a log2()-based bucket
+# can flip at exact powers of two under float rounding.
+LENGTH_BUCKET_EDGES = (16, 64, 256, 1024, 4096)
+
+
+def length_bucket_stats(
+    df: DataFrame, text_col: str = "text", edges=LENGTH_BUCKET_EDGES
+) -> DataFrame:
+    """Sequence-length histogram for batch planning: assign each doc to
+    the smallest edge bucket holding its token count (TOKEN_REGEX
+    tokens; above the last edge -> 'gt<last>') and aggregate per-bucket
+    doc count, token sum, and token max. One projection + one map-side-
+    combinable aggregate on a handful of keys — the scan dominates at
+    any scale. Training batchers use the histogram to pick bucket
+    boundaries that minimize padding waste."""
+    n = token_count_col(F.col(text_col))
+    bucket = F.lit(f"gt{edges[-1]}")
+    for e in reversed(edges):
+        bucket = F.when(n <= e, F.lit(f"le{e}")).otherwise(bucket)
+    return (
+        df.select(bucket.alias("bucket"), n.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("sum_tokens"),
+            F.max("_n").cast("bigint").alias("max_tokens"),
+        )
     )

@@ -1080,3 +1080,92 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id int, n_tok int")
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tok", seq_len=0)
+
+
+def test_train_val_test_split_deterministic_and_complete(spark, docs):
+    import hashlib
+
+    from spark_xml_spark.operators import train_val_test_split
+
+    out = train_val_test_split(
+        docs.select("doc_id"), "doc_id", val_pct=10, test_pct=10, salt="t"
+    ).collect()
+    # Python reference: identical md5 bucket math per row
+    def py_split(doc_id):
+        b = int(hashlib.md5(f"t{doc_id}".encode()).hexdigest()[:4], 16) % 100
+        return "test" if b < 10 else ("val" if b < 20 else "train")
+
+    assert out  # non-empty corpus
+    for r in out:
+        assert r["split"] == py_split(r["doc_id"])
+    # every row assigned exactly one split; proportions roughly 80/10/10
+    n = len(out)
+    n_train = sum(1 for r in out if r["split"] == "train")
+    assert 0.6 * n <= n_train <= 0.95 * n
+    # stability: a repartition must not change any assignment
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            docs.select("doc_id").repartition(7), "doc_id",
+            val_pct=10, test_pct=10, salt="t",
+        ).collect()
+    }
+    assert all(out2[r["doc_id"]] == r["split"] for r in out)
+
+
+def test_train_val_test_split_null_id_single_bucket(spark):
+    from spark_xml_spark.operators import train_val_test_split
+
+    df = spark.createDataFrame([(None,), (None,), (1,)], "id: bigint")
+    rows = train_val_test_split(df, "id", val_pct=10, test_pct=10).collect()
+    null_splits = {r["split"] for r in rows if r["id"] is None}
+    assert len(null_splits) == 1  # all NULL ids land in one split
+
+
+def test_train_val_test_split_rejects_bad_pcts(spark, docs):
+    from spark_xml_spark.operators import train_val_test_split
+
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, "doc_id", val_pct=60, test_pct=50)
+
+
+def test_vocab_topk_matches_python_counter(spark, docs):
+    import re
+    from collections import Counter
+
+    from spark_xml_spark.operators import vocab_topk
+    from spark_xml_spark.operators.textstats import TOKEN_REGEX
+
+    got = [(r["token"], r["n"]) for r in vocab_topk(docs, "text", k=15).collect()]
+    c = Counter()
+    for r in docs.select("text").collect():
+        c.update(re.findall(TOKEN_REGEX, r["text"].lower()))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert got == want
+
+
+def test_length_bucket_stats_matches_python(spark, docs):
+    import re
+
+    from spark_xml_spark.operators import length_bucket_stats
+    from spark_xml_spark.operators.textstats import (
+        LENGTH_BUCKET_EDGES,
+        TOKEN_REGEX,
+    )
+
+    got = {
+        r["bucket"]: (r["n_docs"], r["sum_tokens"], r["max_tokens"])
+        for r in length_bucket_stats(docs, "text").collect()
+    }
+    want = {}
+    for r in docs.select("text").collect():
+        n = len(re.findall(TOKEN_REGEX, r["text"]))
+        for e in LENGTH_BUCKET_EDGES:
+            if n <= e:
+                b = f"le{e}"
+                break
+        else:
+            b = f"gt{LENGTH_BUCKET_EDGES[-1]}"
+        nd, st, mx = want.get(b, (0, 0, 0))
+        want[b] = (nd + 1, st + n, max(mx, n))
+    assert got == want

@@ -155,3 +155,24 @@ def test_text_pack_single_exchange_no_global_window(push_conf):
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" in plan
     assert "MapInPandas" in plan
+
+
+def test_text_vocab_topk_never_global_sorts(push_conf):
+    # top-k must be TakeOrderedAndProject (k rows to the driver), never a
+    # full global Sort of the vocabulary; the token aggregate must have a
+    # map-side partial phase and stay JVM-side
+    plan = _plan(push_conf, "text_vocab")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_data_split_and_lengths_single_aggregate(push_conf):
+    # pure-codegen bucket expressions: one hash aggregate on a handful of
+    # keys, no Python surface, no join, no window
+    for name in ("data_split", "text_lengths"):
+        plan = _plan(push_conf, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "partial_count" in plan, name
