@@ -429,14 +429,35 @@ def q_xml_exists_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    columns=["c_custkey", "c_nationkey"])
     o = _xml_table(spark, sf_dir, "orders",
                    columns=["o_custkey", "o_orderpriority"])
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    # Python-data-source scans don't canonicalize equal, so Spark's
+    # ReuseExchange can never share them across the semi and anti
+    # branches — the naive two-join shape scanned the orders FACT TABLE
+    # twice (at 100 TB, a second full corpus parse). Instead ONE orders
+    # scan folds to a per-custkey summary (map-side combinable, one
+    # shuffle) that persists; the real left_semi/left_anti joins run
+    # against the cached summary. The customer DIM still streams into
+    # both branches unpersisted: it is ~1% of the fact table, and the
+    # two dim scans overlap with the summary build instead of waiting
+    # behind a persist barrier.
+    from spark_xml_spark.operators.dedup import (
+        _persist_intermediate,
+        _retire_intermediates,
+    )
+
+    _retire_intermediates()
+    osum = _persist_intermediate(
+        o.groupBy("o_custkey").agg(
+            F.max(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent")
+        )
+    )
+    urgent_keys = osum.filter(F.col("has_urgent"))
     semi = (
-        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        c.join(urgent_keys, c.c_custkey == urgent_keys.o_custkey, "left_semi")
         .groupBy("c_nationkey")
         .agg(F.count("*").cast("bigint").alias("n_urgent"))
     )
     anti = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(osum, c.c_custkey == osum.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count("*").cast("bigint").alias("n_no_orders"))
     )
