@@ -89,18 +89,23 @@ def test_capped_collect_reuses_one_exchange(spark):
 
 
 def test_simhash_single_banded_evaluation(spark):
-    """dedup_simhash's plan must evaluate the banded lineage once: the
+    """The simhash PAIR BUILD must evaluate the banded lineage once: the
     counts and gather branches share one exchange (ReusedExchange). AQE
     off for a deterministic compiled plan — under AQE the same reuse
     materializes as stage reuse, asserted separately in
     test_capped_collect_reuses_one_exchange, whose rendering depends on
-    runtime stage order and is flaky to string-match on a full plan."""
-    import __spark_entry__ as em
+    runtime stage order and is flaky to string-match on a full plan.
+    Asserted on the operator directly (not the dedup_simhash query,
+    which now serves the materialize-once pair artifact — a plain
+    parquet read in steady state)."""
+    from spark_xml_spark.operators import simhash_near_dup_pairs
 
+    d = spark.read.parquet(f"{SF}/documents.parquet")
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        df = em.queries()["dedup_simhash"](spark, SF)
+        df = simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3,
+                                    portable=True)
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
