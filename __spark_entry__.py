@@ -1809,6 +1809,27 @@ def q_text_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (CCNet-family signal): each doc's mean
+    log10 token probability under the corpus's own unigram distribution;
+    returns the 20 lowest-scoring (noisiest) docs. The tokenize lineage
+    is recomputed per branch (persisting an exploded token frame would
+    cost ~10x the corpus at scale); the corpus total rides a broadcast
+    1-row cross join, never a driver collect. The
+    oracle replays the identical distribution math in SQL (scores at 6
+    dp, full ordering with doc_id tiebreak so LIMIT is deterministic)."""
+    from spark_xml_spark.operators import unigram_logprob_score
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
+    s = unigram_logprob_score(d)
+    return (
+        s.filter(F.col("n_tokens").isNotNull())
+        .select("doc_id", "n_tokens", F.round("lm_score", 6).alias("lm_r"))
+        .orderBy("lm_r", "doc_id")
+        .limit(20)
+    )
+
+
 def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split (md5-bucket of the
     doc id, salt 'split8'): membership depends only on the id, so the
@@ -2051,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_urls": q_text_urls,
         "text_mix": q_text_mix,
+        "text_lm": q_text_lm,
         "data_split": q_data_split,
         "text_vocab": q_text_vocab,
         "text_lengths": q_text_lengths,
@@ -2821,6 +2843,27 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT) % 10000 < r.rate
             GROUP BY d.source
             ORDER BY d.source
+        """,
+        "text_lm": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '{TOKEN_REGEX}')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT SUM(n) AS total FROM vocab
+            ), scores AS (
+              SELECT t.doc_id, AVG(log10(v.n / tot.total)) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM toks t JOIN vocab v USING (tok), tot
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_tokens, round(s, 6) AS lm_r
+            FROM scores
+            ORDER BY lm_r, doc_id
+            LIMIT 20
         """,
         "data_split": """
             SELECT CASE

@@ -43,6 +43,7 @@ from spark_xml_spark.operators.textstats import (
     add_fingerprint,
     length_bucket_stats,
     train_val_test_split,
+    unigram_logprob_score,
     vocab_topk,
     chunk_documents,
     deterministic_sample,
@@ -89,6 +90,7 @@ __all__ = [
     "length_bucket_stats",
     "mix_sample",
     "train_val_test_split",
+    "unigram_logprob_score",
     "vocab_topk",
     "add_payload_metadata",
     "synthesize_payload",

@@ -633,3 +633,56 @@ def length_bucket_stats(
             F.max("_n").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lm_score",
+) -> DataFrame:
+    """CCNet-style unigram language-model quality signal: each document
+    scores the MEAN log10 probability of its tokens under the corpus's
+    own unigram distribution (lowercased TOKEN_REGEX tokens).
+    Gibberish, boilerplate-stripped noise, and wrong-language text sit
+    in the low tail; filtering on the score is the classic
+    quality-pruning stage (CCNet, Gopher, RefinedWeb all use an LM
+    signal of this family — here self-supervised, no external model).
+
+    Plan shape for 100 TB: the tokenize-explode projection feeds the
+    vocabulary count (map-side-combinable aggregate) and the scoring
+    join as two evaluations of the same cheap lineage — deliberately
+    recomputed, NOT persisted: an exploded token frame is ~10x the
+    corpus and caching it would dwarf the second scan it saves. The
+    corpus total enters via a broadcast cross-join of a 1-row aggregate
+    (never a driver collect), and the token->logprob join is left to
+    AQE — a min-count-pruned real vocabulary broadcasts, but the
+    operator must not force it (a 100M-entry vocab would OOM a forced
+    broadcast). Documents with zero tokens keep a NULL score via the
+    final left join rather than silently dropping."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+        ).alias("_tok"),
+    )
+    vocab = toks.groupBy("_tok").agg(F.count("*").alias("_n"))
+    total = vocab.agg(F.sum("_n").alias("_total"))
+    logprob = vocab.crossJoin(F.broadcast(total)).select(
+        "_tok", F.log10(F.col("_n") / F.col("_total")).alias("_lp")
+    )
+    scores = (
+        toks.join(logprob, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.avg("_lp").alias(out_col),
+            F.count("*").cast("bigint").alias("_n_tokens"),
+        )
+    )
+    return df.join(
+        scores.select(
+            F.col("_id").alias(id_col), out_col, F.col("_n_tokens").alias("n_tokens")
+        ),
+        id_col,
+        "left",
+    )

@@ -1169,3 +1169,44 @@ def test_length_bucket_stats_matches_python(spark, docs):
         nd, st, mx = want.get(b, (0, 0, 0))
         want[b] = (nd + 1, st + n, max(mx, n))
     assert got == want
+
+
+def test_unigram_logprob_score_matches_python(spark, docs):
+    import math
+    import re
+    from collections import Counter
+
+    from spark_xml_spark.operators import unigram_logprob_score
+    from spark_xml_spark.operators.textstats import TOKEN_REGEX
+
+    rows = docs.select("doc_id", "text").collect()
+    vocab = Counter()
+    doc_toks = {}
+    for r in rows:
+        toks = re.findall(TOKEN_REGEX, r["text"].lower())
+        doc_toks[r["doc_id"]] = toks
+        vocab.update(toks)
+    total = sum(vocab.values())
+    got = {
+        r["doc_id"]: (r["lm_score"], r["n_tokens"])
+        for r in unigram_logprob_score(docs.select("doc_id", "text")).collect()
+    }
+    assert set(got) == set(doc_toks)
+    for did, toks in doc_toks.items():
+        score, n = got[did]
+        if not toks:
+            assert score is None and n is None
+            continue
+        want = sum(math.log10(vocab[t] / total) for t in toks) / len(toks)
+        assert n == len(toks)
+        assert abs(score - want) < 1e-9
+
+
+def test_unigram_logprob_null_score_for_empty_doc(spark):
+    from spark_xml_spark.operators import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")], "doc_id: long, text: string"
+    )
+    got = {r["doc_id"]: r["lm_score"] for r in unigram_logprob_score(df).collect()}
+    assert got[2] is None and got[3] is None and got[1] is not None
