@@ -1809,6 +1809,18 @@ def q_text_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (training-order randomization): sort
+    by md5(salt || id) — reproducible across runs, retries, engines, and
+    partitionings, unlike rand(). ONE range exchange; the oracle
+    recomputes the identical permutation and checks the head-20 rows
+    (keys included), which pins the permutation prefix."""
+    from spark_xml_spark.operators import deterministic_shuffle
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select("doc_id")
+    return deterministic_shuffle(d, "doc_id", salt="shuf8").limit(20)
+
+
 def q_text_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality scoring (CCNet-family signal): each doc's mean
     log10 token probability under the corpus's own unigram distribution;
@@ -2072,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_urls": q_text_urls,
         "text_mix": q_text_mix,
+        "data_shuffle": q_data_shuffle,
         "text_lm": q_text_lm,
         "data_split": q_data_split,
         "text_vocab": q_text_vocab,
@@ -2843,6 +2856,14 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT) % 10000 < r.rate
             GROUP BY d.source
             ORDER BY d.source
+        """,
+        "data_shuffle": """
+            SELECT doc_id,
+                   md5('shuf8' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                     AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key, doc_id
+            LIMIT 20
         """,
         "text_lm": f"""
             WITH toks AS (

@@ -47,6 +47,7 @@ from spark_xml_spark.operators.textstats import (
     vocab_topk,
     chunk_documents,
     deterministic_sample,
+    deterministic_shuffle,
     mix_sample,
     add_language_id,
     add_quality_score,
@@ -87,6 +88,7 @@ __all__ = [
     "default_audio_decoder",
     "default_video_decoder",
     "deterministic_sample",
+    "deterministic_shuffle",
     "length_bucket_stats",
     "mix_sample",
     "train_val_test_split",

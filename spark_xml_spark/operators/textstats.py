@@ -686,3 +686,23 @@ def unigram_logprob_score(
         id_col,
         "left",
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "", out_col: str = "shuffle_key"
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: sort by
+    the md5 of (salt || id). Every epoch's order is a pure function of
+    (corpus, salt) — change the salt to draw a fresh permutation —
+    so a resumed or re-run job reads the identical sequence, and any
+    engine reproduces it (the portability argument of _md5_bucket).
+
+    Scale shape: the sort is ONE range-partitioned exchange over the
+    key (Spark samples split points, so output partitions are balanced
+    regardless of id distribution), and writers downstream consume an
+    already-globally-ordered stream. Never use rand() for this: its
+    order changes with partitioning, retries, and speculative tasks."""
+    key = F.md5(
+        F.concat(F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+    )
+    return df.withColumn(out_col, key).orderBy(out_col, id_col)

@@ -1210,3 +1210,21 @@ def test_unigram_logprob_null_score_for_empty_doc(spark):
     )
     got = {r["doc_id"]: r["lm_score"] for r in unigram_logprob_score(df).collect()}
     assert got[2] is None and got[3] is None and got[1] is not None
+
+
+def test_deterministic_shuffle_stable_across_partitioning(spark, docs):
+    import hashlib
+
+    from spark_xml_spark.operators import deterministic_shuffle
+
+    a = [r["doc_id"] for r in deterministic_shuffle(
+        docs.select("doc_id"), "doc_id", salt="s").collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(
+        docs.select("doc_id").repartition(7), "doc_id", salt="s").collect()]
+    assert a == b  # permutation is a pure function of (corpus, salt)
+    want = sorted(a, key=lambda d: (hashlib.md5(f"s{d}".encode()).hexdigest(), d))
+    assert a == want
+    # a different salt draws a different permutation
+    c = [r["doc_id"] for r in deterministic_shuffle(
+        docs.select("doc_id"), "doc_id", salt="t").collect()]
+    assert a != c
