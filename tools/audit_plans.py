@@ -63,10 +63,38 @@ def _has_mid_plan_global_sort(plan: str) -> bool:
     return False
 
 
+def _is_scalar_broadcast_cross(lines: list, i: int) -> bool:
+    """A BroadcastNestedLoopJoin whose build side is a broadcast SCALAR
+    aggregate (IdentityBroadcastMode over HashAggregate(keys=[])) is the
+    standard attach-a-global-total idiom, not an accidental cartesian:
+    the broadcast side is exactly one row, so the 'cross' multiplies by
+    1. Detected by the build-side pattern within the next few lines."""
+    if "BuildRight, Cross" not in lines[i]:
+        return False
+    # the build side prints after the whole left subtree: scan forward to
+    # the first IdentityBroadcastMode exchange and require the broadcast
+    # payload to be a scalar (no-grouping-key) aggregate; stop at any
+    # other join node first (that one must justify itself)
+    for j in range(i + 1, len(lines)):
+        line = lines[j]
+        if "BroadcastExchange IdentityBroadcastMode" in line:
+            nxt = " ".join(lines[j + 1 : j + 3])
+            return "HashAggregate(keys=[]" in nxt
+        if "Join" in line and "BroadcastNestedLoopJoin" not in line:
+            return False
+    return False
+
+
 def audit(plan: str) -> list:
     flags = []
-    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
-        flags.append("CARTESIAN")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "CartesianProduct" in line or (
+            "BroadcastNestedLoopJoin" in line
+            and not _is_scalar_broadcast_cross(lines, i)
+        ):
+            flags.append("CARTESIAN")
+            break
     if "BatchEvalPython" in plan:
         flags.append("ROWPYTHON")
     if _has_mid_plan_global_sort(plan):
