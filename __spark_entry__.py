@@ -1320,6 +1320,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIRS_CODE_VERSION: list = []
+
+
+def _pairs_code_version() -> str:
+    """8-hex digest of the pair-pipeline operator sources, memoized per
+    process. Any edit to dedup.py/similarity.py draws a fresh cache
+    namespace, so operator fixes can't be masked by stale artifacts."""
+    if not _PAIRS_CODE_VERSION:
+        import hashlib
+
+        import spark_xml_spark.operators.dedup as _d
+        import spark_xml_spark.operators.similarity as _s
+
+        h = hashlib.md5()
+        for mod in (_d, _s):
+            with open(mod.__file__, "rb") as fh:
+                h.update(fh.read())
+        _PAIRS_CODE_VERSION.append(h.hexdigest()[:8])
+    return _PAIRS_CODE_VERSION[0]
+
+
 def _near_dup_pairs_cached(
     spark: SparkSession, sf_dir: str, kind: str, build, table: str = "documents"
 ):
@@ -1333,9 +1354,13 @@ def _near_dup_pairs_cached(
     the whole pipeline; the persisted parquet list is tiny (O(#dup
     pairs)) next to the corpus. ``build()`` returns the pair DataFrame;
     the staged write + rename follows the _cached_build protocol, so a
-    crashed or concurrent builder can never publish a partial list."""
+    crashed or concurrent builder can never publish a partial list.
+
+    The cache key includes a hash of the operator SOURCE FILES
+    (dedup.py, similarity.py): a bug fix to a pair pipeline must never
+    be masked by a stale pre-fix pair list served from /tmp."""
     fp = _table_fingerprint(sf_dir, table)
-    base = os.path.join(CACHE_ROOT, f"pairs-{kind}-{fp}")
+    base = os.path.join(CACHE_ROOT, f"pairs-{_pairs_code_version()}-{kind}-{fp}")
     _cached_build(
         base, lambda stage: build().write.parquet(os.path.join(stage, "pairs"))
     )
@@ -2913,7 +2938,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lengths": f"""
             WITH t AS (
-              SELECT len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n
+              SELECT COALESCE(len(regexp_extract_all(text,
+                                                     '{TOKEN_REGEX}')), 0) AS n
               FROM documents
             )
             SELECT CASE WHEN n <= 16 THEN 'le16'

@@ -581,8 +581,11 @@ def vocab_topk(
 ) -> DataFrame:
     """Corpus vocabulary: the k most frequent tokens (TOKEN_REGEX
     tokenization, lowercased by default) with their total counts.
-    Ties break by token ascending, so the result is a deterministic
-    total order on (n desc, token asc).
+    Ties break by the token's UTF-8 BYTES ascending — a deterministic
+    total order on (n desc, token) that every engine reproduces: a raw
+    string sort would tie-break in UTF-16 code-unit order on the JVM
+    (supplementary-plane chars sort below U+E000..U+FFFF) but code-point
+    order elsewhere, flipping the k boundary on non-BMP ties.
 
     Plan shape for 100 TB: explode -> hash-aggregate on token (partial
     map-side combine collapses each partition's counts before the ONE
@@ -599,7 +602,7 @@ def vocab_topk(
         df.select(tok)
         .groupBy("token")
         .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("token"))
+        .orderBy(F.col("n").desc(), F.encode(F.col("token"), "UTF-8"))
         .limit(k)
     )
 
@@ -619,8 +622,15 @@ def length_bucket_stats(
     doc count, token sum, and token max. One projection + one map-side-
     combinable aggregate on a handful of keys — the scan dominates at
     any scale. Training batchers use the histogram to pick bucket
-    boundaries that minimize padding waste."""
-    n = token_count_col(F.col(text_col))
+    boundaries that minimize padding waste. NULL text counts as 0 tokens
+    (landing in the smallest bucket) — without the guard a NULL count
+    falls through every `n <= edge` comparison into the LARGEST bucket
+    (and under legacy non-ANSI sizeOfNull=-1 would also corrupt
+    sum_tokens), inflating exactly the bucket batch planners use to
+    size padding."""
+    n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        token_count_col(F.col(text_col))
+    )
     bucket = F.lit(f"gt{edges[-1]}")
     for e in reversed(edges):
         bucket = F.when(n <= e, F.lit(f"le{e}")).otherwise(bucket)
@@ -659,7 +669,17 @@ def unigram_logprob_score(
     AQE — a min-count-pruned real vocabulary broadcasts, but the
     operator must not force it (a 100M-entry vocab would OOM a forced
     broadcast). Documents with zero tokens keep a NULL score via the
-    final left join rather than silently dropping."""
+    final left join rather than silently dropping.
+
+    Raises on output-name collisions (the join-back would otherwise
+    produce two ambiguous columns — e.g. composing with
+    add_token_count, whose default out_col is also 'n_tokens')."""
+    for taken in (out_col, "n_tokens"):
+        if taken in df.columns:
+            raise ValueError(
+                f"unigram_logprob_score would add column {taken!r}, which "
+                f"already exists on the input; rename one of them"
+            )
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(

@@ -1228,3 +1228,22 @@ def test_deterministic_shuffle_stable_across_partitioning(spark, docs):
     c = [r["doc_id"] for r in deterministic_shuffle(
         docs.select("doc_id"), "doc_id", salt="t").collect()]
     assert a != c
+
+
+def test_length_bucket_null_text_counts_zero(spark):
+    from spark_xml_spark.operators import length_bucket_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "one two"), (3, None)], "doc_id: long, text: string"
+    )
+    got = {r["bucket"]: (r["n_docs"], r["sum_tokens"])
+           for r in length_bucket_stats(df, "text").collect()}
+    # NULL text = 0 tokens -> smallest bucket, never the gt tail
+    assert got == {"le16": (3, 2)}
+
+
+def test_unigram_logprob_rejects_column_collision(spark, docs):
+    from spark_xml_spark.operators import add_token_count, unigram_logprob_score
+
+    with pytest.raises(ValueError, match="n_tokens"):
+        unigram_logprob_score(add_token_count(docs.select("doc_id", "text")))

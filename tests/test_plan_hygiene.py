@@ -34,21 +34,44 @@ def test_join_agg_broadcasts_dimensions(push_conf):
     assert "CartesianProduct" not in plan
 
 
+def _pair_build_plan(spark, which):
+    """Executed plan of a near-dup PAIR BUILD operator — the dedup_*
+    queries serve the materialize-once pair artifact (a parquet read in
+    steady state), so hygiene guards must inspect the build pipeline
+    itself, not the cached query."""
+    from spark_xml_spark.operators import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    if which == "minhash":
+        df = minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.8
+        )
+    else:
+        df = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_no_row_python_udf_in_hot_paths(push_conf):
     # BatchEvalPython = row-at-a-time Python UDF; ArrowEvalPython /
     # mapInPandas are the only acceptable Python surfaces
-    for name in ("xml_agg_q1", "dedup_minhash", "dedup_jaccard",
-                 "text_filter_pipeline", "ann_cosine_topk"):
+    for name in ("xml_agg_q1", "text_filter_pipeline", "ann_cosine_topk"):
         assert "BatchEvalPython" not in _plan(push_conf, name), name
+    for which in ("minhash", "jaccard"):
+        assert "BatchEvalPython" not in _pair_build_plan(push_conf, which), which
 
 
 def test_audit_checklist_on_flagships(push_conf):
     from tools.audit_plans import audit
 
     for name in ("xml_agg_q1", "xml_join_agg", "xml_window_rank",
-                 "dedup_minhash", "events_sessionize"):
+                 "events_sessionize"):
         flags = audit(_plan(push_conf, name))
         assert flags == [], f"{name}: {flags}"
+    flags = audit(_pair_build_plan(push_conf, "minhash"))
+    assert flags == [], f"minhash build: {flags}"
 
 
 def test_partial_aggregation_in_agg_q1(push_conf):

@@ -38,6 +38,13 @@ _ORDER_PRESERVING = (
 )
 
 
+def _art_depth(line: str) -> int:
+    """Tree depth of a plan line: Spark's ASCII art adds exactly 3
+    columns per level (':- ', '+- ', ':  ', '   ')."""
+    m = re.match(r"^[|\s:+-]*", line)
+    return len(m.group(0)) // 3
+
+
 def _strip_tree_art(line: str) -> str:
     s = re.sub(r"^[|\s:+-]*", "", line)
     return re.sub(r"^\*\(\d+\)\s*", "", s)  # codegen span marker "*(3) "
@@ -71,18 +78,27 @@ def _is_scalar_broadcast_cross(lines: list, i: int) -> bool:
     1. Detected by the build-side pattern within the next few lines."""
     if "BuildRight, Cross" not in lines[i]:
         return False
-    # the build side prints after the whole left subtree: scan forward to
-    # the first IdentityBroadcastMode exchange and require the broadcast
-    # payload to be a scalar (no-grouping-key) aggregate; stop at any
-    # other join node first (that one must justify itself)
+    # Walk the TREE, not the flat text: the join's two direct children
+    # print at art depth parent+1; the build (right) side is the LAST
+    # direct child. A flat forward-scan would credit this join with a
+    # scalar broadcast found anywhere inside its LEFT subtree — hiding a
+    # real accidental cartesian whose left input merely contains a
+    # benign one.
+    d = _art_depth(lines[i])
+    children = []
     for j in range(i + 1, len(lines)):
-        line = lines[j]
-        if "BroadcastExchange IdentityBroadcastMode" in line:
-            nxt = " ".join(lines[j + 1 : j + 3])
-            return "HashAggregate(keys=[]" in nxt
-        if "Join" in line and "BroadcastNestedLoopJoin" not in line:
-            return False
-    return False
+        cd = _art_depth(lines[j])
+        if cd <= d:
+            break  # left the join's subtree
+        if cd == d + 1:
+            children.append(j)
+    if len(children) < 2:
+        return False
+    build = children[-1]
+    if "BroadcastExchange IdentityBroadcastMode" not in lines[build]:
+        return False
+    nxt = " ".join(lines[build + 1 : build + 3])
+    return "HashAggregate(keys=[]" in nxt
 
 
 def audit(plan: str) -> list:
