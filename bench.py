@@ -88,6 +88,7 @@ def main() -> None:
     # ---- prep: XML-ify the big table (write path + distributed inference)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    cold_runs: dict[str, float] = {}
     n_lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     t0 = time.time()
     try:
@@ -160,6 +161,7 @@ def main() -> None:
         # abort the suite: record the error, keep remaining timings.
         iters = 2 if name in _STREAMING else 3
         best = None
+        first = None
         n = 0
         try:
             for _ in range(iters):
@@ -167,12 +169,19 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 dt = time.time() - t
+                first = dt if first is None else first
                 best = dt if best is None else min(best, dt)
         except Exception as exc:  # noqa: BLE001
             errors[name] = repr(exc)[:300]
             sys.stderr.write(f"bench {name}: ERROR {errors[name]}\n")
             return
         timings[name] = round(best, 3)
+        # transparency for artifact-backed queries (pair lists, LSH/IVF
+        # indexes): run 1 pays the BUILD, later runs read the persisted
+        # artifact — the min is the honest steady state, but the build
+        # cost must stay visible, so report any first run >2x the min
+        if first is not None and best > 0 and first > 2 * best + 0.2:
+            cold_runs[name] = round(first, 3)
         sys.stderr.write(f"bench {name}: {timings[name]}s ({n} rows)\n")
 
     for name, fn in em.queries().items():
@@ -196,6 +205,7 @@ def main() -> None:
                 "xml_scan_pruned_s": scan_pruned_s,
                 "tier_adoption": tiers_full,
                 "tier_adoption_pruned": tiers_pruned,
+                "cold_runs": cold_runs,
                 "excluded": {},
                 **({"errors": errors} if errors else {}),
             }
