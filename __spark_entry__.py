@@ -2019,6 +2019,38 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (extract_features / mapInPandas)
+    value-checked end-to-end: payloads are PNG magic + the utf-8 bytes
+    of ASCII-sanitized text (so SQL can reconstruct every byte via
+    ascii()), and the checked outputs — byte_len and the ARGMAX bucket
+    of the byte-mod-8 histogram (first-max tie-break) — are integers,
+    immune to float32-vs-double drift. Exercises the real mapInPandas
+    batch path, schema, and NULL-feature contract."""
+    from spark_xml_spark.operators import extract_features
+
+    d = (
+        _parquet(spark, sf_dir, "documents", fan_out=False)
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[^ -~]", "").alias("_ascii"),
+        )
+        .withColumn("payload", synthesize_payload(F.col("_ascii"), "image/png"))
+    )
+    feats = extract_features(d, id_col="doc_id", payload_col="payload", dim=8)
+    return (
+        feats.select(
+            "doc_id",
+            F.col("byte_len").cast("bigint").alias("byte_len"),
+            (F.array_position(
+                F.col("feature"), F.array_max(F.col("feature"))
+            ) - 1).cast("bigint").alias("top_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a session breaks after a
     30-minute silence; per-user session stats."""
@@ -2118,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_clusters": q_emb_clusters,
         "corpus_pipeline": q_corpus_pipeline,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
         "events_sessionize": q_events_sessionize,
     }
 
@@ -3044,6 +3077,34 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(range(k), i -> least(16, n - i * 12)),
                      'sum')) AS BIGINT) AS chunk_words
             FROM chunked GROUP BY source ORDER BY source
+        """,
+        "multimodal_features": """
+            WITH base AS (
+              SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+              FROM documents WHERE doc_id < 40
+            ), chars AS (
+              SELECT doc_id, ascii(s[i:i]) AS b
+              FROM (SELECT doc_id, s, unnest(range(1, len(s)+1)) AS i
+                    FROM base)
+            ), magic AS (
+              SELECT doc_id, m AS b
+              FROM base, (SELECT unnest([137,80,78,71]) AS m)
+            ), allb AS (
+              SELECT doc_id, b FROM chars
+              UNION ALL SELECT doc_id, b FROM magic
+            ), hist AS (
+              SELECT doc_id, b % 8 AS k, COUNT(*) AS c
+              FROM allb GROUP BY doc_id, k
+            ), top AS (
+              SELECT doc_id, k,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, k) AS rn
+              FROM hist
+            )
+            SELECT b.doc_id, CAST(len(b.s) + 4 AS BIGINT) AS byte_len,
+                   CAST(t.k AS BIGINT) AS top_bucket
+            FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+            ORDER BY b.doc_id
         """,
         "multimodal_meta": """
             SELECT source, 'image/png' AS kind, CAST(COUNT(*) AS BIGINT) AS n,
