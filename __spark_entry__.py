@@ -1673,6 +1673,28 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. span-level signal): docs
+    where >= 50% of tokens sit inside a 7-token window whose exact text
+    occurs at >= 2 positions corpus-wide. Positional — unlike the
+    distinct-shingle family, this prices verbatim reuse in tokens, the
+    unit a training-data pipeline actually drops. At sf0.01 it recovers
+    exactly the planted near-duplicate family (47 docs)."""
+    from spark_xml_spark.operators import substring_dup_spans
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=True)
+    return (
+        substring_dup_spans(d, "doc_id", "text", k=7, min_fraction=0.5)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            F.round("dup_fraction", 6).alias("dup_fraction_r"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (30% of docs by md5 bucket of the id):
     reproducible across runs, partitionings, and ENGINES — the identical
@@ -2133,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": q_text_chunk,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
+        "dedup_substring": q_dedup_substring,
         "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
@@ -2756,6 +2779,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """
         ),
+        # mirrors operators.dedup.substring_dup_spans: positional 7-gram
+        # window starts (0-based), duplicated = gram text occurs at >= 2
+        # positions corpus-wide; coverage via min(k, pos - prev_pos) over
+        # sorted duplicated positions (fixed-length windows => monotone
+        # interval ends). The engine shuffles xxhash64(gram); the oracle
+        # joins on the gram STRING — equal up to 64-bit collisions.
+        "dedup_substring": """
+            WITH g AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ), gr AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(w) >= 7
+                          THEN list_transform(range(len(w) - 6),
+                                 i -> {'p': i,
+                                       'g': array_to_string(w[i+1:i+7], ' ')})
+                          ELSE [] END AS grams
+              FROM g
+            ), e AS (
+              SELECT doc_id, n_tokens, u.p AS pos, u.g AS gram
+              FROM (SELECT doc_id, n_tokens, unnest(grams) AS u FROM gr)
+            ), dupg AS (
+              SELECT gram FROM e GROUP BY gram HAVING COUNT(*) >= 2
+            ), adds AS (
+              SELECT doc_id, n_tokens,
+                     LEAST(7, pos - COALESCE(LAG(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos), pos - 7)) AS a
+              FROM e JOIN dupg USING (gram)
+            ), cov AS (
+              SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+                     CAST(SUM(a) AS BIGINT) AS dup_tokens
+              FROM adds GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, dup_tokens,
+                   round(dup_tokens * 1.0 / n_tokens, 6) AS dup_fraction_r
+            FROM cov WHERE dup_tokens * 1.0 / n_tokens >= 0.5
+            ORDER BY doc_id
+        """,
         "text_sample": """
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids

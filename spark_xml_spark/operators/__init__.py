@@ -21,6 +21,7 @@ from spark_xml_spark.operators.dedup import (
     simhash_near_dup_pairs,
     connected_components,
     contamination_check,
+    substring_dup_spans,
 )
 from spark_xml_spark.operators.similarity import (
     IvfIndex,
@@ -61,6 +62,7 @@ from spark_xml_spark.operators.textstats import (
 __all__ = [
     "connected_components",
     "contamination_check",
+    "substring_dup_spans",
     "capped_collect",
     "observed_drop_metrics",
     "restore_aqe_conf",

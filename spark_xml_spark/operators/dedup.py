@@ -690,6 +690,106 @@ def contamination_check(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    min_fraction: float = 0.0,
+) -> DataFrame:
+    """Exact-substring duplication accounting (the span-level dedup signal
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for each document, the number and fraction of its tokens
+    covered by k-token windows whose exact text occurs at >= 2 positions
+    anywhere in the corpus — in another document or repeated within the
+    same one. Returns (id, n_tokens, dup_tokens, dup_fraction) for
+    documents with at least one duplicated window and
+    ``dup_fraction >= min_fraction``; documents shorter than k tokens
+    have no window and never appear.
+
+    Distinct from the set-level family (Jaccard/minhash/simhash): those
+    score whole-document similarity over DISTINCT shingles; this one is
+    positional — it localizes verbatim reuse and prices it in tokens, the
+    quantity a training-data pipeline actually removes.
+
+    Scale shape: positional k-gram HASHES (xxhash64, 8-byte longs — up to
+    64-bit collisions, same stance as the minhash/Jaccard family) explode
+    once from a persisted gram frame; duplicated grams come from one
+    map-side-combinable ``count >= 2`` aggregation; the join back is a
+    LEFT SEMI on the hash (row-preserving — no pair blowup, hot
+    boilerplate grams are AQE-splittable skew, not a cross product); span
+    coverage is a per-document fold over the sorted position list (no
+    window function, one keyed aggregation; the collected list is bounded
+    by the document's own token count). Nothing is all-pairs and no
+    buffer exceeds one document's positions."""
+    _retire_intermediates()
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size(words) - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(words, i + 1, cnt).alias(f"w{i}") for i in range(k)]
+    )
+    grams = F.transform(
+        zipped,
+        lambda s: F.xxhash64(F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])),
+    )
+    g = _persist_intermediate(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.size(words).cast("long").alias("_nt"),
+            F.when(F.size(words) >= k, grams)
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("_g"),
+        )
+    )
+    # grams hashed ONCE into the persisted frame; the two consumers below
+    # (frequency count + position join-back) each re-explode it, which is
+    # cheap next to re-reading and re-hashing the corpus
+    e = g.select("_id", "_nt", F.posexplode("_g").alias("_pos", "_gh"))
+    dupg = e.groupBy("_gh").count().filter(F.col("count") >= 2).select("_gh")
+    # fold over the sorted duplicated positions: each window [p, p+k-1]
+    # contributes min(k, p - previous_p) new tokens (windows are fixed
+    # length, so interval ends are monotone once starts are sorted)
+    init = F.struct(
+        F.lit(0).cast("long").alias("cov"),
+        F.lit(-k).cast("long").alias("prev"),
+    )
+    folded = (
+        e.join(dupg, "_gh", "left_semi")
+        .groupBy("_id")
+        .agg(
+            F.first("_nt").alias("n_tokens"),
+            F.collect_list("_pos").alias("_ps"),
+        )
+        .select(
+            "_id",
+            "n_tokens",
+            F.aggregate(
+                F.sort_array("_ps"),
+                init,
+                lambda acc, p: F.struct(
+                    (
+                        acc["cov"]
+                        + F.least(
+                            F.lit(k).cast("long"),
+                            p.cast("long") - acc["prev"],
+                        )
+                    ).alias("cov"),
+                    p.cast("long").alias("prev"),
+                ),
+            )["cov"].alias("dup_tokens"),
+        )
+    )
+    return (
+        folded.select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "dup_tokens",
+            (F.col("dup_tokens") / F.col("n_tokens")).alias("dup_fraction"),
+        )
+        .filter(F.col("dup_fraction") >= min_fraction)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1247,3 +1247,60 @@ def test_unigram_logprob_rejects_column_collision(spark, docs):
 
     with pytest.raises(ValueError, match="n_tokens"):
         unigram_logprob_score(add_token_count(docs.select("doc_id", "text")))
+
+
+def test_substring_dup_spans_values(spark):
+    """Span accounting: a verbatim 7-token run shared by two docs covers
+    exactly its own tokens in each; overlapping duplicated windows merge
+    (no double count); a within-doc verbatim repeat counts; docs shorter
+    than k and docs with no duplicated window never appear."""
+    from spark_xml_spark.operators import substring_dup_spans
+
+    run = "q w e r t y u"  # 7 tokens, planted verbatim in docs 1 and 2
+    corpus = spark.createDataFrame(
+        [
+            (1, f"alpha beta {run} gamma delta"),            # 11 tokens
+            (2, f"{run} zeta eta theta iota kappa mu nu"),    # 14 tokens
+            (3, "one two three four five"),                   # < k: no window
+            (4, "p1 p2 p3 " + run + " x9 " + run),            # within-doc repeat
+            (5, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"),            # unique content
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_dup_spans(corpus, "doc_id", "text", k=7)
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens) for r in out.collect()}
+    # docs 1 and 2: only the planted run's 7 tokens are covered
+    assert got[1] == (11, 7)
+    assert got[2] == (14, 7)
+    # doc 4: the run appears twice (18 tokens total, runs at 3..9 and 11..17)
+    assert got[4] == (18, 14)
+    assert 3 not in got and 5 not in got
+    # overlap merge: doc with "run a run" style self-overlap via a longer
+    # shared region — two docs sharing 8 consecutive tokens have TWO
+    # duplicated windows (starts p and p+1) covering 8 tokens, not 14
+    c2 = spark.createDataFrame(
+        [(10, "a1 a2 q w e r t y u V"), (11, "q w e r t y u V b1 b2")],
+        "doc_id long, text string",
+    )
+    got2 = {r.doc_id: r.dup_tokens
+            for r in substring_dup_spans(c2, "doc_id", "text", k=7).collect()}
+    assert got2 == {10: 8, 11: 8}
+
+
+def test_substring_dup_spans_min_fraction_and_plan(spark):
+    from spark_xml_spark.operators import substring_dup_spans
+
+    run = " ".join(f"t{i}" for i in range(7))
+    corpus = spark.createDataFrame(
+        [(1, run + " pad1 pad2 pad3 pad4 pad5 pad6 pad7"),  # 7/14 = 0.5
+         (2, run)],                                          # 7/7 = 1.0
+        "doc_id long, text string",
+    )
+    out = substring_dup_spans(corpus, "doc_id", "text", k=7, min_fraction=0.6)
+    rows = {r.doc_id: r.dup_fraction for r in out.collect()}
+    assert rows == {2: 1.0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # pure-JVM pipeline: no Python eval, no cartesian, partial aggregation
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()

@@ -139,7 +139,7 @@ def test_new_pipeline_queries_stay_codegen(push_conf):
     # round-8 operators are pure-codegen column work: no Python eval
     # node of any kind, no cartesian product may appear
     for name in ("text_repetition", "text_pii", "text_urls",
-                 "emb_quantize", "corpus_pipeline"):
+                 "emb_quantize", "corpus_pipeline", "dedup_substring"):
         plan = _plan(push_conf, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
