@@ -1673,6 +1673,17 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc counts, token totals/mean/max, and
+    EXACT interpolated token-count percentiles (p50/p90/p99) — the
+    observability numbers a data card or mixing plan quotes. Light
+    per-row work: reads without the small-parquet fan-out."""
+    from spark_xml_spark.operators import corpus_profile
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    return corpus_profile(d, "text", "source").orderBy("source")
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication (Lee et al. span-level signal): docs
     where >= 50% of tokens sit inside a 7-token window whose exact text
@@ -2156,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         "dedup_substring": q_dedup_substring,
+        "corpus_stats": q_corpus_stats,
         "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
@@ -2779,6 +2791,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """
         ),
+        # mirrors operators.textstats.corpus_profile: NULL text = 0 tokens,
+        # quantile_cont == Spark's exact interpolated percentile (verified
+        # identical on integer domains)
+        "corpus_stats": f"""
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   round(AVG(n), 6) AS mean_tokens,
+                   round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(n, 0.99), 6) AS p99_tokens,
+                   CAST(MAX(n) AS BIGINT) AS max_tokens
+            FROM (SELECT source,
+                         CASE WHEN text IS NULL THEN 0
+                              ELSE len(regexp_extract_all(text, '{TOKEN_REGEX}'))
+                         END AS n
+                  FROM documents)
+            GROUP BY source
+            ORDER BY source
+        """,
         # mirrors operators.dedup.substring_dup_spans: positional 7-gram
         # window starts (0-based), duplicated = gram text occurs at >= 2
         # positions corpus-wide; coverage via min(k, pos - prev_pos) over

@@ -57,9 +57,11 @@ from spark_xml_spark.operators.textstats import (
     pack_sequences,
     pii_redact,
     repetition_metrics,
+    corpus_profile,
 )
 
 __all__ = [
+    "corpus_profile",
     "connected_components",
     "contamination_check",
     "substring_dup_spans",

@@ -9,7 +9,7 @@ about as much as any projection at 100 TB.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -726,3 +726,42 @@ def deterministic_shuffle(
         F.concat(F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit("")))
     )
     return df.withColumn(out_col, key).orderBy(out_col, id_col)
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group corpus profile for pipeline observability: document
+    count, token totals, mean, and EXACT continuous-interpolation
+    token-count percentiles (the numbers a data card or mixing plan
+    quotes). One projection + one aggregate.
+
+    Scale note: Spark's exact ``percentile`` buffers a value->count map
+    per group, so memory is bounded by the number of DISTINCT token
+    counts (~max document length, not corpus size) — safe even at 100 TB
+    because the token-count domain is small and integral. For unbounded
+    or real-valued domains use ``percentile_approx`` instead; here
+    exactness buys engine-portable, oracle-checkable output. NULL text
+    counts as 0 tokens (same policy as length_bucket_stats)."""
+    n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        token_count_col(F.col(text_col))
+    ).cast("long")
+    pct = F.percentile(F.col("_n"), F.lit(list(quantiles)))
+    qcols = [
+        F.round(pct[i], 6).alias(f"p{int(q * 100)}_tokens")
+        for i, q in enumerate(quantiles)
+    ]
+    return (
+        df.select(F.col(group_col).alias(group_col), n.alias("_n"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.round(F.avg("_n"), 6).alias("mean_tokens"),
+            *qcols,
+            F.max("_n").alias("max_tokens"),
+        )
+    )

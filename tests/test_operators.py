@@ -1304,3 +1304,24 @@ def test_substring_dup_spans_min_fraction_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_corpus_profile_exact_percentiles(spark):
+    """Exact interpolated percentiles per group; NULL text counts as 0
+    tokens; single aggregate (no window, no Python eval)."""
+    from spark_xml_spark.operators import corpus_profile
+
+    rows = [("a", "w " * n) for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)]
+    rows += [("b", None), ("b", "x y")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in corpus_profile(df, "text", "source").collect()}
+    a = got["a"]
+    # token counts 1..10: p50 = 5.5, p90 = 9.1, p99 = 9.91 (interpolated)
+    assert (a.n_docs, a.total_tokens, a.max_tokens) == (10, 55, 10)
+    assert (a.p50_tokens, a.p90_tokens, a.p99_tokens) == (5.5, 9.1, 9.91)
+    b = got["b"]
+    assert (b.n_docs, b.total_tokens, b.p50_tokens) == (2, 2, 1.0)
+    out = corpus_profile(df, "text", "source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
