@@ -1673,6 +1673,35 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIRTY_HTML_PREFIX = '<div class="doc"><p>'
+_DIRTY_HTML_SUFFIX = (
+    '</p><script type="text/javascript">var x = 1 < 2;</script>'
+    "<!-- comment --><style>p { color: red; }</style>"
+    " &amp;amp; &lt;b&gt; &nbsp;tail  </div>"
+)
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus cleaning stage: markup strip + entity decode +
+    whitespace collapse over deterministically dirtied documents (the
+    planted wrapper exercises script bodies with a bare '<', comments,
+    style blocks, double-escaped entities, and whitespace runs). The
+    cleaned TEXT is value-compared against the oracle, not just
+    counted."""
+    from spark_xml_spark.operators import clean_text
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("doc_id") < 200
+    )
+    dirty = F.concat(
+        F.lit(_DIRTY_HTML_PREFIX), F.col("text"), F.lit(_DIRTY_HTML_SUFFIX)
+    )
+    out = clean_text(d.withColumn("dirty", dirty), "dirty", "text_clean")
+    return out.select("doc_id", "text_clean", "n_chars_removed").orderBy(
+        "doc_id"
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile: doc counts, token totals/mean/max, and
     EXACT interpolated token-count percentiles (p50/p90/p99) — the
@@ -2168,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "dedup_substring": q_dedup_substring,
         "corpus_stats": q_corpus_stats,
+        "text_clean": q_text_clean,
         "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
@@ -2791,6 +2821,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """
         ),
+        # mirrors operators.textstats.clean_text_col: script/style bodies
+        # first (their '<' would break bare tag-strip), then comments and
+        # tags, the fixed entity table with &amp; LAST, whitespace collapse.
+        # Same regexes verbatim (RE2 ∩ java.util.regex subset).
+        "text_clean": f"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     '{_DIRTY_HTML_PREFIX}' || text ||
+                     '{_DIRTY_HTML_SUFFIX}' AS d
+              FROM documents WHERE doc_id < 200
+            ), c AS (
+              SELECT doc_id, d,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                      d,
+                      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?s)<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '),
+                    '&amp;', '&'),
+                  '\\s+', ' ', 'g')) AS text_clean
+              FROM dirty
+            )
+            SELECT doc_id, text_clean,
+                   CAST(len(d) - len(text_clean) AS BIGINT) AS n_chars_removed
+            FROM c ORDER BY doc_id
+        """,
         # mirrors operators.textstats.corpus_profile: NULL text = 0 tokens,
         # quantile_cont == Spark's exact interpolated percentile (verified
         # identical on integer domains)

@@ -765,3 +765,50 @@ def corpus_profile(
             F.max("_n").alias("max_tokens"),
         )
     )
+
+
+# Markup-strip patterns, written to the RE2 ∩ java.util.regex common
+# subset (same portability stance as the PII regexes): no backreferences
+# (RE2 lacks them — script/style each get their own pattern), lazy
+# quantifiers + inline (?is) flags only.
+HTML_SCRIPT_REGEX = r"(?is)<script\b[^>]*>.*?</script\s*>"
+HTML_STYLE_REGEX = r"(?is)<style\b[^>]*>.*?</style\s*>"
+HTML_COMMENT_REGEX = r"(?s)<!--.*?-->"
+HTML_TAG_REGEX = r"(?s)<[^>]*>"
+# fixed entity table, decoded LAST for &amp; so "&amp;lt;" ends as "&lt;"
+# (one decode pass, not recursive — html.unescape parity for the common
+# entities without a Python UDF in the scan path)
+HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def clean_text_col(col: Column) -> Column:
+    """Markup-stripped, entity-decoded, whitespace-collapsed text — the
+    classic web-corpus cleaning stage (script/style bodies dropped,
+    comments and tags removed, common entities decoded, runs of
+    whitespace collapsed to one space, trimmed). Pure codegen
+    regexp_replace chain: no shuffle, no UDF, scan-parallel at any
+    size."""
+    x = F.regexp_replace(col, HTML_SCRIPT_REGEX, " ")
+    x = F.regexp_replace(x, HTML_STYLE_REGEX, " ")
+    x = F.regexp_replace(x, HTML_COMMENT_REGEX, " ")
+    x = F.regexp_replace(x, HTML_TAG_REGEX, " ")
+    for ent, rep in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Adds ``out_col`` = cleaned ``text_col`` (see clean_text_col) and
+    ``n_chars_removed`` = character count delta — the observability
+    number a cleaning stage reports."""
+    col = F.col(text_col)
+    return df.withColumn(out_col, clean_text_col(col)).withColumn(
+        "n_chars_removed",
+        (F.coalesce(F.length(col), F.lit(0))
+         - F.coalesce(F.length(F.col(out_col)), F.lit(0))).cast("bigint"),
+    )

@@ -1325,3 +1325,29 @@ def test_corpus_profile_exact_percentiles(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_clean_text_markup_entities_whitespace(spark):
+    """Script bodies with bare '<' vanish whole, comments/style/tags
+    strip, entities decode one pass (&amp;lt; stays &lt; — no recursive
+    decode), whitespace collapses; NULL text yields NULL clean and 0
+    removed."""
+    from spark_xml_spark.operators import clean_text
+
+    rows = [
+        (1, 'a <script>if (1 < 2) { x("</b>"); }</script> b'),
+        (2, "<style>p { color: red }</style>x<!-- c --><b>y</b>"),
+        (3, "5 &lt; 6 &amp;&amp; 7 &gt; 2, &quot;q&quot; &amp;lt;"),
+        (4, "  lots\t of\n\n space  "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_text(df)
+    got = {r.doc_id: (r.text_clean, r.n_chars_removed) for r in out.collect()}
+    assert got[1] == ("a b", 43)
+    assert got[2] == ("x y", 47)
+    assert got[3] == ('5 < 6 && 7 > 2, "q" &lt;', 28)
+    assert got[4] == ("lots of space", 7)
+    assert got[5] == (None, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
