@@ -1673,6 +1673,29 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: exact cosine top-5 corpus neighbors for every
+    query vector (vec_id % 97 == 0) — the many-to-many retrieval shape.
+    Query side broadcasts; scoring is a JVM fold; the Arrow prereduce
+    keeps the merge input at partitions*Q*k rows."""
+    from spark_xml_spark.operators import knn_join
+
+    e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return (
+        knn_join(e, q, "embedding", "vec_id", q_id_col="q_id", k=5)
+        .select(
+            F.col("q_id"),
+            F.col("vec_id"),
+            F.round("cosine", 9).alias("cosine_r"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 _DIRTY_HTML_PREFIX = '<div class="doc"><p>'
 _DIRTY_HTML_SUFFIX = (
     '</p><script type="text/javascript">var x = 1 < 2;</script>'
@@ -2192,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filter_pipeline": q_text_filter_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_knn_join": q_ann_knn_join,
         "text_chunk": q_text_chunk,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
@@ -2701,6 +2725,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cosine, 9) AS cosine_r FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_knn_join": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 97 = 0),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+              FROM embeddings e, q
+            ), ranked AS (
+              SELECT q_id, vec_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(cosine, 9) AS cosine_r, rank
+            FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
         """,
         "ann_lsh_topk": _PLANTED_TOPK_SQL,
         "ann_ivf_topk": _PLANTED_TOPK_SQL,

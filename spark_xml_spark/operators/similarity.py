@@ -80,6 +80,112 @@ def brute_force_cosine_topk(
     )
 
 
+def _cosine_cols(a: Column, b: Column) -> Column:
+    """cosine(a, b) for two array columns, entirely JVM-side (same
+    sequential zip_with/aggregate fold as the literal-query variant, so
+    batch and single-query results agree bit-for-bit). Zero-norm on
+    either side yields NULL (sorts last) rather than an ANSI error."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return dot / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: Optional[str] = None,
+    k: int = 10,
+    prereduce: bool = True,
+) -> DataFrame:
+    """Batch k-NN join: exact cosine top-k corpus neighbors for EVERY
+    vector in a query set — the many-to-many shape behind retrieval-index
+    bootstrapping and cross-corpus dedup (single-query search is
+    ``brute_force_cosine_topk``). Returns (q_id, id, cosine, rank), rank
+    1..k per query, cosine descending, ties broken on ascending id; NULL
+    cosine (zero-norm/dirty vectors) sorts last.
+
+    Scale shape: the query side BROADCASTS (query batches are bounded —
+    thousands — next to a 100 TB corpus), so scoring is a JVM zip_with
+    fold inside a broadcast nested-loop join and the corpus is scanned
+    ONCE with no shuffle. An Arrow-batched per-partition heap reduce
+    (``prereduce``, memory O(#queries * k); pure SELECTION — every cosine
+    is computed JVM-side and round-trips Arrow bit-exact) cuts the
+    candidate stream from N*Q rows to partitions*Q*k before the single
+    keyed merge, whose per-query buffer is partitions*k structs via
+    sort_array+slice — no global sort, no window, no N*Q shuffle."""
+    if q_id_col == id_col:
+        raise ValueError(
+            f"q_id_col and id_col are both {id_col!r}; rename the query "
+            "id column so the output can hold both"
+        )
+    qv = q_vec_col or vec_col
+    q = queries.select(
+        F.col(q_id_col).alias("_qid"),
+        F.col(qv).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "_qid",
+        "_cid",
+        _cosine_cols(F.col("_cv"), F.col("_qv")).alias("_cos"),
+    )
+    if prereduce:
+        schema = scored.schema
+
+        def _partition_topk(batches):
+            kept: Optional[pd.DataFrame] = None
+            for b in batches:
+                both = b if kept is None else pd.concat((kept, b))
+                kept = (
+                    both.sort_values(
+                        ["_qid", "_cos", "_cid"],
+                        ascending=[True, False, True],
+                        na_position="last",
+                    )
+                    .groupby("_qid", sort=False)
+                    .head(k)
+                )
+            if kept is not None:
+                yield kept
+
+        scored = scored.mapInPandas(_partition_topk, schema)
+        # Arrow surfaces a JVM NULL double as NaN; fold it back so both
+        # prereduce settings return the same NULL-cosine rows
+        scored = scored.withColumn(
+            "_cos",
+            F.when(F.isnan("_cos"), F.lit(None).cast("double")).otherwise(
+                F.col("_cos")
+            ),
+        )
+    key = F.struct(
+        F.when(F.col("_cos").isNull(), F.lit(float("inf")))
+        .otherwise(-F.col("_cos"))
+        .alias("_nc"),
+        F.col("_cid").alias("_i"),
+        F.col("_cos").alias("_c"),
+    )
+    return (
+        scored.groupBy("_qid")
+        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, k).alias("_top"))
+        .select("_qid", F.posexplode("_top").alias("_r0", "_t"))
+        .select(
+            F.col("_qid").alias(q_id_col),
+            F.col("_t._i").alias(id_col),
+            F.col("_t._c").alias("cosine"),
+            (F.col("_r0") + 1).cast("long").alias("rank"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, p: int, seed: int = 42) -> List[List[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(p)]

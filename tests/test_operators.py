@@ -1351,3 +1351,62 @@ def test_clean_text_markup_entities_whitespace(spark):
     assert got[5] == (None, 0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_join_matches_single_query_brute_force(spark, embs):
+    """Batch k-NN join == per-query brute-force top-k (ids AND cosines),
+    with and without the Arrow prereduce; rank is 1..k; q_id/id name
+    collision raises."""
+    from spark_xml_spark.operators import knn_join
+
+    q = embs.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    qids = [r.q_id for r in q.select("q_id").collect()]
+    assert len(qids) >= 2
+    expected = {}
+    for qid in qids:
+        vec = [float(x) for x in
+               embs.filter(F.col("vec_id") == qid).first()["embedding"]]
+        expected[qid] = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_cosine_topk(embs, "embedding", vec, k=5).collect()
+        ]
+    for prereduce in (True, False):
+        out = knn_join(embs, q, "embedding", "vec_id", q_id_col="q_id",
+                       k=5, prereduce=prereduce).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r.q_id, r.rank)):
+            got.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
+        assert set(got) == set(expected)
+        for qid in qids:
+            exp_ids = [i for i, _ in expected[qid]]
+            got_ids = [i for i, _ in got[qid]]
+            assert got_ids == exp_ids, (prereduce, qid)
+            for (_, a), (_, b) in zip(got[qid], expected[qid]):
+                assert a == b  # bit-exact: same JVM fold, Arrow is selection only
+        ranks = {r.q_id: [x.rank for x in sorted(out, key=lambda y: y.rank)
+                          if x.q_id == r.q_id] for r in out}
+        assert all(v == [1, 2, 3, 4, 5] for v in ranks.values())
+    with pytest.raises(ValueError, match="q_id_col"):
+        knn_join(embs, embs, "embedding", "vec_id", q_id_col="vec_id")
+
+
+def test_knn_join_null_and_zero_vectors_sort_last(spark):
+    from spark_xml_spark.operators import knn_join
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]),  # zero-norm
+        (4, None), (5, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "q_id long, embedding array<double>")
+    for prereduce in (True, False):
+        out = knn_join(df, q, "embedding", "vec_id", q_id_col="q_id",
+                       k=5, prereduce=prereduce).collect()
+        ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+        # real cosines first (1.0, ~0.994, -1.0), dirty rows last by id
+        assert ids == [1, 2, 5, 3, 4], prereduce
+        dirty = {r.vec_id: r.cosine for r in out if r.vec_id in (3, 4)}
+        assert dirty == {3: None, 4: None}, prereduce
