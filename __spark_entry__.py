@@ -1673,6 +1673,41 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: the current documents table vs a synthesized
+    previous snapshot (doc_id % 13 == 0 rows absent -> 'added';
+    doc_id % 11 == 0 texts mutated -> 'changed'; shifted-id extras not
+    in the current table -> 'removed'; the rest 'unchanged'). Output is
+    the per-status accounting an incremental ingest reports."""
+    from spark_xml_spark.operators import corpus_delta
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    prev = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v1"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 10_000_000
+            )
+        )
+    )
+    return (
+        corpus_delta(prev, d, "doc_id", cols=["text", "lang", "source"])
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("status")
+    )
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN join: exact cosine top-5 corpus neighbors for every
     query vector (vec_id % 97 == 0) — the many-to-many retrieval shape.
@@ -2216,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_knn_join": q_ann_knn_join,
+        "corpus_delta": q_corpus_delta,
         "text_chunk": q_text_chunk,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
@@ -2725,6 +2761,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cosine, 9) AS cosine_r FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # mirrors operators.dedup.corpus_delta over the same synthesized
+        # previous snapshot; the oracle compares CONTENT directly (IS
+        # DISTINCT FROM) where the engine compares sha2 hashes — equal up
+        # to a 256-bit collision
+        "corpus_delta": """
+            WITH prev AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN text || ' v1'
+                          ELSE text END AS text,
+                     lang, source
+              FROM documents WHERE doc_id % 13 != 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text, lang, source
+              FROM documents WHERE doc_id % 17 = 0
+            ), delta AS (
+              SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN (o.text IS DISTINCT FROM n.text)
+                            OR (o.lang IS DISTINCT FROM n.lang)
+                            OR (o.source IS DISTINCT FROM n.source)
+                               THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM prev o FULL OUTER JOIN documents n USING (doc_id)
+            )
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM delta GROUP BY status ORDER BY status
         """,
         "ann_knn_join": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

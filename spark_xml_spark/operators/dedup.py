@@ -220,6 +220,21 @@ def _retire_intermediates() -> None:
             pass  # session already stopped; nothing to release
 
 
+def _content_hash_col(cols: Sequence[str]) -> Column:
+    """sha2-256 content hash over the given columns. concat_ws SKIPS null
+    arguments, which would hash NULL identically to '' (SQL DISTINCT
+    keeps them apart) — encode an isnull flag per column; must match
+    streaming.dedup._with_content_hash exactly."""
+    parts = [
+        F.concat(
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.coalesce(F.col(c).cast("string"), F.lit("")),
+        )
+        for c in cols
+    ]
+    return F.sha2(F.concat_ws("\x1f", *parts), 256)
+
+
 def exact_dedup(
     df: DataFrame,
     cols: Optional[Sequence[str]] = None,
@@ -237,19 +252,7 @@ def exact_dedup(
     a second full scan — and its keep-list join is an extra shuffle.)
     """
     cols = list(cols) if cols else [c for c in df.columns if c != id_col]
-    # concat_ws SKIPS null arguments, which would hash NULL identically to
-    # '' (SQL DISTINCT keeps them apart) — encode an isnull flag per
-    # column; must match streaming.dedup._with_content_hash exactly.
-    parts = [
-        F.concat(
-            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
-            F.coalesce(F.col(c).cast("string"), F.lit("")),
-        )
-        for c in cols
-    ]
-    hashed = df.withColumn(
-        "_content_hash", F.sha2(F.concat_ws("\x1f", *parts), 256)
-    )
+    hashed = df.withColumn("_content_hash", _content_hash_col(cols))
     if id_col is None:
         return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")
     out_cols = df.columns
@@ -687,6 +690,48 @@ def contamination_check(
             ),
         )
         .filter(F.col("contamination") >= threshold)
+    )
+
+
+def corpus_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Snapshot diff for incremental corpus builds: classify every id as
+    'added' (only in new), 'removed' (only in old), 'changed' (both, but
+    content hash differs), or 'unchanged'. The re-crawl/re-ingest
+    accounting stage: downstream incremental pipelines process only
+    added+changed. Content identity is the sha2-256 hash of ``cols``
+    (default: all shared non-id columns, in new's column order) with the
+    same NULL-vs-'' encoding as exact_dedup and the streaming dedup.
+
+    Scale shape: hashes are computed scan-side (map-only projection, so
+    each snapshot scan moves only id + 32-byte hash — never content
+    bytes); the classification is ONE full-outer shuffle join on the id,
+    AQE-splittable. Assumes ids are unique per snapshot (a full-outer
+    join over duplicated ids would cross-multiply them) — run exact_dedup
+    upstream if they are not."""
+    if cols is None:
+        shared = [c for c in new.columns if c != id_col and c in old.columns]
+        if not shared:
+            raise ValueError("old and new share no non-id columns to hash")
+        cols = shared
+    o = old.select(
+        F.col(id_col).alias("_id"), _content_hash_col(cols).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), _content_hash_col(cols).alias("_hn")
+    )
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "_id", "full_outer").select(
+        F.col("_id").alias(id_col), status.alias("status")
     )
 
 

@@ -1410,3 +1410,24 @@ def test_knn_join_null_and_zero_vectors_sort_last(spark):
         assert ids == [1, 2, 5, 3, 4], prereduce
         dirty = {r.vec_id: r.cosine for r in out if r.vec_id in (3, 4)}
         assert dirty == {3: None, 4: None}, prereduce
+
+
+def test_corpus_delta_statuses_and_null_vs_empty(spark):
+    """Snapshot diff classifies added/removed/changed/unchanged; a NULL
+    -> '' content flip IS a change (same encoding as exact_dedup); no
+    shared non-id columns raises."""
+    from spark_xml_spark.operators import corpus_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (5, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, ""), (4, "new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_delta(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "added", 5: "removed"}
+    with pytest.raises(ValueError, match="share no"):
+        corpus_delta(old.select("doc_id"), new.select("doc_id"))
