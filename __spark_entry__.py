@@ -2956,7 +2956,8 @@ def oracle_sql() -> dict[str, str]:
               FROM dirty
             )
             SELECT doc_id, text_clean,
-                   CAST(len(d) - len(text_clean) AS BIGINT) AS n_chars_removed
+                   CAST(COALESCE(len(d), 0) - COALESCE(len(text_clean), 0)
+                        AS BIGINT) AS n_chars_removed
             FROM c ORDER BY doc_id
         """,
         # mirrors operators.textstats.corpus_profile: NULL text = 0 tokens,

@@ -221,18 +221,24 @@ def _retire_intermediates() -> None:
 
 
 def _content_hash_col(cols: Sequence[str]) -> Column:
-    """sha2-256 content hash over the given columns. concat_ws SKIPS null
-    arguments, which would hash NULL identically to '' (SQL DISTINCT
-    keeps them apart) — encode an isnull flag per column; must match
-    streaming.dedup._with_content_hash exactly."""
+    """sha2-256 content hash over the given columns, INJECTIVE up to
+    sha2 collisions: each column hashes separately (isnull flag + value,
+    so NULL and '' stay distinct) and the fixed-width 64-hex digests
+    concatenate — no separator can be forged by column values (a '\\x1f'
+    join collides for values containing the separator: ('a\\x1f1b','c')
+    vs ('a','b\\x1f1c')). Must match streaming.dedup._with_content_hash
+    (ENCODING_VERSION) exactly."""
     parts = [
-        F.concat(
-            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
-            F.coalesce(F.col(c).cast("string"), F.lit("")),
+        F.sha2(
+            F.concat(
+                F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            ),
+            256,
         )
         for c in cols
     ]
-    return F.sha2(F.concat_ws("\x1f", *parts), 256)
+    return F.sha2(F.concat(*parts), 256)
 
 
 def exact_dedup(

@@ -80,17 +80,23 @@ def brute_force_cosine_topk(
     )
 
 
-def _cosine_cols(a: Column, b: Column) -> Column:
-    """cosine(a, b) for two array columns, entirely JVM-side (same
+def _cosine_query_cols(vec: Column, qvec: Column) -> Column:
+    """cosine(vec, query) for two array columns, entirely JVM-side (same
     sequential zip_with/aggregate fold as the literal-query variant, so
-    batch and single-query results agree bit-for-bit). Zero-norm on
-    either side yields NULL (sorts last) rather than an ANSI error."""
+    batch and single-query results agree bit-for-bit) — including the
+    asymmetric zero-norm handling of cosine_similarity_col: a zero-norm
+    QUERY forces its norm to 1.0 (every corpus vector scores dot/norm =
+    0.0, exactly `qn or 1.0`), while a zero-norm CORPUS vector yields
+    NULL and sorts last. NaN vector components produce NaN here;
+    knn_join normalizes that to NULL before ranking."""
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(vec, qvec, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
-    return dot / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+    qn = _norm(qvec)
+    qn1 = F.when(qn == 0.0, F.lit(1.0)).otherwise(qn)
+    return dot / F.nullif(_norm(vec) * qn1, F.lit(0.0))
 
 
 def knn_join(
@@ -108,7 +114,10 @@ def knn_join(
     bootstrapping and cross-corpus dedup (single-query search is
     ``brute_force_cosine_topk``). Returns (q_id, id, cosine, rank), rank
     1..k per query, cosine descending, ties broken on ascending id; NULL
-    cosine (zero-norm/dirty vectors) sorts last.
+    cosine (zero-norm or NaN-component corpus vectors) sorts last; a
+    zero-norm QUERY scores every corpus vector 0.0 (matching
+    brute_force_cosine_topk); rows with a NULL query id are dropped
+    (unaddressable in the output).
 
     Scale shape: the query side BROADCASTS (query batches are bounded —
     thousands — next to a 100 TB corpus), so scoring is a JVM zip_with
@@ -125,7 +134,10 @@ def knn_join(
             "id column so the output can hold both"
         )
     qv = q_vec_col or vec_col
-    q = queries.select(
+    # NULL query ids are unaddressable in the output and pandas groupby
+    # would silently drop them in the prereduce path — drop them
+    # explicitly so both prereduce settings agree
+    q = queries.filter(F.col(q_id_col).isNotNull()).select(
         F.col(q_id_col).alias("_qid"),
         F.col(qv).cast("array<double>").alias("_qv"),
     )
@@ -133,10 +145,15 @@ def knn_join(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
+    raw = _cosine_query_cols(F.col("_cv"), F.col("_qv"))
+    # NaN (from NaN vector components) -> NULL up front, so both
+    # prereduce settings rank dirty rows identically (NULL sorts last)
     scored = c.crossJoin(F.broadcast(q)).select(
         "_qid",
         "_cid",
-        _cosine_cols(F.col("_cv"), F.col("_qv")).alias("_cos"),
+        F.when(F.isnan(raw), F.lit(None).cast("double"))
+        .otherwise(raw)
+        .alias("_cos"),
     )
     if prereduce:
         schema = scored.schema

@@ -750,9 +750,13 @@ def corpus_profile(
         token_count_col(F.col(text_col))
     ).cast("long")
     pct = F.percentile(F.col("_n"), F.lit(list(quantiles)))
+    # int() would truncate binary-float error (0.29*100 -> 28); round,
+    # and refuse silent column collisions between close quantiles
+    names = [f"p{round(q * 100):g}_tokens" for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantiles collide in column names: {names}")
     qcols = [
-        F.round(pct[i], 6).alias(f"p{int(q * 100)}_tokens")
-        for i, q in enumerate(quantiles)
+        F.round(pct[i], 6).alias(name) for i, name in enumerate(names)
     ]
     return (
         df.select(F.col(group_col).alias(group_col), n.alias("_n"))

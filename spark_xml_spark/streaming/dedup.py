@@ -36,8 +36,12 @@ _HASH_COL = "_content_hash"
 # another (the old state entries become unmatchable and one duplicate per
 # pre-restart record leaks through SILENTLY). History:
 #   1: concat_ws over raw casts (NULL hashed identically to '')
-#   2: per-column null-flag + coalesced value (current; exact_dedup parity)
-ENCODING_VERSION = 2
+#   2: per-column null-flag + coalesced value, '\x1f'-joined (collided for
+#      values containing the separator)
+#   3: per-column sha2 of (null-flag + value), fixed-width digests
+#      concatenated — injective up to sha2 collisions (current;
+#      operators.dedup._content_hash_col parity)
+ENCODING_VERSION = 3
 _MARKER = "_sxs_dedup_encoding"
 
 
@@ -72,20 +76,21 @@ def check_checkpoint_encoding(checkpoint_dir: str) -> None:
 
 
 def _with_content_hash(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    # concat_ws SKIPS null arguments, which would hash NULL identically to
-    # '' (SQL DISTINCT keeps them apart). Encode each column as an
-    # isnull flag + coalesced value so NULL and '' stay distinct; must
-    # match operators.dedup.exact_dedup's encoding exactly.
+    # Per-column sha2 of (isnull flag + coalesced value) so NULL and ''
+    # stay distinct, then one sha2 over the fixed-width digests — no
+    # separator to forge, injective up to sha2 collisions. Must match
+    # operators.dedup._content_hash_col exactly (ENCODING_VERSION 3).
     parts = [
-        F.concat(
-            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
-            F.coalesce(F.col(c).cast("string"), F.lit("")),
+        F.sha2(
+            F.concat(
+                F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            ),
+            256,
         )
         for c in cols
     ]
-    return df.withColumn(
-        _HASH_COL, F.sha2(F.concat_ws("\x1f", *parts), 256)
-    )
+    return df.withColumn(_HASH_COL, F.sha2(F.concat(*parts), 256))
 
 
 def dedup_stream(

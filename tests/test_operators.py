@@ -1431,3 +1431,74 @@ def test_corpus_delta_statuses_and_null_vs_empty(spark):
                    4: "added", 5: "removed"}
     with pytest.raises(ValueError, match="share no"):
         corpus_delta(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_content_hash_injective_across_column_boundaries(spark):
+    """The '\\x1f'-join encoding collided for values containing the
+    separator: ('a\\x1f1b','c') vs ('a','b\\x1f1c'). The per-column-sha2
+    encoding keeps them distinct — exact_dedup must keep both rows and
+    corpus_delta must see the edit as 'changed'."""
+    from spark_xml_spark.operators import corpus_delta
+
+    a = ("a\x1f1b", "c")
+    b = ("a", "b\x1f1c")
+    df = spark.createDataFrame(
+        [(1, *a), (2, *b)], "doc_id long, t1 string, t2 string"
+    )
+    assert exact_dedup(df, cols=["t1", "t2"], id_col="doc_id").count() == 2
+    old = spark.createDataFrame([(1, *a)], "doc_id long, t1 string, t2 string")
+    new = spark.createDataFrame([(1, *b)], "doc_id long, t1 string, t2 string")
+    got = {r.doc_id: r.status for r in corpus_delta(old, new).collect()}
+    assert got == {1: "changed"}
+
+
+def test_knn_join_zero_query_and_null_qid_parity(spark):
+    """Zero-norm query scores every corpus vector 0.0 (brute-force
+    parity); NULL query ids are dropped in BOTH prereduce settings."""
+    from spark_xml_spark.operators import knn_join
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(7, [0.0, 0.0]), (None, [1.0, 0.0])],
+        "q_id long, embedding array<double>",
+    )
+    brute = brute_force_cosine_topk(corpus, "embedding", [0.0, 0.0], k=2)
+    exp = [(r.vec_id, r.cosine) for r in brute.collect()]
+    assert exp == [(1, 0.0), (2, 0.0)]
+    for prereduce in (True, False):
+        out = knn_join(corpus, q, "embedding", "vec_id", q_id_col="q_id",
+                       k=2, prereduce=prereduce).collect()
+        assert {r.q_id for r in out} == {7}, prereduce  # NULL qid dropped
+        got = [(r.vec_id, r.cosine)
+               for r in sorted(out, key=lambda r: r.rank)]
+        assert got == exp, prereduce
+
+
+def test_knn_join_nan_component_ranks_last_both_paths(spark):
+    from spark_xml_spark.operators import knn_join
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [float("nan"), 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(7, [1.0, 0.0])],
+                              "q_id long, embedding array<double>")
+    for prereduce in (True, False):
+        out = knn_join(corpus, q, "embedding", "vec_id", q_id_col="q_id",
+                       k=3, prereduce=prereduce).collect()
+        ranked = [(r.vec_id, r.cosine) for r in sorted(out, key=lambda r: r.rank)]
+        assert [v for v, _ in ranked] == [1, 3, 2], prereduce
+        assert ranked[-1][1] is None, prereduce  # NaN -> NULL, sorts last
+
+
+def test_corpus_profile_quantile_name_rounding(spark):
+    from spark_xml_spark.operators import corpus_profile
+
+    df = spark.createDataFrame([("a", "x y z")], "source string, text string")
+    cols = corpus_profile(df, "text", "source", quantiles=(0.29,)).columns
+    assert "p29_tokens" in cols  # int() truncation would say p28
+    with pytest.raises(ValueError, match="collide"):
+        corpus_profile(df, "text", "source", quantiles=(0.291, 0.292))
