@@ -1673,6 +1673,40 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard sink: split-partitioned parquet with every shard
+    bounded at 37 rows, one write task per split (num_tasks pins the
+    hash routing), read back for the manifest accounting — per split:
+    rows, shard count (exactly ceil(rows/37)) and largest shard
+    (min(rows, 37)). The oracle recomputes all three from the split
+    membership alone."""
+    import tempfile
+
+    from spark_xml_spark.operators import (
+        train_val_test_split,
+        write_training_shards,
+    )
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    s = train_val_test_split(d, "doc_id", val_pct=10, test_pct=10, salt="split8")
+    out = os.path.join(tempfile.mkdtemp(prefix="xml_shards_q_"), "data")
+    write_training_shards(
+        s, out, records_per_shard=37, split_col="split",
+        order_col="doc_id", num_tasks=8,
+    )
+    rb = spark.read.parquet(out).withColumn("_f", F.input_file_name())
+    per_file = rb.groupBy("split", "_f").count()
+    return (
+        per_file.groupBy("split")
+        .agg(
+            F.sum("count").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_shards"),
+            F.max("count").cast("bigint").alias("max_shard_rows"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff: the current documents table vs a synthesized
     previous snapshot (doc_id % 13 == 0 rows absent -> 'added';
@@ -2252,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_knn_join": q_ann_knn_join,
         "corpus_delta": q_corpus_delta,
+        "data_shards": q_data_shards,
         "text_chunk": q_text_chunk,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
@@ -2761,6 +2796,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cosine, 9) AS cosine_r FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # mirrors q_data_shards: shard accounting is a pure function of
+        # the split membership because num_tasks routes each split to ONE
+        # task and maxRecordsPerFile rolls greedily at 37
+        "data_shards": """
+            WITH s AS (
+              SELECT CASE
+                       WHEN CAST(('0x' || substr(md5('split8' ||
+                              COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
+                            AS BIGINT) % 100 < 10 THEN 'test'
+                       WHEN CAST(('0x' || substr(md5('split8' ||
+                              COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
+                            AS BIGINT) % 100 < 20 THEN 'val'
+                       ELSE 'train'
+                     END AS split
+              FROM documents
+            ), agg AS (
+              SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM s GROUP BY split
+            )
+            SELECT split, n_rows,
+                   CAST(CEIL(n_rows / 37.0) AS BIGINT) AS n_shards,
+                   LEAST(n_rows, 37) AS max_shard_rows
+            FROM agg ORDER BY split
         """,
         # mirrors operators.dedup.corpus_delta over the same synthesized
         # previous snapshot; the oracle compares CONTENT directly (IS

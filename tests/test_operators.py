@@ -1502,3 +1502,81 @@ def test_corpus_profile_quantile_name_rounding(spark):
     assert "p29_tokens" in cols  # int() truncation would say p28
     with pytest.raises(ValueError, match="collide"):
         corpus_profile(df, "text", "source", quantiles=(0.291, 0.292))
+
+
+def test_substring_dup_spans_property_vs_python(spark):
+    """Property: span coverage equals a pure-Python interval-union
+    reference on randomized small-vocab corpora (small vocab forces
+    frequent cross-doc and within-doc k-gram collisions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_xml_spark.operators import substring_dup_spans
+
+    K = 3
+    words = st.sampled_from(["a", "b", "c"])
+
+    def py_spans(texts):
+        toks = {i: t.lower().strip().split() for i, t in texts.items()}
+        grams = {}
+        for i, w in toks.items():
+            for p in range(len(w) - K + 1):
+                grams.setdefault(" ".join(w[p:p + K]), []).append((i, p))
+        dup_pos = {}
+        for occ in grams.values():
+            if len(occ) >= 2:
+                for i, p in occ:
+                    dup_pos.setdefault(i, set()).add(p)
+        out = {}
+        for i, ps in dup_pos.items():
+            covered = set()
+            for p in ps:
+                covered.update(range(p, p + K))
+            out[i] = (len(toks[i]), len(covered))
+        return out
+
+    @given(docs=st.lists(st.lists(words, min_size=1, max_size=10),
+                         min_size=1, max_size=6))
+    @settings(max_examples=25, deadline=None)
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.dup_tokens)
+               for r in substring_dup_spans(df, "doc_id", "text", k=K).collect()}
+        assert got == py_spans(dict(rows))
+
+    check()
+
+
+def test_write_training_shards_bounds_and_order(spark, tmp_path):
+    """Every shard file <= records_per_shard rows; split dirs partition
+    the layout; with num_tasks each split's shard count is exactly
+    ceil(n/rps); order_col makes within-shard order ascend."""
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from spark_xml_spark.operators import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, "s" if i % 5 == 0 else "t", f"d{i}") for i in range(100)],
+        "doc_id long, split string, text string",
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, records_per_shard=7, split_col="split",
+                          order_col="doc_id", num_tasks=4)
+    counts = {"s": 20, "t": 80}
+    for split, n in counts.items():
+        files = sorted(glob.glob(f"{out}/split={split}/*.parquet"))
+        assert len(files) == math.ceil(n / 7), split
+        rows = 0
+        for f in files:
+            t = pq.read_table(f)
+            assert t.num_rows <= 7, f
+            ids = t.column("doc_id").to_pylist()
+            assert ids == sorted(ids), f  # within-shard order
+            rows += t.num_rows
+        assert rows == n
+    with pytest.raises(ValueError, match="positive"):
+        write_training_shards(df, out, records_per_shard=0)
