@@ -1306,6 +1306,41 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate BATCH k-NN join over the persisted IVF index (the
+    large-Q scale path of ann_knn_join): four queries from the planted
+    family probe their 3 nearest cells; within the plant the IVF answer
+    equals the exact brute-force top-10, which is the SQL oracle. Reuses
+    the ann_ivf_topk index cache — steady state is pure probe."""
+    from spark_xml_spark.operators import IvfIndex
+
+    e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
+    fp = _table_fingerprint(sf_dir, "embeddings")
+    base = os.path.join(CACHE_ROOT, f"ivf-planted-{fp}")
+    _cached_build(
+        base,
+        lambda stage: IvfIndex.build(
+            _planted_neighbors(e), k=8, seed=42
+        ).save(stage),
+    )
+    idx = IvfIndex.load(spark, base)
+    qs = (
+        _planted_neighbors(e)
+        .filter(F.col("vec_id").isin(0, 1000001, 1000002, 1000003))
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+    return (
+        idx.knn_join(qs, "q_id", k=10, nprobe=3)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("cosine", 9).alias("cosine_r"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash with deterministic min-id keeper; the
     input is documents plus re-keyed copies of every 7th document."""
@@ -2285,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_knn_join": q_ann_knn_join,
+        "ann_ivf_knn": q_ann_ivf_knn,
         "corpus_delta": q_corpus_delta,
         "data_shards": q_data_shards,
         "text_chunk": q_text_chunk,
@@ -2868,6 +2904,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, vec_id, round(cosine, 9) AS cosine_r, rank
             FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+        """,
+        # brute-force replay per query over the planted corpus; within the
+        # plant the IVF probe returns the exact top-10 (ann_ivf_topk's
+        # argument, per planted query)
+        "ann_ivf_knn": """
+            WITH planted AS (
+              SELECT 1000000 + i AS vec_id,
+                     list_transform(e.embedding,
+                       x -> CAST(x + CAST(i * 0.0001 AS FLOAT) AS FLOAT)) AS embedding
+              FROM range(1, 31) t(i),
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) e
+            ), corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM planted
+            ), qs AS (
+              SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM corpus WHERE vec_id IN (0, 1000001, 1000002, 1000003)
+            ), scored AS (
+              SELECT qs.q_id, c.vec_id,
+                     list_dot_product(CAST(c.embedding AS DOUBLE[]), qs.qv)
+                       / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(qs.qv, qs.qv))) AS cosine
+              FROM corpus c, qs
+            ), ranked AS (
+              SELECT q_id, vec_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(cosine, 9) AS cosine_r, rank
+            FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
         """,
         "ann_lsh_topk": _PLANTED_TOPK_SQL,
         "ann_ivf_topk": _PLANTED_TOPK_SQL,

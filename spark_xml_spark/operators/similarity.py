@@ -156,33 +156,50 @@ def knn_join(
         .alias("_cos"),
     )
     if prereduce:
-        schema = scored.schema
+        scored = _prereduce_topk(scored, k)
+    return _topk_merge(scored, k, q_id_col, id_col)
 
-        def _partition_topk(batches):
-            kept: Optional[pd.DataFrame] = None
-            for b in batches:
-                both = b if kept is None else pd.concat((kept, b))
-                kept = (
-                    both.sort_values(
-                        ["_qid", "_cos", "_cid"],
-                        ascending=[True, False, True],
-                        na_position="last",
-                    )
-                    .groupby("_qid", sort=False)
-                    .head(k)
+
+def _prereduce_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched per-partition top-k over a (_qid, _cid, _cos)
+    candidate stream: memory O(#queries * k) per task, pure SELECTION
+    (cosines round-trip Arrow bit-exact), emitting partitions*Q*k rows
+    for the keyed merge instead of the full candidate set."""
+    schema = scored.schema
+
+    def _partition_topk(batches):
+        kept: Optional[pd.DataFrame] = None
+        for b in batches:
+            both = b if kept is None else pd.concat((kept, b))
+            kept = (
+                both.sort_values(
+                    ["_qid", "_cos", "_cid"],
+                    ascending=[True, False, True],
+                    na_position="last",
                 )
-            if kept is not None:
-                yield kept
+                .groupby("_qid", sort=False)
+                .head(k)
+            )
+        if kept is not None:
+            yield kept
 
-        scored = scored.mapInPandas(_partition_topk, schema)
-        # Arrow surfaces a JVM NULL double as NaN; fold it back so both
-        # prereduce settings return the same NULL-cosine rows
-        scored = scored.withColumn(
-            "_cos",
-            F.when(F.isnan("_cos"), F.lit(None).cast("double")).otherwise(
-                F.col("_cos")
-            ),
-        )
+    reduced = scored.mapInPandas(_partition_topk, schema)
+    # Arrow surfaces a JVM NULL double as NaN; fold it back so prereduce
+    # on/off return the same NULL-cosine rows
+    return reduced.withColumn(
+        "_cos",
+        F.when(F.isnan("_cos"), F.lit(None).cast("double")).otherwise(
+            F.col("_cos")
+        ),
+    )
+
+
+def _topk_merge(
+    scored: DataFrame, k: int, q_id_col: str, id_col: str
+) -> DataFrame:
+    """Final exact per-query top-k over a (_qid, _cid, _cos) candidate
+    stream via ONE keyed aggregation + sort_array + slice (no window, no
+    global sort); NULL cosines key as +inf so they sort last."""
     key = F.struct(
         F.when(F.col("_cos").isNull(), F.lit(float("inf")))
         .otherwise(-F.col("_cos"))
@@ -526,6 +543,83 @@ class IvfIndex:
             .orderBy(F.desc("cosine"), F.asc(self.id_col))
             .limit(k)
         )
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        q_id_col: str = "q_id",
+        q_vec_col: Optional[str] = None,
+        k: int = 10,
+        nprobe: int = 2,
+        prereduce: bool = True,
+    ) -> DataFrame:
+        """Approximate batch k-NN join over the inverted file — the
+        large-Q scale path next to the exact ``knn_join`` (which scores
+        every query against the FULL corpus). Each query probes its
+        ``nprobe`` euclidean-nearest centroid cells (the same rule as
+        ``search``, evaluated JVM-side per query row); candidates come
+        from a broadcast hash join of (query, cell) pairs against the
+        assigned table on the PARTITION column, so a ``load()``-ed index
+        prunes unprobed cells at the parquet source; the exact cosine
+        re-rank and the bounded per-partition/keyed top-k are shared
+        with the exact join (same fold, same NULL/NaN policy, same
+        output shape (q_id, id, cosine, rank)).
+
+        Scale: corpus rows are touched only inside probed cells
+        (~nprobe/k of the data, shared across queries probing the same
+        cell); the broadcast side is #queries * nprobe rows; per-task
+        memory is O(#queries * k)."""
+        if q_id_col == self.id_col:
+            raise ValueError(
+                f"q_id_col and id_col are both {self.id_col!r}; rename "
+                "the query id column so the output can hold both"
+            )
+        qv = q_vec_col or self.vec_col
+        q = queries.filter(F.col(q_id_col).isNotNull()).select(
+            F.col(q_id_col).alias("_qid"),
+            F.col(qv).cast("array<double>").alias("_qv"),
+        )
+        dist2 = []
+        for c in self.centroids:
+            cc = F.array(*[F.lit(float(x)).cast("double") for x in c])
+            dist2.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"), cc, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+            )
+        pairs = F.array(
+            *[
+                F.struct(
+                    dist2[i].alias("_d"), F.lit(i).cast("int").alias("_ci")
+                )
+                for i in range(len(self.centroids))
+            ]
+        )
+        cells = F.transform(
+            F.slice(F.sort_array(pairs), 1, max(1, nprobe)),
+            lambda s: s["_ci"],
+        )
+        qc = q.select("_qid", "_qv", F.explode(cells).alias("_centroid"))
+        raw = _cosine_query_cols(
+            F.col(self.vec_col).cast("array<double>"), F.col("_qv")
+        )
+        scored = (
+            self.assigned.join(F.broadcast(qc), "_centroid")
+            .select(
+                "_qid",
+                F.col(self.id_col).alias("_cid"),
+                F.when(F.isnan(raw), F.lit(None).cast("double"))
+                .otherwise(raw)
+                .alias("_cos"),
+            )
+        )
+        if prereduce:
+            scored = _prereduce_topk(scored, k)
+        return _topk_merge(scored, k, q_id_col, self.id_col)
 
 
 def cosine_pairs(

@@ -1580,3 +1580,32 @@ def test_write_training_shards_bounds_and_order(spark, tmp_path):
         assert rows == n
     with pytest.raises(ValueError, match="positive"):
         write_training_shards(df, out, records_per_shard=0)
+
+
+def test_ivf_knn_join_full_probe_equals_exact(spark, embs):
+    """With nprobe = every cell the IVF batch join covers the full corpus
+    and must equal the exact knn_join bit-for-bit; with fewer probes the
+    result per query is a subset drawn from probed cells only."""
+    from spark_xml_spark.operators import IvfIndex, knn_join
+
+    idx = IvfIndex.build(embs, k=4, seed=42)
+    q = embs.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = knn_join(embs, q, "embedding", "vec_id", q_id_col="q_id", k=5)
+    exp = sorted((r.q_id, r.rank, r.vec_id, r.cosine) for r in exact.collect())
+    full = idx.knn_join(q, "q_id", k=5, nprobe=4)
+    got = sorted((r.q_id, r.rank, r.vec_id, r.cosine) for r in full.collect())
+    assert got == exp
+    # partial probe: per-query results only from probed cells, ranks 1..k
+    part = idx.knn_join(q, "q_id", k=5, nprobe=1).collect()
+    assigned = {r["vec_id"]: r["_centroid"] for r in idx.assigned.collect()}
+    for r in part:
+        assert r.rank in (1, 2, 3, 4, 5)
+        # every returned neighbor shares a cell with SOME probed cell of
+        # the query: with nprobe=1 all of one query's neighbors come from
+        # exactly one cell
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.q_id, set()).add(assigned[r.vec_id])
+    assert all(len(cells) == 1 for cells in by_q.values())
