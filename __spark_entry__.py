@@ -1278,20 +1278,13 @@ _PLANTED_TOPK_SQL = """
 """
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans inverted file, nprobe cells, exact re-rank) over the
-    corpus with planted near-neighbors of the query: the plant sits within
-    ~0.03 of q in a space where cells are O(1) apart, so any KMeans
-    clustering assigns q's family to the probed cells and the IVF result
-    equals the exact top-10 — which is the (SQL-expressible) oracle."""
+def _ivf_planted_index(spark: SparkSession, sf_dir: str, e: DataFrame):
+    """Build-once/load-many planted IVF index shared by ann_ivf_topk and
+    ann_ivf_knn. The build params (k=8, seed=42) live HERE only: the
+    cache key is the corpus fingerprint, so two call sites with
+    diverging params would silently serve whichever built first."""
     from spark_xml_spark.operators import IvfIndex
 
-    e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
-    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # build-once / search-many steady state: the KMeans fit + partitioned
-    # write run once per corpus fingerprint; every later call loads the
-    # persisted index, whose _centroid partitioning lets the probe filter
-    # prune whole partitions at the parquet source (the 100 TB read path).
     fp = _table_fingerprint(sf_dir, "embeddings")
     base = os.path.join(CACHE_ROOT, f"ivf-planted-{fp}")
     _cached_build(
@@ -1300,7 +1293,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _planted_neighbors(e), k=8, seed=42
         ).save(stage),
     )
-    idx = IvfIndex.load(spark, base)
+    return IvfIndex.load(spark, base)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans inverted file, nprobe cells, exact re-rank) over the
+    corpus with planted near-neighbors of the query: the plant sits within
+    ~0.03 of q in a space where cells are O(1) apart, so any KMeans
+    clustering assigns q's family to the probed cells and the IVF result
+    equals the exact top-10 — which is the (SQL-expressible) oracle."""
+    e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # build-once / search-many steady state: the KMeans fit + partitioned
+    # write run once per corpus fingerprint; every later call loads the
+    # persisted index, whose _centroid partitioning lets the probe filter
+    # prune whole partitions at the parquet source (the 100 TB read path).
+    idx = _ivf_planted_index(spark, sf_dir, e)
     return idx.search(q, k=10, nprobe=3).select(
         "vec_id", F.round("cosine", 9).alias("cosine_r")
     )
@@ -1312,18 +1320,8 @@ def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     family probe their 3 nearest cells; within the plant the IVF answer
     equals the exact brute-force top-10, which is the SQL oracle. Reuses
     the ann_ivf_topk index cache — steady state is pure probe."""
-    from spark_xml_spark.operators import IvfIndex
-
     e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
-    fp = _table_fingerprint(sf_dir, "embeddings")
-    base = os.path.join(CACHE_ROOT, f"ivf-planted-{fp}")
-    _cached_build(
-        base,
-        lambda stage: IvfIndex.build(
-            _planted_neighbors(e), k=8, seed=42
-        ).save(stage),
-    )
-    idx = IvfIndex.load(spark, base)
+    idx = _ivf_planted_index(spark, sf_dir, e)
     qs = (
         _planted_neighbors(e)
         .filter(F.col("vec_id").isin(0, 1000001, 1000002, 1000003))

@@ -128,19 +128,7 @@ def knn_join(
     candidate stream from N*Q rows to partitions*Q*k before the single
     keyed merge, whose per-query buffer is partitions*k structs via
     sort_array+slice — no global sort, no window, no N*Q shuffle."""
-    if q_id_col == id_col:
-        raise ValueError(
-            f"q_id_col and id_col are both {id_col!r}; rename the query "
-            "id column so the output can hold both"
-        )
-    qv = q_vec_col or vec_col
-    # NULL query ids are unaddressable in the output and pandas groupby
-    # would silently drop them in the prereduce path — drop them
-    # explicitly so both prereduce settings agree
-    q = queries.filter(F.col(q_id_col).isNotNull()).select(
-        F.col(q_id_col).alias("_qid"),
-        F.col(qv).cast("array<double>").alias("_qv"),
-    )
+    q = _prep_query_side(queries, q_id_col, id_col, q_vec_col or vec_col)
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
@@ -158,6 +146,75 @@ def knn_join(
     if prereduce:
         scored = _prereduce_topk(scored, k)
     return _topk_merge(scored, k, q_id_col, id_col)
+
+
+def _make_probe_udf(cmat: np.ndarray, nprobe: int):
+    """Arrow-batched IVF probe-cell selection: one (batch x dim) @
+    (dim x cells) numpy matmul per batch over the BOUNDED query side —
+    a per-centroid zip_with fold would be an O(cells * dim)-node codegen
+    expression tree, which blows whole-stage codegen at realistic cell
+    counts (the same pathology _make_sig_udf avoids for LSH signatures).
+    Ranks cells by squared euclidean distance (|c|^2 - 2 q.c; the |q|^2
+    term is constant per row and cannot change the order), stable
+    argsort so centroid-distance ties break on the lower cell id exactly
+    like search()'s stable Python sort. Dirty query rows (null vector,
+    null element, wrong dimension, NaN) probe the FIRST nprobe cells
+    deterministically — their cosines score NULL downstream anyway."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    nprobe = min(nprobe, len(cmat))
+    norms = (cmat * cmat).sum(axis=1)
+    fallback = list(range(nprobe))
+
+    @pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        vals = list(vecs)
+        try:
+            m = np.asarray(vals, dtype=np.float64)
+            if (
+                m.ndim == 2
+                and m.shape[1] == cmat.shape[1]
+                and not np.isnan(m).any()
+            ):
+                d2 = norms[None, :] - 2.0 * (m @ cmat.T)
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+                return pd.Series([r.tolist() for r in idx])
+        except (ValueError, TypeError):
+            pass
+        out = []
+        for v in vals:
+            try:
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape == (cmat.shape[1],) and not np.isnan(a).any():
+                    d2 = norms - 2.0 * (cmat @ a)
+                    out.append(
+                        np.argsort(d2, kind="stable")[:nprobe].tolist()
+                    )
+                    continue
+            except (ValueError, TypeError):
+                pass
+            out.append(fallback)
+        return pd.Series(out)
+
+    return _probe
+
+
+def _prep_query_side(
+    queries: DataFrame, q_id_col: str, id_col: str, q_vec_col: str
+) -> DataFrame:
+    """Shared query-side prep for both batch k-NN joins: reject a
+    q_id/id name collision, DROP NULL query ids (unaddressable in the
+    output, and pandas groupby would silently lose them in only the
+    prereduce path), normalize to (_qid, _qv double[])."""
+    if q_id_col == id_col:
+        raise ValueError(
+            f"q_id_col and id_col are both {id_col!r}; rename the query "
+            "id column so the output can hold both"
+        )
+    return queries.filter(F.col(q_id_col).isNotNull()).select(
+        F.col(q_id_col).alias("_qid"),
+        F.col(q_vec_col).cast("array<double>").alias("_qv"),
+    )
 
 
 def _prereduce_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -557,7 +614,8 @@ class IvfIndex:
         large-Q scale path next to the exact ``knn_join`` (which scores
         every query against the FULL corpus). Each query probes its
         ``nprobe`` euclidean-nearest centroid cells (the same rule as
-        ``search``, evaluated JVM-side per query row); candidates come
+        ``search``, evaluated as ONE Arrow-batched numpy matmul over the
+        bounded query side — see _make_probe_udf); candidates come
         from a broadcast hash join of (query, cell) pairs against the
         assigned table on the PARTITION column, so a ``load()``-ed index
         prunes unprobed cells at the parquet source; the exact cosine
@@ -569,41 +627,15 @@ class IvfIndex:
         (~nprobe/k of the data, shared across queries probing the same
         cell); the broadcast side is #queries * nprobe rows; per-task
         memory is O(#queries * k)."""
-        if q_id_col == self.id_col:
-            raise ValueError(
-                f"q_id_col and id_col are both {self.id_col!r}; rename "
-                "the query id column so the output can hold both"
-            )
-        qv = q_vec_col or self.vec_col
-        q = queries.filter(F.col(q_id_col).isNotNull()).select(
-            F.col(q_id_col).alias("_qid"),
-            F.col(qv).cast("array<double>").alias("_qv"),
+        q = _prep_query_side(
+            queries, q_id_col, self.id_col, q_vec_col or self.vec_col
         )
-        dist2 = []
-        for c in self.centroids:
-            cc = F.array(*[F.lit(float(x)).cast("double") for x in c])
-            dist2.append(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_qv"), cc, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, x: acc + x,
-                )
-            )
-        pairs = F.array(
-            *[
-                F.struct(
-                    dist2[i].alias("_d"), F.lit(i).cast("int").alias("_ci")
-                )
-                for i in range(len(self.centroids))
-            ]
+        probe_udf = _make_probe_udf(
+            np.asarray(self.centroids, dtype=np.float64), max(1, nprobe)
         )
-        cells = F.transform(
-            F.slice(F.sort_array(pairs), 1, max(1, nprobe)),
-            lambda s: s["_ci"],
+        qc = q.select(
+            "_qid", "_qv", F.explode(probe_udf(F.col("_qv"))).alias("_centroid")
         )
-        qc = q.select("_qid", "_qv", F.explode(cells).alias("_centroid"))
         raw = _cosine_query_cols(
             F.col(self.vec_col).cast("array<double>"), F.col("_qv")
         )
