@@ -1860,6 +1860,27 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup JOIN: odd-id documents (the 'new crawl')
+    LSH-joined against even-id documents (the 'existing corpus') at
+    Jaccard >= 0.8 — banded MinHash between the two sides, exact hashed
+    verify. b=32/r=2 recall at s >= 0.8 is ~1 - 1e-14, so the verified
+    output equals the exact cross-Jaccard answer, which is the oracle."""
+    from spark_xml_spark.operators import minhash_cross_pairs
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=True)
+    left = d.filter(F.col("doc_id") % 2 == 1)
+    right = d.filter(F.col("doc_id") % 2 == 0)
+    return (
+        minhash_cross_pairs(
+            left, right, "doc_id", "text", n=3, num_hashes=64, bands=32,
+            threshold=0.8,
+        )
+        .select("id_l", "id_r", F.round("jaccard", 9).alias("jaccard_r"))
+        .orderBy("id_l", "id_r")
+    )
+
+
 def q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (30% of docs by md5 bucket of the id):
     reproducible across runs, partitionings, and ENGINES — the identical
@@ -2325,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         "dedup_substring": q_dedup_substring,
+        "dedup_cross": q_dedup_cross,
         "corpus_stats": q_corpus_stats,
         "text_clean": q_text_clean,
         "text_sample": q_text_sample,
@@ -3104,6 +3126,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY source
         """,
+        # exact cross-Jaccard replay between the parity halves (the LSH
+        # join's verified output equals it at the b=32/r=2 recall bound)
+        "dedup_cross": (
+            "WITH "
+            + _SHINGLES_CTE
+            + """
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   round(len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9)
+                     AS jaccard_r
+            FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            WHERE len(list_intersect(a.sh, b.sh))
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+            ORDER BY id_l, id_r
+        """
+        ),
         # mirrors operators.dedup.substring_dup_spans: positional 7-gram
         # window starts (0-based), duplicated = gram text occurs at >= 2
         # positions corpus-wide; coverage via min(k, pos - prev_pos) over

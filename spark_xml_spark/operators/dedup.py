@@ -29,11 +29,14 @@ from pyspark.sql import functions as F
 
 def capped_collect(banded: DataFrame, key_cols: Sequence[str], id_col,
                    list_alias: str, max_bucket: int,
-                   observation=None) -> DataFrame:
-    """Shared LSH bucket gather + guard: drop singleton buckets (no pairs)
-    and buckets larger than ``max_bucket`` members (a viral/boilerplate
-    bucket must not go quadratic at scale), then collect the surviving
-    buckets' member lists.
+                   observation=None, min_bucket: int = 2) -> DataFrame:
+    """Shared LSH bucket gather + guard: drop buckets smaller than
+    ``min_bucket`` members (default 2 — singletons make no pairs in a
+    SELF-join; a CROSS-corpus join passes 1, since a lone member can
+    still pair with the other side) and buckets larger than
+    ``max_bucket`` members (a viral/boilerplate bucket must not go
+    quadratic at scale), then collect the surviving buckets' member
+    lists.
 
     Order matters at 100 TB: COUNT first (map-side combinable — a hot key
     collapses before its exchange), drop over-cap keys, and only then
@@ -100,7 +103,7 @@ def capped_collect(banded: DataFrame, key_cols: Sequence[str], id_col,
             ).alias("dropped_members"),
         )
     keep = counts.filter(
-        (F.col("_bsz") > 1) & (F.col("_bsz") <= max_bucket)
+        (F.col("_bsz") >= min_bucket) & (F.col("_bsz") <= max_bucket)
     ).drop("_bsz")
     return (
         banded.join(keep, keys)
@@ -418,6 +421,29 @@ def _minhash_sig_cols(
     return sh.groupBy("_id").agg(*aggs)
 
 
+def _band_frame(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, _band, _bh): one row per (document, band), where _bh hashes
+    the band's r signature minima. Band hashes come straight from the
+    materialized agg columns — no intermediate num_hashes-array to build
+    and slice per band."""
+    r = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"_h{b * r + j}").cast("string") for j in range(r)],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -442,25 +468,8 @@ def minhash_lsh_candidates(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     sig = _minhash_sig_cols(df, id_col, text_col, n, num_hashes, _hashed)
-    # band hashes straight from the materialized agg columns — no
-    # intermediate 64-array to build and slice per band
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"_h{b * r + j}").cast("string") for j in range(r)],
-                )
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
+    banded = _band_frame(sig, num_hashes, bands)
     # gather each band bucket's ids with the count-first cap (boilerplate
     # guard, observable, no unbounded collect buffer), then pair-generate
     # locally by double explode — no self-join
@@ -517,6 +526,80 @@ def minhash_near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+    observation=None,
+) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN (corpus A vs corpus B): banded
+    MinHash-LSH candidates BETWEEN the two sides, exact hashed-shingle
+    Jaccard verify. The missing shape next to the self-join family — a
+    new crawl deduped against the existing corpus, or fuzzy benchmark
+    decontamination where exact n-gram overlap (contamination_check) is
+    too strict. Returns (id_l, id_r, jaccard >= threshold); ids are NOT
+    ordered against each other (they come from different corpora and may
+    collide numerically).
+
+    Scale shape: each side computes signatures from its own persisted
+    shingle frame (reused by its verify side — one scan per corpus);
+    candidates come from an equi-join of the two sides' band buckets on
+    (band, band-hash) after a per-side count-first cap (a hot boilerplate
+    bucket on BOTH sides would otherwise cross-multiply |L|x|R|; capped
+    drops are observable via ``observation``, which instruments the LEFT
+    side). Same recall algebra as the self-join: miss probability
+    (1 - s^r)^bands — ~1e-14 at s >= 0.8 with r=2, bands=32. Exact up to
+    64-bit shingle-hash collisions, like the whole minhash family."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    _retire_intermediates()
+    shl = _persist_intermediate(
+        _hashed_shingle_frame(left, id_col, text_col, n)
+    )
+    shr = _persist_intermediate(
+        _hashed_shingle_frame(right, id_col, text_col, n)
+    )
+    bl = _band_frame(
+        _minhash_sig_cols(left, id_col, text_col, n, num_hashes, shl),
+        num_hashes,
+        bands,
+    )
+    br = _band_frame(
+        _minhash_sig_cols(right, id_col, text_col, n, num_hashes, shr),
+        num_hashes,
+        bands,
+    )
+    cl = capped_collect(bl, ["_band", "_bh"], "_id", "_ids_l", max_bucket,
+                        observation, min_bucket=1)
+    cr = capped_collect(br, ["_band", "_bh"], "_id", "_ids_r", max_bucket,
+                        min_bucket=1)
+    cands = (
+        cl.join(cr, ["_band", "_bh"])
+        .select("_ids_r", F.explode("_ids_l").alias("id_l"))
+        .select("id_l", F.explode("_ids_r").alias("id_r"))
+        .distinct()
+    )
+    a = shl.select(F.col("_id").alias("id_l"), F.col("_sh").alias("_sha"))
+    b = shr.select(F.col("_id").alias("id_r"), F.col("_sh").alias("_shb"))
+    return (
+        cands.join(a, "id_l")
+        .join(b, "id_r")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
     )
 
 

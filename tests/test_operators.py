@@ -1609,3 +1609,46 @@ def test_ivf_knn_join_full_probe_equals_exact(spark, embs):
     for r in part:
         by_q.setdefault(r.q_id, set()).add(assigned[r.vec_id])
     assert all(len(cells) == 1 for cells in by_q.values())
+
+
+def test_minhash_cross_pairs_ground_truth(spark, docs):
+    """Cross-corpus LSH join equals the exact cross-Jaccard answer on the
+    fixture corpus split by parity; a pair whose band bucket holds ONE
+    member per side must still be found (min_bucket=1 — the self-join's
+    singleton drop would lose it)."""
+    from spark_xml_spark.operators import minhash_cross_pairs
+
+    rows = docs.collect()
+    sh = {r["doc_id"]: _py_shingles(r["text"], 3) for r in rows}
+    truth = {}
+    for a in sh:
+        for b in sh:
+            if a % 2 == 1 and b % 2 == 0:
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    j = inter / len(sh[a] | sh[b])
+                    if j >= 0.8:
+                        truth[(a, b)] = j
+    left = docs.filter(F.col("doc_id") % 2 == 1)
+    right = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in minhash_cross_pairs(
+            left, right, "doc_id", "text", n=3, num_hashes=64, bands=32,
+            threshold=0.8,
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    for k in truth:
+        assert abs(got[k] - truth[k]) < 1e-9
+    # isolated pair: unique shared content, one doc per side -> every
+    # shared band bucket is a (1, 1) singleton pair across sides
+    iso = spark.createDataFrame(
+        [(1, "zq zw ze zr zt zy zu zi"), (2, "zq zw ze zr zt zy zu zo")],
+        "doc_id long, text string",
+    )
+    got2 = minhash_cross_pairs(
+        iso.filter("doc_id = 1"), iso.filter("doc_id = 2"),
+        "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.3,
+    ).collect()
+    assert [(r.id_l, r.id_r) for r in got2] == [(1, 2)]
