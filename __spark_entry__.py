@@ -1827,6 +1827,51 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The markup-strip cleaning stage INSIDE Structured Streaming: the
+    dirtied documents replay as a file stream, clean_text runs as a
+    stateless per-batch projection (the same operator as the batch
+    text_clean query — streaming-safe because it is pure codegen), and
+    the parquet sink's totals are SQL-checkable."""
+    import tempfile
+
+    from spark_xml_spark.operators import clean_text
+
+    work = tempfile.mkdtemp(prefix="xml_sclean_q_")
+    out = os.path.join(work, "out")
+
+    def _build(path):
+        d = _parquet(spark, sf_dir, "documents", fan_out=False).select(
+            "doc_id",
+            F.concat(
+                F.lit(_DIRTY_HTML_PREFIX),
+                F.col("text"),
+                F.lit(_DIRTY_HTML_SUFFIX),
+            ).alias("dirty"),
+        )
+        d.coalesce(4).write.mode("overwrite").parquet(path)
+
+    src = _stream_source(spark, sf_dir, "clean-dirtied-v1", "documents", _build)
+    stream = spark.readStream.schema("doc_id long, dirty string").parquet(src)
+    cleaned = clean_text(stream, "dirty", "text_clean").select(
+        "doc_id", "text_clean", "n_chars_removed"
+    )
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rb = spark.read.parquet(out)
+    return rb.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars_removed").cast("bigint").alias("total_removed"),
+        F.sum(F.length("text_clean")).cast("bigint").alias("total_clean_len"),
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile: doc counts, token totals/mean/max, and
     EXACT interpolated token-count percentiles (p50/p90/p99) — the
@@ -2349,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross": q_dedup_cross,
         "corpus_stats": q_corpus_stats,
         "text_clean": q_text_clean,
+        "stream_clean": q_stream_clean,
         "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
@@ -2408,6 +2454,26 @@ _LANG_SQL_LISTS = {
     "fr": "'le','la','les','et','de','un','une','est','dans','pour'",
     "es": "'el','la','los','las','y','de','que','es','en','por'",
 }
+
+
+
+def _clean_sql(col: str) -> str:
+    """DuckDB mirror of operators.textstats.clean_text_col over ``col``:
+    same regexes verbatim (RE2 ∩ java.util.regex subset), same order —
+    script/style bodies, comments, tags, fixed entity table with &amp;
+    LAST, whitespace collapse + trim."""
+    return f"""trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                      {col},
+                      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?s)<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '),
+                    '&amp;', '&'),
+                  '\\s+', ' ', 'g'))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3087,25 +3153,31 @@ def oracle_sql() -> dict[str, str]:
                      '{_DIRTY_HTML_SUFFIX}' AS d
               FROM documents WHERE doc_id < 200
             ), c AS (
-              SELECT doc_id, d,
-                trim(regexp_replace(
-                  replace(replace(replace(replace(replace(replace(replace(
-                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                      d,
-                      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
-                      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
-                      '(?s)<!--.*?-->', ' ', 'g'),
-                      '(?s)<[^>]*>', ' ', 'g'),
-                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                    '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '),
-                    '&amp;', '&'),
-                  '\\s+', ' ', 'g')) AS text_clean
+              SELECT doc_id, d, {_clean_sql('d')} AS text_clean
               FROM dirty
             )
             SELECT doc_id, text_clean,
                    CAST(COALESCE(len(d), 0) - COALESCE(len(text_clean), 0)
                         AS BIGINT) AS n_chars_removed
             FROM c ORDER BY doc_id
+        """,
+        # the stream is a stateless projection of the same clean chain
+        # over the dirtied corpus — totals replay in one batch SQL
+        "stream_clean": f"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     '{_DIRTY_HTML_PREFIX}' || text ||
+                     '{_DIRTY_HTML_SUFFIX}' AS d
+              FROM documents
+            ), c AS (
+              SELECT doc_id, d, {_clean_sql('d')} AS text_clean
+              FROM dirty
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(COALESCE(len(d), 0) - COALESCE(len(text_clean), 0))
+                        AS BIGINT) AS total_removed,
+                   CAST(SUM(len(text_clean)) AS BIGINT) AS total_clean_len
+            FROM c
         """,
         # mirrors operators.textstats.corpus_profile: NULL text = 0 tokens,
         # quantile_cont == Spark's exact interpolated percentile (verified
