@@ -1910,18 +1910,25 @@ def q_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-joined against even-id documents (the 'existing corpus') at
     Jaccard >= 0.8 — banded MinHash between the two sides, exact hashed
     verify. b=32/r=2 recall at s >= 0.8 is ~1 - 1e-14, so the verified
-    output equals the exact cross-Jaccard answer, which is the oracle."""
+    output equals the exact cross-Jaccard answer, which is the oracle.
+    Served from the materialize-once pair artifact like the self-join
+    family (the cross list is the product of a corpus-pair snapshot)."""
     from spark_xml_spark.operators import minhash_cross_pairs
 
-    d = _parquet(spark, sf_dir, "documents", fan_out=True)
-    left = d.filter(F.col("doc_id") % 2 == 1)
-    right = d.filter(F.col("doc_id") % 2 == 0)
-    return (
-        minhash_cross_pairs(
+    def _build():
+        d = _parquet(spark, sf_dir, "documents", fan_out=True)
+        left = d.filter(F.col("doc_id") % 2 == 1)
+        right = d.filter(F.col("doc_id") % 2 == 0)
+        return minhash_cross_pairs(
             left, right, "doc_id", "text", n=3, num_hashes=64, bands=32,
             threshold=0.8,
         )
-        .select("id_l", "id_r", F.round("jaccard", 9).alias("jaccard_r"))
+
+    pairs = _near_dup_pairs_cached(
+        spark, sf_dir, "cross-parity-n3-h64-b32-t080", _build
+    )
+    return (
+        pairs.select("id_l", "id_r", F.round("jaccard", 9).alias("jaccard_r"))
         .orderBy("id_l", "id_r")
     )
 
