@@ -122,7 +122,12 @@ def knn_join(
     Scale shape: the query side BROADCASTS (query batches are bounded —
     thousands — next to a 100 TB corpus), so scoring is a JVM zip_with
     fold inside a broadcast nested-loop join and the corpus is scanned
-    ONCE with no shuffle. An Arrow-batched per-partition heap reduce
+    ONCE with no shuffle. The fold is JVM-side but INTERPRETED
+    (higher-order functions skip whole-stage codegen), so scoring does
+    real per-row work — partition the corpus scan accordingly; when
+    Q*dim throughput dominates and bit-exactness with
+    brute_force_cosine_topk is not required, IvfIndex.knn_join's
+    Arrow-matmul probe path is the faster engine. An Arrow-batched per-partition heap reduce
     (``prereduce``, memory O(#queries * k); pure SELECTION — every cosine
     is computed JVM-side and round-trips Arrow bit-exact) cuts the
     candidate stream from N*Q rows to partitions*Q*k before the single
