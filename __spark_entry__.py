@@ -915,6 +915,17 @@ def q_xsd_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _await_stream(q, timeout_s: int = 300) -> None:
+    """awaitTermination returns False on timeout instead of raising; a
+    timed-out availableNow stream would keep writing while the caller
+    aggregates a PARTIAL sink — fail loudly instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream did not finish within {timeout_s}s; sink is partial"
+        )
+
+
 def _stream_source(spark: SparkSession, sf_dir: str, name: str,
                    base_table: str, build) -> str:
     """Cached stream-source parquet directory keyed by (name+recipe,
@@ -970,7 +981,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     kept = spark.read.parquet(out)
     return kept.agg(
         F.count("*").cast("bigint").alias("n_kept"),
@@ -1006,7 +1017,7 @@ def q_stream_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.read.parquet(out).agg(
         F.count("*").alias("n_rows"),
         F.sum("n_nationkey").alias("sum_key"),
@@ -1042,7 +1053,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     sessions = spark.read.parquet(out)
     return sessions.agg(
         F.count("*").alias("n_closed"),
@@ -1084,7 +1095,7 @@ def q_stream_xml_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     back = read_xml(
         spark,
         out,
@@ -1177,7 +1188,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     got = spark.read.parquet(out)
     return (
         got.groupBy("n_name")
@@ -1222,7 +1233,7 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     got = spark.read.parquet(out)
     return got.select(
         F.unix_timestamp("window_start").alias("win_start_s"),
@@ -1809,6 +1820,16 @@ _DIRTY_HTML_SUFFIX = (
 )
 
 
+def _dirty_doc_col() -> "F.Column":
+    """The planted HTML wrapper shared by the batch text_clean query and
+    the stream_clean source build — one definition so the batch/stream
+    pairing cannot drift (the stream-source cache cannot see inside its
+    build closure)."""
+    return F.concat(
+        F.lit(_DIRTY_HTML_PREFIX), F.col("text"), F.lit(_DIRTY_HTML_SUFFIX)
+    )
+
+
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus cleaning stage: markup strip + entity decode +
     whitespace collapse over deterministically dirtied documents (the
@@ -1821,10 +1842,9 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
         F.col("doc_id") < 200
     )
-    dirty = F.concat(
-        F.lit(_DIRTY_HTML_PREFIX), F.col("text"), F.lit(_DIRTY_HTML_SUFFIX)
+    out = clean_text(
+        d.withColumn("dirty", _dirty_doc_col()), "dirty", "text_clean"
     )
-    out = clean_text(d.withColumn("dirty", dirty), "dirty", "text_clean")
     return out.select("doc_id", "text_clean", "n_chars_removed").orderBy(
         "doc_id"
     )
@@ -1845,12 +1865,7 @@ def q_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build(path):
         d = _parquet(spark, sf_dir, "documents", fan_out=False).select(
-            "doc_id",
-            F.concat(
-                F.lit(_DIRTY_HTML_PREFIX),
-                F.col("text"),
-                F.lit(_DIRTY_HTML_SUFFIX),
-            ).alias("dirty"),
+            "doc_id", _dirty_doc_col().alias("dirty")
         )
         d.coalesce(4).write.mode("overwrite").parquet(path)
 
@@ -1866,7 +1881,7 @@ def q_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     rb = spark.read.parquet(out)
     return rb.agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -514,18 +514,33 @@ def minhash_near_dup_pairs(
         df, id_col, text_col, n, num_hashes, bands, max_bucket, observation,
         _hashed=sh,
     )
-    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return _jaccard_verify(cands, sh, sh, "id_a", "id_b", threshold)
+
+
+def _jaccard_verify(
+    cands: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    id_a: str,
+    id_b: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact hashed-shingle Jaccard verify of a candidate pair list:
+    join each side's shingle frame back, intersect/union JVM-side, keep
+    pairs at/over ``threshold``. Shared by the self-join and cross-corpus
+    minhash verifiers (one definition of the collision-caveat semantics)."""
+    a = sh_a.select(F.col("_id").alias(id_a), F.col("_sh").alias("_sha"))
+    b = sh_b.select(F.col("_id").alias(id_b), F.col("_sh").alias("_shb"))
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(a, id_a)
+        .join(b, id_b)
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("_sha", "_shb"))
             / F.size(F.array_union("_sha", "_shb")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(id_a, id_b, "jaccard")
     )
 
 
@@ -540,6 +555,7 @@ def minhash_cross_pairs(
     threshold: float = 0.8,
     max_bucket: int = 200,
     observation=None,
+    observation_right=None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate JOIN (corpus A vs corpus B): banded
     MinHash-LSH candidates BETWEEN the two sides, exact hashed-shingle
@@ -555,8 +571,10 @@ def minhash_cross_pairs(
     candidates come from an equi-join of the two sides' band buckets on
     (band, band-hash) after a per-side count-first cap (a hot boilerplate
     bucket on BOTH sides would otherwise cross-multiply |L|x|R|; capped
-    drops are observable via ``observation``, which instruments the LEFT
-    side). Same recall algebra as the self-join: miss probability
+    drops are observable PER SIDE via ``observation`` (left) and
+    ``observation_right`` — when passing both, read/restore the right one
+    first so the stacked AQE-conf stashes unwind in inverse order). Same
+    recall algebra as the self-join: miss probability
     (1 - s^r)^bands — ~1e-14 at s >= 0.8 with r=2, bands=32. Exact up to
     64-bit shingle-hash collisions, like the whole minhash family."""
     if num_hashes % bands != 0:
@@ -578,29 +596,27 @@ def minhash_cross_pairs(
         num_hashes,
         bands,
     )
+    # prune each side to the bucket-key INTERSECTION before any gather:
+    # with min_bucket=1 the dominant cost would otherwise be collect_list
+    # over each side's (overwhelmingly singleton, non-intersecting)
+    # buckets, all thrown away by the cl-cr join below. The distinct key
+    # sets are map-side-combinable and tiny next to the banded rows, and
+    # the drop metrics then count only buckets that could have paired.
+    keys_l = bl.select("_band", "_bh").distinct()
+    keys_r = br.select("_band", "_bh").distinct()
+    bl = bl.join(keys_r, ["_band", "_bh"], "left_semi")
+    br = br.join(keys_l, ["_band", "_bh"], "left_semi")
     cl = capped_collect(bl, ["_band", "_bh"], "_id", "_ids_l", max_bucket,
                         observation, min_bucket=1)
     cr = capped_collect(br, ["_band", "_bh"], "_id", "_ids_r", max_bucket,
-                        min_bucket=1)
+                        observation_right, min_bucket=1)
     cands = (
         cl.join(cr, ["_band", "_bh"])
         .select("_ids_r", F.explode("_ids_l").alias("id_l"))
         .select("id_l", F.explode("_ids_r").alias("id_r"))
         .distinct()
     )
-    a = shl.select(F.col("_id").alias("id_l"), F.col("_sh").alias("_sha"))
-    b = shr.select(F.col("_id").alias("id_r"), F.col("_sh").alias("_shb"))
-    return (
-        cands.join(a, "id_l")
-        .join(b, "id_r")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("_sha", "_shb"))
-            / F.size(F.array_union("_sha", "_shb")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_l", "id_r", "jaccard")
-    )
+    return _jaccard_verify(cands, shl, shr, "id_l", "id_r", threshold)
 
 
 def simhash(
