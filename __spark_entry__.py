@@ -678,6 +678,43 @@ def q_xml_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned XML layout: nation written under
+    region=<n_regionkey>/ directories, read back through partition
+    DISCOVERY (typed `region` column from the directory names) with a
+    pushed partition filter that PRUNES the region=0 directory before any
+    byte of it is read — the reference inherits exactly this from
+    Spark's FileFormat machinery; here it is reimplemented for the
+    Python data source (sources/partitions.py)."""
+    fp = _table_fingerprint(sf_dir, "nation")
+    base = os.path.join(CACHE_ROOT, f"xmlpart-nation-{fp}")
+
+    def _build(stage):
+        n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        keys = [r[0] for r in n.select("n_regionkey").distinct().collect()]
+        for k in sorted(keys):
+            write_xml(
+                n.filter(F.col("n_regionkey") == k).coalesce(1),
+                os.path.join(stage, "xml", f"region={int(k)}"),
+                rowTag="nation",
+            )
+
+    _cached_build(base, _build)
+    df = read_xml(
+        spark, os.path.join(base, "xml"), rowTag="nation",
+        filterPushdown="true",
+    )
+    return (
+        df.filter(F.col("region") >= 1)
+        .groupBy("region")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+        )
+        .orderBy("region")
+    )
+
+
 def q_xml_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 split-boundary invariant at query scale: forced ~256 KiB splits,
     record ownership by start-tag position => no loss, no duplication
@@ -2381,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_valuetag": q_xml_valuetag,
         "xml_nulls": q_xml_nulls,
         "xml_wildcard": q_xml_wildcard,
+        "xml_partitioned": q_xml_partitioned,
         "xml_split_scan": q_xml_split_scan,
         "xml_ddl_sql": q_xml_ddl_sql,
         "from_xml_parse": q_from_xml_parse,
@@ -2663,6 +2701,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
                    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
             FROM lineitem
+        """,
+        "xml_partitioned": """
+            SELECT CAST(n_regionkey AS BIGINT) AS region,
+                   CAST(COUNT(*) AS BIGINT) AS n_nations,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+            FROM nation WHERE n_regionkey >= 1
+            GROUP BY 1 ORDER BY 1
         """,
         "xml_ddl_sql": """
             SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region

@@ -101,8 +101,9 @@ def _inject_filter_pushdown(spark: SparkSession, options: dict) -> dict:
     return options
 
 
-def _splits_df(spark: SparkSession, path, xopts: XmlOptions) -> DataFrame:
-    splits = tokenizer.plan_splits(path, xopts.charset)
+def _splits_df(spark: SparkSession, path, xopts: XmlOptions,
+               files=None) -> DataFrame:
+    splits = tokenizer.plan_splits(path, xopts.charset, files=files)
     rows = [
         (s.path, s.start, s.end, s.compression or "", s.whole_file) for s in splits
     ]
@@ -118,7 +119,13 @@ def infer_xml_schema(
     reference's sample semantics, InferSchema.scala:68-72)."""
     options = _inject_session_timezone(spark, options)
     xopts = XmlOptions.from_dict(options)
-    sdf = _splits_df(spark, path, xopts)
+    # Hive-style layouts: infer over the DISCOVERED (possibly nested)
+    # files, then append the typed partition columns — the read schema a
+    # partition-aware scan produces
+    from spark_xml_spark.sources import partitions as pmod
+
+    pfiles, pcols = pmod.discover_partitions(path)
+    sdf = _splits_df(spark, path, xopts, files=[(f, sz) for f, sz, _ in pfiles])
     opts_dict = dict(options)
 
     def infer_partition(batches):
@@ -150,7 +157,7 @@ def infer_xml_schema(
         raise ValueError(
             f"no XML rows with rowTag '{xopts.row_tag}' found in {path}"
         )
-    return schema
+    return pmod.append_partition_fields(schema, pcols)
 
 
 def read_xml(

@@ -214,12 +214,16 @@ class XmlInputPartition(InputPartition):
     # One task reads these splits sequentially. Small files are bin-packed
     # Spark-style (FilePartition/maxSplitBytes semantics) so a million
     # 1 MB files does not mean a million tasks; a large file's byte-range
-    # splits stay one per partition.
+    # splits stay one per partition. ``pvals`` carries the Hive-style
+    # partition-directory values shared by every split in the partition
+    # (splits are packed within one partition-value group only).
     splits: Tuple[Tuple[str, int, int, Optional[str], bool], ...]
+    pvals: Tuple = ()
 
 
 def _pack_splits(splits, max_split_bytes: int, open_cost: int,
-                 sizes: Optional[dict] = None) -> List[XmlInputPartition]:
+                 sizes: Optional[dict] = None,
+                 pvals: Tuple = ()) -> List[XmlInputPartition]:
     """Greedy size-descending bin-packing of file splits into partitions,
     mirroring Spark's FilePartition.getFilePartitions: a partition closes
     when adding the next split would exceed ``max_split_bytes``, and every
@@ -251,7 +255,8 @@ def _pack_splits(splits, max_split_bytes: int, open_cost: int,
         parts.append(cur)
     return [
         XmlInputPartition(
-            tuple((s.path, s.start, s.end, s.compression, s.whole_file) for s in g)
+            tuple((s.path, s.start, s.end, s.compression, s.whole_file) for s in g),
+            pvals,
         )
         for g in parts
     ]
@@ -1289,13 +1294,62 @@ class XmlReader(DataSourceReader):
                 return v
         return None
 
+    def _discover(self, need_files: bool = False):
+        """Driver-side Hive-style partition discovery, cached on self.
+        pushFilters (to classify partition filters) and partitions() (to
+        group/prune) both need it; partitions() drops the FILE list
+        afterwards so executor pickles stay slim, while the small
+        ``_pcols`` result stays cached — executors consult it without
+        ever touching the filesystem."""
+        if getattr(self, "_pcols", None) is None or (
+            need_files and getattr(self, "_pfiles", None) is None
+        ):
+            from spark_xml_spark.sources import partitions as pmod
+
+            self._pfiles, self._pcols = pmod.discover_partitions(self._path)
+        return getattr(self, "_pfiles", None), self._pcols
+
+    def _attach_cols(self):
+        """The partition columns this scan actually EXPOSES: the trailing
+        schema fields matching the discovered partition keys, in order.
+        [] when the schema omits them (data-only output — a pruned
+        projection or an explicit schema without partition columns)."""
+        _, pcols = self._discover()
+        if not pcols:
+            return []
+        names = [n for n, _ in pcols]
+        tail = [f.name for f in self._schema.fields[-len(pcols):]]
+        if tail == names:
+            return pcols
+        present = [n for n in names if n in {f.name for f in self._schema.fields}]
+        if present:
+            raise ValueError(
+                f"partition columns {names} must be the LAST fields of the "
+                f"schema, in discovery order; got schema tail {tail}"
+            )
+        return []
+
+    def _data_schema(self) -> T.StructType:
+        """The schema the XML parser fills — the full scan schema minus
+        the attached partition columns (constants from the directory
+        names, never parsed from file content)."""
+        attach = self._attach_cols()
+        if not attach:
+            return self._schema
+        return T.StructType(self._schema.fields[: -len(attach)])
+
     def partitions(self) -> List[InputPartition]:
         xopts = XmlOptions.from_dict(self._opts_dict)
         open_cost = int(self._opt("openCostBytes") or 4 * 1024 * 1024)
         try:
-            listed = tokenizer._expand_with_sizes(self._path)
+            pfiles, pcols = self._discover(need_files=True)
         except OSError:
-            listed = None
+            pfiles, pcols = None, []
+        if pcols:
+            return self._partitions_partitioned(
+                xopts, open_cost, pfiles, pcols
+            )
+        listed = [(f, sz) for f, sz, _ in pfiles] if pfiles is not None else None
         sizes = dict(listed) if listed is not None else {}
         explicit = self._opt("targetSplitSize", "maxPartitionBytes")
         if explicit is not None:
@@ -1318,27 +1372,132 @@ class XmlReader(DataSourceReader):
                 par = os.cpu_count() or 8
             bytes_per_core = total // max(par, 1)
             target = min(128 * 1024 * 1024, max(open_cost, bytes_per_core))
-        return _pack_splits(
+        out = _pack_splits(
             tokenizer.plan_splits(self._path, xopts.charset, target, files=listed),
             target,
             open_cost,
             sizes,
         )
+        self._pfiles = None  # keep executor pickles slim
+        return out
+
+    def _split_target(self, open_cost: int, listed) -> int:
+        explicit = self._opt("targetSplitSize", "maxPartitionBytes")
+        if explicit is not None:
+            return int(explicit)
+        total = open_cost
+        for _f, size in listed or ():
+            total += size + open_cost
+        par = int(self._opt("minPartitions") or 0)
+        if par <= 0:
+            par = os.cpu_count() or 8
+        bytes_per_core = total // max(par, 1)
+        return min(128 * 1024 * 1024, max(open_cost, bytes_per_core))
+
+    def _partitions_partitioned(
+        self, xopts, open_cost: int, pfiles, pcols
+    ) -> List[InputPartition]:
+        """Split planning for a Hive-partitioned layout: splits pack
+        WITHIN one partition-value group (a task's rows share one value
+        tuple), pushed partition filters prune whole groups before any
+        byte is read (the 100 TB point of a partitioned layout), and the
+        surviving groups' typed values ride the partition objects."""
+        from spark_xml_spark.sources import partitions as pmod
+
+        attach = self._attach_cols()
+        pschema = T.StructType(
+            [
+                T.StructField(
+                    n,
+                    {"bigint": T.LongType(), "double": T.DoubleType()}.get(
+                        t, T.StringType()
+                    ),
+                )
+                for n, t in pcols
+            ]
+        )
+        preds = [
+            _compile_filter(f, pschema, "\x00none")
+            for f in getattr(self, "_ppushed", [])
+        ]
+        groups: dict = {}
+        for f, sz, pv in pfiles:
+            groups.setdefault(pv, []).append((f, sz))
+        all_listed = [(f, sz) for f, sz, _ in pfiles]
+        target = self._split_target(open_cost, all_listed)
+        out: List[InputPartition] = []
+        for pv in sorted(
+            groups, key=lambda t: tuple("" if v is None else v for v in t)
+        ):
+            typed = tuple(
+                pmod.typed_value(v, t) for v, (_n, t) in zip(pv, pcols)
+            )
+            if preds and not all(p(typed) for p in preds if p is not None):
+                continue  # pruned: no file in this group is opened
+            listed = groups[pv]
+            out.extend(
+                _pack_splits(
+                    tokenizer.plan_splits(
+                        self._path, xopts.charset, target, files=listed
+                    ),
+                    target,
+                    open_cost,
+                    dict(listed),
+                    pvals=typed if attach else (),
+                )
+            )
+        self._pfiles = None  # keep executor pickles slim
+        return out
 
     def read(self, partition: XmlInputPartition) -> Iterator:
         tally = _TierTally() if _tier_stats_dir() else None
         if tally is None:
-            yield from self._read_impl(partition, None)
-            return
+            gen = self._read_impl(partition, None)
+        else:
+            gen = self._read_tallied(partition, tally)
+        pv = getattr(partition, "pvals", ())
+        if pv:
+            gen = self._attach_pvals(gen, pv)
+        yield from gen
+
+    def _read_tallied(self, partition, tally) -> Iterator:
         try:
             yield from self._read_impl(partition, tally)
         finally:
             tally.flush()
 
+    def _attach_pvals(self, gen, pv) -> Iterator:
+        """Append the partition-directory constants to every output row /
+        batch: the parser never sees these columns (they are not in the
+        file content), so tuples extend and Arrow batches gain constant
+        arrays — the analogue of Spark appending partition values outside
+        the FileFormat reader."""
+        import pyarrow as pa
+
+        attach = self._attach_cols()
+        pa_types = {"bigint": pa.int64(), "double": pa.float64()}
+        names = [f.name for f in self._data_schema().fields] + [
+            n for n, _ in attach
+        ]
+        for item in gen:
+            if isinstance(item, pa.RecordBatch):
+                arrays = list(item.columns)
+                for v, (_n, t) in zip(pv, attach):
+                    ptype = pa_types.get(t, pa.string())
+                    arrays.append(
+                        pa.nulls(item.num_rows, ptype)
+                        if v is None
+                        else pa.array([v] * item.num_rows, ptype)
+                    )
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+            else:
+                yield tuple(item) + pv
+
     def _read_impl(self, partition: XmlInputPartition, tally) -> Iterator:
         import itertools
 
         xopts = XmlOptions.from_dict(self._opts_dict)
+        dschema = self._data_schema()
 
         def _records():
             for path, start, end, compression, whole_file in partition.splits:
@@ -1351,16 +1510,16 @@ class XmlReader(DataSourceReader):
             # raw-text reject shortcut: skip parsing records that can't
             # match (FAILFAST keeps parsing everything so malformed
             # records still raise exactly as an unfiltered scan would)
-            reject = _raw_prefilter(self._pushed, self._schema, corrupt)
+            reject = _raw_prefilter(self._pushed, dschema, corrupt)
             if reject is not None:
                 records = (r for r in records if not reject(r))
-        fix = _tz_fixer(self._schema)
-        rows = parser.parse_records(records, self._schema, xopts)
+        fix = _tz_fixer(dschema)
+        rows = parser.parse_records(records, dschema, xopts)
         if fix is not None:
             rows = (fix(row) for row in rows)
         if self._pushed:
             preds = [
-                _compile_filter(f, self._schema, corrupt) for f in self._pushed
+                _compile_filter(f, dschema, corrupt) for f in self._pushed
             ]
             rows = (row for row in rows if all(p(row) for p in preds))
 
@@ -1390,7 +1549,7 @@ class XmlReader(DataSourceReader):
             or self._opts_dict.get("columnarbatches")
             or "true"
         ).lower()
-        if columnar_flag != "false" and _columnar_ok(self._schema, xopts):
+        if columnar_flag != "false" and _columnar_ok(dschema, xopts):
             # Columnar fast path: record batches go straight from matched
             # field strings to Arrow arrays with C-level casts; any batch
             # the pattern or casts can't prove equivalent re-runs through
@@ -1416,13 +1575,13 @@ class XmlReader(DataSourceReader):
                         )
 
                 yield from _columnar_window_batches(
-                    _windows(), self._schema, xopts, batch_size, tally=tally
+                    _windows(), dschema, xopts, batch_size, tally=tally
                 )
                 return
             masks = None
             if self._pushed:
                 masks = [
-                    _compile_filter_arrow(f, self._schema, corrupt)
+                    _compile_filter_arrow(f, dschema, corrupt)
                     for f in self._pushed
                 ]
                 if any(m is None for m in masks):
@@ -1431,7 +1590,7 @@ class XmlReader(DataSourceReader):
                 import pyarrow.compute as pc
 
                 for batch in _columnar_flat_batches(
-                    records, self._schema, xopts, batch_size, tally=tally
+                    records, dschema, xopts, batch_size, tally=tally
                 ):
                     if masks:
                         mask = masks[0](batch)
@@ -1450,7 +1609,7 @@ class XmlReader(DataSourceReader):
         if not buf:
             return
         try:
-            first = next(_rows_to_arrow_batches(iter(buf), self._schema, batch_size))
+            first = next(_rows_to_arrow_batches(iter(buf), dschema, batch_size))
         except Exception:
             if tally is not None:
                 tally.add("row_tuple", len(buf))
@@ -1467,7 +1626,7 @@ class XmlReader(DataSourceReader):
         if tally is not None:
             tally.add("row_arrow", first.num_rows)
         yield first
-        for b in _rows_to_arrow_batches(rows, self._schema, batch_size):
+        for b in _rows_to_arrow_batches(rows, dschema, batch_size):
             if tally is not None:
                 tally.add("row_arrow", b.num_rows)
             yield b
@@ -1492,9 +1651,37 @@ class XmlPushdownReader(XmlReader):
         # relation (e.g. a temp view queried twice): pushed filters are
         # per-scan state, never accumulated
         self._pushed = []
+        self._ppushed = []  # partition-column filters -> file pruning
         remaining = []
+        try:
+            attach = self._attach_cols()
+        except OSError:
+            attach = []
+        pnames = {n for n, _ in attach}
+        pschema = T.StructType(
+            [
+                T.StructField(
+                    n,
+                    {"bigint": T.LongType(), "double": T.DoubleType()}.get(
+                        t, T.StringType()
+                    ),
+                )
+                for n, t in attach
+            ]
+        )
+        dschema = self._data_schema() if attach else self._schema
         for f in filters:
-            if _compile_filter(f, self._schema, corrupt) is not None:
+            attr = getattr(f, "attribute", None)
+            if attr is None:
+                attr = getattr(getattr(f, "child", None), "attribute", None)
+            if attr is not None and len(attr) == 1 and attr[0] in pnames:
+                # constant per file: consumed by pruning whole partition
+                # groups in partitions(), never re-checked per row
+                if _compile_filter(f, pschema, corrupt) is not None:
+                    self._ppushed.append(f)
+                else:
+                    remaining.append(f)
+            elif _compile_filter(f, dschema, corrupt) is not None:
                 self._pushed.append(f)
             else:
                 remaining.append(f)
@@ -1632,9 +1819,14 @@ class XmlDataSource(DataSource):
         )
         limit = int(limit_raw) or None
 
+        from spark_xml_spark.sources import partitions as pmod
+
+        pfiles, pcols = pmod.discover_partitions(path)
+        flat = [(f, sz) for f, sz, _ in pfiles]
+
         def sampled() -> Iterator[str]:
             n = 0
-            for s in tokenizer.plan_splits(path, xopts.charset):
+            for s in tokenizer.plan_splits(path, xopts.charset, files=flat):
                 for rec in tokenizer.scan_split(s, xopts.row_tag, xopts.charset):
                     if ratio >= 1.0 or rng.random() < ratio:
                         n += 1
@@ -1664,6 +1856,7 @@ class XmlDataSource(DataSource):
         schema = infer.infer_schema_from_records(sampled(), xopts)
         if not schema.fields:
             raise ValueError(f"no XML rows with rowTag '{xopts.row_tag}' found in {path}")
+        schema = pmod.append_partition_fields(schema, pcols)
         _stash_options(schema, dict(self.options))
         return schema
 

@@ -1,0 +1,161 @@
+"""Hive-style partitioned-directory XML reads.
+
+The reference inherits partition discovery/pruning from Spark's
+FileFormat machinery (PartitioningAwareFileIndex — public Spark
+behavior); the Python data source reimplements it: discovery in
+sources/partitions.py, pruning + value attachment in
+sources/datasource.py.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_xml_spark.sources.api import read_xml
+from spark_xml_spark.sources.partitions import (
+    append_partition_fields,
+    discover_partitions,
+    typed_value,
+)
+
+
+def _tree(base, layout):
+    """layout: {(year, region): [(id, name), ...]} -> partitioned XML."""
+    for (year, region), rows in layout.items():
+        d = os.path.join(base, f"year={year}", f"region={region}")
+        os.makedirs(d, exist_ok=True)
+        body = "".join(
+            f"<rec><id>{i}</id><name>{n}</name></rec>" for i, n in rows
+        )
+        with open(os.path.join(d, "part.xml"), "w") as fh:
+            fh.write(f"<root>{body}</root>")
+
+
+LAYOUT = {
+    (2023, "EU"): [(1, "a"), (2, "b")],
+    (2023, "US"): [(3, "c")],
+    (2024, "EU"): [(4, "d"), (5, "e")],
+}
+
+
+def test_discover_partitions_types_and_nulls(tmp_path):
+    base = str(tmp_path)
+    _tree(base, LAYOUT)
+    os.makedirs(f"{base}/year=__HIVE_DEFAULT_PARTITION__/region=EU")
+    with open(
+        f"{base}/year=__HIVE_DEFAULT_PARTITION__/region=EU/part.xml", "w"
+    ) as fh:
+        fh.write("<root><rec><id>9</id><name>z</name></rec></root>")
+    files, pcols = discover_partitions(base)
+    assert pcols == [("year", "bigint"), ("region", "string")]
+    assert len(files) == 4
+    vals = {pv for _, _, pv in files}
+    assert (None, "EU") in vals and ("2024", "EU") in vals
+    assert typed_value("2024", "bigint") == 2024
+    assert typed_value(None, "bigint") is None
+    # mixed top-level data file + partition dirs -> conflict error
+    with open(f"{base}/stray.xml", "w") as fh:
+        fh.write("<root/>")
+    with pytest.raises(ValueError, match="conflicting partition"):
+        discover_partitions(base)
+
+
+def test_discover_flat_dir_unchanged(tmp_path):
+    p = tmp_path / "x.xml"
+    p.write_text("<root/>")
+    files, pcols = discover_partitions(str(tmp_path))
+    assert pcols == [] and [pv for _, _, pv in files] == [()]
+
+
+def test_append_partition_fields_collision():
+    sch = T.StructType([T.StructField("year", T.LongType())])
+    with pytest.raises(ValueError, match="collide"):
+        append_partition_fields(sch, [("year", "bigint")])
+
+
+def test_partitioned_read_schema_values_and_order(spark, tmp_path):
+    base = str(tmp_path)
+    _tree(base, LAYOUT)
+    df = read_xml(spark, base, rowTag="rec")
+    assert df.columns == ["id", "name", "year", "region"]
+    assert dict(df.dtypes)["year"] == "bigint"
+    got = {(r.id, r.year, r.region) for r in df.collect()}
+    assert got == {
+        (1, 2023, "EU"), (2, 2023, "EU"), (3, 2023, "US"),
+        (4, 2024, "EU"), (5, 2024, "EU"),
+    }
+
+
+def test_partition_filter_prunes_files_before_read(spark, tmp_path):
+    """Reader-level proof: a pushed partition filter removes whole
+    partition-value groups from the planned splits (no byte of a pruned
+    file is opened), and a data filter rides along as a row filter."""
+    from pyspark.sql import datasource as ds
+
+    from spark_xml_spark.sources.datasource import XmlPushdownReader
+
+    base = str(tmp_path)
+    _tree(base, LAYOUT)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("year", T.LongType()),
+            T.StructField("region", T.StringType()),
+        ]
+    )
+    r = XmlPushdownReader(
+        {"path": base, "rowTag": "rec", "filterPushdown": "true"}, schema
+    )
+    remaining = r.pushFilters(
+        [ds.EqualTo(("year",), 2024), ds.GreaterThan(("id",), 4)]
+    )
+    assert remaining == []
+    parts = r.partitions()
+    files = {s[0] for p in parts for s in p.splits}
+    assert all("year=2024" in f for f in files) and files
+    assert {p.pvals for p in parts} == {(2024, "EU")}
+    rows = []
+    for p in parts:
+        for item in r.read(p):
+            rows.extend(
+                item.to_pylist() if hasattr(item, "to_pylist") else [item]
+            )
+    assert [(row["id"], row["year"]) for row in rows] == [(5, 2024)]
+
+
+def test_partitioned_end_to_end_pushdown_plan(spark, tmp_path):
+    base = str(tmp_path)
+    _tree(base, LAYOUT)
+    df = read_xml(spark, base, rowTag="rec", filterPushdown="true")
+    pr = df.filter((F.col("year") == 2024) & (F.col("id") >= 5))
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    # both filters consumed by the scan: no Filter NODE remains
+    assert ") Filter " not in plan and "+- Filter " not in plan
+    assert [(r.id, r.year) for r in pr.collect()] == [(5, 2024)]
+
+
+def test_explicit_schema_without_partition_cols_is_data_only(spark, tmp_path):
+    base = str(tmp_path)
+    _tree(base, LAYOUT)
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    df = read_xml(spark, base, schema=sch, rowTag="rec")
+    assert df.columns == ["id", "name"] and df.count() == 5
+
+
+def test_partition_cols_must_be_schema_tail(spark, tmp_path):
+    base = str(tmp_path)
+    _tree(base, LAYOUT)
+    bad = T.StructType(
+        [
+            T.StructField("year", T.LongType()),  # pcol first: rejected
+            T.StructField("id", T.LongType()),
+            T.StructField("region", T.StringType()),
+        ]
+    )
+    with pytest.raises(Exception, match="LAST fields"):
+        read_xml(spark, base, schema=bad, rowTag="rec").collect()
