@@ -687,17 +687,16 @@ def q_xml_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's FileFormat machinery; here it is reimplemented for the
     Python data source (sources/partitions.py)."""
     fp = _table_fingerprint(sf_dir, "nation")
-    base = os.path.join(CACHE_ROOT, f"xmlpart-nation-{fp}")
+    base = os.path.join(CACHE_ROOT, f"xmlpart2-nation-{fp}")
 
     def _build(stage):
         n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-        keys = [r[0] for r in n.select("n_regionkey").distinct().collect()]
-        for k in sorted(keys):
-            write_xml(
-                n.filter(F.col("n_regionkey") == k).coalesce(1),
-                os.path.join(stage, "xml", f"region={int(k)}"),
-                rowTag="nation",
-            )
+        write_xml(
+            n.withColumn("region", F.col("n_regionkey").cast("long")),
+            os.path.join(stage, "xml"),
+            rowTag="nation",
+            partition_by="region",
+        )
 
     _cached_build(base, _build)
     df = read_xml(

@@ -199,16 +199,32 @@ def read_xml(
     return reader.load(path if isinstance(path, str) else ",".join(path))
 
 
-def write_xml(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+def write_xml(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by=None, **options) -> None:
     """Write a DataFrame as XML documents (one per partition).
 
     SaveMode semantics follow the reference (DefaultSource.scala:83-106):
     append is unsupported.
-    """
+
+    ``partition_by`` writes a Hive-style layout (``col=value/`` dirs,
+    partition columns omitted from the XML content — the partitioned
+    read re-derives them from the directory names). Rows are
+    repartitioned AND sorted on the partition columns first, so each
+    (task, value) group streams into one file with O(1) writer memory;
+    Spark's own ``DataFrameWriter.partitionBy`` does not reach Python
+    data sources, hence the explicit parameter."""
     if mode.lower() == "append":
         raise ValueError("Append mode is not supported by the xml data source")
     register(df.sparkSession)
     options = _inject_session_timezone(df.sparkSession, options)
+    if partition_by:
+        cols = ([partition_by] if isinstance(partition_by, str)
+                else list(partition_by))
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by column(s) {missing} not in DataFrame")
+        df = df.repartition(*cols).sortWithinPartitions(*cols)
+        options = dict(options, partitionBy=",".join(cols))
     (
         df.write.format(FORMAT_NAME)
         .mode(mode)

@@ -1729,24 +1729,92 @@ class XmlWriter(DataSourceWriter):
             # _SUCCESS/hidden files must not survive into the new output
             _fs.delete_dir(self._path)
 
+    def _partition_by(self) -> List[str]:
+        raw = self._opts_dict.get("partitionBy") or self._opts_dict.get(
+            "partitionby"
+        )
+        return [c.strip() for c in raw.split(",") if c.strip()] if raw else []
+
     def write(self, iterator) -> XmlCommitMessage:
-        import io
-
-        from spark_xml_spark.xmlcore import fs as _fs
-
-        xopts = XmlOptions.from_dict(self._opts_dict)
-        _fs.makedirs(self._path)
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        from spark_xml_spark.xmlcore import codecs as _codecs
+        xopts = XmlOptions.from_dict(self._opts_dict)
+        pby = self._partition_by()
+        if not pby:
+            name, count = self._write_one(
+                self._path, self._schema, iterator, xopts, pid, 0
+            )
+            return XmlCommitMessage(file=name, count=count)
+        # Hive-style partitioned write: partition columns become
+        # <col>=<value>/ directories (values escaped like Spark's
+        # escapePathName; NULL -> __HIVE_DEFAULT_PARTITION__) and are NOT
+        # written into the XML content — the read side re-derives them
+        # from the directory names. Files roll on value change, so a
+        # caller that sorts within partitions (write_xml does) gets one
+        # file per (task, value); unsorted input stays correct but
+        # produces more files. O(1) writer memory either way.
+        from urllib.parse import quote
 
+        names = [f.name for f in self._schema.fields]
+        missing = [c for c in pby if c not in names]
+        if missing:
+            raise ValueError(f"partitionBy column(s) {missing} not in schema")
+        pidx = [names.index(c) for c in pby]
+        didx = [i for i in range(len(names)) if i not in pidx]
+        dschema = T.StructType([self._schema.fields[i] for i in didx])
+
+        def dirname(vals) -> str:
+            segs = []
+            for c, v in zip(pby, vals):
+                s = ("__HIVE_DEFAULT_PARTITION__" if v is None
+                     else quote(str(v), safe=""))
+                segs.append(f"{c}={s}")
+            return "/".join(segs)
+
+        _SENTINEL = object()
+        it = iter(iterator)
+        pending = next(it, _SENTINEL)
+        total, seq, last_name = 0, 0, ""
+        while pending is not _SENTINEL:
+            cur = tuple(pending[i] for i in pidx)
+
+            def group():
+                nonlocal pending
+                while (
+                    pending is not _SENTINEL
+                    and tuple(pending[i] for i in pidx) == cur
+                ):
+                    row = pending
+                    pending = next(it, _SENTINEL)
+                    yield tuple(row[i] for i in didx)
+
+            last_name, n = self._write_one(
+                self._path.rstrip("/") + "/" + dirname(cur),
+                dschema, group(), xopts, pid, seq,
+            )
+            total += n
+            seq += 1
+        return XmlCommitMessage(file=last_name, count=total)
+
+    def _write_one(
+        self, directory: str, schema: T.StructType, rows, xopts, pid: int,
+        seq: int,
+    ):
+        """Stream one XML document file into ``directory``; returns
+        (file name, row count)."""
+        import io
+
+        from spark_xml_spark.xmlcore import codecs as _codecs
+        from spark_xml_spark.xmlcore import fs as _fs
+
+        _fs.makedirs(directory)
         suffix = ".xml"
         if xopts.compression:
             suffix = ".xml" + _codecs.WRITE_SUFFIX[xopts.compression]
-        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{suffix}"
-        target = self._path.rstrip("/") + "/" + name
+        name = f"part-{pid:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}{suffix}"
+        target = directory.rstrip("/") + "/" + name
         count = 0
 
         def counted(it):
@@ -1762,7 +1830,7 @@ class XmlWriter(DataSourceWriter):
                 body = _codecs.wrap_write(raw, xopts.compression)
             fh = io.TextIOWrapper(body, encoding=xopts.charset)
             for line in generator.rows_to_document(
-                self._schema, counted(iterator), xopts
+                schema, counted(rows), xopts
             ):
                 fh.write(line)
                 fh.write("\n")
@@ -1772,7 +1840,7 @@ class XmlWriter(DataSourceWriter):
                 raw.close()  # GzipFile/BZ2File leave the raw stream open
             except Exception:
                 pass
-        return XmlCommitMessage(file=name, count=count)
+        return name, count
 
     def commit(self, messages) -> None:
         pass

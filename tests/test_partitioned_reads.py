@@ -159,3 +159,44 @@ def test_partition_cols_must_be_schema_tail(spark, tmp_path):
     )
     with pytest.raises(Exception, match="LAST fields"):
         read_xml(spark, base, schema=bad, rowTag="rec").collect()
+
+
+def test_partitioned_write_roundtrip(spark, tmp_path):
+    """write_xml(partition_by=...) lays out col=value/ dirs with the
+    partition columns OMITTED from file content; a partitioned read
+    recovers them typed, NULL values land in __HIVE_DEFAULT_PARTITION__,
+    and pruning works on the written layout."""
+    rows = [
+        (1, "a", 2023), (2, "b", 2023), (3, "c", 2024),
+        (4, "d", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, year long")
+    out = str(tmp_path / "out")
+    from spark_xml_spark.sources.api import write_xml
+
+    write_xml(df, out, rowTag="rec", partition_by="year")
+    import glob
+
+    dirs = sorted(os.path.basename(d) for d in glob.glob(f"{out}/year=*"))
+    assert dirs == ["year=2023", "year=2024", "year=__HIVE_DEFAULT_PARTITION__"]
+    # partition column not in the file content
+    content = open(glob.glob(f"{out}/year=2024/*.xml")[0]).read()
+    assert "<year>" not in content and "<id>3</id>" in content
+    back = read_xml(spark, out, rowTag="rec")
+    got = {(r.id, r.name, r.year) for r in back.collect()}
+    assert got == {(1, "a", 2023), (2, "b", 2023), (3, "c", 2024),
+                   (4, "d", None)}
+    pruned = read_xml(spark, out, rowTag="rec", filterPushdown="true").filter(
+        F.col("year") == 2023
+    )
+    assert sorted(r.id for r in pruned.collect()) == [1, 2]
+    # special chars escape like Spark's escapePathName and round-trip
+    df2 = spark.createDataFrame([(1, "x", "a/b c")],
+                                "id long, name string, src string")
+    out2 = str(tmp_path / "out2")
+    write_xml(df2, out2, rowTag="rec", partition_by=["src"])
+    assert glob.glob(f"{out2}/src=a%2Fb%20c/*.xml")
+    back2 = read_xml(spark, out2, rowTag="rec")
+    assert [r.src for r in back2.collect()] == ["a/b c"]
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        write_xml(df2, out2, rowTag="rec", partition_by=["nope"])
