@@ -200,3 +200,29 @@ def test_partitioned_write_roundtrip(spark, tmp_path):
     assert [r.src for r in back2.collect()] == ["a/b c"]
     with pytest.raises(ValueError, match="not in DataFrame"):
         write_xml(df2, out2, rowTag="rec", partition_by=["nope"])
+
+
+def test_sql_ddl_over_partitioned_layout(spark, tmp_path):
+    """CREATE TABLE ... USING xml-graft on a Hive-partitioned directory:
+    schema() appends the typed partition columns, SQL filters on them
+    work through the catalog path (options recovered via the stash)."""
+    from spark_xml_spark.sources.api import register
+
+    base = str(tmp_path)
+    _tree(base, LAYOUT)
+    register(spark)
+    spark.sql("DROP TABLE IF EXISTS part_xml")
+    spark.sql(
+        f"""CREATE TABLE part_xml USING `xml-graft`
+        OPTIONS (path '{base}', rowTag 'rec')"""
+    )
+    try:
+        got = spark.sql(
+            "SELECT id, year, region FROM part_xml "
+            "WHERE year = 2023 ORDER BY id"
+        ).collect()
+        assert [(r.id, r.year, r.region) for r in got] == [
+            (1, 2023, "EU"), (2, 2023, "EU"), (3, 2023, "US")
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_xml")
