@@ -202,3 +202,20 @@ def append_partition_fields(schema, pcols):
         list(schema.fields)
         + [T.StructField(n, tmap.get(t, T.StringType())) for n, t in pcols]
     )
+
+
+def partition_values_of(base: str, filepath: str):
+    """Derive the (key, value) sequence for one file from its path
+    relative to ``base`` — a pure path function (no filesystem access),
+    so executors and offset replays re-derive identical values. Returns
+    [] for a file directly under base."""
+    b = fs.strip_local_scheme(base).rstrip("/")
+    f = fs.strip_local_scheme(filepath)
+    rel = f[len(b):].lstrip("/") if f.startswith(b) else f
+    out = []
+    for seg in rel.split("/")[:-1]:
+        parsed = _parse_segment(seg)
+        if parsed is None:
+            return []  # non-partition subdir: treat as unpartitioned
+        out.append(parsed)
+    return out

@@ -60,10 +60,12 @@ class XmlStreamReader(DataSourceStreamReader):
 
     # -- offsets -----------------------------------------------------------
     def _snapshot(self) -> dict:
-        from spark_xml_spark.xmlcore import fs
+        from spark_xml_spark.sources import partitions as pmod
 
         try:
-            listed = fs.list_data_files(self._path)
+            # partition-aware listing: a Hive-style layout's nested files
+            # are discovered recursively; flat dirs list exactly as before
+            listed = [(f, sz) for f, sz, _ in pmod.discover_partitions(self._path)[0]]
         except FileNotFoundError:
             listed = []
         return {"files": {p: size for p, size in listed}}
@@ -146,6 +148,33 @@ class XmlStreamReader(DataSourceStreamReader):
             parts = [XmlStreamPartition(())]
         return parts
 
+    def _attach_fields(self, filepath: str):
+        """Schema-tail fields matching this file's path-derived partition
+        keys -> [(index-in-schema, name, typed value)], [] when the
+        layout (or the declared schema) is unpartitioned. Pure path
+        logic; values convert per the DECLARED schema type (streams
+        always run with an explicit schema)."""
+        from spark_xml_spark.sources import partitions as pmod
+
+        kv = pmod.partition_values_of(self._path, filepath)
+        if not kv:
+            return []
+        names = [f.name for f in self._schema.fields]
+        keys = [k for k, _ in kv]
+        if names[-len(keys):] != keys:
+            return []  # schema does not expose the partition columns
+        out = []
+        for (k, v), f in zip(kv, self._schema.fields[-len(keys):]):
+            if v is None:
+                out.append((k, None))
+            elif isinstance(f.dataType, (T.LongType, T.IntegerType)):
+                out.append((k, int(v)))
+            elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+                out.append((k, float(v)))
+            else:
+                out.append((k, v))
+        return out
+
     def read(self, partition: XmlStreamPartition) -> Iterator[tuple]:
         xopts = XmlOptions.from_dict(self._opts_dict)
 
@@ -154,8 +183,17 @@ class XmlStreamReader(DataSourceStreamReader):
                 split = tokenizer.FileSplit(
                     path, start, end, compression or None, whole_file, eof=snap
                 )
+                attach = self._attach_fields(path)
+                if attach:
+                    dschema = T.StructType(
+                        self._schema.fields[: -len(attach)]
+                    )
+                    pv = tuple(v for _, v in attach)
+                else:
+                    dschema, pv = self._schema, ()
                 records = tokenizer.scan_split(split, xopts.row_tag, xopts.charset)
-                yield from parser.parse_records(records, self._schema, xopts)
+                for row in parser.parse_records(records, dschema, xopts):
+                    yield tuple(row) + pv
 
         return _rows()
 

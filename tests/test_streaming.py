@@ -440,3 +440,59 @@ def test_dedup_checkpoint_kill_and_resume(spark, tmp_path):
     # restore + idempotent re-check passes
     marker.write_text(str(_sd.ENCODING_VERSION))
     check_checkpoint_encoding(ckpt)
+
+
+def test_stream_reads_partitioned_layout(spark, tmp_path):
+    """The streaming XML source discovers Hive-partitioned files and
+    attaches typed partition values from the directory names; a file
+    landing in a NEW partition dir after the first batch is picked up
+    with its values."""
+    import os
+
+    from spark_xml_spark.sources.api import register
+
+    register(spark)
+
+    src = tmp_path / "src"
+    d1 = src / "year=2023"
+    os.makedirs(d1)
+    (d1 / "a.xml").write_text(
+        "<root><rec><id>1</id></rec><rec><id>2</id></rec></root>"
+    )
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("xml-graft")
+        .schema("id long, year long")
+        .option("rowTag", "rec")
+        .option("path", str(src))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {(r.id, r.year) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 2023), (2, 2023)}
+    # second batch: a new partition directory appears
+    d2 = src / "year=2024"
+    os.makedirs(d2)
+    (d2 / "b.xml").write_text("<root><rec><id>3</id></rec></root>")
+    q2 = (
+        spark.readStream.format("xml-graft")
+        .schema("id long, year long")
+        .option("rowTag", "rec")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    got = {(r.id, r.year) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 2023), (2, 2023), (3, 2024)}
