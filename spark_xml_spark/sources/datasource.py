@@ -153,6 +153,7 @@ def _load_entries(key: str) -> List[dict]:
 
 def _stash_options(schema: T.StructType, options: dict) -> None:
     import json
+    import time
 
     path = options.get("path") or options.get("location")
     if not path:
@@ -160,10 +161,17 @@ def _stash_options(schema: T.StructType, options: dict) -> None:
     key = _stash_key(schema)
     entry = {k: v for k, v in dict(options).items() if isinstance(v, str)}
     entry["path"] = path
-    entries = _load_entries(key)
-    if any(_canon_path(e.get("path", "")) == _canon_path(path) for e in entries):
-        _CATALOG_STASH[key] = entries
-        return
+    entry["__ts"] = time.time()
+    canon = _canon_path(path)
+    # Re-stashing an existing path refreshes its options and timestamp
+    # (a re-created table with new OPTIONS must not serve the old ones);
+    # dead paths are garbage-collected here so the sidecar cannot grow
+    # without bound across sessions.
+    entries = [
+        e
+        for e in _load_entries(key)
+        if _canon_path(e.get("path", "")) != canon and _path_exists(e["path"])
+    ]
     entries.append(entry)
     _CATALOG_STASH[key] = entries
     tmp = _sidecar_path(key) + f".tmp{os.getpid()}"
@@ -193,6 +201,14 @@ def _recover_options(schema: T.StructType) -> Optional[dict]:
     if len(live) == 1:
         return live[0]
     if len(live) > 1:
+        # Stale same-schema entries survive a DROP TABLE whenever the old
+        # directory is still on disk (nothing hooks the catalog drop), so
+        # prefer the strictly newest stash — the table most recently
+        # CREATEd with this schema. Only a genuine timestamp tie (two
+        # same-schema tables created in the same instant) is ambiguous.
+        live.sort(key=lambda e: e.get("__ts", 0.0), reverse=True)
+        if live[0].get("__ts", 0.0) > live[1].get("__ts", 0.0):
+            return live[0]
         raise ValueError(
             "xml-graft: ambiguous catalog table (multiple xml tables share "
             "this exact schema); re-read with "

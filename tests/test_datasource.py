@@ -377,3 +377,62 @@ class TestSessionTimezone:
             assert back.collect()[0]["ts"] == dt.datetime(2024, 6, 15, 12, 0, 0)
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
+
+
+class TestCatalogOptionStash:
+    """Catalog-table option recovery (datasource.py _stash_options/
+    _recover_options): keyed by schema fingerprint, so a DROP TABLE whose
+    directory survives on disk (e.g. pytest's retained tmp dirs) leaves a
+    stale same-schema entry behind. The newest stash must win."""
+
+    def _schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("stash_test_only", T.LongType()),
+                T.StructField("v", T.StringType()),
+            ]
+        )
+
+    def test_newest_live_entry_wins(self, tmp_path):
+        from spark_xml_spark.sources import datasource as ds
+
+        schema = self._schema()
+        old = tmp_path / "old_tbl"
+        new = tmp_path / "new_tbl"
+        old.mkdir()
+        new.mkdir()
+        ds._stash_options(schema, {"path": str(old), "rowtag": "a"})
+        ds._stash_options(schema, {"path": str(new), "rowtag": "b"})
+        got = ds._recover_options(schema)
+        assert got is not None
+        assert got["path"] == str(new)
+        assert got["rowtag"] == "b"
+
+    def test_restash_same_path_refreshes_options(self, tmp_path):
+        from spark_xml_spark.sources import datasource as ds
+
+        schema = self._schema()
+        p = tmp_path / "tbl"
+        p.mkdir()
+        ds._stash_options(schema, {"path": str(p), "rowtag": "first"})
+        ds._stash_options(schema, {"path": str(p), "rowtag": "second"})
+        got = ds._recover_options(schema)
+        assert got is not None and got["rowtag"] == "second"
+
+    def test_dead_paths_age_out(self, tmp_path):
+        from spark_xml_spark.sources import datasource as ds
+
+        schema = self._schema()
+        gone = tmp_path / "gone"
+        live = tmp_path / "live"
+        gone.mkdir()
+        live.mkdir()
+        ds._stash_options(schema, {"path": str(gone), "rowtag": "x"})
+        ds._stash_options(schema, {"path": str(live), "rowtag": "y"})
+        import shutil
+
+        shutil.rmtree(gone)
+        got = ds._recover_options(schema)
+        assert got is not None and got["path"] == str(live)
