@@ -1061,6 +1061,68 @@ def q_stream_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-controlled streaming ingest (maxFilesPerTrigger +
+    admissionCursorPath, streaming/source.py latestOffset): the nation XML
+    backlog must arrive in ceil(n_files / cap) capped microbatches — the
+    100 TB backlog-start shape, where batch 0 over an unbounded directory
+    would otherwise plan the whole corpus in one trigger. The batch-count
+    property is asserted here (it is not expressible over the parquet
+    tables); the oracle value-checks ingest completeness: capping must
+    lose and duplicate nothing."""
+    import math
+    import tempfile
+
+    register(spark)
+    _xml_table(spark, sf_dir, "nation")
+    fp = _table_fingerprint(sf_dir, "nation")
+    base = os.path.join(CACHE_ROOT, f"nation-plain-{fp}")
+    with open(os.path.join(base, "schema.json")) as fh:
+        schema = T.StructType.fromJson(json.load(fh))
+    src = os.path.join(base, "xml")
+    n_files = len(os.listdir(src))
+    cap = 4
+    work = tempfile.mkdtemp(prefix="xml_stream_bp_")
+    out = os.path.join(work, "out")
+    os.makedirs(out, exist_ok=True)
+    batch_rows = []
+
+    def _sink(df, _bid):
+        n = df.count()
+        if n:
+            batch_rows.append(n)
+            df.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.format("xml-graft")
+        .schema(schema)
+        .option("rowTag", "nation")
+        .option("path", src)
+        .option("maxFilesPerTrigger", str(cap))
+        .option("admissionCursorPath", os.path.join(work, "cursor.json"))
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    expected = math.ceil(n_files / cap)
+    if len(batch_rows) != expected:
+        raise AssertionError(
+            f"admission control failed: {n_files} files at "
+            f"maxFilesPerTrigger={cap} should ingest in {expected} "
+            f"microbatches, observed {len(batch_rows)} ({batch_rows})"
+        )
+    return spark.read.parquet(out).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_nationkey").alias("sum_key"),
+        F.count_distinct("n_regionkey").alias("n_regions"),
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): gap-based
     sessionization over the events table replayed as a stream. Only sessions
@@ -2428,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xsd_schema": q_xsd_schema,
         "xsd_validate": q_xsd_validate,
         "stream_xml_ingest": q_stream_xml_ingest,
+        "stream_backpressure": q_stream_backpressure,
         "stream_sessionize": q_stream_sessionize,
         "stream_enrich": q_stream_enrich,
         "stream_windowed": q_stream_windowed,
@@ -2759,6 +2822,12 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "stream_xml_ingest": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+                   CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
+            FROM nation
+        """,
+        "stream_backpressure": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
                    CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions

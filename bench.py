@@ -54,6 +54,8 @@ _STREAMING = {
     "stream_windowed",
     "stream_xml_sink",
     "stream_dedup",
+    "stream_clean",
+    "stream_backpressure",
 }
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -57,6 +57,70 @@ class XmlStreamReader(DataSourceStreamReader):
             or options.get("targetsplitsize")
             or 128 * 1024 * 1024
         )
+        mf = options.get("maxFilesPerTrigger") or options.get("maxfilespertrigger")
+        mb = options.get("maxBytesPerTrigger") or options.get("maxbytespertrigger")
+        self._max_files = int(mf) if mf is not None else None
+        self._max_bytes = int(mb) if mb is not None else None
+        if self._max_files is not None and self._max_files <= 0:
+            raise ValueError("maxFilesPerTrigger must be a positive integer")
+        if self._max_bytes is not None and self._max_bytes <= 0:
+            raise ValueError("maxBytesPerTrigger must be a positive integer")
+        self._cursor_path = options.get("admissionCursorPath") or options.get(
+            "admissioncursorpath"
+        )
+        # Admission-control state (driver-side instance, one per query run).
+        # Three pieces, kept separate because they answer different safety
+        # questions — see latestOffset for the full protocol:
+        #   _known: files never to admit again (delivered OR already admitted
+        #           in a returned offset). The admission blocklist.
+        #   _planned: files in some engine-planned batch (partitions start/
+        #           end, commit end) — these are WAL-durable engine state and
+        #           the only thing safe to persist as a restart cursor
+        #           (persisting bare admissions could lose a file the engine
+        #           never planned before a crash).
+        #   _base: the engine's current position — every offset this source
+        #           returns must be a superset of it, or files the engine
+        #           considers delivered would re-enter a later end-minus-
+        #           start diff and be ingested twice.
+        self._known: Optional[dict] = None
+        self._planned: dict = {}
+        self._base: Optional[dict] = None
+
+    @staticmethod
+    def _merge(into: dict, offset: Optional[dict]) -> None:
+        for f, sz in ((offset or {}).get("files") or {}).items():
+            into.setdefault(f, sz)
+
+    def _learn_planned(self, offset: Optional[dict]) -> None:
+        if self._known is None:
+            self._known = {}
+        self._merge(self._known, offset)
+        self._merge(self._planned, offset)
+
+    def _cursor_load(self) -> Optional[dict]:
+        if not self._cursor_path:
+            return None
+        import json
+
+        try:
+            with open(self._cursor_path) as fh:
+                files = json.load(fh).get("files", {})
+            return {str(f): int(sz) for f, sz in files.items()}
+        except (OSError, ValueError):
+            return None
+
+    def _cursor_save(self) -> None:
+        if not self._cursor_path:
+            return
+        import json
+
+        tmp = f"{self._cursor_path}.tmp{os.getpid()}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump({"files": self._planned}, fh)
+            os.replace(tmp, self._cursor_path)
+        except OSError:
+            pass
 
     # -- offsets -----------------------------------------------------------
     def _snapshot(self) -> dict:
@@ -74,9 +138,77 @@ class XmlStreamReader(DataSourceStreamReader):
         return {"files": {}}
 
     def latestOffset(self) -> dict:
-        return self._snapshot()
+        """Newest offset, bounded by maxFilesPerTrigger/maxBytesPerTrigger.
+
+        Spark's Python stream API has no ReadLimit channel and never hands
+        the checkpointed position to the source (the engine calls
+        latestOffset BEFORE initialOffset on a fresh query, and not at all
+        on a committed restart), so admission control lives here: the
+        returned offset is the engine's current position plus at most
+        max_files new files / max_bytes new snapshot bytes (always at
+        least one pending file, FileStreamSource's no-wedge rule). New
+        files admit in path order — deterministic and free.
+
+        Exactly-once constraint: every returned offset must be a superset
+        of the engine's position, or previously delivered files re-enter a
+        later end-minus-start diff and are ingested twice. When that
+        position is unknown (first call of a run), it is recovered from,
+        in order:
+          1. ``admissionCursorPath`` (opt-in, one file per query like
+             checkpointLocation): the planned position persisted at
+             partitions() time, when it is already WAL-durable in the
+             engine. Present -> capped restart; absent -> treated as a
+             fresh query, capped from the very first batch (the 100 TB
+             backlog-start case). Keep the file with the checkpoint:
+             deleting only the cursor downgrades a restart to the
+             uncapped path below at worst.
+          2. A replayed uncommitted batch's partitions(start, end), which
+             runs before any latestOffset and seeds the position.
+          3. Otherwise the full snapshot is admitted in one uncapped batch
+             — the only superset of an unknowable committed offset."""
+        snap = self._snapshot()
+        if self._max_files is None and self._max_bytes is None:
+            return snap
+        if self._base is None:
+            cur = self._cursor_load()
+            if cur is not None:
+                self._base = dict(cur)
+                self._learn_planned({"files": cur})
+            elif self._cursor_path:
+                self._base = {}  # fresh query: cap from batch 0
+            else:
+                # position unknowable: full backlog in one batch (case 3)
+                self._base = dict(snap["files"])
+                self._learn_planned(snap)
+                return snap
+        if self._known is None:
+            self._known = {}
+        pending = sorted(f for f in snap["files"] if f not in self._known)
+        admitted = dict(self._base)
+        nfiles = 0
+        nbytes = 0
+        for f in pending:
+            sz = int(snap["files"][f])
+            if nfiles > 0 and (
+                (self._max_files is not None and nfiles + 1 > self._max_files)
+                or (self._max_bytes is not None and nbytes + sz > self._max_bytes)
+            ):
+                break
+            admitted[f] = snap["files"][f]
+            nfiles += 1
+            nbytes += sz
+        out = {"files": admitted}
+        self._merge(self._known, out)
+        self._base = dict(admitted)
+        return out
 
     def partitions(self, start: dict, end: dict) -> List[InputPartition]:
+        self._learn_planned(start)
+        self._learn_planned(end)
+        if self._base is None:
+            # restart replay: the engine's position is this batch's end
+            self._base = dict((end or {}).get("files") or {})
+        self._cursor_save()
         from spark_xml_spark.xmlcore import fs
 
         seen = set((start or {}).get("files", {}))
@@ -198,7 +330,7 @@ class XmlStreamReader(DataSourceStreamReader):
         return _rows()
 
     def commit(self, end: dict) -> None:
-        pass
+        self._learn_planned(end)
 
 
 @dataclass

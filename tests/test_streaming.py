@@ -496,3 +496,144 @@ def test_stream_reads_partitioned_layout(spark, tmp_path):
     assert q2.awaitTermination(120)
     got = {(r.id, r.year) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 2023), (2, 2023), (3, 2024)}
+
+
+def _run_capped(spark, src, ckpt, sink, extra_opts):
+    reader = (
+        spark.readStream.format("xml-graft")
+        .schema(SCHEMA)
+        .option("rowTag", "ROW")
+        .option("path", str(src))
+    )
+    for k, v in extra_opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_max_files_per_trigger_caps_backlog_from_batch_zero(spark, tmp_path):
+    """maxFilesPerTrigger bounds every microbatch's admission (there is no
+    ReadLimit channel in the Python stream API, so the source itself caps
+    latestOffset). With admissionCursorPath set, even the very first batch
+    of a fresh query over a 5-file backlog is capped: 2/trigger ingests in
+    batches of 4/4/2 rows, in path order, nothing lost or duplicated."""
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(5):
+        _write_doc(src / f"f{i}.xml", [(2 * i, "x"), (2 * i + 1, "y")])
+
+    batches = []
+
+    def sink(df, bid):
+        batches.append(sorted(r.a for r in df.collect()))
+
+    _run_capped(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        sink,
+        {
+            "maxFilesPerTrigger": "2",
+            "admissionCursorPath": str(tmp_path / "cursor.json"),
+        },
+    )
+    nonempty = [b for b in batches if b]
+    assert [len(v) for v in nonempty] == [4, 4, 2]
+    assert sorted(v for vals in nonempty for v in vals) == list(range(10))
+    # path-ordered admission: f0,f1 then f2,f3 then f4
+    assert nonempty[0] == [0, 1, 2, 3]
+
+
+def test_max_files_without_cursor_first_batch_uncapped(spark, tmp_path):
+    """Without admissionCursorPath the first batch of a run cannot be
+    capped (the engine never reveals the committed position, and any
+    smaller offset could re-ingest files after a restart) — the documented
+    fallback admits the whole backlog once, then caps follow-on batches."""
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        _write_doc(src / f"f{i}.xml", [(i, "x")])
+
+    batches = []
+
+    def sink(df, bid):
+        batches.append(sorted(r.a for r in df.collect()))
+
+    _run_capped(
+        spark, src, str(tmp_path / "ckpt"), sink, {"maxFilesPerTrigger": "1"}
+    )
+    assert [b for b in batches if b] == [[0, 1, 2]]
+
+    # steady state: two new files arrive; now each batch takes one file
+    for i in (3, 4):
+        _write_doc(src / f"g{i}.xml", [(i, "x")])
+    batches.clear()
+    _run_capped(
+        spark, src, str(tmp_path / "ckpt2"), sink, {"maxFilesPerTrigger": "1"}
+    )
+    # fresh checkpoint: first batch admits the 5-file backlog at once
+    assert [b for b in batches if b] == [[0, 1, 2, 3, 4]]
+
+
+def test_max_bytes_per_trigger_admits_at_least_one_file(spark, tmp_path):
+    """maxBytesPerTrigger smaller than any single file still admits exactly
+    one file per batch (FileStreamSource's no-wedge rule)."""
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        _write_doc(src / f"g{i}.xml", [(i, "abcdefgh")])
+
+    batches = []
+
+    def sink(df, bid):
+        batches.append(sorted(r.a for r in df.collect()))
+
+    _run_capped(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        sink,
+        {
+            "maxBytesPerTrigger": "1",
+            "admissionCursorPath": str(tmp_path / "cursor.json"),
+        },
+    )
+    assert [b for b in batches if b] == [[0], [1], [2]]
+
+
+def test_max_files_cap_restart_resumes_capped_without_duplicates(spark, tmp_path):
+    """Cap + checkpoint restart + admissionCursorPath: pre-restart files are
+    not re-ingested, and post-restart batches stay capped (one file each)."""
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cursor = str(tmp_path / "cursor.json")
+    for i in range(2):
+        _write_doc(src / f"h{i}.xml", [(i, "v")])
+
+    batches = []
+
+    def sink(df, bid):
+        batches.append(sorted(r.a for r in df.collect()))
+
+    opts = {"maxFilesPerTrigger": "1", "admissionCursorPath": cursor}
+    _run_capped(spark, src, ckpt, sink, opts)
+    assert [b for b in batches if b] == [[0], [1]]
+
+    for i in (2, 3):
+        _write_doc(src / f"h{i}.xml", [(i, "v")])
+    batches.clear()
+    _run_capped(spark, src, ckpt, sink, opts)  # restart from checkpoint
+    assert [b for b in batches if b] == [[2], [3]]
