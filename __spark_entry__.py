@@ -1026,6 +1026,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup detection (streaming/dedup.py
+    simhash_stream_pairs): documents replayed as a stream with synthetic
+    event times ts = epoch + 1e6 + doc_id*60 s; emits every pair with
+    Hamming(simhash60) <= 3 AND event times within 1800 s (banded
+    applyInPandasWithState, state bounded by watermark x window). Same
+    portable signature and recall-complete 4x15 bands as the batch
+    dedup_simhash, so the oracle replays the signature in SQL and adds
+    the time-window join condition. Pairs colliding in several bands
+    emit once per band; DISTINCT after the sink."""
+    import tempfile
+
+    from spark_xml_spark.streaming.dedup import simhash_stream_pairs
+
+    work = tempfile.mkdtemp(prefix="xml_ssim_q_")
+    out = os.path.join(work, "out")
+
+    def _build(path):
+        d = _parquet(spark, sf_dir, "documents", fan_out=False).select(
+            "doc_id",
+            "text",
+            (F.lit(1_000_000) + F.col("doc_id") * 60)
+            .cast("timestamp")
+            .alias("ts"),
+        )
+        d.orderBy("doc_id").coalesce(4).write.mode("overwrite").parquet(path)
+
+    src = _stream_source(spark, sf_dir, "simhash-ts60", "documents", _build)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    pairs = simhash_stream_pairs(
+        stream,
+        window_seconds=1800,
+        max_hamming=3,
+        watermark="3650 days",  # finite replay: drop nothing
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return (
+        spark.read.parquet(out)
+        .distinct()
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )
+
+
 def q_stream_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest: readStream over the XML-ified nation
     directory (file-tailing source, availableNow trigger) -> parquet sink,
@@ -2496,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed": q_stream_windowed,
         "stream_xml_sink": q_stream_xml_sink,
         "stream_dedup": q_stream_dedup,
+        "stream_simhash": q_stream_simhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
@@ -2826,6 +2880,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
                    CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
             FROM nation
+        """,
+        "stream_simhash": """
+            -- signature mirror of dedup_simhash (60-bit md5-prefix word
+            -- hash), restricted to the streaming op's event-time window:
+            -- ts = 1e6 + doc_id*60 s, so |ts_a - ts_b| <= 1800 s is
+            -- |doc_id_a - doc_id_b| <= 30
+            WITH words AS (
+              SELECT doc_id, unnest(list_distinct(
+                       regexp_split_to_array(lower(text), '\s+'))) AS w
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_transform(range(15),
+                         i -> CAST(strpos('0123456789abcdef',
+                                          substring(md5(w), i + 1, 1)) - 1
+                              AS BIGINT)),
+                       (acc, x) -> acc * 16 + x) AS h
+              FROM words
+            ), bits AS (
+              SELECT doc_id, i,
+                     SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hashed, range(60) t(i)
+              GROUP BY doc_id, i
+            ), sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+                              ELSE 0 END) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              AND abs(a.doc_id - b.doc_id) * 60 <= 1800
+            ORDER BY id_a, id_b
         """,
         "stream_backpressure": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -56,6 +56,7 @@ _STREAMING = {
     "stream_dedup",
     "stream_clean",
     "stream_backpressure",
+    "stream_simhash",
 }
 
 

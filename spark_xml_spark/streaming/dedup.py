@@ -26,8 +26,11 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _HASH_COL = "_content_hash"
 
@@ -140,3 +143,202 @@ def dedup_stream_exact(
             .drop(_HASH_COL)
         )
     return hashed.dropDuplicates([_HASH_COL]).drop(_HASH_COL)
+
+
+# --------------------------------------------------------------------------
+# Streaming NEAR-duplicate detection (SimHash within an event-time window)
+# --------------------------------------------------------------------------
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("hamming", T.LongType()),
+    ]
+)
+
+_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("tss", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+@F.pandas_udf("long")
+def _simhash60(texts: pd.Series) -> pd.Series:
+    """Portable 60-bit SimHash per row (md5-prefix word hash), Arrow-batched.
+
+    Byte-identical to operators.dedup.simhash(portable=True) and to the
+    DuckDB SQL mirror: words = distinct(regexp \\s+ split of lower(text))
+    — trailing/leading empties kept, matching Spark's split(limit=-1) and
+    DuckDB's regexp_split_to_array; each word hashes to the first 15 hex
+    chars of md5; bit i is set iff the +1/-1 vote sum over words is
+    positive. A per-row Python loop (not the batch explode+groupBy shape)
+    because it runs as a STATELESS projection inside a stream, where a
+    blocking aggregation before the stateful operator is not allowed;
+    per-microbatch volumes make the Python cost immaterial here.
+    NULL text -> NULL (the batch path's explode likewise drops such docs).
+    """
+    import hashlib
+    import re as _re
+
+    out = []
+    for text in texts:
+        if text is None:
+            out.append(None)
+            continue
+        votes = [0] * 60
+        for w in set(_re.split(r"\s+", text.lower())):
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sig = 0
+        for i in range(60):
+            if votes[i] > 0:
+                sig |= 1 << i
+        out.append(sig)
+    return pd.Series(out, dtype="object").astype("Int64")
+
+
+def simhash_stream_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window_seconds: int = 1800,
+    max_hamming: int = 3,
+    watermark: str = "1 hour",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Streaming near-dup pairs: emits (id_a, id_b, hamming) for every doc
+    pair with Hamming(simhash60) <= ``max_hamming`` AND event times within
+    ``window_seconds`` of each other. The streaming counterpart of
+    operators.dedup.simhash_near_dup_pairs — same portable signature, same
+    4x15-bit band candidates (pigeonhole: Hamming <= 3 cannot change all
+    four bands), so recall is complete within the time window.
+
+    Scale shape: state is keyed by band bucket in the state store and holds
+    only docs newer than (watermark - window) — O(arrival rate x window)
+    per bucket, independent of stream lifetime; eviction is driven by the
+    event-time watermark (prune on every invocation, EventTimeTimeout
+    sweep for quiescent buckets). Each bucket caps at ``max_bucket``
+    members (newest kept — the boilerplate-collapse guard shared with the
+    batch operator; an over-cap bucket would otherwise pair
+    quadratically). A pair colliding in several bands is emitted once per
+    band: distinct (id_a, id_b) downstream — streaming
+    ``dropDuplicatesWithinWatermark`` or a batch DISTINCT over the sink.
+
+    ``ts_col`` must be a timestamp column with event times strictly after
+    the epoch: Spark's stateful late-row filter drops rows whose event
+    time does not exceed the current watermark, and the watermark floor
+    is 0 — a row at exactly 1970-01-01T00:00:00 is silently discarded by
+    the engine (observed empirically; synthetic-timestamp callers must
+    offset their base). ``watermark`` bounds how out-of-order arrivals
+    may be and therefore state size.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win = int(window_seconds)
+    band_bits, n_bands = 15, 4
+    band_mask = (1 << band_bits) - 1
+
+    sig = (
+        docs.withColumn("_sig", _simhash60(F.col(text_col)))
+        .filter(F.col("_sig").isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(ts_col).alias("_ts"),
+            F.col("_sig"),
+        )
+    )
+    if sig.isStreaming:
+        sig = sig.withWatermark("_ts", watermark)
+    bands = sig.select(
+        "_id",
+        "_ts",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("_sig", band_bits * i)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("bh"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(
+        "_id",
+        F.col("_ts").cast("long").alias("_ts_sec"),
+        F.col("_ts"),
+        "_sig",
+        F.col("_bb.band").alias("_band"),
+        F.col("_bb.bh").alias("_bh"),
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # quiescent bucket: watermark passed every member's pair window
+            state.remove()
+            return
+        ids, tss, sigs = ([], [], [])
+        if state.exists:
+            ids, tss, sigs = (list(x) for x in state.get)
+        rows = []
+        out_a, out_b, out_h = [], [], []
+        for pdf in pdfs:
+            for did, tsec, s in zip(pdf["_id"], pdf["_ts_sec"], pdf["_sig"]):
+                rows.append((int(tsec), int(did), int(s)))
+        # arrival order within a batch is nondeterministic across runs;
+        # pairing is symmetric so the emitted SET does not depend on it
+        for ts, did, s in sorted(rows):
+            for oid, ots, osig in zip(ids, tss, sigs):
+                if oid == did or abs(ots - ts) > win:
+                    continue
+                ham = bin(osig ^ s).count("1")
+                if ham <= max_hamming:
+                    a, b = (oid, did) if oid < did else (did, oid)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(ham)
+            ids.append(did)
+            tss.append(ts)
+            sigs.append(s)
+            if len(ids) > max_bucket:  # newest kept (batch cap parity)
+                ids.pop(0), tss.pop(0), sigs.pop(0)
+        # evict members that can no longer pair with any future arrival
+        # (future event times are >= watermark once it advances past them)
+        wm_ms = state.getCurrentWatermarkMs()
+        floor = wm_ms // 1000 - win if wm_ms > 0 else None
+        if floor is not None:
+            kept = [
+                (i, t, g) for i, t, g in zip(ids, tss, sigs) if t >= floor
+            ]
+            ids = [k[0] for k in kept]
+            tss = [k[1] for k in kept]
+            sigs = [k[2] for k in kept]
+        if ids:
+            state.update((ids, tss, sigs))
+            # sweep the bucket once the watermark passes its newest member's
+            # pair window (event-time ms)
+            state.setTimeoutTimestamp((max(tss) + win) * 1000 + 1)
+        elif state.exists:
+            state.remove()
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    grouped = bands.select("_band", "_bh", "_id", "_ts_sec", "_ts", "_sig").groupBy(
+        "_band", "_bh"
+    )
+    return grouped.applyInPandasWithState(
+        fn,
+        PAIR_SCHEMA,
+        _BUCKET_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -637,3 +637,97 @@ def test_max_files_cap_restart_resumes_capped_without_duplicates(spark, tmp_path
     batches.clear()
     _run_capped(spark, src, ckpt, sink, opts)  # restart from checkpoint
     assert [b for b in batches if b] == [[2], [3]]
+
+
+def test_simhash_stream_pairs_matches_batch_within_window(spark, tmp_path):
+    """Streaming near-dup pairs == batch simhash_near_dup_pairs(portable)
+    restricted to the event-time window: same signature, same 4x15 bands,
+    so a finite replay must produce exactly the batch pair set filtered to
+    |ts_a - ts_b| <= window."""
+    from spark_xml_spark.operators.dedup import simhash_near_dup_pairs
+    from spark_xml_spark.streaming.dedup import simhash_stream_pairs
+
+    base = "the quick brown fox jumps over a lazy dog near the river bank"
+    docs = []
+    for i in range(12):
+        if i % 4 in (0, 1):
+            # identical within family (ids 4k, 4k+1: 600 s apart, inside
+            # window=1500); families differ by one appended word, so any
+            # CROSS-family near-dup pair sits >= 4 ids (2400 s) apart and
+            # must be excluded by the window on both sides
+            words = base.split() + [f"fam{i // 4}"]
+        else:
+            words = [f"w{i}_{j}" for j in range(12)]  # unrelated filler
+        # ts offset off epoch 0 — rows AT the initial watermark are
+        # engine-dropped
+        docs.append((i, " ".join(words), 1_000_000 + i * 600))
+    df = spark.createDataFrame(docs, "doc_id long, text string, ts_sec long")
+    batch_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            df, "doc_id", "text", max_hamming=3, portable=True
+        ).collect()
+        if abs(r.id_a - r.id_b) * 600 <= 1500
+    }
+    assert batch_pairs, "fixture must produce at least one in-window pair"
+
+    src = str(tmp_path / "src")
+    df.withColumn("ts", F.col("ts_sec").cast("timestamp")).drop(
+        "ts_sec"
+    ).coalesce(3).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    pairs = simhash_stream_pairs(
+        stream, window_seconds=1500, watermark="3650 days"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.read.parquet(out).distinct().collect()
+    }
+    assert got == batch_pairs
+
+
+def test_simhash_stream_window_excludes_far_apart_duplicates(spark, tmp_path):
+    """Two byte-identical docs outside the time window must NOT pair; the
+    same docs inside it must."""
+    from spark_xml_spark.streaming.dedup import simhash_stream_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", 1_000_000),
+        (2, "alpha beta gamma delta epsilon", 1_000_100),  # in window of 1
+        (3, "alpha beta gamma delta epsilon", 1_005_000),  # out of window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_sec long")
+    src = str(tmp_path / "src")
+    df.withColumn("ts", F.col("ts_sec").cast("timestamp")).drop(
+        "ts_sec"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    pairs = simhash_stream_pairs(
+        stream, window_seconds=600, watermark="3650 days"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(out).distinct().collect()
+    }
+    assert got == {(1, 2)}
