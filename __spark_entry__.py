@@ -1940,19 +1940,22 @@ def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN join: exact cosine top-5 corpus neighbors for every
     query vector (vec_id % 97 == 0) — the many-to-many retrieval shape.
-    Query side broadcasts; scoring is a JVM fold; the Arrow prereduce
-    keeps the merge input at partitions*Q*k rows. Unlike the
-    single-query vector pipelines, scoring here does Q folds PER corpus
-    row — per-row-heavy, so the corpus side takes the small-parquet
-    fan-out (measured 8.4s -> sub-second at sf0.1 on one file)."""
+    Query side broadcasts; scoring takes the matmul path (one BLAS call
+    per Arrow batch fused with the per-partition top-k — measured 3.7x
+    the interpreted JVM fold at sf0.1, no fan-out exchange needed); the
+    keyed merge sees partitions*Q*k rows. scoring='fold' remains the
+    bit-exact-vs-sequential-SQL engine, pinned by pytest parity; the
+    matmul ranks match it except across cosine ties tighter than ~1e-12
+    (none in this corpus — the oracle hash-checks that)."""
     from spark_xml_spark.operators import knn_join
 
-    e = _parquet(spark, sf_dir, "embeddings", fan_out=True)
+    e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
     q = e.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return (
-        knn_join(e, q, "embedding", "vec_id", q_id_col="q_id", k=5)
+        knn_join(e, q, "embedding", "vec_id", q_id_col="q_id", k=5,
+                 scoring="matmul")
         .select(
             F.col("q_id"),
             F.col("vec_id"),

@@ -1652,3 +1652,68 @@ def test_minhash_cross_pairs_ground_truth(spark, docs):
         "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.3,
     ).collect()
     assert [(r.id_l, r.id_r) for r in got2] == [(1, 2)]
+
+
+def test_knn_join_matmul_matches_fold(spark, embs):
+    """scoring='matmul' (BLAS per Arrow batch) returns the same neighbor
+    SETS and ranks as the fold path on the real embeddings fixture, with
+    cosines equal to ~1e-9 (the two paths differ only in float summation
+    order)."""
+    from spark_xml_spark.operators import knn_join
+
+    q = embs.filter("vec_id % 7 = 0").selectExpr(
+        "vec_id AS q_id", "embedding"
+    )
+    fold = knn_join(embs, q, "embedding", "vec_id", q_id_col="q_id", k=5)
+    mm = knn_join(
+        embs, q, "embedding", "vec_id", q_id_col="q_id", k=5,
+        scoring="matmul",
+    )
+    f = {(r.q_id, r.rank): (r.vec_id, r.cosine) for r in fold.collect()}
+    m = {(r.q_id, r.rank): (r.vec_id, r.cosine) for r in mm.collect()}
+    assert f.keys() == m.keys() and f
+    for key, (fid, fcos) in f.items():
+        mid, mcos = m[key]
+        assert fid == mid, (key, fid, mid)
+        assert (fcos is None) == (mcos is None)
+        if fcos is not None:
+            assert abs(fcos - mcos) < 1e-9
+
+
+def test_knn_join_matmul_dirty_vector_semantics(spark):
+    """matmul path mirrors the fold path's dirty-row handling: zero-norm /
+    null / ragged / NaN corpus vectors score NULL and sort last (id asc);
+    a zero-norm query scores finite vectors 0.0; a null query vector
+    yields all-NULL cosines."""
+    from spark_xml_spark.operators import knn_join
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),          # zero-norm
+        (4, None),                # null vector
+        (5, [-1.0, 0.0]),
+        (6, [1.0]),               # ragged
+        (7, [float("nan"), 1.0]), # NaN component
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0]), (12, None)],
+        "q_id long, embedding array<double>",
+    )
+    out = knn_join(
+        df, q, "embedding", "vec_id", q_id_col="q_id", k=7, scoring="matmul"
+    ).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r.q_id, r.rank)):
+        by_q.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
+    # real cosines first (1.0, ~0.994, -1.0), dirty rows last by id
+    assert [v for v, _ in by_q[10]] == [1, 2, 5, 3, 4, 6, 7]
+    assert {v: c for v, c in by_q[10] if v in (3, 4, 6, 7)} == {
+        3: None, 4: None, 6: None, 7: None
+    }
+    # zero-norm query: every finite corpus vector scores exactly 0.0
+    assert [c for v, c in by_q[11] if v in (1, 2, 5)] == [0.0, 0.0, 0.0]
+    # null query vector: all cosines NULL, order = id asc
+    assert [v for v, _ in by_q[12]] == [1, 2, 3, 4, 5, 6, 7]
+    assert all(c is None for _, c in by_q[12])
