@@ -166,40 +166,53 @@ _BUCKET_STATE = T.StructType(
 )
 
 
-@F.pandas_udf("long")
-def _simhash60(texts: pd.Series) -> pd.Series:
-    """Portable 60-bit SimHash per row (md5-prefix word hash), Arrow-batched.
+def _make_simhash60():
+    """Portable 60-bit SimHash projection (md5-prefix word hash) as an
+    Arrow-batched pandas UDF, created LAZILY with a DataType returnType:
+    a module-level ``@pandas_udf("long")`` breaks the streaming SOURCE
+    runner, which imports this package in a session-less worker where the
+    string returnType cannot be parsed (found the hard way — the xml-graft
+    stream reader failed to initialize once this module gained one).
 
     Byte-identical to operators.dedup.simhash(portable=True) and to the
     DuckDB SQL mirror: words = distinct(regexp \\s+ split of lower(text))
     — trailing/leading empties kept, matching Spark's split(limit=-1) and
     DuckDB's regexp_split_to_array; each word hashes to the first 15 hex
     chars of md5; bit i is set iff the +1/-1 vote sum over words is
-    positive. A per-row Python loop (not the batch explode+groupBy shape)
+    positive. Per-row Python (not the batch explode+groupBy shape)
     because it runs as a STATELESS projection inside a stream, where a
     blocking aggregation before the stateful operator is not allowed;
-    per-microbatch volumes make the Python cost immaterial here.
+    the per-word bit votes are numpy-vectorized.
     NULL text -> NULL (the batch path's explode likewise drops such docs).
     """
-    import hashlib
-    import re as _re
 
-    out = []
-    for text in texts:
-        if text is None:
-            out.append(None)
-            continue
-        votes = [0] * 60
-        for w in set(_re.split(r"\s+", text.lower())):
-            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
-            for i in range(60):
-                votes[i] += 1 if (h >> i) & 1 else -1
-        sig = 0
-        for i in range(60):
-            if votes[i] > 0:
-                sig |= 1 << i
-        out.append(sig)
-    return pd.Series(out, dtype="object").astype("Int64")
+    def _simhash60(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re as _re
+
+        import numpy as np
+
+        shifts = np.arange(60, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.int64)
+        out = []
+        for text in texts:
+            if text is None:
+                out.append(None)
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    for w in set(_re.split(r"\s+", text.lower()))
+                ),
+                dtype=np.uint64,
+            )
+            # (W x 60) bit matrix -> +-1 votes summed per bit, vectorized
+            bits = (hs[:, None] >> shifts) & np.uint64(1)
+            votes = 2 * bits.astype(np.int64).sum(axis=0) - len(hs)
+            out.append(int(((votes > 0) * weights).sum()))
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    return F.pandas_udf(_simhash60, T.LongType())
 
 
 def simhash_stream_pairs(
@@ -245,7 +258,7 @@ def simhash_stream_pairs(
     band_mask = (1 << band_bits) - 1
 
     sig = (
-        docs.withColumn("_sig", _simhash60(F.col(text_col)))
+        docs.withColumn("_sig", _make_simhash60()(F.col(text_col)))
         .filter(F.col("_sig").isNotNull())
         .select(
             F.col(id_col).alias("_id"),
