@@ -1706,8 +1706,108 @@ class XmlPushdownReader(XmlReader):
 
 @dataclass
 class XmlCommitMessage(WriterCommitMessage):
-    file: str
+    # ``files`` are RELATIVE to the sink root (partitioned writes prefix
+    # the col=value/ dirs) so abort can delete every file this task wrote
+    # — the old single-last-file field missed earlier rolls of a
+    # partitioned task and lacked the directory prefix.
+    files: Tuple[str, ...]
     count: int
+
+
+def iter_partition_groups(schema: T.StructType, iterator, pby: List[str]):
+    """Split a row iterator into Hive-style partition groups: yields
+    (relative directory, data-only schema, group-row iterator) per run of
+    equal partition-column values. Shared by the batch and streaming XML
+    writers. Values escape like Spark's escapePathName (NULL ->
+    __HIVE_DEFAULT_PARTITION__); partition columns are dropped from the
+    yielded rows — the partitioned read re-derives them from the
+    directory names. The caller MUST exhaust each group's iterator
+    before advancing (both writers stream a group straight to a file).
+    Files roll on value change: sorted-within-partition input gives one
+    file per (task, value); unsorted input stays correct but produces
+    more files. O(1) memory either way."""
+    from urllib.parse import quote
+
+    names = [f.name for f in schema.fields]
+    missing = [c for c in pby if c not in names]
+    if missing:
+        raise ValueError(f"partitionBy column(s) {missing} not in schema")
+    pidx = [names.index(c) for c in pby]
+    didx = [i for i in range(len(names)) if i not in pidx]
+    dschema = T.StructType([schema.fields[i] for i in didx])
+
+    def dirname(vals) -> str:
+        segs = []
+        for c, v in zip(pby, vals):
+            s = (
+                "__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else quote(str(v), safe="")
+            )
+            segs.append(f"{c}={s}")
+        return "/".join(segs)
+
+    _SENTINEL = object()
+    it = iter(iterator)
+    pending = next(it, _SENTINEL)
+    while pending is not _SENTINEL:
+        cur = tuple(pending[i] for i in pidx)
+
+        def group():
+            nonlocal pending
+            while (
+                pending is not _SENTINEL
+                and tuple(pending[i] for i in pidx) == cur
+            ):
+                row = pending
+                pending = next(it, _SENTINEL)
+                yield tuple(row[i] for i in didx)
+
+        yield dirname(cur), dschema, group()
+
+
+def write_document_file(
+    directory: str, schema: T.StructType, rows, xopts, pid: int, seq: int
+):
+    """Stream one complete XML document file into ``directory`` (created
+    if needed), honoring the compression codec; returns (file name, row
+    count). Shared by the batch and streaming XML writers."""
+    import io
+
+    from spark_xml_spark.xmlcore import codecs as _codecs
+    from spark_xml_spark.xmlcore import fs as _fs
+    from spark_xml_spark.xmlcore import generator
+
+    _fs.makedirs(directory)
+    suffix = ".xml"
+    if xopts.compression:
+        suffix = ".xml" + _codecs.WRITE_SUFFIX[xopts.compression]
+    name = f"part-{pid:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}{suffix}"
+    target = directory.rstrip("/") + "/" + name
+    count = 0
+
+    def counted(it):
+        nonlocal count
+        for row in it:
+            count += 1
+            yield row
+
+    raw = _fs.open_output(target)
+    body = raw
+    try:
+        if xopts.compression:
+            body = _codecs.wrap_write(raw, xopts.compression)
+        fh = io.TextIOWrapper(body, encoding=xopts.charset)
+        for line in generator.rows_to_document(schema, counted(rows), xopts):
+            fh.write(line)
+            fh.write("\n")
+        fh.close()  # flushes + closes the compression wrapper
+    finally:
+        try:
+            raw.close()  # GzipFile/BZ2File leave the raw stream open
+        except Exception:
+            pass
+    return name, count
 
 
 class XmlWriter(DataSourceWriter):
@@ -1759,104 +1859,26 @@ class XmlWriter(DataSourceWriter):
         xopts = XmlOptions.from_dict(self._opts_dict)
         pby = self._partition_by()
         if not pby:
-            name, count = self._write_one(
+            name, count = write_document_file(
                 self._path, self._schema, iterator, xopts, pid, 0
             )
-            return XmlCommitMessage(file=name, count=count)
-        # Hive-style partitioned write: partition columns become
-        # <col>=<value>/ directories (values escaped like Spark's
-        # escapePathName; NULL -> __HIVE_DEFAULT_PARTITION__) and are NOT
-        # written into the XML content — the read side re-derives them
-        # from the directory names. Files roll on value change, so a
-        # caller that sorts within partitions (write_xml does) gets one
-        # file per (task, value); unsorted input stays correct but
-        # produces more files. O(1) writer memory either way.
-        from urllib.parse import quote
-
-        names = [f.name for f in self._schema.fields]
-        missing = [c for c in pby if c not in names]
-        if missing:
-            raise ValueError(f"partitionBy column(s) {missing} not in schema")
-        pidx = [names.index(c) for c in pby]
-        didx = [i for i in range(len(names)) if i not in pidx]
-        dschema = T.StructType([self._schema.fields[i] for i in didx])
-
-        def dirname(vals) -> str:
-            segs = []
-            for c, v in zip(pby, vals):
-                s = ("__HIVE_DEFAULT_PARTITION__" if v is None
-                     else quote(str(v), safe=""))
-                segs.append(f"{c}={s}")
-            return "/".join(segs)
-
-        _SENTINEL = object()
-        it = iter(iterator)
-        pending = next(it, _SENTINEL)
-        total, seq, last_name = 0, 0, ""
-        while pending is not _SENTINEL:
-            cur = tuple(pending[i] for i in pidx)
-
-            def group():
-                nonlocal pending
-                while (
-                    pending is not _SENTINEL
-                    and tuple(pending[i] for i in pidx) == cur
-                ):
-                    row = pending
-                    pending = next(it, _SENTINEL)
-                    yield tuple(row[i] for i in didx)
-
-            last_name, n = self._write_one(
-                self._path.rstrip("/") + "/" + dirname(cur),
-                dschema, group(), xopts, pid, seq,
+            return XmlCommitMessage(files=(name,), count=count)
+        # Hive-style partitioned write (iter_partition_groups): partition
+        # columns become <col>=<value>/ directories and are NOT written
+        # into the XML content — the read side re-derives them from the
+        # directory names.
+        files: List[str] = []
+        total = 0
+        for seq, (reldir, dschema, rows) in enumerate(
+            iter_partition_groups(self._schema, iterator, pby)
+        ):
+            name, n = write_document_file(
+                self._path.rstrip("/") + "/" + reldir,
+                dschema, rows, xopts, pid, seq,
             )
+            files.append(reldir + "/" + name)
             total += n
-            seq += 1
-        return XmlCommitMessage(file=last_name, count=total)
-
-    def _write_one(
-        self, directory: str, schema: T.StructType, rows, xopts, pid: int,
-        seq: int,
-    ):
-        """Stream one XML document file into ``directory``; returns
-        (file name, row count)."""
-        import io
-
-        from spark_xml_spark.xmlcore import codecs as _codecs
-        from spark_xml_spark.xmlcore import fs as _fs
-
-        _fs.makedirs(directory)
-        suffix = ".xml"
-        if xopts.compression:
-            suffix = ".xml" + _codecs.WRITE_SUFFIX[xopts.compression]
-        name = f"part-{pid:05d}-{seq:03d}-{uuid.uuid4().hex[:8]}{suffix}"
-        target = directory.rstrip("/") + "/" + name
-        count = 0
-
-        def counted(it):
-            nonlocal count
-            for row in it:
-                count += 1
-                yield row
-
-        raw = _fs.open_output(target)
-        body = raw
-        try:
-            if xopts.compression:
-                body = _codecs.wrap_write(raw, xopts.compression)
-            fh = io.TextIOWrapper(body, encoding=xopts.charset)
-            for line in generator.rows_to_document(
-                schema, counted(rows), xopts
-            ):
-                fh.write(line)
-                fh.write("\n")
-            fh.close()  # flushes + closes the compression wrapper
-        finally:
-            try:
-                raw.close()  # GzipFile/BZ2File leave the raw stream open
-            except Exception:
-                pass
-        return name, count
+        return XmlCommitMessage(files=tuple(files), count=total)
 
     def commit(self, messages) -> None:
         pass
@@ -1865,9 +1887,9 @@ class XmlWriter(DataSourceWriter):
         from spark_xml_spark.xmlcore import fs as _fs
 
         for m in messages:
-            if m is not None:
+            for f in getattr(m, "files", ()) if m is not None else ():
                 try:
-                    _fs.delete_file(self._path.rstrip("/") + "/" + m.file)
+                    _fs.delete_file(self._path.rstrip("/") + "/" + f)
                 except OSError:
                     pass
 

@@ -335,7 +335,9 @@ class XmlStreamReader(DataSourceStreamReader):
 
 @dataclass
 class XmlStreamCommitMessage(WriterCommitMessage):
-    file: str
+    # relative to the sink root (partitioned writes keep col=value/ dirs)
+    # so abort can delete every file this task's micro-batch wrote
+    files: tuple
 
 
 class XmlStreamWriter(DataSourceStreamWriter):
@@ -346,33 +348,54 @@ class XmlStreamWriter(DataSourceStreamWriter):
         if not self._path:
             raise ValueError("path option is required for the xml stream sink")
 
-    def write(self, iterator) -> XmlStreamCommitMessage:
-        import uuid
+    def _partition_by(self) -> List[str]:
+        raw = self._opts_dict.get("partitionBy") or self._opts_dict.get(
+            "partitionby"
+        )
+        return [c.strip() for c in raw.split(",") if c.strip()] if raw else []
 
+    def write(self, iterator) -> XmlStreamCommitMessage:
         from pyspark import TaskContext
 
-        from spark_xml_spark.xmlcore import generator
-
-        import io
-
+        from spark_xml_spark.sources.datasource import (
+            iter_partition_groups,
+            write_document_file,
+        )
         from spark_xml_spark.xmlcore import fs
 
         xopts = XmlOptions.from_dict(self._opts_dict)
-        fs.makedirs(self._path)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xml"
-        target = self._path.rstrip("/") + "/" + name
-        wrote = False
-        with io.TextIOWrapper(fs.open_output(target), encoding=xopts.charset) as fh:
-            for line in generator.rows_to_document(self._schema, iterator, xopts):
-                fh.write(line)
-                fh.write("\n")
-                wrote = True
-        if not wrote:
-            fs.delete_file(target)
-            name = ""
-        return XmlStreamCommitMessage(file=name)
+        pby = self._partition_by()
+        files: List[str] = []
+        if not pby:
+            name, count = write_document_file(
+                self._path, self._schema, iterator, xopts, pid, 0
+            )
+            if count:
+                files.append(name)
+            else:  # empty micro-batch partition: no empty-document litter
+                fs.delete_file(self._path.rstrip("/") + "/" + name)
+        else:
+            # Hive-style partitioned streaming sink: same col=value/ layout,
+            # value escaping and content elision as the batch writer (the
+            # partition-aware stream/batch readers re-derive the columns).
+            # Batches APPEND files into the partition dirs; sort each
+            # micro-batch within partitions on the partition columns to get
+            # one file per (task, value, batch).
+            for seq, (reldir, dschema, rows) in enumerate(
+                iter_partition_groups(self._schema, iterator, pby)
+            ):
+                name, count = write_document_file(
+                    self._path.rstrip("/") + "/" + reldir,
+                    dschema, rows, xopts, pid, seq,
+                )
+                rel = reldir + "/" + name
+                if count:
+                    files.append(rel)
+                else:
+                    fs.delete_file(self._path.rstrip("/") + "/" + rel)
+        return XmlStreamCommitMessage(files=tuple(files))
 
     def commit(self, messages, batchId: int) -> None:
         pass
@@ -381,8 +404,8 @@ class XmlStreamWriter(DataSourceStreamWriter):
         from spark_xml_spark.xmlcore import fs
 
         for m in messages:
-            if m is not None and m.file:
+            for f in getattr(m, "files", ()) if m is not None else ():
                 try:
-                    fs.delete_file(self._path.rstrip("/") + "/" + m.file)
+                    fs.delete_file(self._path.rstrip("/") + "/" + f)
                 except OSError:
                     pass

@@ -731,3 +731,56 @@ def test_simhash_stream_window_excludes_far_apart_duplicates(spark, tmp_path):
         (r.id_a, r.id_b) for r in spark.read.parquet(out).distinct().collect()
     }
     assert got == {(1, 2)}
+
+
+def test_stream_xml_sink_partitioned_roundtrip(spark, tmp_path):
+    """Streaming XML sink with partitionBy: micro-batches write Hive-style
+    col=value/ dirs (values elided from file content), batches APPEND new
+    files into existing partition dirs, and the partitioned batch read
+    recovers the typed columns."""
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_doc(src / "f1.xml", [(1, "x"), (2, "y")])
+
+    def run():
+        q = (
+            spark.readStream.format("xml-graft")
+            .schema(SCHEMA)
+            .option("rowTag", "ROW")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("xml-graft")
+            .option("path", out)
+            .option("rowTag", "ROW")
+            .option("partitionBy", "b")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(
+        d for d in os.listdir(out) if not d.startswith(("_", "."))
+    ) == ["b=x", "b=y"]
+    xml_files = [
+        f for f in os.listdir(os.path.join(out, "b=x")) if f.endswith(".xml")
+    ]
+    assert len(xml_files) == 1
+    # partition value elided from the file content
+    with open(os.path.join(out, "b=x", xml_files[0])) as fh:
+        body = fh.read()
+    assert "<a>1</a>" in body and "<b>" not in body
+
+    # batch 2 appends into an existing dir and creates a new one
+    _write_doc(src / "f2.xml", [(3, "x"), (4, "z")])
+    run()
+    back = read_xml(spark, out, rowTag="ROW")
+    got = {(r["a"], r["b"]) for r in back.collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "x"), (4, "z")}
+    assert len(
+        [f for f in os.listdir(os.path.join(out, "b=x")) if f.endswith(".xml")]
+    ) == 2
