@@ -2004,6 +2004,49 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document line dedup (operators/textstats.py dedup_lines):
+    repeated boilerplate lines drop, first occurrence and ALL empty lines
+    survive in place — the nav-bar/cookie-banner cleaning stage. Planted:
+    each doc gains a BOILER line before and after its text plus a blank
+    separator, so exactly one line per doc dedupes. Pure codegen HOF
+    (split -> indexed filter via first-occurrence array_position ->
+    rejoin), no shuffle; the deduped TEXT is value-compared."""
+    from spark_xml_spark.operators import dedup_lines
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("doc_id") < 200
+    )
+    planted = d.withColumn(
+        "boilered",
+        F.concat(F.lit("BOILER\n"), F.col("text"), F.lit("\n\nBOILER")),
+    )
+    out = dedup_lines(planted, "boilered", "text_deduped")
+    return out.select("doc_id", "text_deduped", "n_lines_removed").orderBy(
+        "doc_id"
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/textstats.py normalize_text):
+    the canonicalization stage that must precede hash dedup — planted
+    decomposed sequences (e + COMBINING ACUTE, A + COMBINING RING) compose
+    to their precomposed forms. Arrow-batched unicodedata UDF; the oracle
+    replays DuckDB's nfc_normalize, so the NORMALIZED TEXT is compared
+    cross-engine byte-for-byte."""
+    from spark_xml_spark.operators import normalize_text
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("doc_id") < 200
+    )
+    planted = d.withColumn(
+        "accented",
+        F.concat(F.col("text"), F.lit(" cafe\u0301 A\u030a"),),
+    )
+    out = normalize_text(planted, "accented", "text_nfc")
+    return out.select("doc_id", "text_nfc", "changed").orderBy("doc_id")
+
+
 def q_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The markup-strip cleaning stage INSIDE Structured Streaming: the
     dirtied documents replay as a file stream, clean_text runs as a
@@ -2576,6 +2619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross": q_dedup_cross,
         "corpus_stats": q_corpus_stats,
         "text_clean": q_text_clean,
+        "text_dedup_lines": q_text_dedup_lines,
+        "text_normalize": q_text_normalize,
         "stream_clean": q_stream_clean,
         "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
@@ -2883,6 +2928,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
                    CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
             FROM nation
+        """,
+                "text_dedup_lines": """
+            -- mirror of dedup_lines_col: split on newline, keep a line iff
+            -- it is empty or its FIRST occurrence index equals its own
+            -- (DuckDB lambda indexes are 1-based; Spark's filter index is
+            -- 0-based, hence i+1 there)
+            WITH planted AS (
+              SELECT doc_id,
+                     'BOILER' || chr(10) || text || chr(10) || chr(10)
+                       || 'BOILER' AS boilered
+              FROM documents WHERE doc_id < 200
+            ), s AS (
+              SELECT doc_id, str_split(boilered, chr(10)) AS lines
+              FROM planted
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(lines,
+                       (x, i) -> x = '' OR list_position(lines, x) = i),
+                     chr(10)) AS text_deduped,
+                   CAST(COALESCE(len(lines) - len(list_filter(lines,
+                       (x, i) -> x = '' OR list_position(lines, x) = i)), 0)
+                     AS BIGINT) AS n_lines_removed
+            FROM s ORDER BY doc_id
+        """,
+        "text_normalize": """
+            -- cross-engine NFC: DuckDB nfc_normalize vs Python
+            -- unicodedata.normalize('NFC', ...) — planted combining marks
+            -- (U+0301, U+030A) must compose identically
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' cafe' || chr(769) || ' A' || chr(778)
+                       AS accented
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id,
+                   nfc_normalize(accented) AS text_nfc,
+                   CASE WHEN accented IS NULL THEN false
+                        ELSE accented != nfc_normalize(accented)
+                   END AS changed
+            FROM planted ORDER BY doc_id
         """,
         "stream_simhash": """
             -- signature mirror of dedup_simhash (60-bit md5-prefix word

@@ -11,8 +11,11 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # BPE-ish pretokenizer: letter runs, digit runs, or a single non-space
 # symbol — a deterministic, SQL-portable approximation of byte-pair
@@ -815,4 +818,79 @@ def clean_text(
         "n_chars_removed",
         (F.coalesce(F.length(col), F.lit(0))
          - F.coalesce(F.length(F.col(out_col)), F.lit(0))).cast("bigint"),
+    )
+
+
+def dedup_lines_col(col: Column, sep: str = "\n") -> Column:
+    """Order-preserving within-document line dedup: keep each line's FIRST
+    occurrence, drop later repeats — the boilerplate-line cleaning stage
+    (nav bars, cookie banners, repeated headers) of web-corpus pipelines.
+    EMPTY lines always survive — they are paragraph structure, not
+    boilerplate. Pure codegen higher-order functions: split ->
+    filter(line, i -> line = '' OR array_position(lines, line) = i+1) ->
+    rejoin. The first-occurrence scan is O(lines^2) PER DOCUMENT —
+    document-local work that stays scan-parallel at any corpus size (no
+    shuffle, no UDF); documents have tens-to-hundreds of lines, not
+    millions. NULL text -> NULL."""
+    lines = F.split(col, sep)
+    kept = F.filter(
+        lines,
+        lambda x, i: (x == F.lit(""))
+        | (F.array_position(lines, x) == i + F.lit(1)),
+    )
+    return F.array_join(kept, sep)
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_deduped"
+) -> DataFrame:
+    """Adds ``out_col`` = line-deduped ``text_col`` (see dedup_lines_col)
+    and ``n_lines_removed`` = dropped-line count (0 for NULL text)."""
+    col = F.col(text_col)
+    deduped = dedup_lines_col(col)
+    n_before = F.size(F.split(col, "\n"))
+    n_after = F.size(F.split(F.col(out_col), "\n"))
+    return df.withColumn(out_col, deduped).withColumn(
+        "n_lines_removed",
+        F.coalesce(
+            (n_before - n_after).cast("bigint"), F.lit(0).cast("bigint")
+        ),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_nfc",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    stage that must run BEFORE any hash-based dedup, or visually
+    identical strings with different codepoint sequences (e.g. precomposed
+    é vs e + combining acute) hash apart and duplicates survive.
+
+    Arrow-batched pandas UDF over Python's unicodedata (Spark has no
+    built-in normalizer); stateless projection, scan-parallel. DuckDB's
+    nfc_normalize mirrors the NFC form for the oracle — both implement
+    the Unicode canonical-composition algorithm, so they agree wherever
+    the engines' Unicode tables do (all assigned codepoints in
+    practice). Adds ``changed`` = whether normalization altered the
+    string (NULL text -> NULL, changed false)."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+
+    def _norm(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    norm_udf = F.pandas_udf(_norm, T.StringType())
+    col = F.col(text_col)
+    return df.withColumn(out_col, norm_udf(col)).withColumn(
+        "changed",
+        F.when(col.isNull(), F.lit(False)).otherwise(
+            col != F.col(out_col)
+        ),
     )

@@ -1717,3 +1717,39 @@ def test_knn_join_matmul_dirty_vector_semantics(spark):
     # null query vector: all cosines NULL, order = id asc
     assert [v for v, _ in by_q[12]] == [1, 2, 3, 4, 5, 6, 7]
     assert all(c is None for _, c in by_q[12])
+
+
+def test_dedup_lines_order_preserving_and_empties_kept(spark):
+    from spark_xml_spark.operators import dedup_lines
+
+    rows = [
+        (1, "nav\nbody one\n\nnav\nbody two\n\nnav"),
+        (2, "a\na\na"),
+        (3, None),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_deduped, r.n_lines_removed)
+           for r in dedup_lines(df).collect()}
+    # first occurrence kept in place; empty lines all survive
+    assert got[1] == ("nav\nbody one\n\nbody two\n", 2)
+    assert got[2] == ("a", 2)
+    assert got[3] == (None, 0)
+    assert got[4] == ("single", 0)
+
+
+def test_normalize_text_nfc_composes_and_flags(spark):
+    from spark_xml_spark.operators import normalize_text
+
+    decomposed = "café"  # e + combining acute
+    rows = [(1, decomposed), (2, "café"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_nfc, r.changed)
+           for r in normalize_text(df).collect()}
+    assert got[1] == ("café", True)   # composed
+    assert got[2] == ("café", False)  # already NFC
+    assert got[3] == (None, False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="form must be"):
+        normalize_text(df, form="NFX")
