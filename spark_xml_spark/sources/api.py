@@ -124,7 +124,12 @@ def infer_xml_schema(
     # partition-aware scan produces
     from spark_xml_spark.sources import partitions as pmod
 
-    pfiles, pcols = pmod.discover_partitions(path)
+    from spark_xml_spark.sources.datasource import _listing_opts
+
+    gf, rl = _listing_opts(options)
+    pfiles, pcols = pmod.discover_partitions(
+        path, glob_filter=gf, recursive_lookup=rl
+    )
     sdf = _splits_df(spark, path, xopts, files=[(f, sz) for f, sz, _ in pfiles])
     opts_dict = dict(options)
 

@@ -194,6 +194,18 @@ def _path_exists(p: str) -> bool:
         return False
 
 
+def _listing_opts(opts: dict):
+    """(pathGlobFilter, recursiveFileLookup) from a case-insensitive
+    option dict — Spark's standard file-source listing options."""
+    gf = opts.get("pathGlobFilter") or opts.get("pathglobfilter")
+    rl = str(
+        opts.get("recursiveFileLookup")
+        or opts.get("recursivefilelookup")
+        or "false"
+    ).lower() == "true"
+    return gf, rl
+
+
 def _recover_options(schema: T.StructType) -> Optional[dict]:
     entries = _load_entries(_stash_key(schema))
     # Keep only entries whose path still exists: dropped/moved tables age out.
@@ -1322,7 +1334,10 @@ class XmlReader(DataSourceReader):
         ):
             from spark_xml_spark.sources import partitions as pmod
 
-            self._pfiles, self._pcols = pmod.discover_partitions(self._path)
+            gf, rl = _listing_opts(self._opts_dict)
+            self._pfiles, self._pcols = pmod.discover_partitions(
+                self._path, glob_filter=gf, recursive_lookup=rl
+            )
         return getattr(self, "_pfiles", None), self._pcols
 
     def _attach_cols(self):
@@ -1927,7 +1942,10 @@ class XmlDataSource(DataSource):
 
         from spark_xml_spark.sources import partitions as pmod
 
-        pfiles, pcols = pmod.discover_partitions(path)
+        gf, rl = _listing_opts(dict(self.options))
+        pfiles, pcols = pmod.discover_partitions(
+            path, glob_filter=gf, recursive_lookup=rl
+        )
         flat = [(f, sz) for f, sz, _ in pfiles]
 
         def sampled() -> Iterator[str]:

@@ -64,7 +64,24 @@ def _walk_local(base: str) -> List[Tuple[str, int, List[Tuple[str, Optional[str]
     return out
 
 
-def _walk_remote(path: str) -> List[Tuple[str, int, List[Tuple[str, Optional[str]]]]]:
+def _walk_local_recursive(base: str) -> List[Tuple[str, int]]:
+    """recursiveFileLookup listing: every data file under the tree,
+    partition semantics ignored (hidden files/dirs still skipped)."""
+    out: List[Tuple[str, int]] = []
+    for d, dirnames, filenames in os.walk(base):
+        dirnames[:] = sorted(
+            n for n in dirnames if not n.startswith(("_", "."))
+        )
+        for name in sorted(filenames):
+            if not name.startswith(("_", ".")):
+                p = os.path.join(d, name)
+                out.append((p, os.path.getsize(p)))
+    return out
+
+
+def _walk_remote(
+    path: str, any_dir: bool = False
+) -> List[Tuple[str, int, List[Tuple[str, Optional[str]]]]]:
     from pyarrow import fs as pafs
 
     filesystem, inner = fs._resolve(path)
@@ -80,6 +97,8 @@ def _walk_remote(path: str) -> List[Tuple[str, int, List[Tuple[str, Optional[str
         base = segs[-1]
         if base.startswith(("_", ".")):
             continue
+        if any(s.startswith(("_", ".")) for s in segs[:-1]):
+            continue  # hidden directory anywhere on the path
         pvals: List[Tuple[str, Optional[str]]] = []
         ok = True
         for s in segs[:-1]:
@@ -88,7 +107,10 @@ def _walk_remote(path: str) -> List[Tuple[str, int, List[Tuple[str, Optional[str
                 ok = False  # nested non-partition dir: skip (as local walk)
                 break
             pvals.append(seg)
-        if ok:
+        if any_dir:
+            # recursiveFileLookup: keep every file, no partition values
+            out.append((f"{scheme}://{fi.path}", fi.size, []))
+        elif ok:
             out.append((f"{scheme}://{fi.path}", fi.size, pvals))
     return out
 
@@ -110,6 +132,8 @@ def _is_float(s: str) -> bool:
 
 def discover_partitions(
     path,
+    glob_filter: Optional[str] = None,
+    recursive_lookup: bool = False,
 ) -> Tuple[List[Tuple[str, int, Tuple[Optional[str], ...]]], List[Tuple[str, str]]]:
     """Expand ``path`` (str or list) into
     ``([(file, size, raw_value_tuple)], [(column, spark_type)])``.
@@ -117,14 +141,27 @@ def discover_partitions(
     For unpartitioned layouts the second element is ``[]`` and every
     value tuple is ``()`` — callers can treat that case exactly like the
     flat listing. Raises on inconsistent key sequences or a mix of
-    partitioned and top-level data files under one directory."""
+    partitioned and top-level data files under one directory.
+
+    ``glob_filter`` is Spark's ``pathGlobFilter``: a glob matched against
+    each data file's BASE NAME after listing (``*.xml`` skips sidecars
+    sharing the directory); it filters files only, never partition
+    directories. ``recursive_lookup`` is Spark's ``recursiveFileLookup``:
+    every file under the tree is scanned and partition inference is
+    DISABLED (Spark's documented exclusivity) — nested directories are
+    descended into whether or not they are name=value shaped."""
     paths = [path] if isinstance(path, str) else list(path)
     walked: List[Tuple[str, int, List[Tuple[str, Optional[str]]]]] = []
     for p in paths:
         if fs.scheme_of(p) is None:
             local = fs.strip_local_scheme(p)
             if os.path.isdir(local):
-                walked.extend(_walk_local(local))
+                if recursive_lookup:
+                    walked.extend(
+                        (f, sz, []) for f, sz in _walk_local_recursive(local)
+                    )
+                else:
+                    walked.extend(_walk_local(local))
             else:
                 # file or glob: never partitioned
                 walked.extend(
@@ -136,11 +173,30 @@ def discover_partitions(
             filesystem, inner = fs._resolve(p)
             info = filesystem.get_file_info(inner)
             if info.type == pafs.FileType.Directory:
-                walked.extend(_walk_remote(p))
+                if recursive_lookup:
+                    walked.extend(
+                        (f, sz, [])
+                        for f, sz, _ in _walk_remote(p, any_dir=True)
+                    )
+                else:
+                    walked.extend(_walk_remote(p))
             else:
                 walked.extend(
                     (f, sz, []) for f, sz in fs.list_data_files(p)
                 )
+    if glob_filter:
+        import fnmatch
+
+        walked = [
+            t
+            for t in walked
+            if fnmatch.fnmatch(os.path.basename(t[0].rstrip("/")), glob_filter)
+        ]
+        if not walked:
+            raise FileNotFoundError(
+                f"No input files under {path} match "
+                f"pathGlobFilter {glob_filter!r}"
+            )
     if not walked:
         raise FileNotFoundError(f"No input files found under: {path}")
     key_seqs = {tuple(k for k, _ in pv) for _, _, pv in walked}

@@ -129,7 +129,15 @@ class XmlStreamReader(DataSourceStreamReader):
         try:
             # partition-aware listing: a Hive-style layout's nested files
             # are discovered recursively; flat dirs list exactly as before
-            listed = [(f, sz) for f, sz, _ in pmod.discover_partitions(self._path)[0]]
+            from spark_xml_spark.sources.datasource import _listing_opts
+
+            gf, rl = _listing_opts(self._opts_dict)
+            listed = [
+                (f, sz)
+                for f, sz, _ in pmod.discover_partitions(
+                    self._path, glob_filter=gf, recursive_lookup=rl
+                )[0]
+            ]
         except FileNotFoundError:
             listed = []
         return {"files": {p: size for p, size in listed}}

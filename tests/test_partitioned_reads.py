@@ -226,3 +226,51 @@ def test_sql_ddl_over_partitioned_layout(spark, tmp_path):
         ]
     finally:
         spark.sql("DROP TABLE IF EXISTS part_xml")
+
+
+def test_path_glob_filter_limits_listing(spark, tmp_path):
+    """pathGlobFilter (Spark file-source option): only base names matching
+    the glob are scanned — sidecar files sharing the directory are
+    invisible to the reader, on both the read_xml and DDL paths."""
+    (tmp_path / "a.xml").write_text("<rs><r><id>1</id></r></rs>")
+    (tmp_path / "b.txt").write_text("<rs><r><id>99</id></r></rs>")
+    (tmp_path / "c.xml").write_text("<rs><r><id>2</id></r></rs>")
+    df = read_xml(spark, str(tmp_path), rowTag="r", pathGlobFilter="*.xml")
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+    # without the filter the .txt rows leak in
+    assert read_xml(spark, str(tmp_path), rowTag="r").count() == 3
+    # no file matches -> pointed error, not an empty scan
+    with pytest.raises(Exception, match="pathGlobFilter"):
+        read_xml(spark, str(tmp_path), rowTag="r", pathGlobFilter="*.json")
+
+
+def test_recursive_file_lookup_disables_partition_inference(spark, tmp_path):
+    """recursiveFileLookup (Spark file-source option): every file under the
+    tree is scanned — including non-name=value subdirectories the
+    partition walk ignores — and partition inference is DISABLED (Spark's
+    documented exclusivity), so name=value dirs contribute no columns."""
+    part = tmp_path / "year=2023"
+    part.mkdir()
+    (part / "a.xml").write_text("<rs><r><id>1</id></r></rs>")
+    raw = tmp_path / "raw" / "nested"
+    raw.mkdir(parents=True)
+    (raw / "b.xml").write_text("<rs><r><id>2</id></r></rs>")
+
+    # partition walk: sees only the name=value branch, with a year column
+    d1 = read_xml(spark, str(tmp_path), rowTag="r")
+    assert d1.columns == ["id", "year"]
+    assert [(r.id, r.year) for r in d1.collect()] == [(1, 2023)]
+
+    # recursive lookup: both files, no partition column
+    d2 = read_xml(
+        spark, str(tmp_path), rowTag="r", recursiveFileLookup="true"
+    )
+    assert d2.columns == ["id"]
+    assert sorted(r.id for r in d2.collect()) == [1, 2]
+
+    # composes with pathGlobFilter
+    d3 = read_xml(
+        spark, str(tmp_path), rowTag="r",
+        recursiveFileLookup="true", pathGlobFilter="b.xml",
+    )
+    assert [r.id for r in d3.collect()] == [2]
