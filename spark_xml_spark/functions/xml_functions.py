@@ -187,3 +187,41 @@ def schema_of_xml_array(
         return T.ArrayType(schema_of_xml(spark, flat, options, "x"))
     flat_strings = [x for arr in data for x in arr]
     return T.ArrayType(schema_of_xml(spark, flat_strings, options))
+
+
+def read_xml_strings(
+    spark: SparkSession,
+    data: Union[DataFrame, Iterable[str]],
+    column: Optional[str] = None,
+    schema: Optional[Union[str, T.StructType]] = None,
+    options: Optional[dict] = None,
+) -> DataFrame:
+    """Parse a collection of XML record strings into a DataFrame — the
+    reference's ``XmlReader.xmlDataset``/``xmlRdd`` entry point
+    (XmlReader.scala:147-204: infer the schema over the strings unless one
+    is given, then parse each string as one row). ``data`` is a DataFrame
+    holding the strings (``column`` or its first column) or any iterable
+    of strings (parallelized first). The row-level parse, mode handling
+    (PERMISSIVE/DROPMALFORMED/FAILFAST, corrupt-record column) and
+    casts are exactly ``from_xml``'s; inference is the distributed
+    ``schema_of_xml`` merge, so both halves scale with the input."""
+    if not isinstance(data, DataFrame):
+        data = spark.createDataFrame(
+            [(s,) for s in data], T.StructType([T.StructField("value", T.StringType())])
+        )
+    colname = column or data.columns[0]
+    if schema is None:
+        schema = schema_of_xml(spark, data, options, colname)
+    dt = _as_schema(schema)
+    if not isinstance(dt, T.StructType):
+        raise TypeError("schema for read_xml_strings must be a struct")
+    parsed = data.select(
+        from_xml(F.col(colname), dt, options).alias("_rec")
+    )
+    xo = XmlOptions.from_dict(options or {})
+    if xo.mode == "DROPMALFORMED":
+        # from_xml downgrades a malformed record to NULL under
+        # DROPMALFORMED (a column cannot drop rows); the dataset-level
+        # reader CAN, matching the reference's relation semantics
+        parsed = parsed.filter(F.col("_rec").isNotNull())
+    return parsed.select("_rec.*")

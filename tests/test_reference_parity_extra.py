@@ -473,3 +473,31 @@ def test_manual_schema_corrupt_record_permissive(spark):
     )
     row = df.collect()[0]
     assert row["_corrupt_record"] is not None
+
+
+def test_read_xml_strings_xml_dataset_parity(spark):
+    """XmlReader.scala:147-204 (xmlDataset/xmlRdd): parse a dataset of XML
+    record strings with inferred or explicit schema; DROPMALFORMED drops
+    rows at the dataset level (a column can only null them)."""
+    from spark_xml_spark.functions import read_xml_strings
+
+    frags = [
+        "<r><id>1</id><name>a</name></r>",
+        "<r><id>2</id><name>b</name></r>",
+        "<r><id>not-an-int</id><name>c</name></r>",
+    ]
+    # inferred schema: id widens to string over the corpus -> all rows parse
+    df = read_xml_strings(spark, frags, options={"rowTag": "r"})
+    assert sorted((r.id, r.name) for r in df.collect()) == [
+        ("1", "a"), ("2", "b"), ("not-an-int", "c")
+    ]
+    # explicit schema + DROPMALFORMED: the unparsable row is GONE
+    out = read_xml_strings(
+        spark,
+        spark.createDataFrame([(f,) for f in frags], "xml string"),
+        column="xml",
+        schema="id bigint, name string",
+        options={"rowTag": "r", "mode": "DROPMALFORMED"},
+    )
+    assert sorted((r.id, r.name) for r in out.collect()) == [(1, "a"), (2, "b")]
+    assert out.columns == ["id", "name"]
