@@ -1134,7 +1134,9 @@ def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = T.StructType.fromJson(json.load(fh))
     src = os.path.join(base, "xml")
     n_files = len(os.listdir(src))
-    cap = 4
+    # cap chosen so the backlog needs MULTIPLE capped batches (the property
+    # under test) without paying per-trigger overhead 4x over: 16 files -> 2
+    cap = 8
     work = tempfile.mkdtemp(prefix="xml_stream_bp_")
     out = os.path.join(work, "out")
     os.makedirs(out, exist_ok=True)
