@@ -68,6 +68,14 @@ class XmlStreamReader(DataSourceStreamReader):
         self._cursor_path = options.get("admissionCursorPath") or options.get(
             "admissioncursorpath"
         )
+        # latestFirst (FileStreamSource parity in spirit): admit PENDING
+        # files newest-path-first when capped — for catch-up scenarios
+        # where fresh data matters more than the backlog tail. Path order
+        # stands in for mtime order (deterministic, no extra stat calls;
+        # date-partitioned and part-numbered layouts sort chronologically).
+        self._latest_first = str(
+            options.get("latestFirst") or options.get("latestfirst") or "false"
+        ).lower() == "true"
         # Admission-control state (driver-side instance, one per query run).
         # Three pieces, kept separate because they answer different safety
         # questions — see latestOffset for the full protocol:
@@ -119,8 +127,16 @@ class XmlStreamReader(DataSourceStreamReader):
             with open(tmp, "w") as fh:
                 json.dump({"files": self._planned}, fh)
             os.replace(tmp, self._cursor_path)
-        except OSError:
-            pass
+        except OSError as exc:
+            # MUST be loud: a silently stale cursor re-admits files the
+            # engine already committed on the next restart — duplicate
+            # ingestion. Failing the batch here is as recoverable as a
+            # checkpoint write failure (the engine retries/replays).
+            raise OSError(
+                f"xml stream source could not persist admissionCursorPath "
+                f"{self._cursor_path!r}; failing the batch rather than "
+                f"risking duplicate re-admission after a restart"
+            ) from exc
 
     # -- offsets -----------------------------------------------------------
     def _snapshot(self) -> dict:
@@ -191,7 +207,10 @@ class XmlStreamReader(DataSourceStreamReader):
                 return snap
         if self._known is None:
             self._known = {}
-        pending = sorted(f for f in snap["files"] if f not in self._known)
+        pending = sorted(
+            (f for f in snap["files"] if f not in self._known),
+            reverse=self._latest_first,
+        )
         admitted = dict(self._base)
         nfiles = 0
         nbytes = 0

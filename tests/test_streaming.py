@@ -784,3 +784,31 @@ def test_stream_xml_sink_partitioned_roundtrip(spark, tmp_path):
     assert len(
         [f for f in os.listdir(os.path.join(out, "b=x")) if f.endswith(".xml")]
     ) == 2
+
+
+def test_latest_first_admits_newest_paths_first(spark, tmp_path):
+    """latestFirst=true: capped admission takes pending files in REVERSE
+    path order (catch-up mode — fresh data before backlog tail)."""
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        _write_doc(src / f"f{i}.xml", [(i, "x")])
+
+    batches = []
+
+    def sink(df, bid):
+        batches.append(sorted(r.a for r in df.collect()))
+
+    _run_capped(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        sink,
+        {
+            "maxFilesPerTrigger": "1",
+            "latestFirst": "true",
+            "admissionCursorPath": str(tmp_path / "cursor.json"),
+        },
+    )
+    assert [b for b in batches if b] == [[2], [1], [0]]
