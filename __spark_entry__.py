@@ -1143,10 +1143,17 @@ def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_rows = []
 
     def _sink(df, _bid):
-        n = df.count()
-        if n:
-            batch_rows.append(n)
-            df.write.mode("append").parquet(out)
+        # one ingest per batch: persist before count+write, or the XML
+        # files re-parse twice (count then write) and double the cost
+        # this query benchmarks
+        df.persist()
+        try:
+            n = df.count()
+            if n:
+                batch_rows.append(n)
+                df.write.mode("append").parquet(out)
+        finally:
+            df.unpersist()
 
     q = (
         spark.readStream.format("xml-graft")

@@ -178,32 +178,35 @@ def _matmul_score_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     scoring='fold' when bit-exactness with brute_force_cosine_topk or a
     sequential-fold oracle is required.
 
-    Semantics mirror the fold path exactly: zero-norm QUERY -> every
-    finite corpus vector scores 0.0; zero-norm / null / ragged /
-    NaN-component CORPUS vector -> NULL cosine (sorts last); null /
-    ragged query vector -> NULL against everything; ties break on
-    ascending corpus id."""
+    Semantics mirror the fold path exactly, INCLUDING mixed dimensions:
+    queries group by their own vector length and each group scores only
+    same-length corpus vectors (zip_with pads length mismatches with
+    nulls, so the fold yields NULL there — as does each group here).
+    Zero-norm QUERY -> every same-length finite corpus vector scores
+    0.0; zero-norm / null / empty / NaN-component CORPUS vector -> NULL
+    cosine (sorts last); null / empty / null-element query vector ->
+    NULL against everything; ties break on ascending corpus id."""
     qrows = q.collect()  # bounded query side (the fold path broadcasts it)
     qids = [r["_qid"] for r in qrows]
-    dim = None
+    nq = len(qids)
+    # per-dimension query groups: dim -> (ids, dim x Qd matrix, norms)
+    by_dim: dict = {}
+    bad_qids = []  # null/empty/null-element queries: all-NULL output
     for r in qrows:
         v = r["_qv"]
-        if v is not None and all(x is not None for x in v):
-            dim = len(v)
-            break
-    nq = len(qids)
-    qmat = np.zeros((max(dim or 1, 1), nq))
-    qbad = np.zeros(nq, dtype=bool)  # null/ragged query -> all-NULL column
-    for j, r in enumerate(qrows):
-        v = r["_qv"]
-        if v is None or (dim is not None and len(v) != dim) or any(
-            x is None for x in v
-        ):
-            qbad[j] = True
-        elif dim is not None:
-            qmat[:, j] = v
-    qnorm = np.sqrt((qmat * qmat).sum(axis=0))
-    qnorm1 = np.where(qnorm == 0.0, 1.0, qnorm)  # zero-norm query scores 0.0
+        if v is None or len(v) == 0 or any(x is None for x in v):
+            bad_qids.append(r["_qid"])
+        else:
+            by_dim.setdefault(len(v), []).append((r["_qid"], v))
+    groups = []
+    for d, members in by_dim.items():
+        gmat = np.array([v for _, v in members], dtype=np.float64).T
+        gnorm = np.sqrt((gmat * gmat).sum(axis=0))
+        # zero-norm query scores 0.0 (dot / (cnorm * 1.0))
+        groups.append(
+            ([qid for qid, _ in members], d, gmat,
+             np.where(gnorm == 0.0, 1.0, gnorm))
+        )
 
     out_schema = T.StructType(
         [
@@ -217,54 +220,72 @@ def _matmul_score_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
         kept: Optional[pd.DataFrame] = None
         for b in batches:
             nb = len(b)
-            cmat = np.zeros((nb, dim or 1))
-            cbad = np.zeros(nb, dtype=bool)
-            for i, v in enumerate(b["_cv"]):
-                if v is None or dim is None or len(v) != dim:
-                    cbad[i] = True
-                    continue
-                arr = np.asarray(v, dtype=object)
-                if (arr == None).any():  # noqa: E711  (elementwise)
-                    cbad[i] = True
-                    continue
-                cmat[i] = arr.astype(np.float64)
-            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-            cbad |= cnorm == 0.0
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = (cmat @ qmat) / np.outer(
-                    np.where(cnorm == 0.0, 1.0, cnorm), qnorm1
-                )
-            cos[cbad, :] = np.nan  # NULL downstream
-            cos[:, qbad] = np.nan
-            cands = pd.DataFrame(
-                {
-                    "_qid": np.repeat(qids, nb),
-                    "_cid": np.tile(np.asarray(b["_cid"]), nq),
-                    "_cos": cos.T.reshape(-1),
-                }
+            lens = np.array(
+                [-1 if v is None else len(v) for v in b["_cv"]]
             )
-            both = cands if kept is None else pd.concat((kept, cands))
-            kept = (
-                both.sort_values(
-                    ["_qid", "_cos", "_cid"],
-                    ascending=[True, False, True],
-                    na_position="last",
+            cids = np.asarray(b["_cid"])
+            frames = []
+            for gids, d, gmat, gnorm1 in groups:
+                rows = np.nonzero(lens == d)[0]
+                if len(rows):
+                    cmat = np.zeros((len(rows), d))
+                    cbad = np.zeros(len(rows), dtype=bool)
+                    for out_i, i in enumerate(rows):
+                        arr = np.asarray(b["_cv"][i], dtype=object)
+                        if (arr == None).any():  # noqa: E711 (elementwise)
+                            cbad[out_i] = True
+                        else:
+                            cmat[out_i] = arr.astype(np.float64)
+                    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+                    cbad |= cnorm == 0.0
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cos = (cmat @ gmat) / np.outer(
+                            np.where(cnorm == 0.0, 1.0, cnorm), gnorm1
+                        )
+                    cos[cbad, :] = np.nan  # NULL downstream
+                else:
+                    cos = np.zeros((0, len(gids)))
+                if not nb:
+                    continue
+                # length-mismatched corpus rows: NULL (fold pads with nulls)
+                other = np.nonzero(lens != d)[0]
+                ng = len(gids)
+                cid_per_q = np.concatenate([cids[rows], cids[other]])
+                nan_tail = np.full(len(other), np.nan)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_qid": np.repeat(gids, nb),
+                            "_cid": np.tile(cid_per_q, ng),
+                            "_cos": np.concatenate(
+                                [
+                                    np.concatenate([cos[:, j], nan_tail])
+                                    for j in range(ng)
+                                ]
+                            ),
+                        }
+                    )
                 )
-                .groupby("_qid", sort=False)
-                .head(k)
-            )
+            for qid in bad_qids:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_qid": np.repeat([qid], nb),
+                            "_cid": cids,
+                            "_cos": np.full(nb, np.nan),
+                        }
+                    )
+                )
+            frames = [f for f in frames if len(f)]
+            if frames:
+                kept = _pandas_topk_update(
+                    kept, pd.concat(frames, ignore_index=True), k
+                )
         if kept is not None and nq:
             yield kept
 
     reduced = c.mapInPandas(_score, out_schema)
-    # Arrow surfaces NaN for both real NaN cosines and pandas NULLs; both
-    # mean "unrankable" here — fold to NULL like _prereduce_topk
-    return reduced.withColumn(
-        "_cos",
-        F.when(F.isnan("_cos"), F.lit(None).cast("double")).otherwise(
-            F.col("_cos")
-        ),
-    )
+    return _nan_cos_to_null(reduced)
 
 
 def _make_probe_udf(cmat: np.ndarray, nprobe: int):
@@ -336,6 +357,37 @@ def _prep_query_side(
     )
 
 
+def _pandas_topk_update(
+    kept: Optional[pd.DataFrame], cands: pd.DataFrame, k: int
+) -> pd.DataFrame:
+    """THE per-partition top-k rule, shared by the fold prereduce and the
+    matmul scorer so a tie-break or NULL-ordering change can never apply
+    to one path only: cosine descending, corpus id ascending, NaN/NULL
+    last, k rows per query."""
+    both = cands if kept is None else pd.concat((kept, cands))
+    return (
+        both.sort_values(
+            ["_qid", "_cos", "_cid"],
+            ascending=[True, False, True],
+            na_position="last",
+        )
+        .groupby("_qid", sort=False)
+        .head(k)
+    )
+
+
+def _nan_cos_to_null(reduced: DataFrame) -> DataFrame:
+    """Arrow surfaces NaN for both real NaN cosines and pandas NULLs;
+    both mean "unrankable" — fold to NULL so every scoring/prereduce
+    combination returns the same NULL-cosine rows."""
+    return reduced.withColumn(
+        "_cos",
+        F.when(F.isnan("_cos"), F.lit(None).cast("double")).otherwise(
+            F.col("_cos")
+        ),
+    )
+
+
 def _prereduce_topk(scored: DataFrame, k: int) -> DataFrame:
     """Arrow-batched per-partition top-k over a (_qid, _cid, _cos)
     candidate stream: memory O(#queries * k) per task, pure SELECTION
@@ -346,28 +398,11 @@ def _prereduce_topk(scored: DataFrame, k: int) -> DataFrame:
     def _partition_topk(batches):
         kept: Optional[pd.DataFrame] = None
         for b in batches:
-            both = b if kept is None else pd.concat((kept, b))
-            kept = (
-                both.sort_values(
-                    ["_qid", "_cos", "_cid"],
-                    ascending=[True, False, True],
-                    na_position="last",
-                )
-                .groupby("_qid", sort=False)
-                .head(k)
-            )
+            kept = _pandas_topk_update(kept, b, k)
         if kept is not None:
             yield kept
 
-    reduced = scored.mapInPandas(_partition_topk, schema)
-    # Arrow surfaces a JVM NULL double as NaN; fold it back so prereduce
-    # on/off return the same NULL-cosine rows
-    return reduced.withColumn(
-        "_cos",
-        F.when(F.isnan("_cos"), F.lit(None).cast("double")).otherwise(
-            F.col("_cos")
-        ),
-    )
+    return _nan_cos_to_null(scored.mapInPandas(_partition_topk, schema))
 
 
 def _topk_merge(

@@ -831,8 +831,10 @@ def dedup_lines_col(col: Column, sep: str = "\n") -> Column:
     rejoin. The first-occurrence scan is O(lines^2) PER DOCUMENT —
     document-local work that stays scan-parallel at any corpus size (no
     shuffle, no UDF); documents have tens-to-hundreds of lines, not
-    millions. NULL text -> NULL."""
-    lines = F.split(col, sep)
+    millions. NULL text -> NULL. ``sep`` is a LITERAL separator (quoted
+    with \\Q..\\E for the split regex so '|', '.', '+' etc. work; the
+    rejoin uses it verbatim)."""
+    lines = F.split(col, "\\Q" + sep + "\\E")
     kept = F.filter(
         lines,
         lambda x, i: (x == F.lit(""))

@@ -1374,7 +1374,11 @@ class XmlReader(DataSourceReader):
         open_cost = int(self._opt("openCostBytes") or 4 * 1024 * 1024)
         try:
             pfiles, pcols = self._discover(need_files=True)
-        except OSError:
+        except OSError as exc:
+            from spark_xml_spark.sources.partitions import NoMatchingFilesError
+
+            if isinstance(exc, NoMatchingFilesError):
+                raise  # zero-match pathGlobFilter: never scan unfiltered
             pfiles, pcols = None, []
         if pcols:
             return self._partitions_partitioned(
@@ -1686,7 +1690,11 @@ class XmlPushdownReader(XmlReader):
         remaining = []
         try:
             attach = self._attach_cols()
-        except OSError:
+        except OSError as exc:
+            from spark_xml_spark.sources.partitions import NoMatchingFilesError
+
+            if isinstance(exc, NoMatchingFilesError):
+                raise
             attach = []
         pnames = {n for n, _ in attach}
         pschema = T.StructType(

@@ -35,6 +35,14 @@ from spark_xml_spark.xmlcore import fs
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class NoMatchingFilesError(FileNotFoundError):
+    """pathGlobFilter matched zero files. A DISTINCT type because the
+    reader's listing fallbacks swallow generic OSErrors (a missing path
+    surfaces later in split planning) — but a zero-match filter must
+    surface as the user's pointed error, never as a silent unfiltered
+    scan of the whole directory."""
+
+
 def _parse_segment(name: str) -> Optional[Tuple[str, Optional[str]]]:
     """'year=2024' -> ('year', '2024'); non-partition names -> None."""
     if "=" not in name or name.startswith(("_", ".")):
@@ -193,7 +201,7 @@ def discover_partitions(
             if fnmatch.fnmatch(os.path.basename(t[0].rstrip("/")), glob_filter)
         ]
         if not walked:
-            raise FileNotFoundError(
+            raise NoMatchingFilesError(
                 f"No input files under {path} match "
                 f"pathGlobFilter {glob_filter!r}"
             )

@@ -315,6 +315,14 @@ class XmlStreamReader(DataSourceStreamReader):
         always run with an explicit schema)."""
         from spark_xml_spark.sources import partitions as pmod
 
+        from spark_xml_spark.sources.datasource import _listing_opts
+
+        _, recursive = _listing_opts(self._opts_dict)
+        if recursive:
+            # recursiveFileLookup disables partition inference (batch
+            # parity): name=value directory names are plain directories,
+            # never value sources — the field parses from file content
+            return []
         kv = pmod.partition_values_of(self._path, filepath)
         if not kv:
             return []

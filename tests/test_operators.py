@@ -1753,3 +1753,55 @@ def test_normalize_text_nfc_composes_and_flags(spark):
 
     with _pytest.raises(ValueError, match="form must be"):
         normalize_text(df, form="NFX")
+
+
+def test_knn_join_matmul_mixed_dimensions_match_fold(spark):
+    """Mixed query dimensions: each query scores only same-length corpus
+    vectors (zip_with pads mismatches with nulls -> NULL), identically in
+    both scoring engines; empty vectors never crash the matmul path."""
+    from spark_xml_spark.operators import knn_join
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.5, 0.5, 0.0]),
+            (4, []),  # empty: NULL against everything
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [
+            (10, []),  # empty query: all-NULL (fold: dot 0, norms 0/NULL)
+            (11, [1.0, 0.0]),  # dim-2
+            (12, [1.0, 0.0, 0.0]),  # dim-3
+        ],
+        "q_id long, embedding array<double>",
+    )
+    outs = {}
+    for scoring in ("fold", "matmul"):
+        rows = knn_join(
+            corpus, q, "embedding", "vec_id", q_id_col="q_id", k=4,
+            scoring=scoring,
+        ).collect()
+        outs[scoring] = {
+            (r.q_id, r.rank): (r.vec_id, None if r.cosine is None
+                               else round(r.cosine, 9))
+            for r in rows
+        }
+    assert outs["fold"] == outs["matmul"]
+    # dim-2 query: only vec 1 scores; 2,3,4 NULL-last by id
+    by_rank = [outs["fold"][(11, r)] for r in range(1, 5)]
+    assert by_rank[0] == (1, 1.0)
+    assert [v for v, _ in by_rank[1:]] == [2, 3, 4]
+    assert all(c is None for _, c in by_rank[1:])
+
+
+def test_dedup_lines_regex_meaningful_separator(spark):
+    """sep is a LITERAL: '|' must not be treated as the empty-alternation
+    regex by the split side."""
+    from spark_xml_spark.operators.textstats import dedup_lines_col
+
+    df = spark.createDataFrame([("a|b|a|c|b",)], "t string")
+    got = df.select(dedup_lines_col(F.col("t"), sep="|").alias("d")).first()["d"]
+    assert got == "a|b|c"

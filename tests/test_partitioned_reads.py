@@ -274,3 +274,23 @@ def test_recursive_file_lookup_disables_partition_inference(spark, tmp_path):
         recursiveFileLookup="true", pathGlobFilter="b.xml",
     )
     assert [r.id for r in d3.collect()] == [2]
+
+
+def test_path_glob_filter_zero_match_with_explicit_schema(spark, tmp_path):
+    """The zero-match pathGlobFilter error must surface on the
+    explicit-schema reader path too (the listing fallback previously
+    swallowed it and scanned the whole directory unfiltered)."""
+    (tmp_path / "a.xml").write_text("<rs><r><id>1</id></r></rs>")
+    from spark_xml_spark.sources.api import register
+
+    register(spark)
+    df = (
+        spark.read.format("xml-graft")
+        .schema("id bigint")
+        .option("rowTag", "r")
+        .option("path", str(tmp_path))
+        .option("pathGlobFilter", "*.json")
+        .load()
+    )
+    with pytest.raises(Exception, match="pathGlobFilter"):
+        df.collect()

@@ -812,3 +812,31 @@ def test_latest_first_admits_newest_paths_first(spark, tmp_path):
         },
     )
     assert [b for b in batches if b] == [[2], [1], [0]]
+
+
+def test_stream_recursive_lookup_no_partition_values(spark, tmp_path):
+    """recursiveFileLookup on the STREAM source matches batch semantics:
+    name=value directory names are plain directories, never attached as
+    column values (the field parses from file content — null here)."""
+    register(spark)
+    src = tmp_path / "src" / "year=2023"
+    src.mkdir(parents=True)
+    (src / "a.xml").write_text("<rs><ROW><a>1</a></ROW></rs>")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("xml-graft")
+        .schema("a long, year long")
+        .option("rowTag", "ROW")
+        .option("path", str(tmp_path / "src"))
+        .option("recursiveFileLookup", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [(r.a, r.year) for r in spark.read.parquet(out).collect()] == [
+        (1, None)
+    ]
