@@ -736,6 +736,35 @@ class IvfIndex:
         )
         return idx
 
+    @classmethod
+    def append_to(cls, spark, path: str, new_df: DataFrame) -> "IvfIndex":
+        """Incremental index maintenance: assign ``new_df``'s vectors to the
+        SAVED index's existing centroids (one Arrow-batched matmul pass,
+        the same euclidean probe rule as search/knn_join — no KMeans
+        refit, no shuffle) and append them into the partitioned layout;
+        new files land inside the matching ``_centroid=`` directories, so
+        probes keep pruning at the source. This is the daily-ingest path:
+        O(new vectors), not O(corpus). Centroids stay FIXED — they drift
+        from the true cluster means as the distribution shifts, degrading
+        probe recall (never correctness: re-ranking inside probed cells is
+        exact); rebuild periodically when appended volume rivals the
+        original corpus. Duplicate ids are the caller's concern (append
+        never reads the existing data). Returns the reloaded index."""
+        import json
+
+        from spark_xml_spark.xmlcore import fs as _fs
+
+        with _fs.open_input(path.rstrip("/") + "/_centroids.json") as fh:
+            meta = json.loads(fh.read().decode())
+        cmat = np.asarray(meta["centroids"], dtype=np.float64)
+        probe1 = _make_probe_udf(cmat, 1)
+        assigned = new_df.withColumn(
+            "_centroid",
+            F.element_at(probe1(F.col(meta["vec_col"]).cast("array<double>")), 1),
+        )
+        assigned.write.mode("append").partitionBy("_centroid").parquet(path)
+        return cls.load(spark, path)
+
     def search(self, query: Sequence[float], k: int = 10, nprobe: int = 2) -> DataFrame:
         """Exact cosine top-k within the nprobe nearest centroid cells."""
         q = [float(x) for x in query]

@@ -840,3 +840,49 @@ def test_stream_recursive_lookup_no_partition_values(spark, tmp_path):
     assert [(r.a, r.year) for r in spark.read.parquet(out).collect()] == [
         (1, None)
     ]
+
+
+def test_ivf_append_to_incremental_maintenance(spark, tmp_path):
+    """IvfIndex.append_to: new vectors assign to the SAVED centroids (same
+    euclidean rule as search) and land in the partitioned layout; the
+    reloaded index finds appended vectors, and every appended row sits in
+    its true nearest-centroid partition."""
+    from spark_xml_spark.operators import IvfIndex
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = embs.filter("vec_id % 2 = 0")
+    new = embs.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(old, k=4, seed=7).save(path)
+    idx = IvfIndex.append_to(spark, path, new)
+
+    n_old, n_new = old.count(), new.count()
+    assert idx.assigned.count() == n_old + n_new
+
+    # an appended vector is its own nearest neighbor through the index
+    probe_row = new.first()
+    res = idx.search([float(x) for x in probe_row["embedding"]], k=3,
+                     nprobe=4).collect()
+    assert res[0]["vec_id"] == probe_row["vec_id"]
+
+    # partition correctness: appended rows sit in argmin-distance cells
+    import json
+
+    with open(path + "/_centroids.json") as fh:
+        cents = json.load(fh)["centroids"]
+
+    def nearest(v):
+        def d2(c):
+            return sum((a - b) * (a - b) for a, b in zip(c, v))
+        return min(range(len(cents)), key=lambda i: (d2(cents[i]), i))
+
+    got = {
+        r["vec_id"]: r["_centroid"]
+        for r in idx.assigned.join(new.select("vec_id"), "vec_id", "semi")
+        .select("vec_id", "_centroid")
+        .collect()
+    }
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in new.collect()}
+    for vid, cell in got.items():
+        assert cell == nearest(by_id[vid]), vid
