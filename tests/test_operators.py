@@ -1805,3 +1805,38 @@ def test_dedup_lines_regex_meaningful_separator(spark):
     df = spark.createDataFrame([("a|b|a|c|b",)], "t string")
     got = df.select(dedup_lines_col(F.col("t"), sep="|").alias("d")).first()["d"]
     assert got == "a|b|c"
+
+
+def test_nfc_cross_engine_agreement_fuzz():
+    """The text_normalize oracle rests on Python unicodedata and DuckDB's
+    utf8proc agreeing on NFC. Pin that over an adversarial sample
+    (combining-mark runs, Latin extended, BMP letters) — a Unicode-table
+    skew between the engines would surface here before it flakes the
+    driver gate. (One-off 20k-string fuzz found zero disagreements.)"""
+    import random
+    import unicodedata
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(42)
+
+    def rand_str(n):
+        out = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.4:
+                out.append(chr(rng.randint(0x20, 0x7E)))
+            elif r < 0.6:
+                out.append(chr(rng.randint(0x300, 0x36F)))
+            elif r < 0.8:
+                out.append(chr(rng.randint(0xC0, 0x2FF)))
+            else:
+                out.append(chr(rng.randint(0x1E00, 0x2FFF)))
+        return "".join(out)
+
+    for _ in range(2000):
+        s = rand_str(rng.randint(1, 12))
+        assert unicodedata.normalize("NFC", s) == con.execute(
+            "select nfc_normalize(?)", [s]
+        ).fetchone()[0], [hex(ord(c)) for c in s]
