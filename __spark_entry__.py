@@ -2056,6 +2056,97 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_nfc", "changed").orderBy("doc_id")
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style corpus admission gate (operators/expectations.py
+    validate_corpus): seven declarative constraints — completeness,
+    uniqueness, min/max bounds, set and regex compliance, mean bound —
+    evaluated PER SOURCE in one map-side-combinable aggregation pass
+    (report rows explode from an array of structs AFTER the agg, so the
+    explode runs over O(sources) rows). Planted violations make the
+    gate discriminate: every 7th doc's text is nulled (completeness)
+    and every 6th doc's record id collapses to 0 (uniqueness). All
+    metric arithmetic is integer-sum/count division — exact and
+    engine-portable, value-compared against the DuckDB oracle."""
+    from spark_xml_spark.operators import validate_corpus
+
+    d = _parquet(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text_p",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        "rec_id",
+        F.when(F.col("doc_id") % 6 == 0, F.lit(0).cast("bigint")).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    rules = [
+        ("not_null", "text_p", 0.9),
+        ("unique", "rec_id"),
+        ("min", "n_chars", 1.0),
+        ("max", "n_chars", 5000.0),
+        ("in_set", "lang", ["en", "de", "fr", "es"], 0.8),
+        ("matches", "source", "^src[0-9]+$", 1.0),
+        ("mean_min", "n_chars", 100.0),
+    ]
+    rep = validate_corpus(planted, rules, group_by=["source"])
+    return rep.orderBy("source", "rule")
+
+
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-wide boilerplate-line removal (operators/textstats.py
+    remove_frequent_lines) — the C4/RefinedWeb stage next to the
+    within-document text_dedup_lines: any line appearing in >= 5
+    distinct documents is removed from every document. Planted chrome:
+    a cookie notice and a copyright footer on every doc (banned), a
+    newsletter line on even docs (150 docs — banned), a unique
+    PROMO-<id> line on odd docs (survives), plus a blank separator
+    (whitespace-only lines never ban). The deboiled TEXT is
+    value-compared against the DuckDB mirror."""
+    from spark_xml_spark.operators import remove_frequent_lines
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("doc_id") < 300
+    )
+    planted = d.withColumn(
+        "boilered",
+        F.concat_ws(
+            "\n",
+            F.lit("COOKIE NOTICE: this site uses cookies"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("SUBSCRIBE TO OUR NEWSLETTER")
+            ).otherwise(F.concat(F.lit("PROMO-"), F.col("doc_id").cast("string"))),
+            F.col("text"),
+            F.lit(""),
+            F.lit("(c) example.com - all rights reserved"),
+        ),
+    )
+    out = remove_frequent_lines(
+        planted, "doc_id", "boilered", "text_deboiled", min_docs=5
+    )
+    return out.select("doc_id", "text_deboiled", "n_lines_removed").orderBy(
+        "doc_id"
+    )
+
+
+def q_text_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier filter (operators/textstats.py
+    percentile_filter): keep documents whose length lies within the
+    per-source [p10, p90] interpolated-percentile band — the winsorizing
+    filter that drops truncated docs and concatenation blowups. One
+    map-side-combinable percentile aggregation (O(sources) bounds frame)
+    broadcast-joins back; no window, no global sort. Spark's exact
+    ``percentile`` interpolates identically to DuckDB's quantile_cont
+    (already pinned by corpus_stats), so band membership matches
+    row-for-row."""
+    from spark_xml_spark.operators import percentile_filter
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    kept = percentile_filter(d, "n_chars", group_col="source", lo=0.1, hi=0.9)
+    return kept.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 def q_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The markup-strip cleaning stage INSIDE Structured Streaming: the
     dirtied documents replay as a file stream, clean_text runs as a
@@ -2630,6 +2721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "text_dedup_lines": q_text_dedup_lines,
         "text_normalize": q_text_normalize,
+        "data_quality": q_data_quality,
+        "dedup_boilerplate": q_dedup_boilerplate,
+        "text_outliers": q_text_outliers,
         "stream_clean": q_stream_clean,
         "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
@@ -2961,6 +3055,118 @@ def oracle_sql() -> dict[str, str]:
                        (x, i) -> x = '' OR list_position(lines, x) = i)), 0)
                      AS BIGINT) AS n_lines_removed
             FROM s ORDER BY doc_id
+        """,
+        "data_quality": """
+            -- mirror of validate_corpus: every metric is an
+            -- integer-count sum divided once (exact cross-engine);
+            -- thresholds cast to DOUBLE (DuckDB literals are DECIMAL)
+            WITH p AS (
+              SELECT source,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text_p,
+                     CASE WHEN doc_id % 6 = 0 THEN 0 ELSE doc_id END AS rec_id,
+                     lang, n_chars
+              FROM documents
+            ), m AS (
+              SELECT source,
+                     COUNT(*) AS n,
+                     SUM(CASE WHEN text_p IS NOT NULL THEN 1 ELSE 0 END) AS nn_text,
+                     COUNT(DISTINCT rec_id) AS d_rec,
+                     COUNT(rec_id) AS nn_rec,
+                     CAST(MIN(n_chars) AS DOUBLE) AS mn,
+                     CAST(MAX(n_chars) AS DOUBLE) AS mx,
+                     SUM(CASE WHEN lang IN ('en','de','fr','es')
+                              THEN 1 ELSE 0 END) AS ins,
+                     SUM(CASE WHEN regexp_matches(source, '^src[0-9]+$')
+                              THEN 1 ELSE 0 END) AS mt,
+                     SUM(n_chars) AS s_nc, COUNT(n_chars) AS c_nc
+              FROM p GROUP BY source
+            )
+            SELECT source, rule, col_name, threshold, metric, passed FROM (
+              SELECT source, 'not_null(text_p)>=0.9' AS rule,
+                     'text_p' AS col_name, CAST(0.9 AS DOUBLE) AS threshold,
+                     CAST(nn_text AS DOUBLE)/n AS metric,
+                     CAST(nn_text AS DOUBLE)/n >= 0.9 AS passed FROM m
+              UNION ALL
+              SELECT source, 'unique(rec_id)', 'rec_id', CAST(1.0 AS DOUBLE),
+                     CASE WHEN nn_rec = 0 THEN 1.0
+                          ELSE CAST(d_rec AS DOUBLE)/nn_rec END,
+                     (CASE WHEN nn_rec = 0 THEN 1.0
+                           ELSE CAST(d_rec AS DOUBLE)/nn_rec END) >= 1.0 FROM m
+              UNION ALL
+              SELECT source, 'min(n_chars)>=1.0', 'n_chars',
+                     CAST(1.0 AS DOUBLE), mn,
+                     COALESCE(mn >= 1.0, false) FROM m
+              UNION ALL
+              SELECT source, 'max(n_chars)<=5000.0', 'n_chars',
+                     CAST(5000.0 AS DOUBLE), mx,
+                     COALESCE(mx <= 5000.0, false) FROM m
+              UNION ALL
+              SELECT source, 'in_set(lang)>=0.8', 'lang',
+                     CAST(0.8 AS DOUBLE), CAST(ins AS DOUBLE)/n,
+                     CAST(ins AS DOUBLE)/n >= 0.8 FROM m
+              UNION ALL
+              SELECT source, 'matches(source)>=1.0', 'source',
+                     CAST(1.0 AS DOUBLE), CAST(mt AS DOUBLE)/n,
+                     CAST(mt AS DOUBLE)/n >= 1.0 FROM m
+              UNION ALL
+              SELECT source, 'mean_min(n_chars)>=100.0', 'n_chars',
+                     CAST(100.0 AS DOUBLE),
+                     CAST(s_nc AS DOUBLE)/NULLIF(c_nc, 0),
+                     COALESCE(CAST(s_nc AS DOUBLE)/NULLIF(c_nc, 0) >= 100.0,
+                              false) FROM m
+            )
+            ORDER BY source, rule
+        """,
+        "text_outliers": """
+            -- per-source winsorization band: quantile_cont interpolates
+            -- exactly like Spark's percentile (pinned by corpus_stats)
+            WITH s AS (
+              SELECT source,
+                     quantile_cont(n_chars, 0.1) AS lo,
+                     quantile_cont(n_chars, 0.9) AS hi
+              FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN s USING (source)
+            WHERE d.n_chars >= s.lo AND d.n_chars <= s.hi
+            ORDER BY d.doc_id
+        """,
+        "dedup_boilerplate": """
+            -- mirror of remove_frequent_lines: ban non-blank lines in
+            -- >= 5 DISTINCT docs, drop ALL their occurrences everywhere,
+            -- order-preserving rebuild (list_filter keeps order)
+            WITH planted AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       'COOKIE NOTICE: this site uses cookies',
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'SUBSCRIBE TO OUR NEWSLETTER'
+                            ELSE 'PROMO-' || CAST(doc_id AS VARCHAR) END,
+                       text, '',
+                       '(c) example.com - all rights reserved') AS boilered
+              FROM documents WHERE doc_id < 300
+            ), lines AS (
+              SELECT doc_id, unnest(str_split(boilered, chr(10))) AS line
+              FROM planted
+            ), banned AS (
+              SELECT line FROM lines WHERE trim(line) <> ''
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5
+            ), b AS (
+              SELECT COALESCE(list(line), []) AS bl FROM banned
+            )
+            SELECT doc_id,
+                   CASE WHEN boilered IS NULL THEN NULL
+                        ELSE array_to_string(
+                          list_filter(str_split(boilered, chr(10)),
+                                      x -> NOT list_contains(bl, x)),
+                          chr(10)) END AS text_deboiled,
+                   CAST(CASE WHEN boilered IS NULL THEN 0
+                        ELSE len(str_split(boilered, chr(10)))
+                             - len(list_filter(str_split(boilered, chr(10)),
+                                   x -> NOT list_contains(bl, x)))
+                        END AS BIGINT) AS n_lines_removed
+            FROM planted, b
+            ORDER BY doc_id
         """,
         "text_normalize": """
             -- cross-engine NFC: DuckDB nfc_normalize vs Python

@@ -1,0 +1,197 @@
+"""Data-quality constraint validation for corpus pipelines.
+
+``validate_corpus`` evaluates a declarative rule list (completeness,
+uniqueness, bounds, set/regex compliance — the deequ/Great-Expectations
+shape) over a DataFrame in ONE aggregation pass and returns a long-format
+report: one row per (group, rule) with the observed metric and a pass
+flag.
+
+Scale shape: every rule compiles to conditional aggregate expressions
+inside a single ``groupBy(...).agg(...)`` — map-side combinable, one
+shuffle, output O(groups x rules) regardless of corpus size. ``unique``
+rules add a count-distinct (Spark plans the standard two-phase distinct
+aggregation); everything else is a plain sum/count/min/max. The per-rule
+report rows are produced by exploding an array of structs AFTER the
+aggregation, so the explode runs over O(groups) rows, not the corpus.
+
+Metric arithmetic is chosen to be exactly reproducible across engines
+(the driver hash-compares values against a DuckDB oracle): fractions are
+integer-count sums divided once at the end, and means are sum/count of
+integral columns — no order-dependent floating summation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A rule is a tuple whose head selects the kind:
+#   ("not_null", col, min_fraction)        fraction of non-null rows
+#   ("unique", col)                        count(distinct col)/count(col);
+#                                          vacuously 1.0 with no non-nulls
+#   ("min", col, bound)                    min(col) >= bound
+#   ("max", col, bound)                    max(col) <= bound
+#   ("in_set", col, values, min_fraction)  fraction of rows with col in set
+#                                          (NULL counts as out-of-set)
+#   ("matches", col, regex, min_fraction)  fraction matching an (anchor it
+#                                          yourself) regex; portable subset
+#                                          of RE2 / java.util.regex only
+#   ("mean_min", col, bound)               avg(col) >= bound
+#   ("mean_max", col, bound)               avg(col) <= bound
+Rule = Tuple
+
+
+def _compile_rule(rule: Rule, i: int):
+    """Returns (label, column_name, agg_exprs, metric_fn, passed_fn) where
+    agg_exprs are aliased aggregate Columns and metric_fn/passed_fn map the
+    post-aggregation row to the metric / pass flag."""
+    kind, col = rule[0], rule[1]
+    a = f"_m{i}"
+
+    def frac(pred: Column) -> List[Column]:
+        return [
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(a),
+            F.count(F.lit(1)).alias(a + "n"),
+        ]
+
+    if kind == "not_null":
+        thr = float(rule[2])
+        return (
+            f"not_null({col})>={thr}",
+            col,
+            frac(F.col(col).isNotNull()),
+            lambda r: r[a].cast("double") / r[a + "n"],
+            lambda m: m >= F.lit(thr),
+            thr,
+        )
+    if kind == "unique":
+        return (
+            f"unique({col})",
+            col,
+            [
+                F.countDistinct(F.col(col)).alias(a),
+                F.count(F.col(col)).alias(a + "n"),
+            ],
+            # no non-null values -> vacuously unique (1.0), like deequ
+            lambda r: F.when(r[a + "n"] == 0, F.lit(1.0)).otherwise(
+                r[a].cast("double") / r[a + "n"]
+            ),
+            lambda m: m >= F.lit(1.0),
+            1.0,
+        )
+    if kind == "min":
+        bound = float(rule[2])
+        return (
+            f"min({col})>={bound}",
+            col,
+            [F.min(F.col(col)).cast("double").alias(a)],
+            lambda r: r[a],
+            lambda m: F.coalesce(m >= F.lit(bound), F.lit(False)),
+            bound,
+        )
+    if kind == "max":
+        bound = float(rule[2])
+        return (
+            f"max({col})<={bound}",
+            col,
+            [F.max(F.col(col)).cast("double").alias(a)],
+            lambda r: r[a],
+            lambda m: F.coalesce(m <= F.lit(bound), F.lit(False)),
+            bound,
+        )
+    if kind == "in_set":
+        values, thr = list(rule[2]), float(rule[3])
+        return (
+            f"in_set({col})>={thr}",
+            col,
+            frac(F.col(col).isin(*values)),
+            lambda r: r[a].cast("double") / r[a + "n"],
+            lambda m: m >= F.lit(thr),
+            thr,
+        )
+    if kind == "matches":
+        regex, thr = rule[2], float(rule[3])
+        return (
+            f"matches({col})>={thr}",
+            col,
+            frac(F.col(col).rlike(regex)),
+            lambda r: r[a].cast("double") / r[a + "n"],
+            lambda m: m >= F.lit(thr),
+            thr,
+        )
+    if kind in ("mean_min", "mean_max"):
+        bound = float(rule[2])
+        cmp_ok = (lambda m: F.coalesce(m >= F.lit(bound), F.lit(False))) if (
+            kind == "mean_min"
+        ) else (lambda m: F.coalesce(m <= F.lit(bound), F.lit(False)))
+        return (
+            f"{kind}({col}){'>=' if kind == 'mean_min' else '<='}{bound}",
+            col,
+            [
+                F.sum(F.col(col)).alias(a),
+                F.count(F.col(col)).alias(a + "n"),
+            ],
+            # sum/count of an integral column: exact, engine-portable
+            # (avg() over doubles would be summation-order-dependent)
+            lambda r: r[a].cast("double") / F.nullif(r[a + "n"], F.lit(0)),
+            cmp_ok,
+            bound,
+        )
+    raise ValueError(f"unknown rule kind: {kind!r}")
+
+
+def validate_corpus(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Evaluate ``rules`` over ``df`` (optionally per ``group_by`` group) in
+    one aggregation pass. Output columns: ``group_by...``, ``rule`` (label
+    string), ``col_name``, ``threshold``, ``metric`` (double, NULL when the
+    group has no values to measure), ``passed`` (boolean, never NULL —
+    an unmeasurable bound rule fails).
+
+    No counterpart in the reference (spark-xml is I/O only); this is the
+    corpus-admission gate a training pipeline runs before spending compute
+    downstream of ingest.
+    """
+    if not rules:
+        raise ValueError("validate_corpus needs at least one rule")
+    compiled = [_compile_rule(r, i) for i, r in enumerate(rules)]
+    group_by = list(group_by or [])
+
+    aggs: List[Column] = []
+    for _, _, agg_exprs, _, _, _ in compiled:
+        aggs.extend(agg_exprs)
+    agg = (df.groupBy(*group_by) if group_by else df.groupBy()).agg(*aggs)
+
+    row = _RowProxy(agg)
+    structs = []
+    for label, col, _, metric_fn, passed_fn, thr in compiled:
+        metric = metric_fn(row).cast("double")
+        structs.append(
+            F.struct(
+                F.lit(label).alias("rule"),
+                F.lit(col).alias("col_name"),
+                F.lit(float(thr)).alias("threshold"),
+                metric.alias("metric"),
+                passed_fn(metric).alias("passed"),
+            )
+        )
+    out = agg.select(
+        *group_by, F.explode(F.array(*structs)).alias("_report")
+    )
+    return out.select(*group_by, "_report.*")
+
+
+class _RowProxy:
+    """Lets metric_fn address the aggregated frame's columns by alias via
+    item access (r["_m0"]), keeping the rule compiler free of the frame."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, name: str) -> Column:
+        return self._df[name]

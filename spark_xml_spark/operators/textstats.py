@@ -896,3 +896,118 @@ def normalize_text(
             col != F.col(out_col)
         ),
     )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_deboiled",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CORPUS-wide boilerplate-line removal (the C4/RefinedWeb cleaning
+    stage next to the within-document ``dedup_lines``): any line that
+    appears in >= ``min_docs`` DISTINCT documents is removed from EVERY
+    document (all occurrences — a corpus-frequent line is template
+    chrome, not content). Whitespace-only lines never ban (they are
+    paragraph structure and would otherwise match across every document).
+    Line matching is exact; run ``normalize_text`` first if the corpus
+    mixes Unicode forms. NULL text stays NULL with 0 removed; a document
+    whose every line bans comes back as ''.
+
+    Scale shape: one exploded (id, line) frame persisted and shared by
+    both consumers; line doc-frequency is a map-side-combinable two-phase
+    distinct aggregation keyed on the line (never a window — hot
+    boilerplate lines collapse map-side); the banned set joins back LEFT
+    SEMI and gathers into one small per-document array, and the final
+    per-document HOF filter is order-preserving pure codegen, so no
+    positional re-sort or reassembly shuffle is needed. Three keyed
+    shuffles total, output rows = input rows; nothing is all-pairs and
+    no per-task buffer exceeds one document's banned-line set. ``sep``
+    is a LITERAL separator (\\Q..\\E-quoted for the split regex), like
+    dedup_lines."""
+    from spark_xml_spark.operators.dedup import (
+        _persist_intermediate,
+        _retire_intermediates,
+    )
+
+    _retire_intermediates()  # previous operator call's cached frames
+    split_pat = "\\Q" + sep + "\\E"
+    col = F.col(text_col)
+    lines = _persist_intermediate(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(col, split_pat)).alias("_line"),
+        ).filter(F.trim(F.col("_line")) != "")
+    )
+    banned = (
+        lines.groupBy("_line")
+        .agg(F.countDistinct("_id").alias("_docs"))
+        .filter(F.col("_docs") >= F.lit(min_docs))
+        .select("_line")
+    )
+    doc_ban = (
+        lines.join(banned, "_line", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_line").alias("_ban"))
+    )
+    split_lines = F.split(col, split_pat)
+    kept = F.filter(
+        split_lines,
+        lambda x: F.coalesce(~F.array_contains(F.col("_ban"), x), F.lit(True)),
+    )
+    out = (
+        df.join(doc_ban, df[id_col] == doc_ban["_id"], "left")
+        .withColumn(
+            out_col,
+            F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+                F.array_join(kept, sep)
+            ),
+        )
+        .withColumn(
+            "n_lines_removed",
+            F.when(col.isNull(), F.lit(0))
+            .otherwise(F.size(split_lines) - F.size(kept))
+            .cast("bigint"),
+        )
+        .drop("_id", "_ban")
+    )
+    return out
+
+
+def percentile_filter(
+    df: DataFrame,
+    value_col: str,
+    group_col: Optional[str] = None,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Statistical outlier filter: keep rows whose ``value_col`` lies
+    within the [``lo``, ``hi``] interpolated-percentile band of their
+    ``group_col`` group (corpus-wide when group_col is None) — the
+    winsorizing length/quality filter of web-corpus pipelines (truncated
+    docs and concatenation blowups live in the tails). NULL values never
+    survive (their band membership is unknowable).
+
+    Scale shape: one map-side-combinable aggregation computes the two
+    exact interpolated percentiles per group (buffer bounded by DISTINCT
+    values per group — fine for integral signals like lengths; use
+    percentile_approx for real-valued domains), then the O(groups)
+    bounds frame broadcast-joins back and the band test is a pushable
+    filter. No window, no sort, no second shuffle."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    v = F.col(value_col)
+    pct = F.percentile(v, F.lit([float(lo), float(hi)]))
+    if group_col is None:
+        bounds = df.select(pct.alias("_p"))
+        joined = df.crossJoin(F.broadcast(bounds))
+    else:
+        bounds = df.groupBy(group_col).agg(pct.alias("_p"))
+        joined = df.join(F.broadcast(bounds), group_col)
+    return (
+        joined.filter(
+            (v >= F.col("_p")[0]) & (v <= F.col("_p")[1])
+        ).drop("_p")
+    )

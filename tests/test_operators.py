@@ -1840,3 +1840,210 @@ def test_nfc_cross_engine_agreement_fuzz():
         assert unicodedata.normalize("NFC", s) == con.execute(
             "select nfc_normalize(?)", [s]
         ).fetchone()[0], [hex(ord(c)) for c in s]
+
+
+# ---------------------------------------------------------------------------
+# validate_corpus (expectations.py) — deequ-style single-pass constraints
+# ---------------------------------------------------------------------------
+
+
+def test_validate_corpus_all_rule_kinds(spark):
+    from spark_xml_spark.operators import validate_corpus
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "x", 10),
+            ("a", 2, None, 20),
+            ("a", 2, "y", 30),   # duplicate id in group a
+            ("b", 7, "x", 5),
+            ("b", 8, "zz", 500),
+        ],
+        "grp string, id bigint, name string, size bigint",
+    )
+    rules = [
+        ("not_null", "name", 0.7),
+        ("unique", "id"),
+        ("min", "size", 6.0),
+        ("max", "size", 100.0),
+        ("in_set", "name", ["x", "y"], 0.5),
+        ("matches", "name", "^[a-z]$", 0.5),
+        ("mean_min", "size", 10.0),
+    ]
+    rep = validate_corpus(df, rules, group_by=["grp"]).collect()
+    got = {(r.grp, r.rule): (r.metric, r.passed) for r in rep}
+    assert len(rep) == 14  # 2 groups x 7 rules
+
+    # group a: 2/3 non-null names -> fails 0.7
+    m, p = got[("a", "not_null(name)>=0.7")]
+    assert abs(m - 2 / 3) < 1e-12 and p is False
+    # group a: ids {1,2,2} -> 2 distinct / 3 non-null
+    m, p = got[("a", "unique(id)")]
+    assert abs(m - 2 / 3) < 1e-12 and p is False
+    # group b unique
+    m, p = got[("b", "unique(id)")]
+    assert m == 1.0 and p is True
+    # min: group a min=10 >= 6 passes; group b min=5 fails
+    assert got[("a", "min(size)>=6.0")] == (10.0, True)
+    assert got[("b", "min(size)>=6.0")] == (5.0, False)
+    # max: group b max=500 > 100 fails
+    assert got[("b", "max(size)<=100.0")] == (500.0, False)
+    # in_set: group a 2/3 in {x,y} (NULL counts out-of-set) passes 0.5
+    m, p = got[("a", "in_set(name)>=0.5")]
+    assert abs(m - 2 / 3) < 1e-12 and p is True
+    # matches: group b 1/2 single-letter names -> passes 0.5
+    m, p = got[("b", "matches(name)>=0.5")]
+    assert m == 0.5 and p is True
+    # mean: group a mean=20 passes, group b mean=252.5 passes
+    m, p = got[("a", "mean_min(size)>=10.0")]
+    assert m == 20.0 and p is True
+
+
+def test_validate_corpus_global_and_degenerate_groups(spark):
+    from spark_xml_spark.operators import validate_corpus
+
+    # no group_by -> one global report row per rule
+    df = spark.createDataFrame(
+        [(None, None)], "id bigint, size bigint"
+    )
+    rep = validate_corpus(
+        df,
+        [("unique", "id"), ("min", "size", 0.0), ("not_null", "id", 0.5)],
+    ).collect()
+    got = {r.rule: (r.metric, r.passed) for r in rep}
+    # no non-null ids -> vacuously unique
+    assert got["unique(id)"] == (1.0, True)
+    # min over all-NULL -> metric NULL, passed FALSE (never NULL)
+    assert got["min(size)>=0.0"] == (None, False)
+    assert got["not_null(id)>=0.5"] == (0.0, False)
+    # empty rule list refuses
+    with pytest.raises(ValueError):
+        validate_corpus(df, [])
+    with pytest.raises(ValueError):
+        validate_corpus(df, [("bogus_kind", "id")])
+
+
+def test_validate_corpus_single_aggregation_pass(spark):
+    """All rules compile into ONE aggregate: the executed plan contains
+    exactly one two-phase (partial+final) hash/sort aggregate pair over
+    the corpus plus the distinct expansion — crucially, ONE scan of the
+    input, not one per rule."""
+    from spark_xml_spark.operators import validate_corpus
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("grp"),
+        F.col("id").alias("v"),
+    )
+    rep = validate_corpus(
+        df,
+        [("not_null", "v", 0.5), ("min", "v", 0.0), ("unique", "v")],
+        group_by=["grp"],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") + plan.count("Range ") <= 2  # one input scan
+    rows = rep.collect()
+    assert len(rows) == 15
+
+
+# ---------------------------------------------------------------------------
+# remove_frequent_lines (textstats.py) — corpus-wide boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def test_remove_frequent_lines_bans_and_keeps(spark):
+    from spark_xml_spark.operators import remove_frequent_lines
+
+    rows = [
+        (i, "COOKIE\n" + f"unique line {i}" + "\n\nFOOTER") for i in range(4)
+    ]
+    rows.append((4, "COOKIE\nno footer here"))
+    rows.append((5, None))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.cleaned, r.n_lines_removed)
+        for r in remove_frequent_lines(
+            df, "doc_id", "text", "cleaned", min_docs=4
+        ).collect()
+    }
+    # COOKIE in 5 docs -> banned everywhere; FOOTER in 4 -> banned;
+    # blank lines and unique lines survive in order
+    assert out[0] == ("unique line 0\n", 2)
+    assert out[3] == ("unique line 3\n", 2)
+    assert out[4] == ("no footer here", 1)
+    # NULL text passes through untouched
+    assert out[5] == (None, 0)
+
+
+def test_remove_frequent_lines_all_lines_banned_and_within_doc_repeats(spark):
+    from spark_xml_spark.operators import remove_frequent_lines
+
+    # the same line twice WITHIN one doc counts as ONE distinct doc
+    rows = [(0, "AD\nAD"), (1, "AD"), (2, "AD\nkeep me")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.text_deboiled, r.n_lines_removed)
+        for r in remove_frequent_lines(
+            df, "doc_id", "text", min_docs=3
+        ).collect()
+    }
+    # all occurrences removed, including both within doc 0
+    assert out[0] == ("", 2)
+    assert out[1] == ("", 1)
+    assert out[2] == ("keep me", 1)
+    # min_docs above corpus size -> nothing banned
+    out2 = {
+        r.doc_id: r.n_lines_removed
+        for r in remove_frequent_lines(
+            df, "doc_id", "text", min_docs=99
+        ).collect()
+    }
+    assert out2 == {0: 0, 1: 0, 2: 0}
+
+
+def test_remove_frequent_lines_literal_separator(spark):
+    from spark_xml_spark.operators import remove_frequent_lines
+
+    # '|' is a regex metachar; sep must be treated literally
+    rows = [(0, "SPAM|keep0"), (1, "SPAM|keep1"), (2, "SPAM|keep2")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.text_deboiled
+        for r in remove_frequent_lines(
+            df, "doc_id", "text", min_docs=3, sep="|"
+        ).collect()
+    }
+    assert out == {0: "keep0", 1: "keep1", 2: "keep2"}
+
+
+def test_percentile_filter_band_membership(spark):
+    from spark_xml_spark.operators import percentile_filter
+
+    # group g: values 0..100 -> p10=10, p90=90 exactly (interpolation
+    # lands on integers for 101 evenly spaced values)
+    rows = [("g", i) for i in range(101)] + [
+        ("h", 5),
+        ("h", 6),
+        ("h", None),
+        ("k", 7),
+        ("k", 7),
+    ]
+    df = spark.createDataFrame(rows, "src string, v bigint")
+    kept = percentile_filter(df, "v", group_col="src", lo=0.1, hi=0.9)
+    got = sorted(
+        (r.src, r.v) for r in kept.collect()
+    )
+    g_vals = [v for s, v in got if s == "g"]
+    assert g_vals == list(range(10, 91))
+    # a 2-distinct-value group interpolates to (5.1, 5.9): the open band
+    # excludes BOTH values — interpolated winsorization is destructive on
+    # tiny groups (documented percentile math, matching quantile_cont);
+    # NULLs never survive either way
+    assert [v for s, v in got if s == "h"] == []
+    # constant group: p10 = p90 = 7, both rows survive
+    assert [v for s, v in got if s == "k"] == [7, 7]
+
+    # global (ungrouped) band
+    kept_all = percentile_filter(df.filter(F.col("src") == "g"), "v", lo=0.5, hi=1.0)
+    assert sorted(r.v for r in kept_all.collect()) == list(range(50, 101))
+
+    with pytest.raises(ValueError):
+        percentile_filter(df, "v", lo=0.9, hi=0.1)
