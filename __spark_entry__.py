@@ -2187,6 +2187,58 @@ def q_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate INSIDE Structured Streaming: documents
+    replay as a file stream, the SAME validate_corpus operator as the
+    batch data_quality query runs UNMODIFIED over the streaming frame —
+    its rules compile to sums/counts/min/max, all map-side-combinable
+    streaming aggregates, and the report explode is a stateless
+    projection over the O(sources) aggregated rows. Complete-mode memory
+    sink: the final state table IS the whole-corpus report, identical to
+    the batch computation. The ``unique`` rule is absent by design:
+    Spark disallows distinct aggregations in streaming, so uniqueness
+    stays a batch gate (streaming dedup handles it upstream instead).
+    Planted violation: every 7th doc's text nulls (stateless projection
+    on the stream)."""
+    import uuid
+
+    from spark_xml_spark.operators import validate_corpus
+
+    def _build(path):
+        d = _parquet(spark, sf_dir, "documents", fan_out=False)
+        d.coalesce(4).write.mode("overwrite").parquet(path)
+
+    src = _stream_source(spark, sf_dir, "quality-docs-v1", "documents", _build)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(src)
+    planted = stream.withColumn(
+        "text_p",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("text")
+        ),
+    )
+    rules = [
+        ("not_null", "text_p", 0.9),
+        ("min", "n_chars", 1.0),
+        ("max", "n_chars", 5000.0),
+        ("in_set", "lang", ["en", "de", "fr", "es"], 0.8),
+        ("matches", "source", "^src[0-9]+$", 1.0),
+        ("mean_min", "n_chars", 100.0),
+    ]
+    rep = validate_corpus(planted, rules, group_by=["source"])
+    name = "sq_" + uuid.uuid4().hex[:12]
+    q = (
+        rep.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(name).orderBy("source", "rule")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile: doc counts, token totals/mean/max, and
     EXACT interpolated token-count percentiles (p50/p90/p99) — the
@@ -2724,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": q_data_quality,
         "dedup_boilerplate": q_dedup_boilerplate,
         "text_outliers": q_text_outliers,
+        "stream_quality": q_stream_quality,
         "stream_clean": q_stream_clean,
         "text_sample": q_text_sample,
         "text_tokens": q_text_tokens,
@@ -3092,6 +3145,58 @@ def oracle_sql() -> dict[str, str]:
                           ELSE CAST(d_rec AS DOUBLE)/nn_rec END,
                      (CASE WHEN nn_rec = 0 THEN 1.0
                            ELSE CAST(d_rec AS DOUBLE)/nn_rec END) >= 1.0 FROM m
+              UNION ALL
+              SELECT source, 'min(n_chars)>=1.0', 'n_chars',
+                     CAST(1.0 AS DOUBLE), mn,
+                     COALESCE(mn >= 1.0, false) FROM m
+              UNION ALL
+              SELECT source, 'max(n_chars)<=5000.0', 'n_chars',
+                     CAST(5000.0 AS DOUBLE), mx,
+                     COALESCE(mx <= 5000.0, false) FROM m
+              UNION ALL
+              SELECT source, 'in_set(lang)>=0.8', 'lang',
+                     CAST(0.8 AS DOUBLE), CAST(ins AS DOUBLE)/n,
+                     CAST(ins AS DOUBLE)/n >= 0.8 FROM m
+              UNION ALL
+              SELECT source, 'matches(source)>=1.0', 'source',
+                     CAST(1.0 AS DOUBLE), CAST(mt AS DOUBLE)/n,
+                     CAST(mt AS DOUBLE)/n >= 1.0 FROM m
+              UNION ALL
+              SELECT source, 'mean_min(n_chars)>=100.0', 'n_chars',
+                     CAST(100.0 AS DOUBLE),
+                     CAST(s_nc AS DOUBLE)/NULLIF(c_nc, 0),
+                     COALESCE(CAST(s_nc AS DOUBLE)/NULLIF(c_nc, 0) >= 100.0,
+                              false) FROM m
+            )
+            ORDER BY source, rule
+        """,
+        "stream_quality": """
+            -- batch replay of the streaming complete-mode report: same
+            -- rules as data_quality minus 'unique' (distinct aggregation
+            -- is unsupported in streaming)
+            WITH p AS (
+              SELECT source,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text_p,
+                     lang, n_chars
+              FROM documents
+            ), m AS (
+              SELECT source,
+                     COUNT(*) AS n,
+                     SUM(CASE WHEN text_p IS NOT NULL THEN 1 ELSE 0 END) AS nn_text,
+                     CAST(MIN(n_chars) AS DOUBLE) AS mn,
+                     CAST(MAX(n_chars) AS DOUBLE) AS mx,
+                     SUM(CASE WHEN lang IN ('en','de','fr','es')
+                              THEN 1 ELSE 0 END) AS ins,
+                     SUM(CASE WHEN regexp_matches(source, '^src[0-9]+$')
+                              THEN 1 ELSE 0 END) AS mt,
+                     SUM(n_chars) AS s_nc, COUNT(n_chars) AS c_nc
+              FROM p GROUP BY source
+            )
+            SELECT source, rule, col_name, threshold, metric, passed FROM (
+              SELECT source, 'not_null(text_p)>=0.9' AS rule,
+                     'text_p' AS col_name, CAST(0.9 AS DOUBLE) AS threshold,
+                     CAST(nn_text AS DOUBLE)/n AS metric,
+                     CAST(nn_text AS DOUBLE)/n >= 0.9 AS passed FROM m
               UNION ALL
               SELECT source, 'min(n_chars)>=1.0', 'n_chars',
                      CAST(1.0 AS DOUBLE), mn,

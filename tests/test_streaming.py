@@ -886,3 +886,51 @@ def test_ivf_append_to_incremental_maintenance(spark, tmp_path):
              for r in new.collect()}
     for vid, cell in got.items():
         assert cell == nearest(by_id[vid]), vid
+
+
+def test_validate_corpus_streaming_complete_mode(spark, tmp_path):
+    """validate_corpus runs UNMODIFIED over a streaming frame: its rules
+    compile to sums/counts/min/max (streaming-legal aggregates) and the
+    report explode is a stateless projection over the aggregated rows.
+    Two files forced into two micro-batches (maxFilesPerTrigger=1): the
+    complete-mode final state must report over BOTH batches' rows."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from spark_xml_spark.operators import validate_corpus
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, None)], "grp string, v long, name string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("a", 100, "y"), ("b", 7, "z")], "grp string, v long, name string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("grp string, v long, name string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    rep = validate_corpus(
+        stream,
+        [("not_null", "name", 0.8), ("max", "v", 50.0)],
+        group_by=["grp"],
+    )
+    name = "tvq_" + uuid.uuid4().hex[:8]
+    q = (
+        rep.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.grp, r.rule): (r.metric, r.passed)
+        for r in spark.table(name).collect()
+    }
+    # group a spans both micro-batches: 2/3 non-null names, max v = 100
+    m, p = got[("a", "not_null(name)>=0.8")]
+    assert abs(m - 2 / 3) < 1e-12 and p is False
+    assert got[("a", "max(v)<=50.0")] == (100.0, False)
+    assert got[("b", "max(v)<=50.0")] == (7.0, True)
