@@ -161,6 +161,14 @@ def validate_corpus(
         raise ValueError("validate_corpus needs at least one rule")
     compiled = [_compile_rule(r, i) for i, r in enumerate(rules)]
     group_by = list(group_by or [])
+    report_cols = {"rule", "col_name", "threshold", "metric", "passed"}
+    clash = report_cols.intersection(group_by)
+    if clash:
+        raise ValueError(
+            f"group_by columns {sorted(clash)} collide with the report's "
+            "output columns (rule/col_name/threshold/metric/passed); "
+            "rename them first"
+        )
 
     aggs: List[Column] = []
     for _, _, agg_exprs, _, _, _ in compiled:

@@ -932,6 +932,12 @@ def remove_frequent_lines(
         _retire_intermediates,
     )
 
+    clash = {"_id", "_ban", "n_lines_removed"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with "
+            "remove_frequent_lines internals/outputs; rename them first"
+        )
     _retire_intermediates()  # previous operator call's cached frames
     split_pat = "\\Q" + sep + "\\E"
     col = F.col(text_col)
@@ -998,6 +1004,11 @@ def percentile_filter(
     filter. No window, no sort, no second shuffle."""
     if not 0.0 <= lo <= hi <= 1.0:
         raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    if "_p" in df.columns:
+        raise ValueError(
+            "input column '_p' collides with percentile_filter's internal "
+            "bounds column; rename it first"
+        )
     v = F.col(value_col)
     pct = F.percentile(v, F.lit([float(lo), float(hi)]))
     if group_col is None:

@@ -2047,3 +2047,66 @@ def test_percentile_filter_band_membership(spark):
 
     with pytest.raises(ValueError):
         percentile_filter(df, "v", lo=0.9, hi=0.1)
+
+
+def test_remove_frequent_lines_randomized_vs_python_oracle(spark):
+    """Seeded randomized corpus vs a brute-force Python oracle: line
+    banning (>= min_docs DISTINCT docs, non-blank only), all-occurrence
+    removal, order preservation, and removal counts."""
+    import random
+
+    from spark_xml_spark.operators import remove_frequent_lines
+
+    rng = random.Random(1234)
+    vocab = [f"line{j}" for j in range(12)] + ["", "  "]
+    docs = {
+        i: "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+        for i in range(30)
+    }
+    min_docs = 3
+
+    # brute-force oracle
+    from collections import defaultdict
+
+    appears = defaultdict(set)
+    for i, t in docs.items():
+        for ln in t.split("\n"):
+            if ln.strip():
+                appears[ln].add(i)
+    banned = {ln for ln, ds in appears.items() if len(ds) >= min_docs}
+    expected = {
+        i: (
+            "\n".join(l for l in t.split("\n") if l not in banned),
+            sum(l in banned for l in t.split("\n")),
+        )
+        for i, t in docs.items()
+    }
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.text_deboiled, r.n_lines_removed)
+        for r in remove_frequent_lines(
+            df, "doc_id", "text", min_docs=min_docs
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_new_operator_column_collision_guards(spark):
+    from spark_xml_spark.operators import (
+        percentile_filter,
+        remove_frequent_lines,
+        validate_corpus,
+    )
+
+    df = spark.createDataFrame([(1, "t", "x")], "doc_id bigint, text string, _ban string")
+    with pytest.raises(ValueError, match="collide"):
+        remove_frequent_lines(df, "doc_id", "text")
+    df2 = spark.createDataFrame([(1, 2)], "v bigint, _p bigint")
+    with pytest.raises(ValueError, match="collide"):
+        percentile_filter(df2, "v")
+    df3 = spark.createDataFrame([(1, "a")], "v bigint, rule string")
+    with pytest.raises(ValueError, match="collide"):
+        validate_corpus(df3, [("min", "v", 0.0)], group_by=["rule"])
