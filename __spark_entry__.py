@@ -2069,7 +2069,11 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable, value-compared against the DuckDB oracle."""
     from spark_xml_spark.operators import validate_corpus
 
-    d = _parquet(spark, sf_dir, "documents")
+    # fan_out=False: per-row work is nulls/isin/one short rlike — the
+    # repartition exchange costs more than the serial scan (per
+    # _parquet's per-row-cost policy); the agg itself is one shuffle of
+    # O(sources) partial rows
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
     planted = d.withColumn(
         "text_p",
         F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
@@ -3232,7 +3236,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY source
             )
             SELECT d.doc_id, d.source, d.n_chars
-            FROM documents d JOIN s USING (source)
+            FROM documents d
+            JOIN s ON d.source IS NOT DISTINCT FROM s.source
             WHERE d.n_chars >= s.lo AND d.n_chars <= s.hi
             ORDER BY d.doc_id
         """,
@@ -3254,7 +3259,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(str_split(boilered, chr(10))) AS line
               FROM planted
             ), banned AS (
-              SELECT line FROM lines WHERE trim(line) <> ''
+              -- blank-line exemption mirrors the engine's explicit
+              -- portable class: space/tab/CR/FF only
+              SELECT line FROM lines
+              WHERE regexp_matches(line, '[^ \\t\\r\\f]')
               GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5
             ), b AS (
               SELECT COALESCE(list(line), []) AS bl FROM banned

@@ -22,7 +22,8 @@ integral columns — no order-dependent floating summation.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+import re
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,7 +64,9 @@ def _compile_rule(rule: Rule, i: int):
             col,
             frac(F.col(col).isNotNull()),
             lambda r: r[a].cast("double") / r[a + "n"],
-            lambda m: m >= F.lit(thr),
+            # empty frame -> metric NULL (0/0); an unmeasurable fraction
+            # rule FAILS (zero admitted rows must not pass a gate)
+            lambda m: F.coalesce(m >= F.lit(thr), F.lit(False)),
             thr,
         )
     if kind == "unique":
@@ -108,7 +111,7 @@ def _compile_rule(rule: Rule, i: int):
             col,
             frac(F.col(col).isin(*values)),
             lambda r: r[a].cast("double") / r[a + "n"],
-            lambda m: m >= F.lit(thr),
+            lambda m: F.coalesce(m >= F.lit(thr), F.lit(False)),
             thr,
         )
     if kind == "matches":
@@ -118,7 +121,7 @@ def _compile_rule(rule: Rule, i: int):
             col,
             frac(F.col(col).rlike(regex)),
             lambda r: r[a].cast("double") / r[a + "n"],
-            lambda m: m >= F.lit(thr),
+            lambda m: F.coalesce(m >= F.lit(thr), F.lit(False)),
             thr,
         )
     if kind in ("mean_min", "mean_max"):
@@ -163,11 +166,12 @@ def validate_corpus(
     group_by = list(group_by or [])
     report_cols = {"rule", "col_name", "threshold", "metric", "passed"}
     clash = report_cols.intersection(group_by)
+    clash.update(g for g in group_by if re.fullmatch(r"_m\d+n?", g))
     if clash:
         raise ValueError(
             f"group_by columns {sorted(clash)} collide with the report's "
-            "output columns (rule/col_name/threshold/metric/passed); "
-            "rename them first"
+            "output columns (rule/col_name/threshold/metric/passed) or "
+            "the internal _m<i>/_m<i>n aggregate aliases; rename them first"
         )
 
     aggs: List[Column] = []

@@ -910,8 +910,11 @@ def remove_frequent_lines(
     stage next to the within-document ``dedup_lines``): any line that
     appears in >= ``min_docs`` DISTINCT documents is removed from EVERY
     document (all occurrences — a corpus-frequent line is template
-    chrome, not content). Whitespace-only lines never ban (they are
-    paragraph structure and would otherwise match across every document).
+    chrome, not content). BLANK lines never ban (they are paragraph
+    structure and would otherwise match across every document); blank =
+    nothing but ASCII space/tab/CR/FF — an explicit character class so
+    every engine's oracle agrees (NBSP and other Unicode spaces count as
+    content; trim()-based blankness differs between engines).
     Line matching is exact; run ``normalize_text`` first if the corpus
     mixes Unicode forms. NULL text stays NULL with 0 removed; a document
     whose every line bans comes back as ''.
@@ -945,7 +948,7 @@ def remove_frequent_lines(
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(F.split(col, split_pat)).alias("_line"),
-        ).filter(F.trim(F.col("_line")) != "")
+        ).filter(F.col("_line").rlike("[^ \\t\\r\\f]"))
     )
     banned = (
         lines.groupBy("_line")
@@ -963,19 +966,20 @@ def remove_frequent_lines(
         split_lines,
         lambda x: F.coalesce(~F.array_contains(F.col("_ban"), x), F.lit(True)),
     )
+    # one withColumns call: both outputs evaluate against the PRE-update
+    # frame, so out_col == text_col (in-place cleaning) still counts
+    # removals from the original text
     out = (
         df.join(doc_ban, df[id_col] == doc_ban["_id"], "left")
-        .withColumn(
-            out_col,
-            F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
-                F.array_join(kept, sep)
-            ),
-        )
-        .withColumn(
-            "n_lines_removed",
-            F.when(col.isNull(), F.lit(0))
-            .otherwise(F.size(split_lines) - F.size(kept))
-            .cast("bigint"),
+        .withColumns(
+            {
+                out_col: F.when(
+                    col.isNull(), F.lit(None).cast("string")
+                ).otherwise(F.array_join(kept, sep)),
+                "n_lines_removed": F.when(col.isNull(), F.lit(0))
+                .otherwise(F.size(split_lines) - F.size(kept))
+                .cast("bigint"),
+            }
         )
         .drop("_id", "_ban")
     )
@@ -994,7 +998,9 @@ def percentile_filter(
     ``group_col`` group (corpus-wide when group_col is None) — the
     winsorizing length/quality filter of web-corpus pipelines (truncated
     docs and concatenation blowups live in the tails). NULL values never
-    survive (their band membership is unknowable).
+    survive (their band membership is unknowable); a NULL group is a
+    group like any other (null-safe join-back) — its rows filter against
+    their own band.
 
     Scale shape: one map-side-combinable aggregation computes the two
     exact interpolated percentiles per group (buffer bounded by DISTINCT
@@ -1004,10 +1010,11 @@ def percentile_filter(
     filter. No window, no sort, no second shuffle."""
     if not 0.0 <= lo <= hi <= 1.0:
         raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
-    if "_p" in df.columns:
+    clash = {"_p", "_pf_grp"}.intersection(df.columns)
+    if clash:
         raise ValueError(
-            "input column '_p' collides with percentile_filter's internal "
-            "bounds column; rename it first"
+            f"input columns {sorted(clash)} collide with percentile_filter "
+            "internals; rename them first"
         )
     v = F.col(value_col)
     pct = F.percentile(v, F.lit([float(lo), float(hi)]))
@@ -1015,8 +1022,17 @@ def percentile_filter(
         bounds = df.select(pct.alias("_p"))
         joined = df.crossJoin(F.broadcast(bounds))
     else:
-        bounds = df.groupBy(group_col).agg(pct.alias("_p"))
-        joined = df.join(F.broadcast(bounds), group_col)
+        # null-safe join-back: a NULL group gets a band too (its rows
+        # would otherwise silently vanish on the equality join)
+        bounds = (
+            df.groupBy(group_col)
+            .agg(pct.alias("_p"))
+            .withColumnRenamed(group_col, "_pf_grp")
+        )
+        joined = df.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("_pf_grp")),
+        ).drop("_pf_grp")
     return (
         joined.filter(
             (v >= F.col("_p")[0]) & (v <= F.col("_p")[1])

@@ -2058,7 +2058,9 @@ def test_remove_frequent_lines_randomized_vs_python_oracle(spark):
     from spark_xml_spark.operators import remove_frequent_lines
 
     rng = random.Random(1234)
-    vocab = [f"line{j}" for j in range(12)] + ["", "  "]
+    # includes blank variants (empty / spaces / tab / CR) — blank =
+    # nothing but space/tab/CR/FF, and blank lines never ban
+    vocab = [f"line{j}" for j in range(12)] + ["", "  ", "\t", " \r "]
     docs = {
         i: "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
         for i in range(30)
@@ -2071,7 +2073,7 @@ def test_remove_frequent_lines_randomized_vs_python_oracle(spark):
     appears = defaultdict(set)
     for i, t in docs.items():
         for ln in t.split("\n"):
-            if ln.strip():
+            if ln.strip(" \t\r\f"):
                 appears[ln].add(i)
     banned = {ln for ln, ds in appears.items() if len(ds) >= min_docs}
     expected = {
@@ -2110,3 +2112,59 @@ def test_new_operator_column_collision_guards(spark):
     df3 = spark.createDataFrame([(1, "a")], "v bigint, rule string")
     with pytest.raises(ValueError, match="collide"):
         validate_corpus(df3, [("min", "v", 0.0)], group_by=["rule"])
+
+
+def test_review_fixes_session4(spark):
+    """Pins the four behavioral review fixes: in-place out_col counts
+    removals from the ORIGINAL text; empty-frame fraction rules FAIL
+    (passed never NULL); NULL groups keep their percentile band; and
+    tab-only lines are blank (never ban)."""
+    from spark_xml_spark.operators import (
+        percentile_filter,
+        remove_frequent_lines,
+        validate_corpus,
+    )
+
+    # in-place cleaning: out_col == text_col
+    df = spark.createDataFrame(
+        [(0, "AD\nkeep0"), (1, "AD\nkeep1"), (2, "AD\nkeep2")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in remove_frequent_lines(
+            df, "doc_id", "text", out_col="text", min_docs=3
+        ).collect()
+    }
+    assert got == {0: ("keep0", 1), 1: ("keep1", 1), 2: ("keep2", 1)}
+
+    # tab-only line is blank -> never bans
+    df_tab = spark.createDataFrame(
+        [(0, "\t\na"), (1, "\t\nb"), (2, "\t\nc")], "doc_id bigint, text string"
+    )
+    out = remove_frequent_lines(df_tab, "doc_id", "text", min_docs=2).collect()
+    assert all(r.n_lines_removed == 0 for r in out)
+
+    # empty frame: fraction rules fail, never NULL
+    empty = spark.createDataFrame([], "c string")
+    rep = validate_corpus(empty, [("not_null", "c", 0.9)]).collect()
+    assert rep[0].metric is None and rep[0].passed is False
+
+    # _m-alias group collision guarded
+    dfm = spark.createDataFrame([(1, 2)], "_m0 bigint, v bigint")
+    with pytest.raises(ValueError, match="collide"):
+        validate_corpus(dfm, [("min", "v", 0.0)], group_by=["_m0"])
+
+    # NULL group keeps its own band
+    dfn = spark.createDataFrame(
+        [(None, 5), (None, 5), ("g", 9)], "src string, v bigint"
+    )
+    kept = percentile_filter(dfn, "v", group_col="src", lo=0.0, hi=1.0)
+    assert sorted(
+        [(r.src, r.v) for r in kept.collect()],
+        key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+    ) == [
+        (None, 5),
+        (None, 5),
+        ("g", 9),
+    ]
