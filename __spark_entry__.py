@@ -2093,6 +2093,8 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("in_set", "lang", ["en", "de", "fr", "es"], 0.8),
         ("matches", "source", "^src[0-9]+$", 1.0),
         ("mean_min", "n_chars", 100.0),
+        ("fraction", "short_doc", "n_chars < 1000", 0.99),
+        ("count_min", 10),
     ]
     rep = validate_corpus(planted, rules, group_by=["source"])
     return rep.orderBy("source", "rule")
@@ -3135,6 +3137,7 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END) AS ins,
                      SUM(CASE WHEN regexp_matches(source, '^src[0-9]+$')
                               THEN 1 ELSE 0 END) AS mt,
+                     SUM(CASE WHEN n_chars < 1000 THEN 1 ELSE 0 END) AS sd,
                      SUM(n_chars) AS s_nc, COUNT(n_chars) AS c_nc
               FROM p GROUP BY source
             )
@@ -3143,6 +3146,13 @@ def oracle_sql() -> dict[str, str]:
                      'text_p' AS col_name, CAST(0.9 AS DOUBLE) AS threshold,
                      CAST(nn_text AS DOUBLE)/n AS metric,
                      CAST(nn_text AS DOUBLE)/n >= 0.9 AS passed FROM m
+              UNION ALL
+              SELECT source, 'fraction(short_doc)>=0.99', 'short_doc',
+                     CAST(0.99 AS DOUBLE), CAST(sd AS DOUBLE)/n,
+                     CAST(sd AS DOUBLE)/n >= 0.99 FROM m
+              UNION ALL
+              SELECT source, 'count_min>=10.0', '*', CAST(10.0 AS DOUBLE),
+                     CAST(n AS DOUBLE), n >= 10 FROM m
               UNION ALL
               SELECT source, 'unique(rec_id)', 'rec_id', CAST(1.0 AS DOUBLE),
                      CASE WHEN nn_rec = 0 THEN 1.0

@@ -41,15 +41,39 @@ from pyspark.sql import functions as F
 #                                          of RE2 / java.util.regex only
 #   ("mean_min", col, bound)               avg(col) >= bound
 #   ("mean_max", col, bound)               avg(col) <= bound
+#   ("fraction", label, predicate_sql, min_fraction)
+#                                          fraction of rows satisfying an
+#                                          arbitrary boolean SQL predicate
+#                                          (NULL predicate counts as not
+#                                          satisfied); label names the rule
+#   ("count_min", n)                       group has >= n rows
+#   ("count_max", n)                       group has <= n rows
 Rule = Tuple
 
 
 def _compile_rule(rule: Rule, i: int):
-    """Returns (label, column_name, agg_exprs, metric_fn, passed_fn) where
-    agg_exprs are aliased aggregate Columns and metric_fn/passed_fn map the
-    post-aggregation row to the metric / pass flag."""
-    kind, col = rule[0], rule[1]
+    """Returns (label, column_name, agg_exprs, metric_fn, passed_fn,
+    threshold) where agg_exprs are aliased aggregate Columns and
+    metric_fn/passed_fn map the post-aggregation row to the metric / pass
+    flag."""
+    kind = rule[0]
     a = f"_m{i}"
+    if kind in ("count_min", "count_max"):
+        bound = float(rule[1])
+        cmp_ok = (
+            (lambda m: F.coalesce(m >= F.lit(bound), F.lit(False)))
+            if kind == "count_min"
+            else (lambda m: F.coalesce(m <= F.lit(bound), F.lit(False)))
+        )
+        return (
+            f"{kind}{'>=' if kind == 'count_min' else '<='}{bound}",
+            "*",
+            [F.count(F.lit(1)).alias(a)],
+            lambda r: r[a],
+            cmp_ok,
+            bound,
+        )
+    col = rule[1]
 
     def frac(pred: Column) -> List[Column]:
         return [
@@ -120,6 +144,19 @@ def _compile_rule(rule: Rule, i: int):
             f"matches({col})>={thr}",
             col,
             frac(F.col(col).rlike(regex)),
+            lambda r: r[a].cast("double") / r[a + "n"],
+            lambda m: F.coalesce(m >= F.lit(thr), F.lit(False)),
+            thr,
+        )
+    if kind == "fraction":
+        # rule = ("fraction", label, predicate_sql, min_fraction): the
+        # escape hatch for constraints the fixed kinds can't express;
+        # the predicate is any boolean SQL expression over the row
+        pred_sql, thr = rule[2], float(rule[3])
+        return (
+            f"fraction({col})>={thr}",
+            col,
+            frac(F.expr(pred_sql)),
             lambda r: r[a].cast("double") / r[a + "n"],
             lambda m: F.coalesce(m >= F.lit(thr), F.lit(False)),
             thr,

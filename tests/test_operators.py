@@ -2168,3 +2168,38 @@ def test_review_fixes_session4(spark):
         (None, 5),
         ("g", 9),
     ]
+
+
+def test_validate_corpus_fraction_and_count_rules(spark):
+    from spark_xml_spark.operators import validate_corpus
+
+    df = spark.createDataFrame(
+        [("a", 10, "en"), ("a", 200, "en"), ("b", 5, "zz")],
+        "grp string, v bigint, lang string",
+    )
+    rep = validate_corpus(
+        df,
+        [
+            ("fraction", "short_english", "v < 100 AND lang = 'en'", 0.5),
+            ("count_min", 2),
+            ("count_max", 2),
+        ],
+        group_by=["grp"],
+    ).collect()
+    got = {(r.grp, r.rule): (r.col_name, r.metric, r.passed) for r in rep}
+    # group a: 1 of 2 rows satisfies the predicate -> passes 0.5
+    assert got[("a", "fraction(short_english)>=0.5")] == (
+        "short_english",
+        0.5,
+        True,
+    )
+    # group b: 0 of 1 (NULL-safe: lang='zz' fails predicate)
+    assert got[("b", "fraction(short_english)>=0.5")] == (
+        "short_english",
+        0.0,
+        False,
+    )
+    assert got[("a", "count_min>=2.0")] == ("*", 2.0, True)
+    assert got[("b", "count_min>=2.0")] == ("*", 1.0, False)
+    assert got[("a", "count_max<=2.0")] == ("*", 2.0, True)
+    assert got[("b", "count_max<=2.0")] == ("*", 1.0, True)
