@@ -2684,6 +2684,57 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction INSIDE Structured Streaming: binary
+    payloads replay as a file stream and extract_features runs as a
+    stateless Arrow mapInPandas projection per micro-batch (the same
+    operator as the batch multimodal_features query — streaming-safe
+    because it holds no state), parquet sink, rows value-compared
+    against the same byte-reconstructing SQL oracle. Completes the
+    multimodal x streaming cell of the operator matrix."""
+    import tempfile
+
+    from spark_xml_spark.operators import extract_features
+
+    def _build(path):
+        d = (
+            _parquet(spark, sf_dir, "documents", fan_out=False)
+            .filter(F.col("doc_id") < 40)
+            .select(
+                "doc_id",
+                F.regexp_replace("text", "[^ -~]", "").alias("_ascii"),
+            )
+            .withColumn(
+                "payload", synthesize_payload(F.col("_ascii"), "image/png")
+            )
+            .select("doc_id", "payload")
+        )
+        d.coalesce(4).write.mode("overwrite").parquet(path)
+
+    src = _stream_source(spark, sf_dir, "mm-png-ascii40", "documents", _build)
+    work = tempfile.mkdtemp(prefix="xml_smm_q_")
+    out = os.path.join(work, "out")
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    feats = extract_features(
+        stream, id_col="doc_id", payload_col="payload", dim=8
+    ).select(
+        "doc_id",
+        F.col("byte_len").cast("bigint").alias("byte_len"),
+        (F.array_position(
+            F.col("feature"), F.array_max(F.col("feature"))
+        ) - 1).cast("bigint").alias("top_bucket"),
+    )
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.read.parquet(out).orderBy("doc_id")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a session breaks after a
     30-minute silence; per-user session stats."""
@@ -2802,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "stream_multimodal": q_stream_multimodal,
         "events_sessionize": q_events_sessionize,
     }
 
@@ -2870,7 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter(words, x -> x IN ({_LANG_SQL_LISTS[lang]}))) AS s_{lang}"
         for lang in sorted(_LANG_SQL_LISTS)
     )
-    return {
+    sql = {
         "xml_scan_filter": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE c_acctbal > 1000.0
@@ -4292,3 +4344,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per
         """,
     }
+    # the streaming variant produces the identical rows from the identical
+    # planted payloads; one oracle serves both
+    sql["stream_multimodal"] = sql["multimodal_features"]
+    return sql
