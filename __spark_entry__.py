@@ -1510,6 +1510,63 @@ def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online vector search: a STREAM of query vectors probes the
+    persisted IVF index per micro-batch via foreachBatch (the canonical
+    pattern for running a batch-only operator chain — stream-static
+    probe join + re-rank aggregation — inside Structured Streaming).
+    Micro-batching is EXACT here because k-NN answers are independent
+    per query row: the union of per-batch results equals the one-batch
+    result, so the same brute-force SQL oracle as ann_ivf_knn applies.
+    maxFilesPerTrigger=1 over a two-file query stream forces >= 2
+    batches, pinning the cross-batch append path."""
+    import tempfile
+
+    e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
+    idx = _ivf_planted_index(spark, sf_dir, e)
+
+    def _build(path):
+        (
+            _planted_neighbors(e)
+            .filter(F.col("vec_id").isin(0, 1000001, 1000002, 1000003))
+            .select(F.col("vec_id").alias("q_id"), "embedding")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    src = _stream_source(spark, sf_dir, "ann-q4-planted", "embeddings", _build)
+    work = tempfile.mkdtemp(prefix="xml_sann_q_")
+    out = os.path.join(work, "out")
+    stream = (
+        spark.readStream.schema("q_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _probe(batch_df, batch_id):
+        (
+            idx.knn_join(batch_df, "q_id", k=10, nprobe=3)
+            .select(
+                "q_id",
+                "vec_id",
+                F.round("cosine", 9).alias("cosine_r"),
+                "rank",
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.read.parquet(out).orderBy("q_id", "rank")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash with deterministic min-id keeper; the
     input is documents plus re-keyed copies of every 7th document."""
@@ -2819,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_knn_join": q_ann_knn_join,
         "ann_ivf_knn": q_ann_ivf_knn,
+        "stream_ann": q_stream_ann,
         "corpus_delta": q_corpus_delta,
         "data_shards": q_data_shards,
         "text_chunk": q_text_chunk,
@@ -4347,4 +4405,7 @@ def oracle_sql() -> dict[str, str]:
     # the streaming variant produces the identical rows from the identical
     # planted payloads; one oracle serves both
     sql["stream_multimodal"] = sql["multimodal_features"]
+    # per-query independence makes micro-batched ANN exact: the streamed
+    # probe's union of batch results equals the one-batch join
+    sql["stream_ann"] = sql["ann_ivf_knn"]
     return sql
