@@ -1493,11 +1493,7 @@ def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ann_ivf_topk index cache — steady state is pure probe."""
     e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
     idx = _ivf_planted_index(spark, sf_dir, e)
-    qs = (
-        _planted_neighbors(e)
-        .filter(F.col("vec_id").isin(0, 1000001, 1000002, 1000003))
-        .select(F.col("vec_id").alias("q_id"), "embedding")
-    )
+    qs = _ann_query4(e)
     return (
         idx.knn_join(qs, "q_id", k=10, nprobe=3)
         .select(
@@ -1526,14 +1522,7 @@ def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ivf_planted_index(spark, sf_dir, e)
 
     def _build(path):
-        (
-            _planted_neighbors(e)
-            .filter(F.col("vec_id").isin(0, 1000001, 1000002, 1000003))
-            .select(F.col("vec_id").alias("q_id"), "embedding")
-            .repartition(2)
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        _ann_query4(e).repartition(2).write.mode("overwrite").parquet(path)
 
     src = _stream_source(spark, sf_dir, "ann-q4-planted", "embeddings", _build)
     work = tempfile.mkdtemp(prefix="xml_sann_q_")
@@ -2115,8 +2104,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style corpus admission gate (operators/expectations.py
-    validate_corpus): seven declarative constraints — completeness,
-    uniqueness, min/max bounds, set and regex compliance, mean bound —
+    validate_corpus): nine declarative constraints — completeness,
+    uniqueness, min/max bounds, set and regex compliance, mean bound,
+    arbitrary-predicate fraction, and a group row-count floor —
     evaluated PER SOURCE in one map-side-combinable aggregation pass
     (report rows explode from an array of structs AFTER the agg, so the
     explode runs over O(sources) rows). Planted violations make the
@@ -2719,7 +2709,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch path, schema, and NULL-feature contract."""
     from spark_xml_spark.operators import extract_features
 
-    d = (
+    d = _mm_payload_frame(spark, sf_dir)
+    feats = extract_features(d, id_col="doc_id", payload_col="payload", dim=8)
+    return _mm_feature_projection(feats).orderBy("doc_id")
+
+
+def _mm_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted multimodal fixture SHARED by the batch and streaming
+    feature queries (both serve the one multimodal_features oracle):
+    PNG magic + ASCII-sanitized text bytes so SQL can reconstruct every
+    byte via ascii(). Editing this recipe changes BOTH queries and the
+    oracle together; the streaming _stream_source cache name must bump
+    whenever it changes (see _stream_source's recipe-name contract)."""
+    return (
         _parquet(spark, sf_dir, "documents", fan_out=False)
         .filter(F.col("doc_id") < 40)
         .select(
@@ -2727,17 +2729,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", "[^ -~]", "").alias("_ascii"),
         )
         .withColumn("payload", synthesize_payload(F.col("_ascii"), "image/png"))
+        .select("doc_id", "payload")
     )
-    feats = extract_features(d, id_col="doc_id", payload_col="payload", dim=8)
+
+
+def _mm_feature_projection(feats: DataFrame) -> DataFrame:
+    """byte_len + histogram-ARGMAX bucket (first-max tie-break) — the
+    integer outputs both feature queries value-compare."""
+    return feats.select(
+        "doc_id",
+        F.col("byte_len").cast("bigint").alias("byte_len"),
+        (F.array_position(
+            F.col("feature"), F.array_max(F.col("feature"))
+        ) - 1).cast("bigint").alias("top_bucket"),
+    )
+
+
+def _ann_query4(e: DataFrame) -> DataFrame:
+    """The four planted-family probe queries SHARED by ann_ivf_knn and
+    stream_ann (one brute-force oracle serves both)."""
     return (
-        feats.select(
-            "doc_id",
-            F.col("byte_len").cast("bigint").alias("byte_len"),
-            (F.array_position(
-                F.col("feature"), F.array_max(F.col("feature"))
-            ) - 1).cast("bigint").alias("top_bucket"),
-        )
-        .orderBy("doc_id")
+        _planted_neighbors(e)
+        .filter(F.col("vec_id").isin(0, 1000001, 1000002, 1000003))
+        .select(F.col("vec_id").alias("q_id"), "embedding")
     )
 
 
@@ -2754,32 +2768,16 @@ def q_stream_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_xml_spark.operators import extract_features
 
     def _build(path):
-        d = (
-            _parquet(spark, sf_dir, "documents", fan_out=False)
-            .filter(F.col("doc_id") < 40)
-            .select(
-                "doc_id",
-                F.regexp_replace("text", "[^ -~]", "").alias("_ascii"),
-            )
-            .withColumn(
-                "payload", synthesize_payload(F.col("_ascii"), "image/png")
-            )
-            .select("doc_id", "payload")
-        )
-        d.coalesce(4).write.mode("overwrite").parquet(path)
+        _mm_payload_frame(spark, sf_dir).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(path)
 
     src = _stream_source(spark, sf_dir, "mm-png-ascii40", "documents", _build)
     work = tempfile.mkdtemp(prefix="xml_smm_q_")
     out = os.path.join(work, "out")
     stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
-    feats = extract_features(
-        stream, id_col="doc_id", payload_col="payload", dim=8
-    ).select(
-        "doc_id",
-        F.col("byte_len").cast("bigint").alias("byte_len"),
-        (F.array_position(
-            F.col("feature"), F.array_max(F.col("feature"))
-        ) - 1).cast("bigint").alias("top_bucket"),
+    feats = _mm_feature_projection(
+        extract_features(stream, id_col="doc_id", payload_col="payload", dim=8)
     )
     q = (
         feats.writeStream.format("parquet")

@@ -69,7 +69,10 @@ def _compile_rule(rule: Rule, i: int):
             f"{kind}{'>=' if kind == 'count_min' else '<='}{bound}",
             "*",
             [F.count(F.lit(1)).alias(a)],
-            lambda r: r[a],
+            # an expected-but-absent group joins in with a NULL count;
+            # it HAS zero rows, so the count metric is 0 (count_min
+            # fails, count_max passes vacuously)
+            lambda r: F.coalesce(r[a], F.lit(0)),
             cmp_ok,
             bound,
         )
@@ -101,11 +104,12 @@ def _compile_rule(rule: Rule, i: int):
                 F.countDistinct(F.col(col)).alias(a),
                 F.count(F.col(col)).alias(a + "n"),
             ],
-            # no non-null values -> vacuously unique (1.0), like deequ
-            lambda r: F.when(r[a + "n"] == 0, F.lit(1.0)).otherwise(
-                r[a].cast("double") / r[a + "n"]
-            ),
-            lambda m: m >= F.lit(1.0),
+            # no non-null values (incl. an expected-but-absent group,
+            # whose aggregates are NULL) -> vacuously unique, like deequ
+            lambda r: F.when(
+                (r[a + "n"] == 0) | r[a + "n"].isNull(), F.lit(1.0)
+            ).otherwise(r[a].cast("double") / r[a + "n"]),
+            lambda m: F.coalesce(m >= F.lit(1.0), F.lit(False)),
             1.0,
         )
     if kind == "min":
@@ -186,6 +190,7 @@ def validate_corpus(
     df: DataFrame,
     rules: Sequence[Rule],
     group_by: Optional[Sequence[str]] = None,
+    expected_groups: Optional[Sequence] = None,
 ) -> DataFrame:
     """Evaluate ``rules`` over ``df`` (optionally per ``group_by`` group) in
     one aggregation pass. Output columns: ``group_by...``, ``rule`` (label
@@ -193,12 +198,21 @@ def validate_corpus(
     group has no values to measure), ``passed`` (boolean, never NULL —
     an unmeasurable bound rule fails).
 
+    A group ABSENT from ``df`` produces no aggregation row, so by default
+    it produces no report rows either — a count_min floor cannot flag a
+    source whose ingest yielded zero rows. Pass ``expected_groups`` (a
+    list of group values, or tuples for composite keys) to pin the group
+    universe: expected-but-absent groups then report with NULL metrics
+    and FAILING bound/fraction rules (``unique`` stays vacuously true).
+
     No counterpart in the reference (spark-xml is I/O only); this is the
     corpus-admission gate a training pipeline runs before spending compute
     downstream of ingest.
     """
     if not rules:
         raise ValueError("validate_corpus needs at least one rule")
+    if expected_groups is not None and not group_by:
+        raise ValueError("expected_groups requires group_by")
     compiled = [_compile_rule(r, i) for i, r in enumerate(rules)]
     group_by = list(group_by or [])
     report_cols = {"rule", "col_name", "threshold", "metric", "passed"}
@@ -215,6 +229,18 @@ def validate_corpus(
     for _, _, agg_exprs, _, _, _ in compiled:
         aggs.extend(agg_exprs)
     agg = (df.groupBy(*group_by) if group_by else df.groupBy()).agg(*aggs)
+    if expected_groups is not None:
+        rows = [
+            tuple(v) if isinstance(v, (tuple, list)) else (v,)
+            for v in expected_groups
+        ]
+        universe = df.sparkSession.createDataFrame(
+            rows, df.select(*group_by).schema
+        ).dropDuplicates()
+        # left join: expected-but-absent groups surface with all-NULL
+        # aggregates (their report rows fail the bound/fraction rules);
+        # O(groups) x O(groups) — broadcast-sized by construction
+        agg = universe.join(F.broadcast(agg), group_by, "left")
 
     row = _RowProxy(agg)
     structs = []

@@ -2203,3 +2203,35 @@ def test_validate_corpus_fraction_and_count_rules(spark):
     assert got[("b", "count_min>=2.0")] == ("*", 1.0, False)
     assert got[("a", "count_max<=2.0")] == ("*", 2.0, True)
     assert got[("b", "count_max<=2.0")] == ("*", 1.0, True)
+
+
+def test_validate_corpus_expected_groups_absent_source(spark):
+    """A source absent from the data must still report — and fail its
+    row-count floor — when the group universe is pinned."""
+    from spark_xml_spark.operators import validate_corpus
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y")], "src string, id bigint, name string"
+    )
+    rep = validate_corpus(
+        df,
+        [
+            ("count_min", 2),
+            ("count_max", 10),
+            ("not_null", "name", 0.5),
+            ("unique", "id"),
+        ],
+        group_by=["src"],
+        expected_groups=["a", "ghost"],
+    ).collect()
+    got = {(r.src, r.rule): (r.metric, r.passed) for r in rep}
+    assert len(rep) == 8
+    assert got[("a", "count_min>=2.0")] == (2.0, True)
+    # absent group: zero rows -> floor fails, ceiling passes vacuously,
+    # fraction rule fails (unmeasurable), unique vacuously true
+    assert got[("ghost", "count_min>=2.0")] == (0.0, False)
+    assert got[("ghost", "count_max<=10.0")] == (0.0, True)
+    assert got[("ghost", "not_null(name)>=0.5")] == (None, False)
+    assert got[("ghost", "unique(id)")] == (1.0, True)
+    with pytest.raises(ValueError, match="requires group_by"):
+        validate_corpus(df, [("count_min", 1)], expected_groups=["a"])
