@@ -1515,7 +1515,10 @@ def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query row: the union of per-batch results equals the one-batch
     result, so the same brute-force SQL oracle as ann_ivf_knn applies.
     maxFilesPerTrigger=1 over a two-file query stream forces >= 2
-    batches, pinning the cross-batch append path."""
+    batches. The sink is the idempotent per-batch-overwrite writer
+    (streaming/foreach.py): foreachBatch is at-least-once, so a
+    crash-replayed batch must converge rather than append a duplicate
+    copy (replay pinned by pytest)."""
     import tempfile
 
     e = _parquet(spark, sf_dir, "embeddings", fan_out=False)
@@ -1533,17 +1536,22 @@ def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
 
+    from spark_xml_spark.streaming import (
+        idempotent_parquet_writer,
+        read_batches,
+    )
+
+    write_batch = idempotent_parquet_writer(out)
+
     def _probe(batch_df, batch_id):
-        (
-            idx.knn_join(batch_df, "q_id", k=10, nprobe=3)
-            .select(
+        write_batch(
+            idx.knn_join(batch_df, "q_id", k=10, nprobe=3).select(
                 "q_id",
                 "vec_id",
                 F.round("cosine", 9).alias("cosine_r"),
                 "rank",
-            )
-            .write.mode("append")
-            .parquet(out)
+            ),
+            batch_id,
         )
 
     q = (
@@ -1553,7 +1561,7 @@ def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_stream(q)
-    return spark.read.parquet(out).orderBy("q_id", "rank")
+    return read_batches(spark, out).orderBy("q_id", "rank")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,6 +12,10 @@ from spark_xml_spark.streaming.dedup import (
     dedup_stream,
     dedup_stream_exact,
 )
+from spark_xml_spark.streaming.foreach import (
+    idempotent_parquet_writer,
+    read_batches,
+)
 from spark_xml_spark.streaming.source import XmlStreamReader, XmlStreamWriter
 
 __all__ = [
@@ -20,4 +24,6 @@ __all__ = [
     "check_checkpoint_encoding",
     "dedup_stream",
     "dedup_stream_exact",
+    "idempotent_parquet_writer",
+    "read_batches",
 ]

@@ -934,3 +934,25 @@ def test_validate_corpus_streaming_complete_mode(spark, tmp_path):
     assert abs(m - 2 / 3) < 1e-12 and p is False
     assert got[("a", "max(v)<=50.0")] == (100.0, False)
     assert got[("b", "max(v)<=50.0")] == (7.0, True)
+
+
+def test_idempotent_foreach_batch_writer_replay(spark, tmp_path):
+    """A crash-replayed foreachBatch batch_id must CONVERGE, not append a
+    duplicate copy: the idempotent writer overwrites its own per-batch
+    directory."""
+    from spark_xml_spark.streaming import (
+        idempotent_parquet_writer,
+        read_batches,
+    )
+
+    out = str(tmp_path / "sink")
+    write = idempotent_parquet_writer(out)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id bigint, v string")
+    write(b0, 0)
+    write(b1, 1)
+    write(b0, 0)  # replay of batch 0 after a simulated crash
+    got = sorted(
+        (r.id, r.v) for r in read_batches(spark, out).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
