@@ -2642,6 +2642,34 @@ def q_emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.orderBy("vec_id")
 
 
+def q_emb_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC keep-list (Abbas et al. 2023): embedding
+    near-dup pairs -> connected components -> keep each cluster's min-id
+    member, drop the rest — the embedding-space twin of the text
+    near-dup keep-list (dedup_near_keep). Anti-join against the
+    non-keeper members (scale-safe: keyed equi-join, component frame is
+    O(clustered vectors)); serves the shared materialize-once cosine
+    pair artifact, so steady state is two small reads. Returns audit
+    totals the oracle recomputes from exact cosine over the plant."""
+    from spark_xml_spark.operators import connected_components
+
+    pairs = _cosine_pairs_planted(spark, sf_dir)
+    cc = connected_components(
+        pairs, "id_a", "id_b", out_id="vec_id", out_comp="cluster_id"
+    )
+    corpus = _planted_embeddings(spark, sf_dir)
+    kept = corpus.join(
+        cc.filter(F.col("vec_id") != F.col("cluster_id")).select("vec_id"),
+        "vec_id",
+        "left_anti",
+    )
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("vec_id").cast("bigint").alias("sum_kept_ids"),
+        F.max("vec_id").cast("bigint").alias("max_kept_id"),
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation in ONE composed pipeline —
     the shape a 100 TB ingest actually runs: exact dedup (planted
@@ -2914,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lengths": q_text_lengths,
         "emb_quantize": q_emb_quantize,
         "emb_clusters": q_emb_clusters,
+        "emb_dedup_keep": q_emb_dedup_keep,
         "corpus_pipeline": q_corpus_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -4279,6 +4308,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_aggregate(qv, 'max') AS INT) AS q_max,
                    CAST(len(qv) AS INT) AS dim
             FROM q ORDER BY vec_id LIMIT 50
+        """,
+        "emb_dedup_keep": """
+            -- SemDeDup keep-list replay: removed = the re-keyed copy of
+            -- every planted pair (min-id keeper wins); kept = corpus
+            -- minus removed, audited by count/sum/max
+            WITH pert AS (
+              SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     CAST(list_transform(embedding,
+                            x -> CAST(x + CAST(0.01 AS FLOAT) AS FLOAT))
+                          AS DOUBLE[]) AS p
+              FROM embeddings WHERE vec_id % 20 = 0
+            ), prs AS (
+              SELECT vec_id + 1000000 AS id_b
+              FROM pert
+              WHERE list_dot_product(v, p)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p)))
+                    >= 0.99
+            ), corpus AS (
+              SELECT vec_id FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 20 = 0
+            ), kept AS (
+              SELECT vec_id FROM corpus
+              WHERE vec_id NOT IN (SELECT id_b FROM prs)
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids,
+                   CAST(MAX(vec_id) AS BIGINT) AS max_kept_id
+            FROM kept
         """,
         "emb_clusters": """
             WITH pert AS (
