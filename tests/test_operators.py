@@ -2235,3 +2235,97 @@ def test_validate_corpus_expected_groups_absent_source(spark):
     assert got[("ghost", "unique(id)")] == (1.0, True)
     with pytest.raises(ValueError, match="requires group_by"):
         validate_corpus(df, [("count_min", 1)], expected_groups=["a"])
+
+
+def test_validate_corpus_randomized_vs_python_oracle(spark):
+    """Seeded randomized frames/rules vs a pure-Python oracle for every
+    rule kind (the same arithmetic the DuckDB driver oracle replays)."""
+    import math
+    import random
+
+    from spark_xml_spark.operators import validate_corpus
+
+    rng = random.Random(99)
+    for trial in range(3):
+        rows = [
+            (
+                rng.choice(["a", "b", "c"]),
+                rng.choice([None, rng.randint(-5, 5)]),
+                rng.choice([None, "x", "y", "zz"]),
+            )
+            for _ in range(rng.randint(1, 40))
+        ]
+        df = spark.createDataFrame(rows, "g string, v bigint, s string")
+        rules = [
+            ("not_null", "v", 0.5),
+            ("unique", "v"),
+            ("min", "v", -2.0),
+            ("max", "v", 3.0),
+            ("in_set", "s", ["x", "y"], 0.4),
+            ("mean_min", "v", 0.0),
+            ("count_min", 5),
+        ]
+        rep = validate_corpus(df, rules, group_by=["g"]).collect()
+        by_g = {}
+        for g, v, s in rows:
+            by_g.setdefault(g, []).append((v, s))
+        for r in rep:
+            vals = [v for v, _ in by_g[r.g]]
+            nn = [v for v in vals if v is not None]
+            ss = [s for _, s in by_g[r.g]]
+            n = len(vals)
+            if r.rule.startswith("not_null"):
+                exp = len(nn) / n
+                assert math.isclose(r.metric, exp) and r.passed == (exp >= 0.5)
+            elif r.rule.startswith("unique"):
+                exp = len(set(nn)) / len(nn) if nn else 1.0
+                assert math.isclose(r.metric, exp) and r.passed == (exp >= 1.0)
+            elif r.rule.startswith("min("):
+                exp = min(nn) if nn else None
+                assert r.metric == exp
+                assert r.passed == (exp is not None and exp >= -2.0)
+            elif r.rule.startswith("max("):
+                exp = max(nn) if nn else None
+                assert r.metric == exp
+                assert r.passed == (exp is not None and exp <= 3.0)
+            elif r.rule.startswith("in_set"):
+                exp = sum(1 for s in ss if s in ("x", "y")) / n
+                assert math.isclose(r.metric, exp) and r.passed == (exp >= 0.4)
+            elif r.rule.startswith("mean_min"):
+                exp = sum(nn) / len(nn) if nn else None
+                assert (r.metric is None) == (exp is None)
+                if exp is not None:
+                    assert math.isclose(r.metric, exp)
+                assert r.passed == (exp is not None and exp >= 0.0)
+            elif r.rule.startswith("count_min"):
+                assert r.metric == n and r.passed == (n >= 5)
+
+
+def test_percentile_filter_randomized_vs_numpy(spark):
+    """Band membership vs numpy's linear-interpolation percentiles (the
+    same interpolation rule as Spark's percentile and DuckDB's
+    quantile_cont)."""
+    import random
+
+    import numpy as np
+
+    from spark_xml_spark.operators import percentile_filter
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["p", "q"]), rng.randint(0, 1000)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    kept = sorted(
+        (r.g, r.v)
+        for r in percentile_filter(
+            df, "v", group_col="g", lo=0.2, hi=0.8
+        ).collect()
+    )
+    expected = []
+    for g in ("p", "q"):
+        vals = [v for gg, v in rows if gg == g]
+        lo = np.percentile(vals, 20, method="linear")
+        hi = np.percentile(vals, 80, method="linear")
+        expected.extend((g, v) for v in vals if lo <= v <= hi)
+    assert kept == sorted(expected)
