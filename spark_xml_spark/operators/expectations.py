@@ -203,7 +203,10 @@ def validate_corpus(
     source whose ingest yielded zero rows. Pass ``expected_groups`` (a
     list of group values, or tuples for composite keys) to pin the group
     universe: expected-but-absent groups then report with NULL metrics
-    and FAILING bound/fraction rules (``unique`` stays vacuously true).
+    and FAILING bound/fraction rules (``unique`` stays vacuously true);
+    observed-but-unexpected groups still report normally (the union, not
+    the intersection — a rogue source must not vanish behind a stale
+    universe list).
 
     No counterpart in the reference (spark-xml is I/O only); this is the
     corpus-admission gate a training pipeline runs before spending compute
@@ -237,10 +240,12 @@ def validate_corpus(
         universe = df.sparkSession.createDataFrame(
             rows, df.select(*group_by).schema
         ).dropDuplicates()
-        # left join: expected-but-absent groups surface with all-NULL
-        # aggregates (their report rows fail the bound/fraction rules);
-        # O(groups) x O(groups) — broadcast-sized by construction
-        agg = universe.join(F.broadcast(agg), group_by, "left")
+        # FULL outer: expected-but-absent groups surface with all-NULL
+        # aggregates (their report rows fail the bound/fraction rules),
+        # and observed-but-UNEXPECTED groups still report — a rogue
+        # source must not vanish from the gate just because the universe
+        # list is stale. O(groups) x O(groups), broadcast-sized.
+        agg = universe.join(F.broadcast(agg), group_by, "full")
 
     row = _RowProxy(agg)
     structs = []

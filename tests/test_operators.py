@@ -2236,6 +2236,18 @@ def test_validate_corpus_expected_groups_absent_source(spark):
     with pytest.raises(ValueError, match="requires group_by"):
         validate_corpus(df, [("count_min", 1)], expected_groups=["a"])
 
+    # a group OBSERVED in the data but missing from the universe list
+    # must still report (union semantics, not intersection)
+    rep2 = validate_corpus(
+        df,
+        [("count_min", 1)],
+        group_by=["src"],
+        expected_groups=["ghost"],
+    ).collect()
+    got2 = {(r.src, r.rule): (r.metric, r.passed) for r in rep2}
+    assert got2[("a", "count_min>=1.0")] == (2.0, True)
+    assert got2[("ghost", "count_min>=1.0")] == (0.0, False)
+
 
 def test_validate_corpus_randomized_vs_python_oracle(spark):
     """Seeded randomized frames/rules vs a pure-Python oracle for every
