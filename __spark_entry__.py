@@ -2826,6 +2826,72 @@ def q_stream_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("doc_id")
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (operators/joins.py asof_join) — the time-series join
+    Spark lacks as a built-in: every click event attaches the user's
+    most recent purchase value at-or-before its timestamp.
+    Union-and-window construction: ONE shuffle (partitionBy user), one
+    sort, works at any right-side size. The right side pre-aggregates
+    max(value) per (user, ts) because as-of semantics over duplicate
+    timestamps are engine-dependent. Oracle: DuckDB's native ASOF LEFT
+    JOIN — an independent implementation of the same semantics,
+    value-compared row-for-row."""
+    from spark_xml_spark.operators import asof_join
+
+    e = _events(spark, sf_dir)
+    ts_sec, _ = _events_ts_cols(e)
+    base = e.withColumn("ts_sec", ts_sec)
+    left = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    right = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(left, right, ["user_id"], "ts_sec", ["pval"])
+    return out.select(
+        "event_id", "user_id", "ts_sec", "pval_asof", "ts_asof"
+    ).orderBy("event_id")
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN (operators/joins.py range_join) — interval containment
+    without a nested-loop: event values land in value bands via
+    covered-bin equi-join + exact post-filter (the plan-hygiene pytest
+    pins no BroadcastNestedLoop/CartesianProduct). Half-open [lo, hi)
+    bands so boundary values land in exactly one band."""
+    from spark_xml_spark.operators import range_join
+
+    e = _events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [
+            ("micro", 0.0, 10.0),
+            ("small", 10.0, 50.0),
+            ("medium", 50.0, 200.0),
+            ("large", 200.0, 1000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    out = range_join(
+        e.select("event_id", "value"),
+        bands,
+        "value",
+        "lo",
+        "hi",
+        bin_width=25.0,
+        right_closed=False,
+    )
+    return (
+        out.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("band")
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a session breaks after a
     30-minute silence; per-user session stats."""
@@ -2948,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "stream_multimodal": q_stream_multimodal,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
     }
 
 
@@ -4469,6 +4537,41 @@ def oracle_sql() -> dict[str, str]:
     }
     # the streaming variant produces the identical rows from the identical
     # planted payloads; one oracle serves both
+    sql["events_asof"] = """
+        -- DuckDB's NATIVE ASOF LEFT JOIN vs the engine's
+        -- union-and-window construction: two independent
+        -- implementations of the same semantics
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, value,
+                 epoch_ns(ts) // 1000000000 AS ts_sec
+          FROM events
+        ), l AS (
+          SELECT event_id, user_id, ts_sec FROM ev
+          WHERE event_type = 'click'
+        ), r AS (
+          SELECT user_id, ts_sec, MAX(value) AS pval FROM ev
+          WHERE event_type = 'purchase' GROUP BY user_id, ts_sec
+        )
+        SELECT l.event_id, l.user_id, l.ts_sec,
+               r.pval AS pval_asof, r.ts_sec AS ts_asof
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
+        ORDER BY l.event_id
+    """
+    sql["events_range_join"] = """
+        -- plain BETWEEN-style containment join; the engine's binned
+        -- equi-join must produce identical membership
+        WITH bands(band, lo, hi) AS (
+          VALUES ('micro', CAST(0.0 AS DOUBLE), CAST(10.0 AS DOUBLE)),
+                 ('small', CAST(10.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+                 ('medium', CAST(50.0 AS DOUBLE), CAST(200.0 AS DOUBLE)),
+                 ('large', CAST(200.0 AS DOUBLE), CAST(1000.0 AS DOUBLE))
+        )
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY band ORDER BY band
+    """
     sql["stream_multimodal"] = sql["multimodal_features"]
     # per-query independence makes micro-batched ANN exact: the streamed
     # probe's union of batch results equals the one-batch join

@@ -1,0 +1,163 @@
+"""Join shapes Spark lacks as built-ins: as-of join and range join.
+
+Both are expressed as compositions of DataFrame primitives chosen for the
+100 TB case — no BroadcastNestedLoopJoin, no cartesian product, no
+per-row Python:
+
+- ``asof_join`` uses the union-and-window construction: tag both sides,
+  union, and carry the last right-side value forward within each key
+  partition ordered by time. ONE shuffle (the window's partitionBy) and
+  one sort — the same cost as any per-key windowed aggregation, at any
+  right-side size (a broadcast-based merge_asof would cap the right
+  side). Skewed keys concentrate in hot partitions, the standard window
+  caveat — salt or split hot keys upstream if a single key's history
+  exceeds a task.
+- ``range_join`` bins both sides to an equi-join key (interval
+  containment joins on covered-bin, then an exact post-filter), so
+  Catalyst plans a plain shuffled hash join on the bin instead of a
+  nested-loop over the interval predicate. The interval side explodes to
+  O((hi-lo)/bin_width) rows per interval — pick ``bin_width`` near the
+  typical interval width.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """LEFT as-of join: for every left row, attach the right row with the
+    LARGEST ``ts_col`` <= the left row's (''backward''; ties at equal ts
+    match), NULL when no such row exists — the merge_asof / ASOF JOIN
+    shape (DuckDB's ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``
+    computes exactly this, which the driver oracle exploits).
+
+    ``on`` are the equi keys (rows with a NULL key or NULL ts never
+    match, per SQL join semantics); ``value_cols`` are the right columns
+    to carry (default: all right columns except keys and ts), emitted as
+    ``<name><suffix>`` plus ``ts<suffix>`` = the matched right timestamp.
+    ``tolerance`` (same units as ts_col) unmatches rows whose gap
+    exceeds it. The right side must be UNIQUE per (keys, ts): which
+    duplicate wins is engine-dependent, so this operator leaves
+    dedup to the caller (pre-aggregate, e.g. max value per key+ts).
+
+    Only ``direction="backward"`` is implemented — forward is the same
+    construction over negated timestamps; do that explicitly at the call
+    site so the semantics stay visible.
+    """
+    if direction != "backward":
+        raise ValueError("asof_join implements direction='backward' only")
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on + [ts_col]]
+    value_cols = list(value_cols)
+    out_cols = [v + suffix for v in value_cols] + ["ts" + suffix]
+    clash = set(out_cols + ["_asof_side"]).intersection(left.columns)
+    if clash:
+        raise ValueError(
+            f"left columns {sorted(clash)} collide with asof_join outputs; "
+            "pick another suffix or rename them first"
+        )
+
+    r = right.select(
+        *on,
+        F.col(ts_col).alias(ts_col),
+        *[F.col(v).alias(v + suffix) for v in value_cols],
+    ).withColumn("_asof_side", F.lit(0))
+    l = left.withColumn("_asof_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows (side 0) sort BEFORE left rows at equal ts, so an
+    # equal-timestamp right row is visible to the left row (<= match);
+    # NULL ts sorts first, so NULL-ts left rows see no right row
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc_nulls_first(), F.col("_asof_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last(
+        F.when(F.col("_asof_side") == 0, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    null_key = F.lit(False)
+    for k in on:
+        null_key = null_key | F.col(k).isNull()
+    no_match = null_key | F.col(ts_col).isNull()
+    if tolerance is not None:
+        no_match = no_match | ~(
+            (F.col(ts_col) - matched_ts) <= F.lit(tolerance)
+        )
+
+    carried = {
+        "ts" + suffix: F.when(no_match, F.lit(None)).otherwise(matched_ts)
+    }
+    for v in value_cols:
+        last_v = F.last(F.col(v + suffix), ignorenulls=True).over(w)
+        # tolerance/NULL-key handling must also null the values, and a
+        # value carried from BEYOND the matched ts cannot happen: values
+        # and ts come from the same right rows under the same frame
+        carried[v + suffix] = F.when(no_match, F.lit(None)).otherwise(last_v)
+
+    return (
+        u.withColumns(carried)
+        .filter(F.col("_asof_side") == 1)
+        .select(*left.columns, *[v + suffix for v in value_cols], "ts" + suffix)
+    )
+
+
+def range_join(
+    df: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    right_closed: bool = True,
+) -> DataFrame:
+    """INNER interval-containment join: rows of ``df`` whose
+    ``value_col`` falls inside an interval [lo, hi] (or [lo, hi) with
+    ``right_closed=False``) of ``intervals`` gain that interval's
+    columns. NULL values/bounds never match.
+
+    Both sides map to covered-bin keys (floor(x / bin_width)) so the
+    containment predicate becomes an EQUI join plus an exact
+    post-filter — Catalyst plans a shuffled hash join, never a
+    nested-loop. Each df row has exactly one bin and each interval
+    covers a bin at most once, so no duplicate matches arise. The
+    interval side explodes to O((hi-lo)/bin_width) rows per interval.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    if "_bin" in set(df.columns) | set(intervals.columns):
+        raise ValueError(
+            "column '_bin' collides with range_join internals; rename it"
+        )
+    bw = F.lit(float(bin_width))
+    binned = df.withColumn(
+        "_bin", F.floor(F.col(value_col) / bw).cast("bigint")
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bw).cast("bigint"),
+                F.floor(F.col(hi_col) / bw).cast("bigint"),
+            )
+        ),
+    )
+    v = F.col(value_col)
+    contained = (v >= F.col(lo_col)) & (
+        (v <= F.col(hi_col)) if right_closed else (v < F.col(hi_col))
+    )
+    return binned.join(iv, "_bin").filter(contained).drop("_bin")

@@ -2341,3 +2341,140 @@ def test_percentile_filter_randomized_vs_numpy(spark):
         hi = np.percentile(vals, 80, method="linear")
         expected.extend((g, v) for v in vals if lo <= v <= hi)
     assert kept == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# asof_join / range_join (joins.py)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_backward_semantics(spark):
+    from spark_xml_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u", 10),
+            (2, "u", 5),
+            (3, "u", 4),
+            (4, "v", 7),
+            (5, "w", 9),      # key with no right rows
+            (6, None, 9),     # NULL key never matches
+            (7, "u", None),   # NULL ts never matches
+        ],
+        "eid bigint, k string, t bigint",
+    )
+    right = spark.createDataFrame(
+        [("u", 5, 50.0), ("u", 8, 80.0), ("v", 7, 70.0)],
+        "k string, t bigint, val double",
+    )
+    out = {
+        r.eid: (r.val_asof, r.ts_asof)
+        for r in asof_join(left, right, ["k"], "t", ["val"]).collect()
+    }
+    assert out[1] == (80.0, 8)     # latest right at t<=10
+    assert out[2] == (50.0, 5)     # equal ts matches (<=)
+    assert out[3] == (None, None)  # before any right row
+    assert out[4] == (70.0, 7)
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)
+    assert out[7] == (None, None)
+    assert len(out) == 7           # left rows all preserved
+
+    # tolerance unmatches stale rows
+    out_tol = {
+        r.eid: r.val_asof
+        for r in asof_join(
+            left, right, ["k"], "t", ["val"], tolerance=1
+        ).collect()
+    }
+    assert out_tol[1] is None      # gap 2 > 1
+    assert out_tol[2] == 50.0      # gap 0
+
+    with pytest.raises(ValueError, match="backward"):
+        asof_join(left, right, ["k"], "t", ["val"], direction="forward")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumn("val_asof", F.lit(1)), right, ["k"], "t", ["val"]
+        )
+
+
+def test_asof_join_randomized_vs_python_oracle(spark):
+    import random
+
+    from spark_xml_spark.operators import asof_join
+
+    rng = random.Random(31)
+    lrows = [
+        (i, rng.choice("abc"), rng.randint(0, 50)) for i in range(120)
+    ]
+    # unique (key, ts) on the right, as the operator requires
+    rrows = list(
+        {
+            (rng.choice("abc"), rng.randint(0, 50)): None for _ in range(60)
+        }
+    )
+    rrows = [(k, t, float(t * 10 + ord(k[0]))) for k, t in rrows]
+    left = spark.createDataFrame(lrows, "eid bigint, k string, t bigint")
+    right = spark.createDataFrame(rrows, "k string, t bigint, val double")
+    got = {
+        r.eid: (r.val_asof, r.ts_asof)
+        for r in asof_join(left, right, ["k"], "t", ["val"]).collect()
+    }
+    by_key = {}
+    for k, t, v in rrows:
+        by_key.setdefault(k, []).append((t, v))
+    for eid, k, t in lrows:
+        cand = [(rt, rv) for rt, rv in by_key.get(k, []) if rt <= t]
+        exp = max(cand) if cand else (None, None)
+        assert got[eid] == (exp[1], exp[0]) if cand else got[eid] == (None, None)
+
+
+def test_range_join_bins_and_bounds(spark):
+    from spark_xml_spark.operators import range_join
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 49.99), (3, 50.0), (4, 149.5), (5, 500.0), (6, None)],
+        "rid bigint, v double",
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 501.0)],
+        "band string, lo double, hi double",
+    )
+    # half-open [lo, hi): boundary value 50.0 lands in mid only
+    out = {
+        r.rid: r.band
+        for r in range_join(
+            df, bands, "v", "lo", "hi", bin_width=25.0, right_closed=False
+        ).collect()
+    }
+    assert out == {1: "low", 2: "low", 3: "mid", 4: "mid", 5: "high"}
+
+    # closed bounds: 50.0 matches BOTH low and mid (duplicate rows)
+    closed = range_join(df, bands, "v", "lo", "hi", bin_width=25.0)
+    assert sorted(
+        (r.rid, r.band) for r in closed.filter("rid = 3").collect()
+    ) == [(3, "low"), (3, "mid")]
+
+    with pytest.raises(ValueError, match="positive"):
+        range_join(df, bands, "v", "lo", "hi", bin_width=0)
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The containment join must plan as a hash/sort-merge join on the
+    bin key — never BroadcastNestedLoopJoin or CartesianProduct."""
+    from spark_xml_spark.operators import range_join
+
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    bands = spark.createDataFrame(
+        [(float(i * 100), float(i * 100 + 100), f"b{i}") for i in range(10)],
+        "lo double, hi double, band string",
+    )
+    out = range_join(
+        df, bands, "v", "lo", "hi", bin_width=50.0, right_closed=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert out.count() == 1000
