@@ -2892,6 +2892,40 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup (operators/rollup.py) with the
+    INCREMENTAL path exercised through the oracle: the events stream
+    splits in two halves (event_id parity — a proxy for "history" and
+    "new day"), each half rolls up independently into hourly buckets per
+    event_type, and merge_rollups combines the partials. Because every
+    aggregate is algebraic (count/sum-decimal/min/max), the merged
+    result must equal a from-scratch rollup — which is exactly what the
+    DuckDB oracle computes directly. Decimal sums keep the comparison
+    exact; sum rendered as string per the decimal-hash convention."""
+    from spark_xml_spark.operators import merge_rollups, time_rollup
+
+    e = _events(spark, sf_dir)
+    ts_sec, _ = _events_ts_cols(e)
+    base = e.withColumn("ts_sec", ts_sec).select(
+        "event_id", "event_type", "ts_sec", "value"
+    )
+    history = base.filter(F.col("event_id") % 2 == 0)
+    new_day = base.filter(F.col("event_id") % 2 == 1)
+    parts = [
+        time_rollup(h, "ts_sec", ["event_type"], 3600, "value")
+        for h in (history, new_day)
+    ]
+    merged = merge_rollups(parts, ["event_type"])
+    return merged.select(
+        "bucket_start",
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("string").alias("sum_value_s"),
+        "min_value",
+        "max_value",
+    ).orderBy("bucket_start", "event_type")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a session breaks after a
     30-minute silence; per-user session stats."""
@@ -3016,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -4571,6 +4606,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(event_id) AS BIGINT) AS sum_ids
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY band ORDER BY band
+    """
+    sql["events_rollup"] = """
+        -- from-scratch hourly rollup: the engine's merged-from-parts
+        -- result must equal this exactly (algebraic aggregates)
+        SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS bucket_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                    AS VARCHAR) AS sum_value_s,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY bucket_start, event_type
+        ORDER BY bucket_start, event_type
     """
     sql["stream_multimodal"] = sql["multimodal_features"]
     # per-query independence makes micro-batched ANN exact: the streamed

@@ -2478,3 +2478,40 @@ def test_range_join_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert out.count() == 1000
+
+
+def test_time_rollup_merge_equals_full_rebuild(spark):
+    """The incremental-refresh invariant: merging per-slice rollups must
+    equal a from-scratch rollup bit-for-bit (algebraic aggregates,
+    decimal sums)."""
+    import random
+
+    from spark_xml_spark.operators import merge_rollups, time_rollup
+
+    rng = random.Random(17)
+    rows = [
+        (i, rng.choice(["a", "b"]), rng.randint(0, 7200), rng.random() * 100)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, t bigint, v double")
+    full = time_rollup(df, "t", ["g"], 600, "v")
+    parts = [
+        time_rollup(df.filter(F.col("id") % 3 == m), "t", ["g"], 600, "v")
+        for m in range(3)
+    ]
+    merged = merge_rollups(parts, ["g"])
+    key = lambda r: (r.bucket_start, r.g)
+    f = {key(r): (r.n_rows, r.sum_value, r.min_value, r.max_value)
+         for r in full.collect()}
+    m = {key(r): (r.n_rows, r.sum_value, r.min_value, r.max_value)
+         for r in merged.collect()}
+    assert f == m
+    # NULL timestamps land in a NULL bucket, not dropped
+    dfn = spark.createDataFrame([(1, "a", None, 5.0)],
+                                "id bigint, g string, t bigint, v double")
+    r = time_rollup(dfn, "t", ["g"], 600, "v").collect()
+    assert len(r) == 1 and r[0].bucket_start is None and r[0].n_rows == 1
+    with pytest.raises(ValueError, match="positive"):
+        time_rollup(df, "t", ["g"], 0, "v")
+    with pytest.raises(ValueError, match="at least one"):
+        merge_rollups([], ["g"])
