@@ -2892,6 +2892,27 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py): per-source
+    distinct word-3-gram-shingle cardinality, estimated from the k=64
+    smallest md5-prefix hashes. Unlike HLL (approx_count_distinct,
+    whose register layout is engine-private), every intermediate of KMV
+    is a portable hash value, so the DuckDB oracle reproduces the exact
+    sketch AND the exact estimate — a verifiable cardinality estimator.
+    n_distinct (exact, for error visibility) rides along."""
+    from spark_xml_spark.operators import kmv_distinct
+    from spark_xml_spark.operators.dedup import _word_shingles
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    sh = d.select(
+        "source", F.explode(_word_shingles(F.col("text"), 3)).alias("g")
+    )
+    out = kmv_distinct(sh, ["source"], "g", k=64)
+    return out.select(
+        "source", "n_distinct", "n_kept", "est_distinct"
+    ).orderBy("source")
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup (operators/rollup.py) with the
     INCREMENTAL path exercised through the oracle: the events stream
@@ -3051,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
+        "text_kmv": q_text_kmv,
     }
 
 
@@ -4607,6 +4629,38 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY band ORDER BY band
     """
+    sql["text_kmv"] = (
+        "WITH "
+        + _SHINGLES_CTE
+        + """
+        , g AS (
+          SELECT d.source, unnest(s.sh) AS g
+          FROM s JOIN documents d USING (doc_id)
+        ), h AS (
+          SELECT DISTINCT source,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv
+          FROM g WHERE g IS NOT NULL
+        ), r AS (
+          SELECT source, hv,
+                 row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+          FROM h
+        ), kk AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 MAX(hv) AS kth
+          FROM r WHERE rn <= 64 GROUP BY source
+        ), ex AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM h GROUP BY source
+        )
+        SELECT ex.source, n_distinct, n_kept,
+               CASE WHEN n_kept < 64 THEN CAST(n_distinct AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE)
+                         / (CAST(kth AS DOUBLE) / POWER(2, 60))
+               END AS est_distinct
+        FROM ex JOIN kk USING (source)
+        ORDER BY source
+    """
+    )
     sql["events_rollup"] = """
         -- from-scratch hourly rollup: the engine's merged-from-parts
         -- result must equal this exactly (algebraic aggregates)

@@ -2515,3 +2515,27 @@ def test_time_rollup_merge_equals_full_rebuild(spark):
         time_rollup(df, "t", ["g"], 0, "v")
     with pytest.raises(ValueError, match="at least one"):
         merge_rollups([], ["g"])
+
+
+def test_kmv_distinct_estimator_properties(spark):
+    from spark_xml_spark.operators import kmv_distinct
+
+    rows = [("big", f"item-{i}") for i in range(2000)]
+    rows += [("small", f"s{i}") for i in range(10)]
+    rows += [("small", "s0"), ("nullish", None)]
+    df = spark.createDataFrame(rows, "g string, it string")
+    out = {r.g: r for r in kmv_distinct(df, ["g"], "it", k=128).collect()}
+    # small group: fewer than k distinct -> estimate IS the exact count
+    assert out["small"].n_distinct == 10
+    assert out["small"].n_kept == 10
+    assert out["small"].est_distinct == 10.0
+    # big group: estimate within the ~3-sigma KMV band (1/sqrt(k-2))
+    big = out["big"]
+    assert big.n_distinct == 2000 and big.n_kept == 128
+    assert abs(big.est_distinct - 2000) / 2000 < 3 / (126 ** 0.5)
+    # all-NULL group contributes nothing
+    assert "nullish" not in out
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, ["g"], "it", k=1)
+    with pytest.raises(ValueError, match="collide"):
+        kmv_distinct(df.withColumn("n_kept", F.lit(1)), ["g"], "it")
