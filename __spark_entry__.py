@@ -4667,7 +4667,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS bucket_start,
                event_type,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
                     AS VARCHAR) AS sum_value_s,
                MIN(value) AS min_value,
                MAX(value) AS max_value

@@ -650,9 +650,11 @@ def simhash(
         ).alias("_w"),
     )
     if portable:
-        words = words.withColumn(
-            "_h", F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("long")
-        )
+        # the shared cross-engine 60-bit md5-prefix hash — ONE definition
+        # (sketch.kmv_hash) so the DuckDB oracle mirrors can't drift
+        from spark_xml_spark.operators.sketch import kmv_hash
+
+        words = words.withColumn("_h", kmv_hash(F.col("_w")))
     else:
         words = words.withColumn("_h", F.xxhash64("_w"))
     aggs = [

@@ -22,7 +22,7 @@ per-row Python:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -87,9 +87,21 @@ def asof_join(
         .orderBy(F.col(ts_col).asc_nulls_first(), F.col("_asof_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_ts = F.last(
-        F.when(F.col("_asof_side") == 0, F.col(ts_col)), ignorenulls=True
+    # ts and values are carried in ONE struct from ONE right row — two
+    # independent last(ignorenulls) calls would pair the matched ts with
+    # a value from an OLDER row whenever the matched row's value is
+    # NULL, and would let never-match NULL-ts right rows leak values
+    matched = F.last(
+        F.when(
+            (F.col("_asof_side") == 0) & F.col(ts_col).isNotNull(),
+            F.struct(
+                F.col(ts_col).alias("_ts"),
+                *[F.col(v + suffix) for v in value_cols],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
+    matched_ts = matched["_ts"]
     null_key = F.lit(False)
     for k in on:
         null_key = null_key | F.col(k).isNull()
@@ -103,11 +115,9 @@ def asof_join(
         "ts" + suffix: F.when(no_match, F.lit(None)).otherwise(matched_ts)
     }
     for v in value_cols:
-        last_v = F.last(F.col(v + suffix), ignorenulls=True).over(w)
-        # tolerance/NULL-key handling must also null the values, and a
-        # value carried from BEYOND the matched ts cannot happen: values
-        # and ts come from the same right rows under the same frame
-        carried[v + suffix] = F.when(no_match, F.lit(None)).otherwise(last_v)
+        carried[v + suffix] = F.when(no_match, F.lit(None)).otherwise(
+            matched[v + suffix]
+        )
 
     return (
         u.withColumns(carried)
@@ -142,6 +152,12 @@ def range_join(
     if "_bin" in set(df.columns) | set(intervals.columns):
         raise ValueError(
             "column '_bin' collides with range_join internals; rename it"
+        )
+    shared = set(df.columns).intersection(intervals.columns)
+    if shared:
+        raise ValueError(
+            f"columns {sorted(shared)} exist on BOTH sides of range_join "
+            "(ambiguous references / duplicate outputs); rename one side"
         )
     bw = F.lit(float(bin_width))
     binned = df.withColumn(

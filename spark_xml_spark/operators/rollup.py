@@ -15,7 +15,7 @@ cross-engine oracle).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,7 +50,12 @@ def time_rollup(
         df.groupBy(bucket.alias("bucket_start"), *group_cols)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            # accumulate in decimal(38,6) from the start: summing
+            # decimal(18,6) would overflow (to silent NULL, non-ANSI) at
+            # 10^22 while the MERGE path's 38,6 partials would not —
+            # breaking the merged == recomputed invariant exactly at the
+            # scale this operator exists for
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
             .cast("decimal(38,6)")
             .alias("sum_value"),
             F.min(F.col(value_col)).alias("min_value"),

@@ -67,17 +67,20 @@ def kmv_distinct(
         .select(*group_cols, kmv_hash(F.col(item_col)).alias("_hv"))
         .distinct()
     )
-    exact = hashes.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
-    )
+    # ONE pass after the rank: max(rn) is the exact distinct count, the
+    # k-bounded conditionals are the sketch — no second aggregation over
+    # the hashes frame, no join (which would also silently drop a NULL
+    # group key on the equi keys; groupBy keeps it observable)
     w = Window.partitionBy(*group_cols).orderBy("_hv")
-    kmin = (
+    agg = (
         hashes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
         .groupBy(*group_cols)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            F.max("_hv").alias("_kth"),
+            F.max("_rn").cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("_rn") <= k, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.max(F.when(F.col("_rn") <= k, F.col("_hv"))).alias("_kth"),
         )
     )
     est = F.when(
@@ -88,8 +91,4 @@ def kmv_distinct(
         F.lit(float(k - 1))
         / (F.col("_kth").cast("double") / F.lit(float(2**_HASH_BITS)))
     )
-    return (
-        exact.join(kmin, group_cols)
-        .withColumn("est_distinct", est)
-        .drop("_kth")
-    )
+    return agg.withColumn("est_distinct", est).drop("_kth")

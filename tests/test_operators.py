@@ -2539,3 +2539,45 @@ def test_kmv_distinct_estimator_properties(spark):
         kmv_distinct(df, ["g"], "it", k=1)
     with pytest.raises(ValueError, match="collide"):
         kmv_distinct(df.withColumn("n_kept", F.lit(1)), ["g"], "it")
+
+
+def test_asof_join_null_right_values_and_ts(spark):
+    """Review-pinned: the matched row's ts and values travel TOGETHER —
+    a NULL value on the matched right row must NOT fall back to an older
+    row's value, and NULL-ts right rows never contribute anything."""
+    from spark_xml_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, "u", 10), (2, "u", 4)],
+                                 "eid bigint, k string, t bigint")
+    right = spark.createDataFrame(
+        [("u", 5, 10.0), ("u", 8, None), ("u", None, 99.0)],
+        "k string, t bigint, val double",
+    )
+    out = {
+        r.eid: (r.val_asof, r.ts_asof)
+        for r in asof_join(left, right, ["k"], "t", ["val"]).collect()
+    }
+    # matched row (t=8) has NULL val: carry the NULL, not t=5's 10.0
+    assert out[1] == (None, 8)
+    # before any valid right row; the NULL-ts row must not leak 99.0
+    assert out[2] == (None, None)
+
+
+def test_kmv_distinct_null_group_key_kept(spark):
+    from spark_xml_spark.operators import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("g", "a")], "grp string, it string"
+    )
+    out = {r.grp: r.n_distinct
+           for r in kmv_distinct(df, ["grp"], "it", k=8).collect()}
+    assert out == {None: 2, "g": 1}
+
+
+def test_range_join_shared_column_guard(spark):
+    from spark_xml_spark.operators import range_join
+
+    df = spark.createDataFrame([(1, 5.0)], "rid bigint, v double")
+    iv = spark.createDataFrame([(0.0, 10.0, 7.0)], "lo double, hi double, v double")
+    with pytest.raises(ValueError, match="BOTH sides"):
+        range_join(df, iv, "v", "lo", "hi", bin_width=5.0)
