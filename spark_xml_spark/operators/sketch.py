@@ -13,22 +13,33 @@ cross-engine reproducibility (register layouts differ), so its answers
 can't be value-checked against an independent engine. KMV's sketch IS a
 set of hash values — two engines that agree on md5 agree on every
 intermediate and the final estimate bit-for-bit, which is what the
-driver oracle checks. The k-min sets are also mergeable (union, re-take
-k smallest) for partial/incremental builds.
+driver oracle checks.
 
-Scale shape: one map-side-combinable DISTINCT over (group, hash), then
-a per-group sort to rank hashes (row_number <= k). The sort runs over
-DISTINCT hashes only — bounded by cardinality, not corpus size — and is
-the price of determinism; for unverifiable-but-O(1)-memory streaming
-estimation use approx_count_distinct instead.
+Scale shape (the property KMV is chosen FOR): k-min sets are mergeable
+(union, re-take the k smallest), so the sketch is built as a TWO-PHASE
+AGGREGATION with no window and no per-group sort. Phase 1 streams each
+partition of the distinct (group, hash) frame through an Arrow-batched
+prereduce holding O(groups-in-partition * k) state and emits one
+(partial_count, k-min array) row per group per partition; phase 2 is a
+plain hash aggregate that sums the partial counts (exact, because the
+hashes are globally distinct by then) and merges the k-min arrays by
+flatten + array_sort + slice over at most (#partitions * k) values per
+group. Per-task memory is bounded by k, not by cardinality — at 100 TB
+with near-unique items the old row_number() window ranked corpus-scale
+data through one sort per group; this shape never sorts more than the
+bounded partial arrays.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _HASH_BITS = 60  # 15 hex chars: fits a BIGINT in every engine
 
@@ -54,9 +65,9 @@ def kmv_distinct(
     if k < 2:
         raise ValueError("k must be >= 2")
     group_cols = list(group_cols)
-    clash = {"n_distinct", "n_kept", "est_distinct", "_hv", "_rn"}.intersection(
-        df.columns
-    )
+    clash = {
+        "n_distinct", "n_kept", "est_distinct", "_hv", "_pc", "_kmin"
+    }.intersection(df.columns)
     if clash:
         raise ValueError(
             f"input columns {sorted(clash)} collide with kmv_distinct "
@@ -67,28 +78,82 @@ def kmv_distinct(
         .select(*group_cols, kmv_hash(F.col(item_col)).alias("_hv"))
         .distinct()
     )
-    # ONE pass after the rank: max(rn) is the exact distinct count, the
-    # k-bounded conditionals are the sketch — no second aggregation over
-    # the hashes frame, no join (which would also silently drop a NULL
-    # group key on the equi keys; groupBy keeps it observable)
-    w = Window.partitionBy(*group_cols).orderBy("_hv")
-    agg = (
-        hashes.withColumn("_rn", F.row_number().over(w))
-        .groupBy(*group_cols)
-        .agg(
-            F.max("_rn").cast("bigint").alias("n_distinct"),
-            F.sum(F.when(F.col("_rn") <= k, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_kept"),
-            F.max(F.when(F.col("_rn") <= k, F.col("_hv"))).alias("_kth"),
-        )
+
+    # Phase 1: per-partition prereduce. After distinct() the hashes are
+    # globally unique, so per-partition counts SUM to the exact distinct
+    # count and per-partition k-min sets MERGE (union, re-take k) to the
+    # exact global k-min set. State per task: O(groups * k).
+    out_schema = T.StructType(
+        [hashes.schema[c] for c in group_cols]
+        + [
+            T.StructField("_pc", T.LongType(), False),
+            T.StructField("_kmin", T.ArrayType(T.LongType(), False), False),
+        ]
     )
+
+    def _partition_kmin(batches):
+        # key -> [one-row group-col frame (dtype-preserving), count,
+        # unsorted np array of current k smallest]. A NaN group key may
+        # map to several state entries across batches (NaN identity);
+        # harmless — the phase-2 groupBy merges null keys, counts stay
+        # exact because every hash appears in exactly one entry.
+        state: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, sub in pdf.groupby(
+                group_cols, dropna=False, sort=False
+            ):
+                kt = key if isinstance(key, tuple) else (key,)
+                hv = sub["_hv"].to_numpy()
+                st = state.get(kt)
+                if st is None:
+                    kmin = (
+                        hv.copy()
+                        if hv.size <= k
+                        else np.partition(hv, k - 1)[:k]
+                    )
+                    state[kt] = [sub.iloc[:1][group_cols], int(hv.size), kmin]
+                else:
+                    st[1] += int(hv.size)
+                    merged = np.concatenate([st[2], hv])
+                    if merged.size > k:
+                        merged = np.partition(merged, k - 1)[:k]
+                    st[2] = merged
+        if state:
+            heads, pcs, kmins = [], [], []
+            for head, pc, kmin in state.values():
+                heads.append(head)
+                pcs.append(pc)
+                kmins.append(np.sort(kmin).tolist())
+            out = pd.concat(heads, ignore_index=True)
+            out["_pc"] = pd.Series(pcs, dtype="int64")
+            out["_kmin"] = kmins
+            yield out
+
+    partials = hashes.mapInPandas(_partition_kmin, out_schema)
+
+    # Phase 2: ONE hash aggregate over the bounded partials (at most
+    # #partitions rows of <=k hashes per group) — no window, no
+    # per-group sort over the hash frame.
+    agg = partials.groupBy(*group_cols).agg(
+        F.sum("_pc").cast("bigint").alias("n_distinct"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_kmin"))), 1, k
+        ).alias("_kmin"),
+    )
+    n_kept = F.least(F.lit(k).cast("bigint"), F.col("n_distinct"))
+    kth = F.element_at(F.col("_kmin"), F.col("n_kept").cast("int"))
     est = F.when(
         F.col("n_kept") < k, F.col("n_distinct").cast("double")
     ).otherwise(
         # operation ORDER matters for bit-exact cross-engine agreement:
         # kth -> double (one rounding), / 2^60 (exact), then divide
         F.lit(float(k - 1))
-        / (F.col("_kth").cast("double") / F.lit(float(2**_HASH_BITS)))
+        / (kth.cast("double") / F.lit(float(2**_HASH_BITS)))
     )
-    return agg.withColumn("est_distinct", est).drop("_kth")
+    return (
+        agg.withColumn("n_kept", n_kept)
+        .withColumn("est_distinct", est)
+        .drop("_kmin")
+    )
