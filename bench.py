@@ -19,14 +19,17 @@ Extras:
                          (XmlRelation.scala:56-70); the Python DS API has
                          no pruning hook, so pruning is expressed via the
                          user-provided schema
-  tier_adoption          rows (and in-worker seconds) served by each parse
-                         tier during the scan measurement, from the
-                         env-gated reader instrumentation — proves which
-                         code path the bench actually exercised. Caveat:
-                         each worker's ONE-TIME pyarrow.compute/pandas
-                         import (~0.3s) is booked to whichever tier runs
-                         its first batch, so a tiny tier can show outsized
-                         secs on a cold session; rows are exact
+  tier_adoption          rows (and in-worker task-seconds of parse/cast
+                         work) served by each parse tier during the scan
+                         measurement, from the env-gated reader
+                         instrumentation — proves which code path the
+                         bench actually exercised. secs SUM across
+                         parallel workers: compare against scan wall *
+                         cpus, not wall-clock. One-time per-worker import
+                         cost is pre-warmed outside the timed regions and
+                         reported separately as tier_setup_s, so per-tier
+                         secs are proportional to the parse work actually
+                         done (rows are exact either way)
 
 Every queries() entry is timed (min-of-N, N=3 batch / N=2 for streaming
 queries whose fixed micro-batch setup dominates); exclusions would be
@@ -61,6 +64,7 @@ _STREAMING = {
 
 
 def main() -> None:
+    proc_start = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -147,9 +151,16 @@ def main() -> None:
                      "l_extendedprice"]
         )
         tiers_pruned = drain_tiers()
+        # one-time per-worker import cost, kept out of the per-tier secs
+        tier_setup_s = round(
+            tiers_full.pop("setup", {}).get("secs", 0.0)
+            + tiers_pruned.pop("setup", {}).get("secs", 0.0),
+            2,
+        )
     except Exception as exc:  # noqa: BLE001
         errors["xml_scan_rate"] = repr(exc)[:300]
         scan_full_rate = scan_full_s = scan_pruned_rate = scan_pruned_s = None
+        tier_setup_s = None
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
@@ -190,6 +201,28 @@ def main() -> None:
     for name, fn in em.queries().items():
         run(name, fn)
 
+    # artifact builds PAID DURING THIS BENCH (pair lists, LSH/IVF
+    # indexes, XML table caches): every _cached_build stamps its cost
+    # into the _DONE marker, so build wall is attributable per-artifact
+    # even when the build happened in a different process than the one
+    # reporting (in-process cold/warm ratios can't see that). A run
+    # against warm caches reports {} here; a cold run explains exactly
+    # which in-suite timings absorbed a build.
+    artifact_builds: dict[str, float] = {}
+    try:
+        for entry in os.listdir(em.CACHE_ROOT):
+            marker = os.path.join(em.CACHE_ROOT, entry, "_DONE")
+            try:
+                if os.path.getmtime(marker) < proc_start - 1:
+                    continue
+                with open(marker) as fh:
+                    rec = json.loads(fh.read())
+                artifact_builds[entry] = rec.get("build_s")
+            except (OSError, ValueError):
+                continue
+    except OSError:
+        pass
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -208,7 +241,9 @@ def main() -> None:
                 "xml_scan_pruned_s": scan_pruned_s,
                 "tier_adoption": tiers_full,
                 "tier_adoption_pruned": tiers_pruned,
+                "tier_setup_s": tier_setup_s,
                 "cold_runs": cold_runs,
+                "artifact_builds": artifact_builds,
                 "excluded": {},
                 **({"errors": errors} if errors else {}),
             }

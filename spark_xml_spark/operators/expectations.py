@@ -245,7 +245,21 @@ def validate_corpus(
         # and observed-but-UNEXPECTED groups still report — a rogue
         # source must not vanish from the gate just because the universe
         # list is stale. O(groups) x O(groups), broadcast-sized.
-        agg = universe.join(F.broadcast(agg), group_by, "full")
+        # NULL-SAFE equality: a NULL group value in the universe must
+        # match an observed NULL group — plain equality would emit two
+        # contradictory rows for the same group (one observed, one
+        # all-NULL 'absent' failing row); keys coalesce afterward.
+        cond = F.lit(True)
+        for c in group_by:
+            cond = cond & universe[c].eqNullSafe(agg[c])
+        joined = universe.join(F.broadcast(agg), cond, "full")
+        agg = joined.select(
+            *[
+                F.coalesce(universe[c], agg[c]).alias(c)
+                for c in group_by
+            ],
+            *[agg[c] for c in agg.columns if c not in group_by],
+        )
 
     row = _RowProxy(agg)
     structs = []

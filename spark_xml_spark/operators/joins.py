@@ -53,12 +53,29 @@ def asof_join(
     duplicate wins is engine-dependent, so this operator leaves
     dedup to the caller (pre-aggregate, e.g. max value per key+ts).
 
-    Only ``direction="backward"`` is implemented — forward is the same
-    construction over negated timestamps; do that explicitly at the call
-    site so the semantics stay visible.
+    ``direction``: ``"backward"`` (largest right ts <= left ts, the
+    default), ``"forward"`` (smallest right ts >= left ts — the same
+    union-and-carry construction over a descending window; DuckDB's
+    ``ASOF ... ON l.ts <= r.ts`` mirrors it for the oracle), or
+    ``"nearest"`` (whichever of the two is closer; ties prefer backward,
+    matching pandas merge_asof; ``tolerance`` bounds each side BEFORE
+    the proximity choice). ``nearest`` costs one extra per-key sort over
+    the same single exchange (two Window orders, one shuffle).
+
+    Skew recipe (the window partitions by key, so one hyper-hot key's
+    whole history lands in one task): split the hot key by coarse time
+    bucket — add ``bucket = floor(ts / W)`` to ``on`` for BOTH sides,
+    run this join, then repair the rows that found no match inside
+    their bucket (backward: first bucket rows; forward: last) with a
+    second asof_join of JUST those rows (a tiny frame) against the
+    right side on the bare key. Two bounded passes, parallelism
+    key x bucket instead of key.
     """
-    if direction != "backward":
-        raise ValueError("asof_join implements direction='backward' only")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest', "
+            f"got {direction!r}"
+        )
     on = list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on + [ts_col]]
@@ -79,37 +96,66 @@ def asof_join(
     l = left.withColumn("_asof_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows (side 0) sort BEFORE left rows at equal ts, so an
-    # equal-timestamp right row is visible to the left row (<= match);
-    # NULL ts sorts first, so NULL-ts left rows see no right row
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc_nulls_first(), F.col("_asof_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # ts and values are carried in ONE struct from ONE right row — two
     # independent last(ignorenulls) calls would pair the matched ts with
     # a value from an OLDER row whenever the matched row's value is
     # NULL, and would let never-match NULL-ts right rows leak values
-    matched = F.last(
-        F.when(
-            (F.col("_asof_side") == 0) & F.col(ts_col).isNotNull(),
-            F.struct(
-                F.col(ts_col).alias("_ts"),
-                *[F.col(v + suffix) for v in value_cols],
-            ),
+    right_struct = F.when(
+        (F.col("_asof_side") == 0) & F.col(ts_col).isNotNull(),
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            *[F.col(v + suffix) for v in value_cols],
         ),
-        ignorenulls=True,
-    ).over(w)
+    )
+
+    def _carry(order_cols):
+        # right rows (side 0) sort BEFORE left rows at equal ts, so an
+        # equal-timestamp right row is visible to the left row (ties
+        # match); NULL ts sorts first in BOTH orders, so NULL-ts left
+        # rows see no right row. Both directions share one partitionBy
+        # exchange; each adds a per-key sort.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(right_struct, ignorenulls=True).over(w)
+
+    ts = F.col(ts_col)
+    if direction in ("backward", "nearest"):
+        m_back = _carry([ts.asc_nulls_first(), F.col("_asof_side")])
+    if direction in ("forward", "nearest"):
+        m_fwd = _carry([ts.desc_nulls_first(), F.col("_asof_side")])
+
+    tol = None if tolerance is None else F.lit(tolerance)
+    if direction == "backward":
+        matched = m_back
+        if tol is not None:
+            matched = F.when((ts - matched["_ts"]) <= tol, matched)
+    elif direction == "forward":
+        matched = m_fwd
+        if tol is not None:
+            matched = F.when((matched["_ts"] - ts) <= tol, matched)
+    else:  # nearest: tolerance bounds each side, then pick the closer;
+        # ties prefer backward (pandas merge_asof convention)
+        b, f = m_back, m_fwd
+        if tol is not None:
+            b = F.when((ts - b["_ts"]) <= tol, b)
+            f = F.when((f["_ts"] - ts) <= tol, f)
+        matched = (
+            F.when(
+                b.isNotNull() & f.isNotNull(),
+                F.when((ts - b["_ts"]) <= (f["_ts"] - ts), b).otherwise(f),
+            )
+            .when(b.isNotNull(), b)
+            .otherwise(f)
+        )
+
     matched_ts = matched["_ts"]
     null_key = F.lit(False)
     for k in on:
         null_key = null_key | F.col(k).isNull()
-    no_match = null_key | F.col(ts_col).isNull()
-    if tolerance is not None:
-        no_match = no_match | ~(
-            (F.col(ts_col) - matched_ts) <= F.lit(tolerance)
-        )
+    no_match = null_key | F.col(ts_col).isNull() | matched.isNull()
 
     carried = {
         "ts" + suffix: F.when(no_match, F.lit(None)).otherwise(matched_ts)

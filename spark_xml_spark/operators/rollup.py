@@ -68,9 +68,12 @@ def merge_rollups(
     rollups: Sequence[DataFrame], group_cols: Sequence[str]
 ) -> DataFrame:
     """Combine partial rollups (same schema, produced by time_rollup over
-    disjoint or overlapping slices of the fact stream) into one: counts
-    and decimal sums ADD, min/max COMBINE. This is the incremental
-    refresh: merge_rollups([existing, time_rollup(new_day)], keys). All
+    DISJOINT slices of the fact stream) into one: counts and decimal
+    sums ADD, min/max COMBINE. The row slices must not overlap — a fact
+    row fed into two partials double-counts n_rows/sum_value (only
+    min/max are idempotent); overlapping bucket/time RANGES from
+    disjoint rows are fine. This is the incremental refresh:
+    merge_rollups([existing, time_rollup(new_day)], keys). All
     aggregates here are algebraic, so merged == recomputed exactly."""
     if not rollups:
         raise ValueError("merge_rollups needs at least one rollup")

@@ -1379,6 +1379,12 @@ class XmlReader(DataSourceReader):
 
             if isinstance(exc, NoMatchingFilesError):
                 raise  # zero-match pathGlobFilter: never scan unfiltered
+            if getattr(self, "_ppushed", None):
+                # pushFilters CONSUMED partition-column filters (removed
+                # from the Spark plan) on the strength of an earlier
+                # listing; degrading to the unpartitioned path here would
+                # silently never apply them — wrong rows, not an error
+                raise
             pfiles, pcols = None, []
         if pcols:
             return self._partitions_partitioned(
@@ -1489,6 +1495,19 @@ class XmlReader(DataSourceReader):
         if tally is None:
             gen = self._read_impl(partition, None)
         else:
+            # Pre-warm the heavy lazy imports OUTSIDE any timed region,
+            # booked to an explicit "setup" tally (once per worker
+            # process; ~0 on reuse). Without this, each worker's first
+            # timed batch absorbed the one-time pyarrow.compute import
+            # (~0.3s), so a tiny tier could report secs wildly out of
+            # proportion to its rows and corrupt tier economics.
+            import time as _time
+
+            t0 = _time.perf_counter()
+            import pyarrow  # noqa: F401
+            import pyarrow.compute  # noqa: F401
+
+            tally.add("setup", 0, _time.perf_counter() - t0)
             gen = self._read_tallied(partition, tally)
         pv = getattr(partition, "pvals", ())
         if pv:

@@ -68,6 +68,27 @@ class XmlStreamReader(DataSourceStreamReader):
         self._cursor_path = options.get("admissionCursorPath") or options.get(
             "admissioncursorpath"
         )
+        if self._cursor_path is None and (
+            self._max_files is not None or self._max_bytes is not None
+        ):
+            # Auto-derive the restart cursor from a ``checkpointLocation``
+            # READER option (pass the sink's checkpoint dir to readStream
+            # too): the cursor then lives and dies with the engine's WAL,
+            # and a capped query gets a capped batch 0 on a fresh backlog
+            # start with no explicit cursor option. Local paths only —
+            # the cursor file is written with plain open()/os.replace.
+            ckpt = options.get("checkpointLocation") or options.get(
+                "checkpointlocation"
+            )
+            if ckpt and "://" not in ckpt:
+                self._cursor_path = os.path.join(
+                    ckpt, "xml_graft_admission_cursor.json"
+                )
+                try:
+                    os.makedirs(ckpt, exist_ok=True)
+                except OSError:
+                    # unreachable dir: fail later, loudly, in _cursor_save
+                    pass
         # latestFirst (FileStreamSource parity in spirit): admit PENDING
         # files newest-path-first when capped — for catch-up scenarios
         # where fresh data matters more than the backlog tail. Path order
@@ -179,7 +200,10 @@ class XmlStreamReader(DataSourceStreamReader):
         position is unknown (first call of a run), it is recovered from,
         in order:
           1. ``admissionCursorPath`` (opt-in, one file per query like
-             checkpointLocation): the planned position persisted at
+             checkpointLocation; auto-derived as
+             ``<checkpointLocation>/xml_graft_admission_cursor.json``
+             when a cap is set and the reader was given the checkpoint
+             dir): the planned position persisted at
              partitions() time, when it is already WAL-durable in the
              engine. Present -> capped restart; absent -> treated as a
              fresh query, capped from the very first batch (the 100 TB

@@ -30,6 +30,7 @@ XmlInputFormat.scala:93-103).
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
@@ -49,16 +50,50 @@ def is_ascii_compatible(charset: str) -> bool:
 
 
 # Fixed code-unit widths for the UTF-16/32 families: these split in
-# parallel via the transcoding scanner (_scan_unit_width_range); other
-# non-ASCII-compatible charsets (EBCDIC etc.) stay whole-file.
+# parallel via the transcoding scanner (_scan_unit_width_range). Other
+# non-ASCII-compatible charsets probe as width-1 below when their codec
+# is provably stateless single-byte (EBCDIC family etc.); only stateful
+# or multi-byte exotics (ISO-2022, Shift-JIS) stay whole-file.
 _UNIT_WIDTHS = {
     "utf-16": 2, "utf-16-le": 2, "utf-16-be": 2, "utf-16le": 2, "utf-16be": 2,
     "utf-32": 4, "utf-32-le": 4, "utf-32-be": 4, "utf-32le": 4, "utf-32be": 4,
 }
 
 
+@functools.lru_cache(maxsize=64)
+def _single_byte_codec_width(charset: str) -> Optional[int]:
+    """1 when ``charset`` is a stateless single-byte Python codec: every
+    byte fed ALONE decodes to exactly one char with nothing buffered, so
+    any byte offset is a character boundary and byte-range splits are
+    safe through the per-split incremental transcode (the reference
+    decodes any charset per split via InputStreamReader,
+    XmlInputFormat.scala:76-122 — this is the same guarantee, proven
+    against the codec instead of assumed). Multi-byte or stateful codecs
+    buffer on some lead/escape byte (0 chars out) and are rejected."""
+    import codecs as _pyc
+
+    try:
+        dec = _pyc.getincrementaldecoder(charset)(errors="replace")
+    except LookupError:
+        return None
+    for b in range(256):
+        if len(dec.decode(bytes((b,)))) != 1:
+            return None
+    if dec.decode(b"", final=True):
+        return None
+    return 1
+
+
 def unit_width(charset: str) -> Optional[int]:
-    return _UNIT_WIDTHS.get(charset.lower().replace("_", "-"))
+    c = charset.lower().replace("_", "-")
+    w = _UNIT_WIDTHS.get(c)
+    if w is not None:
+        return w
+    if is_ascii_compatible(charset):
+        # raw byte scanner + clean-window fast path own these; routing
+        # them through the transcoder would be a regression
+        return None
+    return _single_byte_codec_width(c)
 
 
 @dataclass(frozen=True)
@@ -131,11 +166,14 @@ def plan_splits(
     target_split_size: int = 128 * 1024 * 1024,
     files: Optional[List[tuple]] = None,
 ) -> List[FileSplit]:
-    """Driver-side split planning: uncompressed ASCII-compatible files are
-    carved into byte ranges (the analogue of HDFS splits); compressed or
-    non-ASCII-compatible files become one whole-file split each.
-    ``files`` accepts a pre-listed [(path, size), ...] so callers that
-    already enumerated the tree don't list it twice."""
+    """Driver-side split planning: uncompressed files in any
+    ASCII-compatible, fixed-unit-width (UTF-16/32), or stateless
+    single-byte (EBCDIC family) charset are carved into byte ranges (the
+    analogue of HDFS splits); compressed files (except splittable bz2)
+    and stateful/multi-byte exotic charsets (ISO-2022, Shift-JIS) become
+    one whole-file split each. ``files`` accepts a pre-listed
+    [(path, size), ...] so callers that already enumerated the tree
+    don't list it twice."""
     splits: List[FileSplit] = []
     for f, size in (files if files is not None else _expand_with_sizes(path)):
         comp = _compression_of(f)

@@ -175,6 +175,36 @@ def test_admission_exactly_once_and_capped(tmp_path_factory, data):
             assert new <= cap, (run_batch_idx, new)
 
 
+def test_checkpoint_option_autoderives_cursor_capped_batch0(tmp_path):
+    """With a cap set and ``checkpointLocation`` passed to the READER (no
+    explicit admissionCursorPath), the cursor auto-derives under the
+    checkpoint dir: a fresh query over a pre-existing backlog gets a
+    CAPPED batch 0, and a crash-restart with the same checkpoint stays
+    capped and exactly-once."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    for i in range(7):
+        _mkfile(src, i)
+    sim = EngineSim(src, cap=2, cursor=False)
+    sim.opts["checkpointLocation"] = str(ckpt)
+    sim._new_reader()
+
+    sim.run_one_batch()
+    # fresh backlog start, no explicit cursor option: batch 0 is capped
+    assert sim.batch_new_counts[0][1] == 2
+    derived = ckpt / "xml_graft_admission_cursor.json"
+    assert derived.exists()
+
+    sim.run_one_batch(crash_before_commit=True)  # replay via restart
+    sim.drain()
+    delivered = [f for files in sim.batch_files.values() for f in files]
+    expected = sorted(os.path.join(str(src), f) for f in os.listdir(src))
+    assert sorted(delivered) == expected  # exactly-once, no loss
+    for _idx, new in sim.batch_new_counts:
+        assert new <= 2  # EVERY batch capped, batch 0 included
+
+
 def test_cursor_file_written_at_partitions_time(tmp_path):
     src = tmp_path / "src"
     src.mkdir()

@@ -47,6 +47,37 @@ _SCHEMAS = {
 }
 
 
+# the driver's CORRECTNESS artifact records only the FIRST 50 queries()
+# entries; every SURVEY §2 reference operator currently sits inside that
+# window. Pinning the prefix keeps the driver-visible set stable across
+# rounds — new queries APPEND, never reorder.
+_FIRST_50 = [
+    "xml_scan_filter", "xml_pushdown", "xml_agg_q1", "xml_join_agg",
+    "xml_rollup", "xml_window_rank", "xml_sort_limit",
+    "xml_distinct_except", "xml_pivot", "xml_exists_join",
+    "xml_grouping_sets", "xml_scalar_subquery", "xml_explode_nested",
+    "xml_flatten", "xml_attributes", "xml_valuetag", "xml_nulls",
+    "xml_wildcard", "xml_partitioned", "xml_split_scan", "xml_ddl_sql",
+    "from_xml_parse", "from_xml_corrupt", "from_xml_string",
+    "to_xml_generate", "schema_infer", "xsd_schema", "xsd_validate",
+    "stream_xml_ingest", "stream_backpressure", "stream_sessionize",
+    "stream_enrich", "stream_windowed", "stream_xml_sink", "stream_dedup",
+    "stream_simhash", "ann_ivf_topk", "dedup_exact", "dedup_clusters",
+    "dedup_jaccard", "dedup_minhash", "dedup_near_keep", "dedup_simhash",
+    "dedup_embedding", "text_quality", "text_filter_pipeline",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_knn_join", "ann_ivf_knn",
+]
+
+
+def test_first_50_query_keys_pinned():
+    got = list(em.queries())[:50]
+    assert got == _FIRST_50, (
+        "the first 50 queries() keys changed — the driver's CORRECTNESS "
+        "artifact truncates at 50, so reordering hides operators from "
+        f"the gate. Diff: {[(a, b) for a, b in zip(got, _FIRST_50) if a != b]}"
+    )
+
+
 def test_every_query_has_an_oracle():
     q, o = set(em.queries()), set(em.oracle_sql())
     assert q == o, (

@@ -1738,6 +1738,32 @@ def test_dedup_lines_order_preserving_and_empties_kept(spark):
     assert got[4] == ("single", 0)
 
 
+def test_dedup_lines_linearithmic_on_large_doc(spark):
+    """Scale guard: the first-occurrence scan must stay O(L log L) per
+    document. The old array_position HOF was O(L^2) — this 30k-line doc
+    (~4.5e8 comparisons) took minutes on one core; the sort-based shape
+    finishes in seconds. Also checks exact equivalence with a Python
+    reference on the same doc (first occurrence kept, empties kept)."""
+    import time as _t
+
+    from spark_xml_spark.operators import dedup_lines
+
+    lines = [("" if i % 7 == 0 else f"line-{i % 997}") for i in range(30000)]
+    doc = "\n".join(lines)
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    t0 = _t.time()
+    row = dedup_lines(df).select("text_deduped", "n_lines_removed").first()
+    elapsed = _t.time() - t0
+    seen, kept = set(), []
+    for ln in lines:
+        if ln == "" or ln not in seen:
+            kept.append(ln)
+            seen.add(ln)
+    assert row.text_deduped == "\n".join(kept)
+    assert row.n_lines_removed == len(lines) - len(kept)
+    assert elapsed < 20, f"dedup_lines took {elapsed:.1f}s on 30k lines"
+
+
 def test_normalize_text_nfc_composes_and_flags(spark):
     from spark_xml_spark.operators import normalize_text
 
@@ -1920,6 +1946,33 @@ def test_validate_corpus_global_and_degenerate_groups(spark):
         validate_corpus(df, [])
     with pytest.raises(ValueError):
         validate_corpus(df, [("bogus_kind", "id")])
+
+
+def test_validate_corpus_null_expected_group_matches_observed_null(spark):
+    """Review-pinned: a NULL group value in expected_groups must match an
+    observed NULL group (null-safe join) — plain equality emitted TWO
+    contradictory report rows for the same group: the normal observed row
+    plus an all-NULL 'absent' failing row."""
+    from spark_xml_spark.operators import validate_corpus
+
+    df = spark.createDataFrame(
+        [(None, 5), (None, 7), ("web", 3)], "src string, size bigint"
+    )
+    rep = validate_corpus(
+        df,
+        [("count_min", 1.0)],
+        group_by=["src"],
+        expected_groups=[None, "web", "books"],
+    ).collect()
+    by_grp: dict = {}
+    for r in rep:
+        by_grp.setdefault(r.src, []).append((r.metric, r.passed))
+    # exactly ONE row per group — the NULL group is observed (2 rows)
+    assert by_grp[None] == [(2.0, True)]
+    assert by_grp["web"] == [(1.0, True)]
+    # expected-but-absent still reports as failing (count floor -> 0)
+    assert by_grp["books"] == [(0.0, False)]
+    assert len(rep) == 3
 
 
 def test_validate_corpus_single_aggregation_pass(spark):
@@ -2390,8 +2443,69 @@ def test_asof_join_backward_semantics(spark):
     assert out_tol[1] is None      # gap 2 > 1
     assert out_tol[2] == 50.0      # gap 0
 
-    with pytest.raises(ValueError, match="backward"):
-        asof_join(left, right, ["k"], "t", ["val"], direction="forward")
+    # forward: smallest right ts >= left ts; ties match; NULL key/ts and
+    # no-future-row cases all unmatch
+    out_f = {
+        r.eid: (r.val_asof, r.ts_asof)
+        for r in asof_join(
+            left, right, ["k"], "t", ["val"], direction="forward"
+        ).collect()
+    }
+    assert out_f[1] == (None, None)  # t=10: no right row at t>=10
+    assert out_f[2] == (50.0, 5)     # equal ts matches (>=)
+    assert out_f[3] == (50.0, 5)     # next right row at t=5
+    assert out_f[4] == (70.0, 7)
+    assert out_f[5] == (None, None)
+    assert out_f[6] == (None, None)
+    assert out_f[7] == (None, None)
+
+    # forward tolerance: gap = matched_ts - ts
+    out_ft = {
+        r.eid: r.val_asof
+        for r in asof_join(
+            left, right, ["k"], "t", ["val"],
+            direction="forward", tolerance=0,
+        ).collect()
+    }
+    assert out_ft[3] is None         # gap 1 > 0
+    assert out_ft[2] == 50.0         # gap 0
+
+    # nearest: closer of the two; ties prefer backward
+    n_left = spark.createDataFrame(
+        [(1, "u", 6), (2, "u", 7), (3, "u", 2)],
+        "eid bigint, k string, t bigint",
+    )
+    out_n = {
+        r.eid: (r.val_asof, r.ts_asof)
+        for r in asof_join(
+            n_left, right, ["k"], "t", ["val"], direction="nearest"
+        ).collect()
+    }
+    assert out_n[1] == (50.0, 5)     # gap 1 back vs 2 fwd -> back
+    assert out_n[2] == (80.0, 8)     # gap 2 back vs 1 fwd -> fwd
+    assert out_n[3] == (50.0, 5)     # nothing behind -> fwd
+    # equidistant (t=6.5 impossible on ints; use ts 6 vs rights 5/7 on v?)
+    tie = spark.createDataFrame([(9, "u", 6)], "eid bigint, k string, t bigint")
+    tie_right = spark.createDataFrame(
+        [("u", 5, 50.0), ("u", 7, 70.0)], "k string, t bigint, val double"
+    )
+    r9 = asof_join(tie, tie_right, ["k"], "t", ["val"],
+                   direction="nearest").first()
+    assert (r9.val_asof, r9.ts_asof) == (50.0, 5)  # tie -> backward
+    # nearest tolerance bounds each side before the choice
+    out_nt = {
+        r.eid: r.val_asof
+        for r in asof_join(
+            n_left, right, ["k"], "t", ["val"],
+            direction="nearest", tolerance=1,
+        ).collect()
+    }
+    assert out_nt[1] == 50.0
+    assert out_nt[2] == 80.0
+    assert out_nt[3] is None         # fwd gap 3 > 1, no back
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], "t", ["val"], direction="sideways")
     with pytest.raises(ValueError, match="collide"):
         asof_join(
             left.withColumn("val_asof", F.lit(1)), right, ["k"], "t", ["val"]

@@ -407,3 +407,41 @@ def test_utf16_unaligned_split_targets():
     for cs, tgt in (("utf-16", 333), ("utf-32", 777)):
         _, recs, got = _unit_roundtrip(cs, n=400, target=tgt)
         assert got == recs, cs
+
+
+@pytest.mark.parametrize("charset", ["cp037", "cp500", "cp1026", "cp424"])
+def test_ebcdic_single_byte_split_parallel_exact(charset):
+    """EBCDIC-family charsets (stateless single-byte codecs, NOT
+    ASCII-compatible — '<' is 0x4C in cp037) split in parallel through
+    the same per-split incremental-transcode scanner as UTF-16/32: many
+    byte-range splits, exact record counts, byte-identical record text
+    at every boundary. Closes the last reference charset-parity delta
+    (InputStreamReader decodes any charset per split,
+    XmlInputFormat.scala:76-122)."""
+    assert _tok.unit_width(charset) == 1
+    splits, recs, got = _unit_roundtrip(charset)
+    assert len(splits) > 10  # genuinely split-parallel, not whole-file
+    assert got == recs
+
+
+def test_stateful_and_multibyte_codecs_stay_whole_file():
+    """The single-byte probe must REJECT codecs where a byte boundary can
+    split a character or escape sequence — those degrade to whole-file
+    splits (correctness over parallelism)."""
+    for cs in ("shift-jis", "iso2022-jp", "big5", "gb2312", "utf-7"):
+        assert _tok.unit_width(cs) is None, cs
+    # and the probe result is consistent: a cp037 doc scanned whole-file
+    # vs split-parallel yields identical records
+    recs = [f"<r><a>{i}</a></r>" for i in range(50)]
+    doc = "<root>" + "".join(recs) + "</root>"
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml")
+    with open(p, "wb") as fh:
+        fh.write(doc.encode("cp037"))
+    whole = list(_tok.scan_split(
+        _tok.FileSplit(p, 0, -1, None, whole_file=True), "r", "cp037"
+    ))
+    split_par = []
+    for s in _tok.plan_splits(p, "cp037", 64):
+        split_par.extend(_tok.scan_split(s, "r", "cp037"))
+    assert whole == split_par == recs
