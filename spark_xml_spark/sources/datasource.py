@@ -206,8 +206,49 @@ def _listing_opts(opts: dict):
     return gf, rl
 
 
+_IDENTITY_META = "xml_graft_path"
+
+
+def _tag_schema_identity(schema: T.StructType, path: str) -> T.StructType:
+    """Embed the table's data path in the first field's metadata. Field
+    metadata survives the catalog round-trip into ``reader(schema)``
+    (verified empirically on Spark 4.1), so a catalog table recovers its
+    options EXACTLY even when another xml table has a byte-identical
+    column layout — closing the ambiguity gap the schema-fingerprint
+    stash alone cannot (simpleString ignores metadata, so the stash key
+    is unchanged). The crumb is visible in df.schema for raw
+    ``format('xml-graft')`` reads; it doubles as provenance."""
+    first = schema.fields[0]
+    meta = dict(first.metadata or {})
+    meta[_IDENTITY_META] = _canon_path(path)
+    return T.StructType(
+        [T.StructField(first.name, first.dataType, first.nullable, meta)]
+        + schema.fields[1:]
+    )
+
+
+def _schema_identity(schema: T.StructType) -> Optional[str]:
+    for f in schema.fields:
+        m = f.metadata or {}
+        if _IDENTITY_META in m:
+            return str(m[_IDENTITY_META])
+    return None
+
+
 def _recover_options(schema: T.StructType) -> Optional[dict]:
     entries = _load_entries(_stash_key(schema))
+    # Exact recovery first: the identity metadata names the data path
+    # outright (same-schema tables cannot collide on it; the stash holds
+    # at most one entry per canonical path).
+    ident = _schema_identity(schema)
+    if ident is not None:
+        hit = [
+            e
+            for e in entries
+            if _canon_path(e["path"]) == ident and _path_exists(e["path"])
+        ]
+        if hit:
+            return hit[-1]
     # Keep only entries whose path still exists: dropped/moved tables age out.
     live = [e for e in entries if _path_exists(e["path"])]
     if len(live) == 1:
@@ -1507,6 +1548,10 @@ class XmlReader(DataSourceReader):
             import pyarrow  # noqa: F401
             import pyarrow.compute  # noqa: F401
 
+            # pyarrow's first pa.array() lazily imports pandas through
+            # its _pandas_api shim (~0.35s/worker) — trigger it here or
+            # the first timed cast batch absorbs it
+            pyarrow.array(["x"], pyarrow.string())
             tally.add("setup", 0, _time.perf_counter() - t0)
             gen = self._read_tallied(partition, tally)
         pv = getattr(partition, "pvals", ())
@@ -2008,6 +2053,7 @@ class XmlDataSource(DataSource):
         if not schema.fields:
             raise ValueError(f"no XML rows with rowTag '{xopts.row_tag}' found in {path}")
         schema = pmod.append_partition_fields(schema, pcols)
+        schema = _tag_schema_identity(schema, path)
         _stash_options(schema, dict(self.options))
         return schema
 

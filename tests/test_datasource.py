@@ -144,6 +144,37 @@ def test_sql_ddl_using_format(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cars_xml")
 
 
+def test_catalog_tables_with_identical_schemas_disambiguate(spark, tmp_path):
+    """Two catalog tables with byte-identical column layouts but different
+    data must each read THEIR OWN rows: the schema-identity metadata
+    embedded at CREATE TABLE time recovers the right options exactly
+    (closes the former documented ambiguity gap — the fingerprint stash
+    alone cannot tell same-schema tables apart)."""
+    register(spark)
+    dirs = {}
+    for name, vals in (("xgt_a", (1, 2)), ("xgt_b", (10, 20, 30))):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "data.xml", "w") as fh:
+            fh.write(
+                "<rs>" + "".join(f"<r><v>{v}</v></r>" for v in vals) + "</rs>"
+            )
+        dirs[name] = str(d)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} USING `xml-graft` "
+            f"OPTIONS (path '{dirs[name]}', rowTag 'r')"
+        )
+    try:
+        a = spark.sql("SELECT v FROM xgt_a ORDER BY v").collect()
+        b = spark.sql("SELECT v FROM xgt_b ORDER BY v").collect()
+        assert [r.v for r in a] == [1, 2]
+        assert [r.v for r in b] == [10, 20, 30]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS xgt_a")
+        spark.sql("DROP TABLE IF EXISTS xgt_b")
+
+
 def test_from_xml_and_schema_of_xml(spark):
     rows = [
         Row(x='<r><a>1</a><b>x</b></r>'),
