@@ -34,9 +34,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -97,13 +94,23 @@ def kmv_distinct(
         # map to several state entries across batches (NaN identity);
         # harmless — the phase-2 groupBy merges null keys, counts stay
         # exact because every hash appears in exactly one entry.
+        # Executor-side imports: keep numpy/pandas off the module's
+        # import path (driver imports of the operators package must not
+        # eagerly pay them).
+        import numpy as np
+        import pandas as pd
+
         state: dict = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            for key, sub in pdf.groupby(
-                group_cols, dropna=False, sort=False
-            ):
+            # no group cols -> one global group (pandas groupby([]) raises)
+            groups = (
+                pdf.groupby(group_cols, dropna=False, sort=False)
+                if group_cols
+                else [((), pdf)]
+            )
+            for key, sub in groups:
                 kt = key if isinstance(key, tuple) else (key,)
                 hv = sub["_hv"].to_numpy()
                 st = state.get(kt)
@@ -127,8 +134,8 @@ def kmv_distinct(
                 pcs.append(pc)
                 kmins.append(np.sort(kmin).tolist())
             out = pd.concat(heads, ignore_index=True)
-            out["_pc"] = pd.Series(pcs, dtype="int64")
-            out["_kmin"] = kmins
+            out["_pc"] = pd.Series(pcs, dtype="int64", index=out.index)
+            out["_kmin"] = pd.Series(kmins, index=out.index)
             yield out
 
     partials = hashes.mapInPandas(_partition_kmin, out_schema)

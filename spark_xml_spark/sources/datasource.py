@@ -249,6 +249,17 @@ def _recover_options(schema: T.StructType) -> Optional[dict]:
         ]
         if hit:
             return hit[-1]
+        # The crumb NAMES the right path; never degrade to the
+        # newest-live-entry guess (it could silently serve another
+        # same-schema table's rows). A missing stash entry means the
+        # sidecar was cleared or the data moved — both need the user.
+        raise ValueError(
+            "xml-graft: catalog table's stashed options are gone (its "
+            f"schema names data path {ident!r}, but no live stash entry "
+            "matches — sidecar cleared, or the data directory moved). "
+            "Re-read with spark.read.format('xml-graft')"
+            ".option('path', ...), or re-CREATE the table."
+        )
     # Keep only entries whose path still exists: dropped/moved tables age out.
     live = [e for e in entries if _path_exists(e["path"])]
     if len(live) == 1:

@@ -358,6 +358,21 @@ def test_utf16_charset_roundtrip(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "héllo"), (2, "wörld")}
 
 
+def test_ebcdic_charset_write_read_roundtrip(spark, tmp_path):
+    """EBCDIC end-to-end THROUGH SPARK: write cp037 (TextIOWrapper honors
+    any Python codec), read back split-parallel (forced tiny
+    targetSplitSize so the per-split transcode scanner actually splits)
+    with exact values."""
+    out = str(tmp_path / "ebcdic")
+    rows = [(i, f"val-{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    write_xml(df.repartition(1), out, rowTag="r", charset="cp037")
+    back = read_xml(spark, out, rowTag="r", charset="cp037",
+                    targetSplitSize="512")
+    assert back.rdd.getNumPartitions() > 1  # genuinely split-parallel
+    assert {(r["k"], r["v"]) for r in back.collect()} == set(rows)
+
+
 class TestSessionTimezone:
     """Reference parity: the session timeZone is injected as the default
     ``timezone`` option (DefaultSource.scala:70-74), so zone-less timestamp

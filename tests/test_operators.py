@@ -2649,6 +2649,10 @@ def test_kmv_distinct_estimator_properties(spark):
     assert abs(big.est_distinct - 2000) / 2000 < 3 / (126 ** 0.5)
     # all-NULL group contributes nothing
     assert "nullish" not in out
+    # empty group_cols -> ONE global sketch row (regression: the pandas
+    # prereduce must not call groupby([]))
+    g = kmv_distinct(df, [], "it", k=4096).first()
+    assert g.n_distinct == 2010 and g.est_distinct == 2010.0
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct(df, ["g"], "it", k=1)
     with pytest.raises(ValueError, match="collide"):
