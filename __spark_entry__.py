@@ -2951,6 +2951,36 @@ def q_events_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-SAFE as-of join (operators/joins.py asof_join_bucketed): the
+    hot-key recipe as a first-class operator — both sides bucket by
+    floor(ts/W) so the window partitions by key x bucket (no task ever
+    holds one key's whole history); in-bucket misses repair from a
+    per-bucket right rollup carried by a second asof over DISTINCT
+    (key, bucket) pairs. Semantics are EXACTLY plain backward asof
+    (equivalence pytest across widths/directions/tolerances), so the
+    oracle is the same DuckDB native ASOF LEFT JOIN as events_asof."""
+    from spark_xml_spark.operators import asof_join_bucketed
+
+    e = _events(spark, sf_dir)
+    ts_sec, _ = _events_ts_cols(e)
+    base = e.withColumn("ts_sec", ts_sec)
+    left = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    right = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join_bucketed(
+        left, right, ["user_id"], "ts_sec", ["pval"], bucket_width=86400.0
+    )
+    return out.select(
+        "event_id", "user_id", "ts_sec", "pval_asof", "ts_asof"
+    ).orderBy("event_id")
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup (operators/rollup.py) with the
     INCREMENTAL path exercised through the oracle: the events stream
@@ -3115,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truncates at 50 entries, so the first 50 keys are pinned by
         # tests/test_entry_contract.py — never reorder
         "events_asof_fwd": q_events_asof_fwd,
+        "events_asof_bucketed": q_events_asof_bucketed,
     }
 
 
@@ -4678,6 +4709,9 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec
         ORDER BY l.event_id
     """
+    # the bucketed operator's contract IS plain-backward-asof equality,
+    # so it shares events_asof's native-ASOF oracle verbatim
+    sql["events_asof_bucketed"] = sql["events_asof"]
     sql["events_range_join"] = """
         -- plain BETWEEN-style containment join; the engine's binned
         -- equi-join must produce identical membership

@@ -62,14 +62,11 @@ def asof_join(
     the proximity choice). ``nearest`` costs one extra per-key sort over
     the same single exchange (two Window orders, one shuffle).
 
-    Skew recipe (the window partitions by key, so one hyper-hot key's
-    whole history lands in one task): split the hot key by coarse time
-    bucket — add ``bucket = floor(ts / W)`` to ``on`` for BOTH sides,
-    run this join, then repair the rows that found no match inside
-    their bucket (backward: first bucket rows; forward: last) with a
-    second asof_join of JUST those rows (a tiny frame) against the
-    right side on the bare key. Two bounded passes, parallelism
-    key x bucket instead of key.
+    Skew note: the window partitions by key, so one hyper-hot key's
+    whole history lands in one task — use :func:`asof_join_bucketed`
+    (identical semantics, equivalence-tested) when a key's history
+    exceeds a task; it spreads each key over floor(ts / W) time buckets
+    and repairs cross-bucket matches from a per-bucket rollup.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -169,6 +166,139 @@ def asof_join(
         u.withColumns(carried)
         .filter(F.col("_asof_side") == 1)
         .select(*left.columns, *[v + suffix for v in value_cols], "ts" + suffix)
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Optional[Sequence[str]] = None,
+    bucket_width: float = None,
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Skew-safe as-of join for HOT KEYS: identical semantics and output
+    columns to :func:`asof_join` (backward/forward; ``nearest`` is not
+    offered — compose two bucketed passes if needed), but no single task
+    ever holds one key's whole history. ``ts_col`` must be numeric
+    (epoch seconds etc.); ``bucket_width`` is in its units.
+
+    Construction (the docstring recipe from asof_join, made concrete):
+
+    1. Both sides gain ``bucket = floor(ts / W)`` and the plain asof
+       runs on ``on + [bucket]`` — the window partitions by
+       key x bucket, so a hyper-hot key spreads over its time range.
+    2. Rows that found no match INSIDE their bucket are repaired from a
+       per-(key, bucket) rollup of the right side (one ``max_by``/
+       ``min_by`` struct per bucket — a map-side-combinable aggregate),
+       carried across buckets by a second asof over the DISTINCT
+       (key, bucket) pairs of the residual — a frame bounded by
+       occupied buckets per key, never by rows — and equi-joined back
+       on (key, bucket).
+
+    Every shuffle is keyed by (key, bucket) except the two bounded
+    bucket-level windows; with W chosen so a bucket holds ~one task's
+    rows, the hot key's cost is spread across #buckets tasks. Tolerance
+    applies to the final gap exactly as in asof_join."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            "asof_join_bucketed implements direction='backward'/'forward'"
+            f", got {direction!r}"
+        )
+    if not bucket_width or bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive number")
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on + [ts_col]]
+    value_cols = list(value_cols)
+    out_vals = [v + suffix for v in value_cols]
+    internal = {"_bkt", "_qb", "_last", "_last" + suffix, "ts" + suffix}
+    clash = internal.intersection(left.columns).union(
+        internal.intersection(right.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with asof_join_bucketed "
+            "internals; rename them first"
+        )
+    w = F.lit(float(bucket_width))
+    back = direction == "backward"
+    lb = left.withColumn("_bkt", F.floor(F.col(ts_col) / w).cast("bigint"))
+    rb = right.withColumn("_bkt", F.floor(F.col(ts_col) / w).cast("bigint"))
+
+    pass1 = asof_join(
+        lb, rb, on + ["_bkt"], ts_col, value_cols,
+        direction=direction, suffix=suffix,
+    )
+
+    matched = pass1.filter(F.col("ts" + suffix).isNotNull())
+    residual = pass1.filter(F.col("ts" + suffix).isNull()).drop(
+        "ts" + suffix, *out_vals
+    )
+
+    # per-(key, bucket) right rollup: the LAST (backward) / FIRST
+    # (forward) right struct in the bucket. ts is the struct's first
+    # field, so min/max order by ts; equal-ts duplicates are the same
+    # caller-dedup contract as asof_join.
+    rstruct = F.struct(
+        F.col(ts_col).alias("_ts"), *[F.col(v) for v in value_cols]
+    )
+    key_ok = F.lit(True)
+    for k in on:
+        key_ok = key_ok & F.col(k).isNotNull()
+    pb = (
+        rb.filter(key_ok & F.col(ts_col).isNotNull())
+        .groupBy(*on, "_bkt")
+        .agg((F.max(rstruct) if back else F.min(rstruct)).alias("_last"))
+    )
+    # shift so the carry asof matches STRICTLY earlier (later) buckets:
+    # backward wants right _bkt < left _bkt  <=>  _bkt + 1 <= left _bkt
+    shifted = pb.select(
+        *on,
+        (F.col("_bkt") + (1 if back else -1)).alias("_qb"),
+        "_last",
+    )
+    need = residual.select(*on, F.col("_bkt").alias("_qb")).distinct()
+    rep = asof_join(
+        need, shifted, on, "_qb", ["_last"],
+        direction=direction, suffix=suffix,
+    ).select(
+        *on,
+        F.col("_qb").alias("_bkt"),
+        F.col("_last" + suffix).alias("_last"),
+    )
+    repaired = (
+        residual.join(rep, on + ["_bkt"], "left")
+        .withColumns(
+            {
+                "ts" + suffix: F.col("_last")["_ts"],
+                **{
+                    v + suffix: F.col("_last")[v] for v in value_cols
+                },
+            }
+        )
+        .drop("_last")
+    )
+    out = matched.unionByName(repaired).drop("_bkt")
+    if tolerance is not None:
+        ts = F.col(ts_col)
+        mts = F.col("ts" + suffix)
+        gap = (ts - mts) if back else (mts - ts)
+        keep = gap <= F.lit(tolerance)
+        out = out.withColumns(
+            {
+                **{
+                    v + suffix: F.when(keep, F.col(v + suffix))
+                    for v in value_cols
+                },
+                "ts" + suffix: F.when(keep, mts),
+            }
+        )
+    return out.select(
+        *left.columns, *[v + suffix for v in value_cols], "ts" + suffix
     )
 
 

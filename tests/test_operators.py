@@ -2681,6 +2681,173 @@ def test_asof_join_null_right_values_and_ts(spark):
     assert out[2] == (None, None)
 
 
+def test_asof_join_randomized_against_python_reference(spark):
+    """All three directions x tolerance, 40 random keys with NULL
+    keys/ts/values sprinkled in, checked row-for-row against a direct
+    Python reference of the documented semantics (backward: largest
+    rts <= lts; forward: smallest rts >= lts; nearest: closer gap, tie
+    -> backward; tolerance bounds each side BEFORE the nearest choice;
+    NULL key/ts never matches; right unique per (key, ts))."""
+    import random
+
+    from spark_xml_spark.operators import asof_join
+
+    rng = random.Random(20260815)
+    keys = [f"k{i}" for i in range(40)]
+    left_rows, right_rows = [], []
+    eid = 0
+    for key in keys:
+        for _ in range(rng.randint(1, 8)):
+            eid += 1
+            lk = None if rng.random() < 0.05 else key
+            lt = None if rng.random() < 0.08 else rng.randint(0, 100)
+            left_rows.append((eid, lk, lt))
+        seen_ts = set()
+        for _ in range(rng.randint(0, 6)):
+            rt = None if rng.random() < 0.1 else rng.randint(0, 100)
+            if rt in seen_ts:
+                continue
+            seen_ts.add(rt)
+            rv = None if rng.random() < 0.1 else float(rng.randint(0, 999))
+            right_rows.append((key, rt, rv))
+    left = spark.createDataFrame(left_rows, "eid bigint, k string, t bigint")
+    right = spark.createDataFrame(right_rows, "k string, t bigint, val double")
+    by_key: dict = {}
+    for k, rt, rv in right_rows:
+        if rt is not None:
+            by_key.setdefault(k, []).append((rt, rv))
+
+    def ref(lk, lt, direction, tol):
+        if lk is None or lt is None:
+            return (None, None)
+        cands = by_key.get(lk, [])
+        back = [(rt, rv) for rt, rv in cands if rt <= lt]
+        fwd = [(rt, rv) for rt, rv in cands if rt >= lt]
+        b = max(back, key=lambda c: c[0]) if back else None
+        f = min(fwd, key=lambda c: c[0]) if fwd else None
+        if tol is not None:
+            if b is not None and lt - b[0] > tol:
+                b = None
+            if f is not None and f[0] - lt > tol:
+                f = None
+        if direction == "backward":
+            m = b
+        elif direction == "forward":
+            m = f
+        else:
+            if b is not None and f is not None:
+                m = b if (lt - b[0]) <= (f[0] - lt) else f
+            else:
+                m = b if b is not None else f
+        return (None, None) if m is None else (m[1], m[0])
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 7):
+            got = {
+                r.eid: (r.val_asof, r.ts_asof)
+                for r in asof_join(
+                    left, right, ["k"], "t", ["val"],
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            assert len(got) == len(left_rows), (direction, tol)
+            for e, lk, lt in left_rows:
+                want = ref(lk, lt, direction, tol)
+                assert got[e] == want, (direction, tol, e, got[e], want)
+
+
+def test_asof_join_bucketed_equivalent_to_plain(spark):
+    """The skew-safe bucketed construction must produce EXACTLY the plain
+    asof_join's rows for every direction/width/tolerance combination —
+    plain asof is the oracle. Random data reuses the reference
+    generator's shape: NULL keys/ts/values, keys with no right rows,
+    empty buckets between occupied ones (the repair-path case)."""
+    import random
+
+    from spark_xml_spark.operators import asof_join, asof_join_bucketed
+
+    rng = random.Random(99)
+    left_rows, right_rows = [], []
+    eid = 0
+    for i in range(30):
+        key = f"k{i}"
+        for _ in range(rng.randint(1, 10)):
+            eid += 1
+            lk = None if rng.random() < 0.05 else key
+            lt = None if rng.random() < 0.08 else rng.randint(0, 1000)
+            left_rows.append((eid, lk, lt))
+        seen = set()
+        for _ in range(rng.randint(0, 5)):
+            rt = None if rng.random() < 0.1 else rng.randint(0, 1000)
+            if rt in seen:
+                continue
+            seen.add(rt)
+            rv = None if rng.random() < 0.1 else float(rng.randint(0, 99))
+            right_rows.append((key, rt, rv))
+    left = spark.createDataFrame(left_rows, "eid bigint, k string, t bigint")
+    right = spark.createDataFrame(right_rows, "k string, t bigint, val double")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 40):
+            want = {
+                r.eid: (r.val_asof, r.ts_asof)
+                for r in asof_join(
+                    left, right, ["k"], "t", ["val"],
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            for width in (7, 64, 5000):
+                got = {
+                    r.eid: (r.val_asof, r.ts_asof)
+                    for r in asof_join_bucketed(
+                        left, right, ["k"], "t", ["val"],
+                        bucket_width=width, direction=direction,
+                        tolerance=tol,
+                    ).collect()
+                }
+                assert got == want, (direction, tol, width)
+
+    with pytest.raises(ValueError, match="backward"):
+        asof_join_bucketed(left, right, ["k"], "t", ["val"],
+                           bucket_width=10, direction="nearest")
+    with pytest.raises(ValueError, match="bucket_width"):
+        asof_join_bucketed(left, right, ["k"], "t", ["val"], bucket_width=0)
+
+
+def test_kmv_distinct_randomized_against_python_md5_reference(spark):
+    """The whole KMV pipeline (hash, k-min set, estimator) recomputed in
+    pure Python from the same md5 definition: n_distinct, n_kept and the
+    bit-exact est_distinct must agree for every group — including groups
+    below, at, and above k."""
+    import hashlib
+    import random
+
+    from spark_xml_spark.operators import kmv_distinct
+
+    rng = random.Random(7)
+    rows = []
+    sizes = {"small": 5, "at_k": 16, "big": 400}
+    for g, n in sizes.items():
+        items = [f"{g}-item-{i}" for i in range(n)]
+        for it in items:
+            for _ in range(rng.randint(1, 3)):  # duplicates don't count
+                rows.append((g, it))
+    df = spark.createDataFrame(rows, "g string, it string")
+    out = {r.g: r for r in kmv_distinct(df, ["g"], "it", k=16).collect()}
+    for g, n in sizes.items():
+        hashes = sorted(
+            int(hashlib.md5(f"{g}-item-{i}".encode()).hexdigest()[:15], 16)
+            for i in range(n)
+        )
+        n_kept = min(16, n)
+        kth = hashes[n_kept - 1]
+        est = float(n) if n_kept < 16 else 15.0 / (float(kth) / float(2**60))
+        r = out[g]
+        assert r.n_distinct == n
+        assert r.n_kept == n_kept
+        assert r.est_distinct == est, (g, r.est_distinct, est)
+
+
 def test_kmv_distinct_null_group_key_kept(spark):
     from spark_xml_spark.operators import kmv_distinct
 
