@@ -2951,6 +2951,34 @@ def q_events_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_text_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV INCREMENTAL REFRESH (operators/sketch.py kmv_sketch /
+    kmv_merge / kmv_estimate): sketch two OVERLAPPING document slices
+    independently, merge the k-min sets (union, dedup, re-take k — the
+    idempotent algebra that makes KMV the incremental-corpus-stats
+    sketch; merge_rollups by contrast needs disjoint slices), read the
+    estimate off the merged sketch. The merged result is MATHEMATICALLY
+    identical to sketching the whole corpus, so the DuckDB oracle
+    computes the direct whole-corpus sketch — the equality IS the
+    invariant under test."""
+    from spark_xml_spark.operators import kmv_estimate, kmv_merge, kmv_sketch
+    from spark_xml_spark.operators.dedup import _word_shingles
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(_word_shingles(F.col("text"), 3)).alias("g"),
+    )
+    # overlapping slices: docs 0/1 mod 3 and docs 1/2 mod 3
+    a = sh.filter(F.col("doc_id") % 3 != 2)
+    b = sh.filter(F.col("doc_id") % 3 != 0)
+    s_a = kmv_sketch(a, ["source"], "g", k=64)
+    s_b = kmv_sketch(b, ["source"], "g", k=64)
+    merged = kmv_merge([s_a, s_b], ["source"], k=64)
+    out = kmv_estimate(merged, k=64)
+    return out.select("source", "n_kept", "est_distinct").orderBy("source")
+
+
 def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKEW-SAFE as-of join (operators/joins.py asof_join_bucketed): the
     hot-key recipe as a first-class operator — both sides bucket by
@@ -3146,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_entry_contract.py — never reorder
         "events_asof_fwd": q_events_asof_fwd,
         "events_asof_bucketed": q_events_asof_bucketed,
+        "text_kmv_merge": q_text_kmv_merge,
     }
 
 
@@ -4712,6 +4741,36 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed operator's contract IS plain-backward-asof equality,
     # so it shares events_asof's native-ASOF oracle verbatim
     sql["events_asof_bucketed"] = sql["events_asof"]
+    # merged overlapping-slice sketches == the direct whole-corpus
+    # sketch (KMV merge algebra) — the oracle computes the direct form
+    sql["text_kmv_merge"] = (
+        "WITH "
+        + _SHINGLES_CTE
+        + """
+        , g AS (
+          SELECT d.source, unnest(s.sh) AS g
+          FROM s JOIN documents d USING (doc_id)
+        ), h AS (
+          SELECT DISTINCT source,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv
+          FROM g WHERE g IS NOT NULL
+        ), r AS (
+          SELECT source, hv,
+                 row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+          FROM h
+        ), kk AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 MAX(hv) AS kth
+          FROM r WHERE rn <= 64 GROUP BY source
+        )
+        SELECT source, n_kept,
+               CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE)
+                         / (CAST(kth AS DOUBLE) / POWER(2, 60))
+               END AS est_distinct
+        FROM kk ORDER BY source
+    """
+    )
     sql["events_range_join"] = """
         -- plain BETWEEN-style containment join; the engine's binned
         -- equi-join must produce identical membership

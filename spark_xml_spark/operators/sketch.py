@@ -47,39 +47,13 @@ def kmv_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def kmv_distinct(
-    df: DataFrame,
-    group_cols: Sequence[str],
-    item_col: str,
-    k: int = 64,
-) -> DataFrame:
-    """Per-group distinct-count estimate of ``item_col``. Output:
-    group_cols..., ``n_distinct`` (exact distinct-HASH count — exact up
-    to md5 collisions, identically in any engine), ``n_kept``
-    (min(k, n_distinct) sketch size), ``est_distinct`` (double; equals
-    n_distinct exactly when the group has fewer than k distinct values).
-    NULL items are ignored (a NULL observation carries no identity)."""
-    if k < 2:
-        raise ValueError("k must be >= 2")
-    group_cols = list(group_cols)
-    clash = {
-        "n_distinct", "n_kept", "est_distinct", "_hv", "_pc", "_kmin"
-    }.intersection(df.columns)
-    if clash:
-        raise ValueError(
-            f"input columns {sorted(clash)} collide with kmv_distinct "
-            "internals/outputs; rename them first"
-        )
-    hashes = (
-        df.filter(F.col(item_col).isNotNull())
-        .select(*group_cols, kmv_hash(F.col(item_col)).alias("_hv"))
-        .distinct()
-    )
-
-    # Phase 1: per-partition prereduce. After distinct() the hashes are
-    # globally unique, so per-partition counts SUM to the exact distinct
-    # count and per-partition k-min sets MERGE (union, re-take k) to the
-    # exact global k-min set. State per task: O(groups * k).
+def _kmin_partials(hashes: DataFrame, group_cols, k: int):
+    """Phase-1 prereduce shared by kmv_distinct and kmv_sketch: stream
+    each partition of the DISTINCT (group, _hv) frame through an
+    Arrow-batched fold holding O(groups-in-partition * k) state; emit one
+    (group..., _pc partial-count, _kmin k-smallest array) row per group
+    per partition. After distinct() the hashes are globally unique, so
+    partial counts SUM exactly and k-min sets MERGE exactly."""
     out_schema = T.StructType(
         [hashes.schema[c] for c in group_cols]
         + [
@@ -138,7 +112,39 @@ def kmv_distinct(
             out["_kmin"] = pd.Series(kmins, index=out.index)
             yield out
 
-    partials = hashes.mapInPandas(_partition_kmin, out_schema)
+    return hashes.mapInPandas(_partition_kmin, out_schema)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate of ``item_col``. Output:
+    group_cols..., ``n_distinct`` (exact distinct-HASH count — exact up
+    to md5 collisions, identically in any engine), ``n_kept``
+    (min(k, n_distinct) sketch size), ``est_distinct`` (double; equals
+    n_distinct exactly when the group has fewer than k distinct values).
+    NULL items are ignored (a NULL observation carries no identity)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    group_cols = list(group_cols)
+    clash = {
+        "n_distinct", "n_kept", "est_distinct", "_hv", "_pc", "_kmin"
+    }.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with kmv_distinct "
+            "internals/outputs; rename them first"
+        )
+    hashes = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, kmv_hash(F.col(item_col)).alias("_hv"))
+        .distinct()
+    )
+
+    partials = _kmin_partials(hashes, group_cols, k)
 
     # Phase 2: ONE hash aggregate over the bounded partials (at most
     # #partitions rows of <=k hashes per group) — no window, no
@@ -163,4 +169,97 @@ def kmv_distinct(
         agg.withColumn("n_kept", n_kept)
         .withColumn("est_distinct", est)
         .drop("_kmin")
+    )
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Materialize the per-group KMV SKETCH itself: group_cols...,
+    ``kmin_hashes`` (the k smallest distinct item hashes, ascending —
+    the mergeable artifact) and ``n_kept`` = its size. Unlike
+    :func:`kmv_distinct` this carries no exact count, because exact
+    counts are NOT mergeable across overlapping corpora — the sketch is.
+    Persist it per corpus slice and combine slices (overlapping or not,
+    merge is idempotent) with :func:`kmv_merge`, then read estimates off
+    with :func:`kmv_estimate`: the incremental-refresh path whose result
+    is BIT-IDENTICAL to re-sketching the union from scratch."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    group_cols = list(group_cols)
+    clash = {"kmin_hashes", "n_kept", "_hv", "_pc", "_kmin"}.intersection(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with kmv_sketch "
+            "internals/outputs; rename them first"
+        )
+    hashes = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, kmv_hash(F.col(item_col)).alias("_hv"))
+        .distinct()
+    )
+    partials = _kmin_partials(hashes, group_cols, k)
+    return partials.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_kmin"))), 1, k
+        ).alias("kmin_hashes"),
+        F.least(F.lit(k).cast("bigint"), F.sum("_pc").cast("bigint")).alias(
+            "n_kept"
+        ),
+    )
+
+
+def kmv_merge(
+    sketches: Sequence[DataFrame],
+    group_cols: Sequence[str],
+    k: int,
+    sketch_col: str = "kmin_hashes",
+) -> DataFrame:
+    """Merge per-slice KMV sketches: union the hash sets per group,
+    dedup, re-take the k smallest — the k-min set of the UNION of the
+    underlying corpora, exactly (each input set is complete for its
+    slice, so the union's k smallest are all present). IDEMPOTENT:
+    overlapping slices are fine (shared hashes dedup), unlike
+    merge_rollups' disjointness requirement. One hash aggregate over
+    O(#slices * k) values per group. A group missing from a slice
+    simply contributes nothing."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    group_cols = list(group_cols)
+    u = sketches[0].select(*group_cols, sketch_col)
+    for s in sketches[1:]:
+        u = u.unionByName(s.select(*group_cols, sketch_col))
+    return u.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(sketch_col)))
+            ),
+            1,
+            k,
+        ).alias(sketch_col)
+    )
+
+
+def kmv_estimate(
+    sketch_df: DataFrame, k: int, sketch_col: str = "kmin_hashes"
+) -> DataFrame:
+    """Read the distinct-count estimate off a (possibly merged) sketch:
+    adds ``n_kept`` (set size) and ``est_distinct``. A set smaller than
+    k is the COMPLETE hash set of its corpus union, so the estimate is
+    exact; at k the (k-1)/R_k estimator applies — the identical
+    arithmetic (and bit pattern) as kmv_distinct on the union."""
+    n_kept = F.size(F.col(sketch_col)).cast("bigint")
+    kth = F.element_at(F.col(sketch_col), k)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (kth.cast("double") / F.lit(float(2**_HASH_BITS)))
+    )
+    return sketch_df.withColumn("n_kept", n_kept).withColumn(
+        "est_distinct", est
     )

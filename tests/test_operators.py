@@ -2848,6 +2848,44 @@ def test_kmv_distinct_randomized_against_python_md5_reference(spark):
         assert r.est_distinct == est, (g, r.est_distinct, est)
 
 
+def test_kmv_sketch_merge_bit_identical_to_direct(spark):
+    """The mergeability pitch, pinned: sketch two OVERLAPPING corpus
+    slices, merge, estimate — the result must be bit-identical to
+    kmv_distinct over the union (same n_kept, same est), including the
+    idempotence of re-merging the same slice twice."""
+    import random
+
+    from spark_xml_spark.operators import (
+        kmv_distinct,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (f"g{i % 3}", f"item-{rng.randint(0, 500)}") for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, it string")
+    half_a = df.filter(F.crc32(F.col("it")) % 3 != 0)   # overlapping
+    half_b = df.filter(F.crc32(F.col("it")) % 3 != 1)   # slices
+    k = 32
+    s_a = kmv_sketch(half_a, ["g"], "it", k=k)
+    s_b = kmv_sketch(half_b, ["g"], "it", k=k)
+    merged = kmv_merge([s_a, s_b, s_b], ["g"], k=k)  # s_b twice: idempotent
+    got = {
+        r.g: (r.n_kept, r.est_distinct)
+        for r in kmv_estimate(merged, k=k).collect()
+    }
+    want = {
+        r.g: (r.n_kept, r.est_distinct)
+        for r in kmv_distinct(df, ["g"], "it", k=k).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="at least one"):
+        kmv_merge([], ["g"], k=k)
+
+
 def test_kmv_distinct_null_group_key_kept(spark):
     from spark_xml_spark.operators import kmv_distinct
 
