@@ -2979,6 +2979,60 @@ def q_text_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "n_kept", "est_distinct").orderBy("source")
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cardinality tracking with the mergeable KMV sketch
+    (operators/sketch.py + streaming/foreach.py): documents replay as a
+    file stream in several micro-batches (maxFilesPerTrigger=2); each
+    batch sketches ITS slice (kmv_sketch) and writes the k-min set to an
+    idempotent per-batch-id location (a crash-replayed batch overwrites
+    itself — exactly-once by construction, and kmv_merge is idempotent
+    anyway); the final state is the merge of all per-batch sketches. The
+    merged estimate is bit-identical to sketching the whole corpus —
+    Spark's no-distinct-aggregations-in-streaming restriction does not
+    apply because the sketch is an ordinary aggregate. Oracle: DuckDB's
+    direct whole-corpus sketch (text_kmv_merge's SQL verbatim)."""
+    import tempfile
+
+    from spark_xml_spark.operators import kmv_estimate, kmv_merge, kmv_sketch
+    from spark_xml_spark.operators.dedup import _word_shingles
+
+    def _build(path):
+        d = _parquet(spark, sf_dir, "documents", fan_out=False)
+        d.select("doc_id", "source", "text").coalesce(6).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    src = _stream_source(spark, sf_dir, "kmv-docs-id-src-text", "documents",
+                         _build)
+    work = tempfile.mkdtemp(prefix="xml_skmv_q_")
+    state = os.path.join(work, "sketches")
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+
+    def _sink(batch_df, batch_id):
+        sh = batch_df.select(
+            "source", F.explode(_word_shingles(F.col("text"), 3)).alias("g")
+        )
+        kmv_sketch(sh, ["source"], "g", k=64).write.mode("overwrite").parquet(
+            os.path.join(state, f"b{batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    sketches = spark.read.option("recursiveFileLookup", "true").parquet(state)
+    merged = kmv_merge([sketches], ["source"], k=64)
+    out = kmv_estimate(merged, k=64)
+    return out.select("source", "n_kept", "est_distinct").orderBy("source")
+
+
 def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKEW-SAFE as-of join (operators/joins.py asof_join_bucketed): the
     hot-key recipe as a first-class operator — both sides bucket by
@@ -3175,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_fwd": q_events_asof_fwd,
         "events_asof_bucketed": q_events_asof_bucketed,
         "text_kmv_merge": q_text_kmv_merge,
+        "stream_kmv": q_stream_kmv,
     }
 
 
@@ -4771,6 +4826,9 @@ def oracle_sql() -> dict[str, str]:
         FROM kk ORDER BY source
     """
     )
+    # the streaming variant merges per-micro-batch sketches of the same
+    # corpus — the identical direct-sketch oracle applies
+    sql["stream_kmv"] = sql["text_kmv_merge"]
     sql["events_range_join"] = """
         -- plain BETWEEN-style containment join; the engine's binned
         -- equi-join must produce identical membership

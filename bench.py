@@ -60,6 +60,7 @@ _STREAMING = {
     "stream_clean",
     "stream_backpressure",
     "stream_simhash",
+    "stream_kmv",
 }
 
 
