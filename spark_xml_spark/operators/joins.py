@@ -174,8 +174,8 @@ def asof_join_bucketed(
     right: DataFrame,
     on: Sequence[str],
     ts_col: str,
-    value_cols: Optional[Sequence[str]] = None,
-    bucket_width: float = None,
+    value_cols: Optional[Sequence[str]],
+    bucket_width: float,
     direction: str = "backward",
     tolerance: Optional[float] = None,
     suffix: str = "_asof",
@@ -229,9 +229,21 @@ def asof_join_bucketed(
     lb = left.withColumn("_bkt", F.floor(F.col(ts_col) / w).cast("bigint"))
     rb = right.withColumn("_bkt", F.floor(F.col(ts_col) / w).cast("bigint"))
 
-    pass1 = asof_join(
-        lb, rb, on + ["_bkt"], ts_col, value_cols,
-        direction=direction, suffix=suffix,
+    # pass1 feeds THREE consumers (matched, repaired, need.distinct) —
+    # persist it or the union+sort+window subtree re-evaluates per
+    # branch (the subplan re-evaluation anti-pattern, tripling the
+    # dominant stage's cost exactly where this operator promises scale)
+    from spark_xml_spark.operators.dedup import (
+        _persist_intermediate,
+        _retire_intermediates,
+    )
+
+    _retire_intermediates()
+    pass1 = _persist_intermediate(
+        asof_join(
+            lb, rb, on + ["_bkt"], ts_col, value_cols,
+            direction=direction, suffix=suffix,
+        )
     )
 
     matched = pass1.filter(F.col("ts" + suffix).isNotNull())

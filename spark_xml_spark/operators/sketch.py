@@ -115,6 +115,35 @@ def _kmin_partials(hashes: DataFrame, group_cols, k: int):
     return hashes.mapInPandas(_partition_kmin, out_schema)
 
 
+def _distinct_hashes(df, group_cols, item_col: str) -> DataFrame:
+    """Shared hash prep: NULL items dropped (no identity), portable
+    60-bit hash, global distinct — ONE definition so every sketch path
+    hashes identically (the cross-engine oracle depends on it)."""
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, kmv_hash(F.col(item_col)).alias("_hv"))
+        .distinct()
+    )
+
+
+def _merged_kmin(k: int):
+    """Phase-2 merge expression over _kmin partial arrays."""
+    return F.slice(F.array_sort(F.flatten(F.collect_list("_kmin"))), 1, k)
+
+
+def _kmv_est_expr(k: int, kmin_col, n_kept_col, exact_expr):
+    """The (k-1)/R_k estimator, ONE definition for every path.
+    Operation ORDER matters for bit-exact cross-engine agreement:
+    kth -> double (one rounding), / 2^60 (exact), then divide.
+    F.get (0-based, NULL out-of-bounds) instead of element_at so the
+    unsaturated branch never trips ANSI bounds checking."""
+    kth = F.get(kmin_col, F.lit(k - 1))
+    return F.when(n_kept_col < k, exact_expr).otherwise(
+        F.lit(float(k - 1))
+        / (kth.cast("double") / F.lit(float(2**_HASH_BITS)))
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -138,38 +167,27 @@ def kmv_distinct(
             f"input columns {sorted(clash)} collide with kmv_distinct "
             "internals/outputs; rename them first"
         )
-    hashes = (
-        df.filter(F.col(item_col).isNotNull())
-        .select(*group_cols, kmv_hash(F.col(item_col)).alias("_hv"))
-        .distinct()
+    partials = _kmin_partials(
+        _distinct_hashes(df, group_cols, item_col), group_cols, k
     )
-
-    partials = _kmin_partials(hashes, group_cols, k)
-
     # Phase 2: ONE hash aggregate over the bounded partials (at most
     # #partitions rows of <=k hashes per group) — no window, no
     # per-group sort over the hash frame.
     agg = partials.groupBy(*group_cols).agg(
         F.sum("_pc").cast("bigint").alias("n_distinct"),
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("_kmin"))), 1, k
-        ).alias("_kmin"),
+        _merged_kmin(k).alias("_kmin"),
     )
     n_kept = F.least(F.lit(k).cast("bigint"), F.col("n_distinct"))
-    kth = F.element_at(F.col("_kmin"), F.col("n_kept").cast("int"))
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_distinct").cast("double")
-    ).otherwise(
-        # operation ORDER matters for bit-exact cross-engine agreement:
-        # kth -> double (one rounding), / 2^60 (exact), then divide
-        F.lit(float(k - 1))
-        / (kth.cast("double") / F.lit(float(2**_HASH_BITS)))
+    est = _kmv_est_expr(
+        k, F.col("_kmin"), F.col("n_kept"),
+        F.col("n_distinct").cast("double"),
     )
     return (
         agg.withColumn("n_kept", n_kept)
         .withColumn("est_distinct", est)
         .drop("_kmin")
     )
+
 
 def kmv_sketch(
     df: DataFrame,
@@ -179,7 +197,9 @@ def kmv_sketch(
 ) -> DataFrame:
     """Materialize the per-group KMV SKETCH itself: group_cols...,
     ``kmin_hashes`` (the k smallest distinct item hashes, ascending —
-    the mergeable artifact) and ``n_kept`` = its size. Unlike
+    the mergeable artifact), ``n_kept`` = its size, and ``sketch_k`` =
+    the build k (carried so kmv_merge/kmv_estimate can ENFORCE that a
+    later merge never asks for more minima than the sketch kept). Unlike
     :func:`kmv_distinct` this carries no exact count, because exact
     counts are NOT mergeable across overlapping corpora — the sketch is.
     Persist it per corpus slice and combine slices (overlapping or not,
@@ -189,27 +209,47 @@ def kmv_sketch(
     if k < 2:
         raise ValueError("k must be >= 2")
     group_cols = list(group_cols)
-    clash = {"kmin_hashes", "n_kept", "_hv", "_pc", "_kmin"}.intersection(
-        df.columns
-    )
+    clash = {
+        "kmin_hashes", "n_kept", "sketch_k", "_hv", "_pc", "_kmin"
+    }.intersection(df.columns)
     if clash:
         raise ValueError(
             f"input columns {sorted(clash)} collide with kmv_sketch "
             "internals/outputs; rename them first"
         )
-    hashes = (
-        df.filter(F.col(item_col).isNotNull())
-        .select(*group_cols, kmv_hash(F.col(item_col)).alias("_hv"))
-        .distinct()
+    partials = _kmin_partials(
+        _distinct_hashes(df, group_cols, item_col), group_cols, k
     )
-    partials = _kmin_partials(hashes, group_cols, k)
-    return partials.groupBy(*group_cols).agg(
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("_kmin"))), 1, k
-        ).alias("kmin_hashes"),
-        F.least(F.lit(k).cast("bigint"), F.sum("_pc").cast("bigint")).alias(
-            "n_kept"
-        ),
+    agg = partials.groupBy(*group_cols).agg(
+        _merged_kmin(k).alias("kmin_hashes")
+    )
+    return agg.withColumns(
+        {
+            "n_kept": F.size("kmin_hashes").cast("bigint"),
+            "sketch_k": F.lit(k).cast("int"),
+        }
+    )
+
+
+def _checked_sketch_col(k: int, sketch_col: str, what: str):
+    """NULL-safe lazy guard RETURNING THE SKETCH ARRAY: raises at
+    execution if the row's sketch_k is smaller than the requested k — a
+    k-min set truncated at k' < k does NOT contain the union's k
+    smallest, so the result would be a silent overestimate, not an
+    approximation. Wrapping the data column itself (rather than a
+    side-channel aggregate) makes the guard unprunable: every consumer
+    of the sketch evaluates it."""
+    return F.when(
+        F.col("sketch_k") >= k, F.col(sketch_col)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                what + ": requested k=%s exceeds an input sketch's "
+                "build k=%s — rebuild the sketch with a larger k",
+                F.lit(k),
+                F.col("sketch_k"),
+            )
+        ).cast("array<bigint>")
     )
 
 
@@ -222,25 +262,38 @@ def kmv_merge(
     """Merge per-slice KMV sketches: union the hash sets per group,
     dedup, re-take the k smallest — the k-min set of the UNION of the
     underlying corpora, exactly (each input set is complete for its
-    slice, so the union's k smallest are all present). IDEMPOTENT:
-    overlapping slices are fine (shared hashes dedup), unlike
-    merge_rollups' disjointness requirement. One hash aggregate over
-    O(#slices * k) values per group. A group missing from a slice
-    simply contributes nothing."""
+    slice, so the union's k smallest are all present — PROVIDED every
+    input was built with build-k >= this k, which the carried
+    ``sketch_k`` column enforces at execution). IDEMPOTENT: overlapping
+    slices are fine (shared hashes dedup), unlike merge_rollups'
+    disjointness requirement. One hash aggregate over O(#slices * k)
+    values per group; the output carries ``sketch_k`` = k for further
+    merges. A group missing from a slice simply contributes nothing."""
     if not sketches:
         raise ValueError("kmv_merge needs at least one sketch")
     group_cols = list(group_cols)
-    u = sketches[0].select(*group_cols, sketch_col)
+    for s in sketches:
+        if "sketch_k" not in s.columns:
+            raise ValueError(
+                "kmv_merge inputs must come from kmv_sketch/kmv_merge "
+                "(missing the sketch_k column that proves build k)"
+            )
+    u = sketches[0].select(*group_cols, sketch_col, "sketch_k")
     for s in sketches[1:]:
-        u = u.unionByName(s.select(*group_cols, sketch_col))
-    return u.groupBy(*group_cols).agg(
-        F.slice(
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list(sketch_col)))
-            ),
-            1,
-            k,
-        ).alias(sketch_col)
+        u = u.unionByName(s.select(*group_cols, sketch_col, "sketch_k"))
+    checked = _checked_sketch_col(k, sketch_col, "kmv_merge")
+    return (
+        u.groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(checked)))
+                ),
+                1,
+                k,
+            ).alias(sketch_col)
+        )
+        .withColumn("sketch_k", F.lit(k).cast("int"))
     )
 
 
@@ -248,18 +301,23 @@ def kmv_estimate(
     sketch_df: DataFrame, k: int, sketch_col: str = "kmin_hashes"
 ) -> DataFrame:
     """Read the distinct-count estimate off a (possibly merged) sketch:
-    adds ``n_kept`` (set size) and ``est_distinct``. A set smaller than
-    k is the COMPLETE hash set of its corpus union, so the estimate is
-    exact; at k the (k-1)/R_k estimator applies — the identical
-    arithmetic (and bit pattern) as kmv_distinct on the union."""
-    n_kept = F.size(F.col(sketch_col)).cast("bigint")
-    kth = F.element_at(F.col(sketch_col), k)
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1))
-        / (kth.cast("double") / F.lit(float(2**_HASH_BITS)))
+    adds/overwrites ``n_kept`` (kept-minima count, min(k, set size))
+    and adds ``est_distinct``. A set smaller than k is the COMPLETE
+    hash set of its corpus union, so the estimate is exact; at k the
+    (k-1)/R_k estimator applies — the identical arithmetic (and bit
+    pattern) as kmv_distinct on the union. Estimating at k SMALLER than
+    the sketch's build k is valid (a k'-min set's first k elements ARE
+    the k-min set); larger is rejected via the carried ``sketch_k``."""
+    arr = (
+        _checked_sketch_col(k, sketch_col, "kmv_estimate")
+        if "sketch_k" in sketch_df.columns
+        else F.col(sketch_col)
     )
-    return sketch_df.withColumn("n_kept", n_kept).withColumn(
-        "est_distinct", est
+    df = sketch_df.withColumn(
+        "n_kept",
+        F.least(F.lit(k).cast("bigint"), F.size(arr).cast("bigint")),
     )
+    est = _kmv_est_expr(
+        k, arr, F.col("n_kept"), F.col("n_kept").cast("double")
+    )
+    return df.withColumn("est_distinct", est)

@@ -2885,6 +2885,23 @@ def test_kmv_sketch_merge_bit_identical_to_direct(spark):
     with pytest.raises(ValueError, match="at least one"):
         kmv_merge([], ["g"], k=k)
 
+    # k-contract guard: merging/estimating at k LARGER than the build k
+    # would silently overestimate (the truncated sets lack the union's
+    # k smallest) — must raise AT EXECUTION via the carried sketch_k
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(PySparkException, match="exceeds"):
+        kmv_merge([s_a, s_b], ["g"], k=64).collect()
+    with pytest.raises(PySparkException, match="exceeds"):
+        kmv_estimate(s_a, k=64).collect()
+    # smaller k is VALID (prefix property) and unsaturated groups take
+    # the exact branch without tripping ANSI array bounds
+    small = kmv_estimate(kmv_sketch(df.limit(40), ["g"], "it", k=k), k=8)
+    for r in small.collect():
+        assert r.n_kept <= 8 and r.est_distinct is not None
+    with pytest.raises(ValueError, match="sketch_k"):
+        kmv_merge([s_a.drop("sketch_k")], ["g"], k=k)
+
 
 def test_kmv_distinct_null_group_key_kept(spark):
     from spark_xml_spark.operators import kmv_distinct
