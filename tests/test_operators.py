@@ -2814,6 +2814,52 @@ def test_asof_join_bucketed_equivalent_to_plain(spark):
         asof_join_bucketed(left, right, ["k"], "t", ["val"], bucket_width=0)
 
 
+def test_asof_join_bucketed_negative_ts_and_multikey(spark):
+    """floor() bucketing must stay consistent across ZERO (floor(-3/10)
+    = -1, not 0) and the construction must hold for composite keys —
+    plain asof_join is again the oracle."""
+    import random
+
+    from spark_xml_spark.operators import asof_join, asof_join_bucketed
+
+    rng = random.Random(41)
+    left_rows, right_rows = [], []
+    eid = 0
+    for a in ("x", "y"):
+        for b in (1, 2):
+            for _ in range(12):
+                eid += 1
+                left_rows.append((eid, a, b, rng.randint(-500, 500)))
+            seen = set()
+            for _ in range(4):
+                rt = rng.randint(-500, 500)
+                if rt in seen:
+                    continue
+                seen.add(rt)
+                right_rows.append((a, b, rt, float(rng.randint(0, 9))))
+    left = spark.createDataFrame(
+        left_rows, "eid bigint, ka string, kb int, t bigint"
+    )
+    right = spark.createDataFrame(
+        right_rows, "ka string, kb int, t bigint, val double"
+    )
+    for direction in ("backward", "forward"):
+        want = {
+            r.eid: (r.val_asof, r.ts_asof)
+            for r in asof_join(
+                left, right, ["ka", "kb"], "t", ["val"], direction=direction
+            ).collect()
+        }
+        got = {
+            r.eid: (r.val_asof, r.ts_asof)
+            for r in asof_join_bucketed(
+                left, right, ["ka", "kb"], "t", ["val"],
+                bucket_width=37, direction=direction,
+            ).collect()
+        }
+        assert got == want, direction
+
+
 def test_kmv_distinct_randomized_against_python_md5_reference(spark):
     """The whole KMV pipeline (hash, k-min set, estimator) recomputed in
     pure Python from the same md5 definition: n_distinct, n_kept and the
@@ -2901,6 +2947,14 @@ def test_kmv_sketch_merge_bit_identical_to_direct(spark):
         assert r.n_kept <= 8 and r.est_distinct is not None
     with pytest.raises(ValueError, match="sketch_k"):
         kmv_merge([s_a.drop("sketch_k")], ["g"], k=k)
+    # mixed build ks merged at the SMALLEST: valid (prefix property) and
+    # still bit-identical to a direct sketch at that k
+    s_big = kmv_sketch(half_b, ["g"], "it", k=128)
+    mixed = kmv_estimate(kmv_merge([s_a, s_big], ["g"], k=k), k=k)
+    got_mixed = {
+        r.g: (r.n_kept, r.est_distinct) for r in mixed.collect()
+    }
+    assert got_mixed == want
 
 
 def test_kmv_distinct_null_group_key_kept(spark):

@@ -445,3 +445,23 @@ def test_stateful_and_multibyte_codecs_stay_whole_file():
     for s in _tok.plan_splits(p, "cp037", 64):
         split_par.extend(_tok.scan_split(s, "r", "cp037"))
     assert whole == split_par == recs
+
+
+def test_ebcdic_gzip_whole_file_decode():
+    """Compressed EBCDIC: gzip forces a whole-file split; the transcode
+    scanner must decode the decompressed cp037 stream exactly (the
+    compression branch of _scan_unit_width_range with owned=-1)."""
+    import gzip
+
+    recs = [f"<r><a>{i}</a></r>" for i in range(40)]
+    doc = "<root>" + "".join(recs) + "</root>"
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml.gz")
+    with gzip.open(p, "wb") as fh:
+        fh.write(doc.encode("cp037"))
+    splits = _tok.plan_splits(p, "cp037", 64)
+    assert len(splits) == 1 and splits[0].whole_file
+    got = []
+    for s in splits:
+        got.extend(_tok.scan_split(s, "r", "cp037"))
+    assert got == recs
