@@ -452,11 +452,12 @@ def q_xml_exists_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _retire_intermediates,
     )
 
-    _retire_intermediates()
+    _retire_intermediates("q_xml_exists_join")
     osum = _persist_intermediate(
         o.groupBy("o_custkey").agg(
             F.max(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent")
-        )
+        ),
+        "q_xml_exists_join",
     )
     urgent_keys = osum.filter(F.col("has_urgent"))
     semi = (

@@ -200,25 +200,30 @@ def _hashed_shingle_frame(
 # projection re-evaluates once per branch — measured 2.19s vs 1.19s for
 # the Jaccard pipeline at sf0.1, and at 100 TB each re-evaluation is a
 # full corpus read. Frames persist MEMORY_AND_DISK (spill, LRU-evictable
-# — eviction only costs recompute) and the previous call's generation is
-# retired on the next operator call, so at most one generation stays
-# cached. A caller interleaving two operator calls before consuming the
-# first result only loses the cache, never correctness.
-_INTERMEDIATES: list = []
+# — eviction only costs recompute). Retirement is SCOPED PER OPERATOR:
+# each operator retires only its OWN previous call's generation, so
+# building operator B never unpersists operator A's not-yet-executed
+# plan (a global drain would put A's multi-consumer subtree back on the
+# re-evaluate-per-branch path — the exact anti-pattern the persist
+# exists to prevent). At most one generation stays cached per operator;
+# a caller interleaving two calls of the SAME operator before consuming
+# the first result only loses the cache, never correctness.
+_INTERMEDIATES: dict = {}
 
 
-def _persist_intermediate(df: DataFrame) -> DataFrame:
+def _persist_intermediate(df: DataFrame, scope: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _INTERMEDIATES.append(df)
+    _INTERMEDIATES.setdefault(scope, []).append(df)
     return df
 
 
-def _retire_intermediates() -> None:
-    while _INTERMEDIATES:
+def _retire_intermediates(scope: str) -> None:
+    frames = _INTERMEDIATES.pop(scope, [])
+    while frames:
         try:
-            _INTERMEDIATES.pop().unpersist(blocking=False)
+            frames.pop().unpersist(blocking=False)
         except Exception:
             pass  # session already stopped; nothing to release
 
@@ -315,9 +320,10 @@ def ngram_jaccard_pairs(
     # prefix below the AllPairs bound. _sz is size() BEFORE that distinct,
     # i.e. the string-distinct size, which is >= the hashed-distinct size,
     # so the prefix length is conservative (can only add candidates).
-    _retire_intermediates()
+    _retire_intermediates("ngram_jaccard_pairs")
     harr = _persist_intermediate(
-        _hashed_shingle_frame(df, id_col, text_col, n)
+        _hashed_shingle_frame(df, id_col, text_col, n),
+        "ngram_jaccard_pairs",
     )
     sh = harr.select(
         "_id",
@@ -337,7 +343,8 @@ def ngram_jaccard_pairs(
         sh.join(freq, "_s")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-        .select("_id", "_s", "_sz")
+        .select("_id", "_s", "_sz"),
+        "ngram_jaccard_pairs",
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -506,9 +513,10 @@ def minhash_near_dup_pairs(
     # one persisted shingle frame feeds the signature aggregation AND both
     # verify sides — without it the scan+shingle projection evaluates
     # three times (once per branch), a triple corpus read at scale
-    _retire_intermediates()
+    _retire_intermediates("minhash_near_dup_pairs")
     sh = _persist_intermediate(
-        _hashed_shingle_frame(df, id_col, text_col, n)
+        _hashed_shingle_frame(df, id_col, text_col, n),
+        "minhash_near_dup_pairs",
     )
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, bands, max_bucket, observation,
@@ -579,12 +587,14 @@ def minhash_cross_pairs(
     64-bit shingle-hash collisions, like the whole minhash family."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    _retire_intermediates()
+    _retire_intermediates("minhash_cross_pairs")
     shl = _persist_intermediate(
-        _hashed_shingle_frame(left, id_col, text_col, n)
+        _hashed_shingle_frame(left, id_col, text_col, n),
+        "minhash_cross_pairs",
     )
     shr = _persist_intermediate(
-        _hashed_shingle_frame(right, id_col, text_col, n)
+        _hashed_shingle_frame(right, id_col, text_col, n),
+        "minhash_cross_pairs",
     )
     bl = _band_frame(
         _minhash_sig_cols(left, id_col, text_col, n, num_hashes, shl),
@@ -874,7 +884,7 @@ def substring_dup_spans(
     window function, one keyed aggregation; the collected list is bounded
     by the document's own token count). Nothing is all-pairs and no
     buffer exceeds one document's positions."""
-    _retire_intermediates()
+    _retire_intermediates("substring_dup_spans")
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     cnt = F.size(words) - (k - 1)
     zipped = F.arrays_zip(
@@ -891,7 +901,8 @@ def substring_dup_spans(
             F.when(F.size(words) >= k, grams)
             .otherwise(F.array().cast("array<bigint>"))
             .alias("_g"),
-        )
+        ),
+        "substring_dup_spans",
     )
     # grams hashed ONCE into the persisted frame; the two consumers below
     # (frequency count + position join-back) each re-explode it, which is

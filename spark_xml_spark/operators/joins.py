@@ -238,12 +238,13 @@ def asof_join_bucketed(
         _retire_intermediates,
     )
 
-    _retire_intermediates()
+    _retire_intermediates("asof_join_bucketed")
     pass1 = _persist_intermediate(
         asof_join(
             lb, rb, on + ["_bkt"], ts_col, value_cols,
             direction=direction, suffix=suffix,
-        )
+        ),
+        "asof_join_bucketed",
     )
 
     matched = pass1.filter(F.col("ts" + suffix).isNotNull())

@@ -895,12 +895,13 @@ def cosine_pairs(
         capped_collect,
     )
 
-    _retire_intermediates()
+    _retire_intermediates("cosine_pairs")
     vecs = _persist_intermediate(
         df.select(
             F.col(id_col).alias("_vid"),
             F.col(vec_col).cast("array<double>").alias("_v"),
-        )
+        ),
+        "cosine_pairs",
     )
     banded = vecs.select(
         F.col("_vid").alias("_id"),

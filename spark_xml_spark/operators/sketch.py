@@ -47,13 +47,37 @@ def kmv_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _canon_key(v):
+    """Hashable, NaN-canonical state key for one group-column value.
+    Type tags keep the NaN sentinel and container encodings disjoint
+    from every plain value (a user string can never collide with the
+    NaN marker). All NaNs fold to one key — matching Spark's groupBy
+    NaN normalization — while the EMITTED value stays the original
+    (NaN as NaN, never conflated with NULL)."""
+    if isinstance(v, float) and v != v:
+        return (1,)
+    if isinstance(v, list):
+        return (2, tuple(_canon_key(x) for x in v))
+    if isinstance(v, dict):  # arrow struct: field order is schema order
+        return (3, tuple((kk, _canon_key(vv)) for kk, vv in v.items()))
+    return (0, v)
+
+
 def _kmin_partials(hashes: DataFrame, group_cols, k: int):
     """Phase-1 prereduce shared by kmv_distinct and kmv_sketch: stream
     each partition of the DISTINCT (group, _hv) frame through an
     Arrow-batched fold holding O(groups-in-partition * k) state; emit one
     (group..., _pc partial-count, _kmin k-smallest array) row per group
     per partition. After distinct() the hashes are globally unique, so
-    partial counts SUM exactly and k-min sets MERGE exactly."""
+    partial counts SUM exactly and k-min sets MERGE exactly.
+
+    mapInArrow, NOT mapInPandas: the pandas round-trip coerces nullable
+    bigint group keys to float64 (keys above 2^53 lose precision) and
+    re-emits a NaN double key as NULL (from_pandas NaN->null), conflating
+    NaN and NULL groups. Arrow batches carry every type losslessly; the
+    original group values are re-emitted untouched via as_py -> pa.array
+    with the input batch's own types (Python ints are exact at any
+    width; from_pandas=False keeps NaN a value, not a null)."""
     out_schema = T.StructType(
         [hashes.schema[c] for c in group_cols]
         + [
@@ -63,56 +87,67 @@ def _kmin_partials(hashes: DataFrame, group_cols, k: int):
     )
 
     def _partition_kmin(batches):
-        # key -> [one-row group-col frame (dtype-preserving), count,
-        # unsorted np array of current k smallest]. A NaN group key may
-        # map to several state entries across batches (NaN identity);
-        # harmless — the phase-2 groupBy merges null keys, counts stay
-        # exact because every hash appears in exactly one entry.
-        # Executor-side imports: keep numpy/pandas off the module's
-        # import path (driver imports of the operators package must not
-        # eagerly pay them).
+        # canon key -> [original group values (as_py), count,
+        # unsorted np array of current k smallest]. Executor-side
+        # imports: keep numpy/pyarrow off the module's import path
+        # (driver imports of the operators package must not pay them).
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         state: dict = {}
-        for pdf in batches:
-            if pdf.empty:
+        gtypes = None
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            # no group cols -> one global group (pandas groupby([]) raises)
-            groups = (
-                pdf.groupby(group_cols, dropna=False, sort=False)
-                if group_cols
-                else [((), pdf)]
-            )
-            for key, sub in groups:
-                kt = key if isinstance(key, tuple) else (key,)
-                hv = sub["_hv"].to_numpy()
+            if gtypes is None:
+                gtypes = [batch.schema.field(c).type for c in group_cols]
+            hv = batch.column("_hv").to_numpy(zero_copy_only=False)
+            if group_cols:
+                pylists = [batch.column(c).to_pylist() for c in group_cols]
+                idx_by_key: dict = {}
+                for i in range(n):
+                    kt = tuple(_canon_key(pl[i]) for pl in pylists)
+                    idx_by_key.setdefault(kt, []).append(i)
+            else:
+                pylists = []
+                idx_by_key = {(): None}  # whole batch, one global group
+            for kt, idxs in idx_by_key.items():
+                sub = hv if idxs is None else hv[idxs]
                 st = state.get(kt)
                 if st is None:
                     kmin = (
-                        hv.copy()
-                        if hv.size <= k
-                        else np.partition(hv, k - 1)[:k]
+                        sub.copy()
+                        if sub.size <= k
+                        else np.partition(sub, k - 1)[:k]
                     )
-                    state[kt] = [sub.iloc[:1][group_cols], int(hv.size), kmin]
+                    orig = (
+                        [pl[idxs[0]] for pl in pylists] if idxs else []
+                    )
+                    state[kt] = [orig, int(sub.size), kmin]
                 else:
-                    st[1] += int(hv.size)
-                    merged = np.concatenate([st[2], hv])
+                    st[1] += int(sub.size)
+                    merged = np.concatenate([st[2], sub])
                     if merged.size > k:
                         merged = np.partition(merged, k - 1)[:k]
                     st[2] = merged
         if state:
-            heads, pcs, kmins = [], [], []
-            for head, pc, kmin in state.values():
-                heads.append(head)
-                pcs.append(pc)
-                kmins.append(np.sort(kmin).tolist())
-            out = pd.concat(heads, ignore_index=True)
-            out["_pc"] = pd.Series(pcs, dtype="int64", index=out.index)
-            out["_kmin"] = pd.Series(kmins, index=out.index)
-            yield out
+            rows = list(state.values())
+            arrays = [
+                pa.array([r[0][j] for r in rows], type=gtypes[j],
+                         from_pandas=False)
+                for j in range(len(group_cols))
+            ]
+            arrays.append(pa.array([r[1] for r in rows], type=pa.int64()))
+            arrays.append(
+                pa.array([np.sort(r[2]).tolist() for r in rows],
+                         type=pa.list_(pa.int64()))
+            )
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[*group_cols, "_pc", "_kmin"]
+            )
 
-    return hashes.mapInPandas(_partition_kmin, out_schema)
+    return hashes.mapInArrow(_partition_kmin, out_schema)
 
 
 def _distinct_hashes(df, group_cols, item_col: str) -> DataFrame:

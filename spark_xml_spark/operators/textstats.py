@@ -473,14 +473,15 @@ def pack_sequences(
 
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    _retire_intermediates()
+    _retire_intermediates("pack_sequences")
     ranged = _persist_intermediate(
         df.withColumn(
             "_pk_tok", F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
         )
         .repartitionByRange(p, F.col(id_col))
         .sortWithinPartitions(id_col)
-        .withColumn("_pk_pid", F.spark_partition_id())
+        .withColumn("_pk_pid", F.spark_partition_id()),
+        "pack_sequences",
     )
     sums = {
         r["_pk_pid"]: r["_s"]
@@ -962,14 +963,15 @@ def remove_frequent_lines(
             f"input columns {sorted(clash)} collide with "
             "remove_frequent_lines internals/outputs; rename them first"
         )
-    _retire_intermediates()  # previous operator call's cached frames
+    _retire_intermediates("remove_frequent_lines")  # own previous call only
     split_pat = "\\Q" + sep + "\\E"
     col = F.col(text_col)
     lines = _persist_intermediate(
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(F.split(col, split_pat)).alias("_line"),
-        ).filter(F.col("_line").rlike("[^ \\t\\r\\f]"))
+        ).filter(F.col("_line").rlike("[^ \\t\\r\\f]")),
+        "remove_frequent_lines",
     )
     banned = (
         lines.groupBy("_line")

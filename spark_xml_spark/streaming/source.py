@@ -81,8 +81,28 @@ class XmlStreamReader(DataSourceStreamReader):
                 "checkpointlocation"
             )
             if ckpt and "://" not in ckpt:
+                # Namespace the cursor PER SOURCE: a query that unions two
+                # capped xml-graft readers hands both the same reader
+                # checkpointLocation, and a shared fixed filename would
+                # make each overwrite the other's admitted position
+                # (capped-restart replay could then skip or re-admit
+                # files). Key on the canonical data path + the admission
+                # knobs so co-located readers get distinct cursor files,
+                # while the same reader re-derives the same name across
+                # restarts.
+                import hashlib
+
+                ident = "|".join(
+                    str(x)
+                    for x in (
+                        os.path.abspath(self._path),
+                        self._max_files,
+                        self._max_bytes,
+                    )
+                )
+                tag = hashlib.sha256(ident.encode()).hexdigest()[:16]
                 self._cursor_path = os.path.join(
-                    ckpt, "xml_graft_admission_cursor.json"
+                    ckpt, f"xml_graft_admission_cursor-{tag}.json"
                 )
                 try:
                     os.makedirs(ckpt, exist_ok=True)
@@ -201,9 +221,12 @@ class XmlStreamReader(DataSourceStreamReader):
         in order:
           1. ``admissionCursorPath`` (opt-in, one file per query like
              checkpointLocation; auto-derived as
-             ``<checkpointLocation>/xml_graft_admission_cursor.json``
-             when a cap is set and the reader was given the checkpoint
-             dir): the planned position persisted at
+             ``<checkpointLocation>/xml_graft_admission_cursor-<tag>.json``
+             with the tag hashed from the data path + cap options, so a
+             query unioning two capped xml-graft readers under one
+             checkpoint dir cannot share — and clobber — one cursor
+             file; derived when a cap is set and the reader was given
+             the checkpoint dir): the planned position persisted at
              partitions() time, when it is already WAL-durable in the
              engine. Present -> capped restart; absent -> treated as a
              fresh query, capped from the very first batch (the 100 TB

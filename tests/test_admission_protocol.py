@@ -193,8 +193,11 @@ def test_checkpoint_option_autoderives_cursor_capped_batch0(tmp_path):
     sim.run_one_batch()
     # fresh backlog start, no explicit cursor option: batch 0 is capped
     assert sim.batch_new_counts[0][1] == 2
-    derived = ckpt / "xml_graft_admission_cursor.json"
-    assert derived.exists()
+    derived = [
+        p for p in ckpt.iterdir()
+        if p.name.startswith("xml_graft_admission_cursor-")
+    ]
+    assert len(derived) == 1  # per-source namespaced cursor file
 
     sim.run_one_batch(crash_before_commit=True)  # replay via restart
     sim.drain()
@@ -215,3 +218,34 @@ def test_cursor_file_written_at_partitions_time(tmp_path):
     cursor = os.path.join(str(src), "..", "cursor.json")
     files = json.load(open(cursor))["files"]
     assert len(files) == 2  # the planned position, not the full snapshot
+
+
+def test_derived_cursor_namespaced_per_source(tmp_path):
+    """Two capped readers sharing one checkpointLocation (a union query)
+    must derive DISTINCT cursor files — a shared file would let each
+    overwrite the other's admitted position (skip/re-admit on restart).
+    The same reader config re-derives the same name across restarts."""
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(path, cap="2"):
+        return XmlStreamReader(
+            {"path": str(path), "rowTag": "r", "maxFilesPerTrigger": cap,
+             "checkpointLocation": ckpt},
+            SCHEMA,
+        )
+
+    ra, rb = mk(a), mk(b)
+    assert ra._cursor_path != rb._cursor_path
+    assert os.path.dirname(ra._cursor_path) == ckpt
+    assert os.path.basename(ra._cursor_path).startswith(
+        "xml_graft_admission_cursor-"
+    )
+    # stable across restarts of the same source ...
+    assert mk(a)._cursor_path == ra._cursor_path
+    # ... and distinct when only the cap differs (different admission
+    # semantics must not resume from each other's position)
+    assert mk(a, cap="3")._cursor_path != ra._cursor_path

@@ -2968,6 +2968,38 @@ def test_kmv_distinct_null_group_key_kept(spark):
     assert out == {None: 2, "g": 1}
 
 
+def test_kmv_group_keys_survive_arrow_prereduce_losslessly(spark):
+    """ADVICE r9: the prereduce must not route group keys through pandas
+    dtypes — a nullable bigint key above 2^53 must come back exact, and
+    a NaN double key must stay NaN (ONE NaN group, Spark groupBy
+    semantics), never conflated with the NULL group."""
+    import math
+
+    from spark_xml_spark.operators import kmv_distinct
+
+    big = (1 << 60) + 1  # not representable in float64
+    df = spark.createDataFrame(
+        [(big, "a"), (big, "b"), (None, "a"), (7, "c")],
+        "grp bigint, it string",
+    )
+    out = {r.grp: r.n_distinct
+           for r in kmv_distinct(df, ["grp"], "it", k=8).collect()}
+    assert out == {big: 2, None: 1, 7: 1}
+
+    nan = float("nan")
+    dfd = spark.createDataFrame(
+        [(nan, "a"), (nan, "b"), (nan, "c"), (None, "a"), (1.5, "a")],
+        "grp double, it string",
+    )
+    rows = kmv_distinct(dfd, ["grp"], "it", k=8).collect()
+    got = {}
+    for r in rows:
+        key = "nan" if r.grp is not None and math.isnan(r.grp) else r.grp
+        assert key not in got  # NaN keys merge into ONE group
+        got[key] = r.n_distinct
+    assert got == {"nan": 3, None: 1, 1.5: 1}
+
+
 def test_range_join_shared_column_guard(spark):
     from spark_xml_spark.operators import range_join
 

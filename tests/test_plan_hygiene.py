@@ -197,12 +197,14 @@ def test_text_vocab_topk_never_global_sorts(push_conf):
 
 def test_kmv_two_phase_no_window_no_group_sort(push_conf):
     # kmv_distinct must be the mergeable two-phase shape: an Arrow
-    # prereduce (MapInPandas) over the distinct hashes + a plain hash
-    # aggregate over the bounded partials. A Window or any Sort over the
-    # hash frame means the old corpus-scale row_number rank crept back
-    # (the only sort allowed is the query's own final orderBy, which
-    # runs over #groups rows and renders as the top-level Sort; assert
-    # on the operator directly to exclude even that).
+    # prereduce (MapInArrow — raw Arrow batches, no pandas dtype
+    # round-trip that would corrupt >2^53 bigint or NaN group keys)
+    # over the distinct hashes + a plain hash aggregate over the
+    # bounded partials. A Window or any Sort over the hash frame means
+    # the old corpus-scale row_number rank crept back (the only sort
+    # allowed is the query's own final orderBy, which runs over #groups
+    # rows and renders as the top-level Sort; assert on the operator
+    # directly to exclude even that).
     from spark_xml_spark.operators import kmv_distinct
 
     d = push_conf.read.parquet(f"{SF}/documents.parquet")
@@ -210,7 +212,8 @@ def test_kmv_two_phase_no_window_no_group_sort(push_conf):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Sort " not in plan and "Sort(" not in plan, plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan, plan
+    assert "MapInPandas" not in plan  # pandas round-trip is banned here
     assert "BatchEvalPython" not in plan
 
 
