@@ -2922,6 +2922,28 @@ def q_text_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_text_kmv_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimate-only mode (operators/sketch.py kmv_distinct
+    exact=False): the 100 TB path. Exact mode's global distinct() over
+    every (group, hash) pair is a corpus-cardinality shuffle when items
+    are near-unique; this mode dedups inside the per-partition Arrow
+    k-min prefilter instead, so at most partitions x k rows per group
+    ever shuffle — and the estimate is BIT-IDENTICAL to exact mode's
+    (any global k-minimum is among its own partition's k smallest
+    distinct). Oracle: the same portable md5-prefix sketch in DuckDB,
+    est_distinct and n_kept only (no exact count — that is precisely
+    the cost this mode refuses to pay)."""
+    from spark_xml_spark.operators import kmv_distinct
+    from spark_xml_spark.operators.dedup import _word_shingles
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    sh = d.select(
+        "source", F.explode(_word_shingles(F.col("text"), 3)).alias("g")
+    )
+    out = kmv_distinct(sh, ["source"], "g", k=64, exact=False)
+    return out.select("source", "n_kept", "est_distinct").orderBy("source")
+
+
 def q_events_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join (operators/joins.py asof_join,
     direction='forward'): every click event attaches the user's NEXT
@@ -3231,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_bucketed": q_events_asof_bucketed,
         "text_kmv_merge": q_text_kmv_merge,
         "stream_kmv": q_stream_kmv,
+        "text_kmv_est": q_text_kmv_est,
     }
 
 
@@ -4873,6 +4896,31 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(kth AS DOUBLE) / POWER(2, 60))
                END AS est_distinct
         FROM ex JOIN kk USING (source)
+        ORDER BY source
+    """
+    )
+    sql["text_kmv_est"] = (
+        "WITH "
+        + _SHINGLES_CTE
+        + """
+        , g AS (
+          SELECT d.source, unnest(s.sh) AS g
+          FROM s JOIN documents d USING (doc_id)
+        ), h AS (
+          SELECT DISTINCT source,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hv
+          FROM g WHERE g IS NOT NULL
+        ), r AS (
+          SELECT source, hv,
+                 row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+          FROM h
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE)
+                         / (CAST(MAX(hv) AS DOUBLE) / POWER(2, 60))
+               END AS est_distinct
+        FROM r WHERE rn <= 64 GROUP BY source
         ORDER BY source
     """
     )

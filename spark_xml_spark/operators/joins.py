@@ -37,6 +37,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: Optional[float] = None,
     suffix: str = "_asof",
+    _keep_union: bool = False,
 ) -> DataFrame:
     """LEFT as-of join: for every left row, attach the right row with the
     LARGEST ``ts_col`` <= the left row's (''backward''; ties at equal ts
@@ -162,8 +163,17 @@ def asof_join(
             matched[v + suffix]
         )
 
+    annotated = u.withColumns(carried)
+    if _keep_union:
+        # INTERNAL (asof_join_bucketed): hand back the annotated union
+        # BEFORE the side filter/projection. Its output partitioning is
+        # the window's hashpartitioning(on...) — persisting THIS frame
+        # lets the caller derive both the left output (side==1) and a
+        # per-key right rollup (side==0, columns v<suffix>/ts_col) off
+        # one cache with zero further exchanges.
+        return annotated
     return (
-        u.withColumns(carried)
+        annotated
         .filter(F.col("_asof_side") == 1)
         .select(*left.columns, *[v + suffix for v in value_cols], "ts" + suffix)
     )
@@ -229,22 +239,33 @@ def asof_join_bucketed(
     lb = left.withColumn("_bkt", F.floor(F.col(ts_col) / w).cast("bigint"))
     rb = right.withColumn("_bkt", F.floor(F.col(ts_col) / w).cast("bigint"))
 
-    # pass1 feeds THREE consumers (matched, repaired, need.distinct) —
-    # persist it or the union+sort+window subtree re-evaluates per
-    # branch (the subplan re-evaluation anti-pattern, tripling the
-    # dominant stage's cost exactly where this operator promises scale)
+    # The annotated pass-1 UNION feeds FOUR consumers (matched,
+    # repaired, need.distinct, and the right rollup) — persist it or
+    # the union+sort+window subtree re-evaluates per branch (the
+    # subplan re-evaluation anti-pattern, quadrupling the dominant
+    # stage's cost exactly where this operator promises scale).
+    # Persisting the PRE-FILTER union (not the filtered left output) is
+    # the exchange diet: the cache is hashpartitioned(on..., _bkt) by
+    # the pass-1 window, so the side==1 filters, need.distinct() (alias
+    # -preserved), the RESIDUAL side of the repair join, AND the
+    # side==0 per-(key, bucket) rollup all come off it with ZERO new
+    # exchanges — and the right side's upstream (a corpus read at
+    # 100 TB) is never evaluated a second time.
     from spark_xml_spark.operators.dedup import (
         _persist_intermediate,
         _retire_intermediates,
     )
 
     _retire_intermediates("asof_join_bucketed")
-    pass1 = _persist_intermediate(
+    ann = _persist_intermediate(
         asof_join(
             lb, rb, on + ["_bkt"], ts_col, value_cols,
-            direction=direction, suffix=suffix,
+            direction=direction, suffix=suffix, _keep_union=True,
         ),
         "asof_join_bucketed",
+    )
+    pass1 = ann.filter(F.col("_asof_side") == 1).select(
+        *lb.columns, *out_vals, "ts" + suffix
     )
 
     matched = pass1.filter(F.col("ts" + suffix).isNotNull())
@@ -252,18 +273,23 @@ def asof_join_bucketed(
         "ts" + suffix, *out_vals
     )
 
-    # per-(key, bucket) right rollup: the LAST (backward) / FIRST
-    # (forward) right struct in the bucket. ts is the struct's first
-    # field, so min/max order by ts; equal-ts duplicates are the same
-    # caller-dedup contract as asof_join.
+    # per-(key, bucket) right rollup off the SAME cache (side==0 rows
+    # carry their values as <v><suffix> after pass 1's projection): the
+    # LAST (backward) / FIRST (forward) right struct in the bucket. ts
+    # is the struct's first field, so min/max order by ts; equal-ts
+    # duplicates are the same caller-dedup contract as asof_join. The
+    # cache partitioning satisfies this groupBy — no exchange.
     rstruct = F.struct(
-        F.col(ts_col).alias("_ts"), *[F.col(v) for v in value_cols]
+        F.col(ts_col).alias("_ts"),
+        *[F.col(v + suffix).alias(v) for v in value_cols],
     )
     key_ok = F.lit(True)
     for k in on:
         key_ok = key_ok & F.col(k).isNotNull()
     pb = (
-        rb.filter(key_ok & F.col(ts_col).isNotNull())
+        ann.filter(
+            (F.col("_asof_side") == 0) & key_ok & F.col(ts_col).isNotNull()
+        )
         .groupBy(*on, "_bkt")
         .agg((F.max(rstruct) if back else F.min(rstruct)).alias("_last"))
     )

@@ -63,13 +63,22 @@ def _canon_key(v):
     return (0, v)
 
 
-def _kmin_partials(hashes: DataFrame, group_cols, k: int):
+def _kmin_partials(hashes: DataFrame, group_cols, k: int,
+                   dedup_in_state: bool = False):
     """Phase-1 prereduce shared by kmv_distinct and kmv_sketch: stream
     each partition of the DISTINCT (group, _hv) frame through an
     Arrow-batched fold holding O(groups-in-partition * k) state; emit one
     (group..., _pc partial-count, _kmin k-smallest array) row per group
     per partition. After distinct() the hashes are globally unique, so
     partial counts SUM exactly and k-min sets MERGE exactly.
+
+    With ``dedup_in_state`` the input needs NO global distinct() first
+    (the corpus-cardinality shuffle): each partition's k-min set is kept
+    distinct locally (np.unique fold), partial counts are meaningless
+    and omitted, and phase 2 must array_distinct across partitions. Any
+    hash among the global k smallest is among its own partition's k
+    smallest distinct, so the merged slice is still EXACTLY the global
+    k-min set — the estimate is bit-identical to the exact path's.
 
     mapInArrow, NOT mapInPandas: the pandas round-trip coerces nullable
     bigint group keys to float64 (keys above 2^53 lose precision) and
@@ -80,8 +89,9 @@ def _kmin_partials(hashes: DataFrame, group_cols, k: int):
     width; from_pandas=False keeps NaN a value, not a null)."""
     out_schema = T.StructType(
         [hashes.schema[c] for c in group_cols]
+        + ([] if dedup_in_state
+           else [T.StructField("_pc", T.LongType(), False)])
         + [
-            T.StructField("_pc", T.LongType(), False),
             T.StructField("_kmin", T.ArrayType(T.LongType(), False), False),
         ]
     )
@@ -116,11 +126,16 @@ def _kmin_partials(hashes: DataFrame, group_cols, k: int):
                 sub = hv if idxs is None else hv[idxs]
                 st = state.get(kt)
                 if st is None:
-                    kmin = (
-                        sub.copy()
-                        if sub.size <= k
-                        else np.partition(sub, k - 1)[:k]
-                    )
+                    if dedup_in_state:
+                        # np.unique sorts AND dedups; first k = the
+                        # partition's k smallest distinct so far
+                        kmin = np.unique(sub)[:k]
+                    else:
+                        kmin = (
+                            sub.copy()
+                            if sub.size <= k
+                            else np.partition(sub, k - 1)[:k]
+                        )
                     orig = (
                         [pl[idxs[0]] for pl in pylists] if idxs else []
                     )
@@ -128,7 +143,9 @@ def _kmin_partials(hashes: DataFrame, group_cols, k: int):
                 else:
                     st[1] += int(sub.size)
                     merged = np.concatenate([st[2], sub])
-                    if merged.size > k:
+                    if dedup_in_state:
+                        merged = np.unique(merged)[:k]
+                    elif merged.size > k:
                         merged = np.partition(merged, k - 1)[:k]
                     st[2] = merged
         if state:
@@ -138,14 +155,18 @@ def _kmin_partials(hashes: DataFrame, group_cols, k: int):
                          from_pandas=False)
                 for j in range(len(group_cols))
             ]
-            arrays.append(pa.array([r[1] for r in rows], type=pa.int64()))
+            names = list(group_cols)
+            if not dedup_in_state:
+                arrays.append(
+                    pa.array([r[1] for r in rows], type=pa.int64())
+                )
+                names.append("_pc")
             arrays.append(
                 pa.array([np.sort(r[2]).tolist() for r in rows],
                          type=pa.list_(pa.int64()))
             )
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=[*group_cols, "_pc", "_kmin"]
-            )
+            names.append("_kmin")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return hashes.mapInArrow(_partition_kmin, out_schema)
 
@@ -184,13 +205,26 @@ def kmv_distinct(
     group_cols: Sequence[str],
     item_col: str,
     k: int = 64,
+    exact: bool = True,
 ) -> DataFrame:
     """Per-group distinct-count estimate of ``item_col``. Output:
     group_cols..., ``n_distinct`` (exact distinct-HASH count — exact up
-    to md5 collisions, identically in any engine), ``n_kept``
-    (min(k, n_distinct) sketch size), ``est_distinct`` (double; equals
-    n_distinct exactly when the group has fewer than k distinct values).
-    NULL items are ignored (a NULL observation carries no identity)."""
+    to md5 collisions, identically in any engine; EXACT MODE ONLY),
+    ``n_kept`` (min(k, n_distinct) sketch size), ``est_distinct``
+    (double; equals the true distinct count exactly when the group has
+    fewer than k distinct values). NULL items are ignored (a NULL
+    observation carries no identity).
+
+    ``exact=False`` is the 100 TB ESTIMATE-ONLY mode: it skips the
+    global distinct() over every (group, hash) pair — with near-unique
+    items that distinct is a corpus-cardinality shuffle, the dominant
+    cost at scale — and instead dedups inside the per-partition k-min
+    prefilter, so at most partitions x k rows per group ever shuffle.
+    No ``n_distinct`` column (an exact count is exactly what it does
+    not pay for); ``n_kept`` and ``est_distinct`` are BIT-IDENTICAL to
+    exact mode's (any of the global k smallest hashes is among its own
+    partition's k smallest distinct, so the merged slice is exactly
+    the global k-min set)."""
     if k < 2:
         raise ValueError("k must be >= 2")
     group_cols = list(group_cols)
@@ -201,6 +235,35 @@ def kmv_distinct(
         raise ValueError(
             f"input columns {sorted(clash)} collide with kmv_distinct "
             "internals/outputs; rename them first"
+        )
+    if not exact:
+        hashes = df.filter(F.col(item_col).isNotNull()).select(
+            *group_cols, kmv_hash(F.col(item_col)).alias("_hv")
+        )
+        partials = _kmin_partials(
+            hashes, group_cols, k, dedup_in_state=True
+        )
+        # the SAME hash can reach phase 2 from several partitions —
+        # array_distinct before the slice (kmv_merge's idempotent-union
+        # shape); one bounded hash aggregate, one shuffle in the plan
+        agg = partials.groupBy(*group_cols).agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_kmin")))
+                ),
+                1,
+                k,
+            ).alias("_kmin")
+        )
+        n_kept = F.size("_kmin").cast("bigint")
+        est = _kmv_est_expr(
+            k, F.col("_kmin"), F.col("n_kept"),
+            F.col("n_kept").cast("double"),
+        )
+        return (
+            agg.withColumn("n_kept", n_kept)
+            .withColumn("est_distinct", est)
+            .drop("_kmin")
         )
     partials = _kmin_partials(
         _distinct_hashes(df, group_cols, item_col), group_cols, k

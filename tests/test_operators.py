@@ -3000,6 +3000,40 @@ def test_kmv_group_keys_survive_arrow_prereduce_losslessly(spark):
     assert got == {"nan": 3, None: 1, 1.5: 1}
 
 
+def test_kmv_estimate_mode_bit_identical_and_bounded(spark):
+    """exact=False must skip the global distinct() (the
+    corpus-cardinality shuffle) yet produce BIT-IDENTICAL n_kept and
+    est_distinct: any global k-minimum is among its own partition's k
+    smallest distinct, so the merged slice is exactly the global k-min
+    set. Groups below k (complete set -> exact estimate) and above k
+    (saturated estimator) both covered."""
+    import random
+
+    from spark_xml_spark.operators import kmv_distinct
+
+    random.seed(11)
+    rows = [(f"g{i % 4}", f"it{random.randrange(500 if i % 4 else 20)}")
+            for i in range(6000)]
+    df = spark.createDataFrame(rows, "g string, it string").repartition(5)
+    want = {r.g: (r.n_kept, r.est_distinct)
+            for r in kmv_distinct(df, ["g"], "it", k=48).collect()}
+    est = kmv_distinct(df, ["g"], "it", k=48, exact=False)
+    assert est.columns == ["g", "n_kept", "est_distinct"]  # no n_distinct
+    got = {r.g: (r.n_kept, r.est_distinct) for r in est.collect()}
+    assert got == want  # bit-identical, saturated and unsaturated alike
+
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    # after execution AQE prints Final + Initial sections; count nodes
+    # in the FINAL plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    # bounded shape: the only exchange the OPERATOR adds sits above the
+    # Arrow prefilter — no distinct shuffle of raw (group, hash) pairs
+    # below it (the test's own repartition is the other exchange)
+    assert plan.index("Exchange") < plan.index("MapInArrow"), plan
+    assert plan.count("Exchange") == 2, plan  # groupBy + test repartition
+    assert "Window" not in plan and "Sort " not in plan
+
+
 def test_range_join_shared_column_guard(spark):
     from spark_xml_spark.operators import range_join
 

@@ -217,6 +217,55 @@ def test_kmv_two_phase_no_window_no_group_sort(push_conf):
     assert "BatchEvalPython" not in plan
 
 
+def test_asof_bucketed_exchange_budget(push_conf):
+    # VERDICT r9 task 5: the skew recipe must not pay for its safety in
+    # shuffles. Since the annotated pass-1 UNION (hashpartitioned on
+    # key x bucket) is the persisted frame, the side filters, the
+    # residual's distinct, the residual repair-join side AND the
+    # side==0 rollup all reuse its clustering — budget: at most 8
+    # unique Exchange nodes in the executed-plan print at sf0.001
+    # (the print double-counts the cached subtree's exchanges across
+    # AQE sections, so the true executed count is lower still), and
+    # the right side must never shuffle for a separate rollup scan
+    # (every remaining hash exchange is the user upstream dedup, the
+    # pass-1 window, the bounded repair window, or the final orderBy).
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.queries()["events_asof_bucketed"](push_conf, SF)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seen = {}
+    for m in re.finditer(
+        r"Exchange (hashpartitioning\([^)]*\)|\w+\([^)]*\))"
+        r"[^\n]*?\[plan_id=(\d+)\]",
+        plan,
+    ):
+        seen[m.group(2)] = m.group(1)
+    assert len(seen) <= 8, sorted(seen.values())
+    # distinct SHAPES (expr ids normalized): purchase dedup, pass-1
+    # key x bucket window, bounded repair window, final orderBy range
+    # partitioning, plus at most one broadcast for the repair join —
+    # a 6th shape would mean a branch stopped reusing the cache
+    shapes = {re.sub(r"#\d+L?", "", v) for v in seen.values()}
+    assert len(shapes) <= 5, sorted(shapes)
+
+
+def test_kmv_estimate_mode_no_global_distinct_shuffle(push_conf):
+    # exact=False is the 100 TB path: NO exchange may sit below the
+    # Arrow k-min prefilter (a distinct() there shuffles every
+    # (group, hash) pair — corpus cardinality); the one exchange the
+    # operator adds is the bounded phase-2 groupBy above it.
+    plan = _plan(push_conf, "text_kmv_est")
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "MapInArrow" in plan, plan
+    assert "Window" not in plan
+    below = plan[plan.index("MapInArrow"):]  # subtree under the prefilter
+    assert "Exchange" not in below, below
+    assert "partial_collect_list" in plan  # map-side combine in phase 2
+
+
 def test_data_split_and_lengths_single_aggregate(push_conf):
     # pure-codegen bucket expressions: one hash aggregate on a handful of
     # keys, no Python surface, no join, no window
