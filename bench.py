@@ -36,10 +36,19 @@ queries whose fixed micro-batch setup dominates); exclusions would be
 listed in "excluded" with a reason — currently none.
 
 The 2x-of-baseline gate is MEASURED, not asserted (VERDICT r9 task 1):
-every oracle_sql() entry is also timed in DuckDB (min-of-3, same
-parquet, threads=cpus) and the line carries per-query
+every oracle_sql() entry is also timed in DuckDB (same parquet,
+threads=cpus) and the line carries per-query
   oracle_s   DuckDB wall seconds
   ratio      spark_s / duck_s (the number the 2x gate grades)
+The oracle pass is HARD-BUDGETED (VERDICT r10 item 1 — an unbudgeted
+recursive-CTE oracle stalled the driver's round-10 bench to rc=124):
+each oracle runs under a watchdog thread that calls con.interrupt()
+at SPARK_GRAFT_ORACLE_CAP_S (default 15 s) wall; interrupted oracles
+are recorded in  oracle_timeout  (no ratio — a baseline that cannot
+finish the query inside the cap needs no Spark-vs-baseline defense),
+and a global SPARK_GRAFT_ORACLE_BUDGET_S (default 240 s) backstop
+skips any oracles still unstarted past it. Cheap oracles (<2 s) keep
+min-of-3; expensive ones take the first completed reading.
 plus, at the END of the line (the driver's artifact keeps a 2 KB tail,
 so the summary must live there):
   ratio_summary    {median, p90, max, n, n_over_2x, over_2x: [...]}
@@ -228,35 +237,97 @@ def main() -> None:
         run(name, fn)
 
     # ---- DuckDB oracle wall time per query: the measured 2x gate ------
-    # Same parquet, same thread budget. min-of-3 with a 60 s first-run
-    # bail (no query is near that; the bail keeps one pathological plan
-    # from stalling the suite).
+    # Same parquet, same thread budget. HARD-BUDGETED (see module
+    # docstring): per-oracle wall cap enforced by con.interrupt() from a
+    # watchdog thread, global pass budget as a backstop — one
+    # pathological oracle plan (dedup_clusters' recursive CTE runs >10
+    # min at sf0.1) must never stall the driver's bench again.
     oracle_s: dict[str, float] = {}
+    oracle_timeout: list[str] = []
+    oracle_cap_s = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP_S", "15"))
+    oracle_budget_s = float(
+        os.environ.get("SPARK_GRAFT_ORACLE_BUDGET_S", "240")
+    )
     try:
+        import threading
+
         import duckdb
 
-        con = duckdb.connect()
-        con.execute(f"PRAGMA threads={int(cpus)}")
-        for t in ["region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents",
-                  "embeddings"]:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')"
-            )
+        def _oracle_connect():
+            c = duckdb.connect()
+            c.execute(f"PRAGMA threads={int(cpus)}")
+            for t in ["region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"]:
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            return c
+
+        def _run_capped(c, sql, cap):
+            """One oracle execution under a wall cap. Returns (secs,
+            timed_out). The watchdog interrupts the running statement;
+            any error raised AFTER the watchdog fired is attributed to
+            the interrupt (DuckDB surfaces it as a generic
+            InterruptException)."""
+            done = threading.Event()
+            fired: list = []
+
+            def _dog():
+                if not done.wait(cap):
+                    fired.append(True)
+                    try:
+                        c.interrupt()
+                    except Exception:  # noqa: BLE001
+                        pass
+
+            th = threading.Thread(target=_dog, daemon=True)
+            th.start()
+            t = time.time()
+            try:
+                c.execute(sql).fetchall()
+                return time.time() - t, False
+            except Exception:
+                if fired:
+                    return None, True
+                raise
+            finally:
+                done.set()
+                th.join(timeout=2)
+
+        con = _oracle_connect()
+        oracle_t0 = time.time()
         for name, sql in em.oracle_sql().items():
             if name not in timings:
                 continue  # spark side errored; no ratio to report
+            if time.time() - oracle_t0 > oracle_budget_s:
+                oracle_timeout.append(name)  # backstop: never started
+                continue
             best = None
+            timed_out = False
             try:
-                for i in range(3):
-                    t = time.time()
-                    con.execute(sql).fetchall()
-                    dt = time.time() - t
-                    best = dt if best is None else min(best, dt)
-                    if i == 0 and dt > 60:
+                for _ in range(3):
+                    dt, timed_out = _run_capped(con, sql, oracle_cap_s)
+                    if timed_out:
                         break
-                oracle_s[name] = round(best, 3)
+                    best = dt if best is None else min(best, dt)
+                    if dt > 2.0:
+                        break  # expensive oracle: one reading suffices
+                if timed_out:
+                    oracle_timeout.append(name)
+                    sys.stderr.write(
+                        f"oracle {name}: TIMEOUT >{oracle_cap_s}s\n"
+                    )
+                    # an interrupted connection carries no state
+                    # guarantees; rebuild it before the next oracle
+                    try:
+                        con.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    con = _oracle_connect()
+                elif best is not None:
+                    oracle_s[name] = round(best, 3)
             except Exception as exc:  # noqa: BLE001
                 errors[f"oracle:{name}"] = repr(exc)[:200]
         con.close()
@@ -315,16 +386,17 @@ def main() -> None:
         "over_2x_floor_adj": over_2x,
     }
 
-    # ---- isolated min-of-5 for the 10 most expensive Spark queries ----
-    # (suite timings interleave 96 plans; a re-run block per query after
+    # ---- isolated min-of-3 for the 10 most expensive Spark queries ----
+    # (suite timings interleave 97 plans; a re-run block per query after
     # the suite removes ordering backpressure — the closest to isolation
-    # one process allows, and cheap enough to run every round)
+    # one process allows. min-of-3, not 5: these queries are cache-warm
+    # by now and the block must stay inside the driver's time budget)
     isolated_top10: dict[str, float] = {}
     qs = em.queries()
     for name in sorted(timings, key=timings.get, reverse=True)[:10]:
         best = None
         try:
-            for _ in range(5):
+            for _ in range(3):
                 t = time.time()
                 qs[name](spark, sf_dir).count()
                 dt = time.time() - t
@@ -360,6 +432,18 @@ def main() -> None:
         load_end = tuple(round(x, 2) for x in os.getloadavg())
     except OSError:
         load_end = None
+    # scale-trend adjudication of the 2x gate (VERDICT r10 item 3 /
+    # r11 task 2): tools/ratio_trend.py measures spark-vs-DuckDB ratios
+    # at sf0.001/0.01/0.1 (+ a ~10x-documents synthetic point for the
+    # top pipeline operators) and writes RATIO_TREND.json; the compact
+    # summary rides along here so the driver artifact carries the trend
+    ratio_trend = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "RATIO_TREND.json")) as fh:
+            ratio_trend = json.load(fh).get("summary")
+    except (OSError, ValueError):
+        pass
     payload = {
         # contract keys first; per-query detail in the middle; the gate
         # summary LAST so the driver's 2 KB tail-truncated artifact
@@ -373,6 +457,8 @@ def main() -> None:
         "lineitem_rows": n_lineitem,
         "queries": timings,
         "oracle_s": oracle_s,
+        "oracle_timeout": oracle_timeout,
+        "oracle_cap_s": oracle_cap_s,
         "ratio": ratio,
         "ratio_floor_adj": adj_items,
         "tier_adoption": tiers_full,
@@ -392,6 +478,8 @@ def main() -> None:
         "streaming_ratio_note": "stream_* ratios excluded from "
         "ratio_summary: they time multi-trigger micro-batch machinery "
         "vs a one-shot SQL replay",
+        **({"ratio_trend": ratio_trend} if ratio_trend else {}),
+        "bench_wall_s": round(time.time() - proc_start, 1),
         "ratio_summary": ratio_summary,
     }
     line = json.dumps(payload)

@@ -228,6 +228,21 @@ def _retire_intermediates(scope: str) -> None:
             pass  # session already stopped; nothing to release
 
 
+def retire_all() -> None:
+    """Release EVERY cached dedup intermediate, across all operator
+    scopes. Per-operator retirement keeps at most one MEMORY_AND_DISK
+    generation alive per scope — correct, but in a long session that
+    runs many different dedup operators the last generation of each
+    scope stays cached until that same operator runs again (ADVICE r10).
+    Call this at pipeline/session boundaries, after the operators'
+    result DataFrames have been fully consumed; a not-yet-executed
+    result plan that referenced a cached subtree simply recomputes it
+    (correctness is never at stake — only the re-evaluate-per-branch
+    cost the cache avoids)."""
+    for scope in list(_INTERMEDIATES):
+        _retire_intermediates(scope)
+
+
 def _content_hash_col(cols: Sequence[str]) -> Column:
     """sha2-256 content hash over the given columns, INJECTIVE up to
     sha2 collisions: each column hashes separately (isnull flag + value,

@@ -86,18 +86,35 @@ class XmlStreamReader(DataSourceStreamReader):
                 # checkpointLocation, and a shared fixed filename would
                 # make each overwrite the other's admitted position
                 # (capped-restart replay could then skip or re-admit
-                # files). Key on the canonical data path + the admission
-                # knobs so co-located readers get distinct cursor files,
-                # while the same reader re-derives the same name across
-                # restarts.
+                # files). Key on the canonical data path + EVERY option
+                # that shapes what the snapshot/admission sees — the
+                # listing filters (pathGlobFilter/recursiveFileLookup)
+                # and the admission order (latestFirst) as much as the
+                # caps themselves (ADVICE r10: two capped readers over
+                # the same dir differing only in glob must not clobber
+                # each other's admitted position) — so co-located
+                # readers get distinct cursor files, while the same
+                # reader re-derives the same name across restarts.
                 import hashlib
 
+                from spark_xml_spark.sources.datasource import (
+                    _listing_opts,
+                )
+
+                gf, rl = _listing_opts(self._opts_dict)
                 ident = "|".join(
                     str(x)
                     for x in (
                         os.path.abspath(self._path),
                         self._max_files,
                         self._max_bytes,
+                        gf,
+                        rl,
+                        str(
+                            self._opts_dict.get("latestFirst")
+                            or self._opts_dict.get("latestfirst")
+                            or "false"
+                        ).lower(),
                     )
                 )
                 tag = hashlib.sha256(ident.encode()).hexdigest()[:16]

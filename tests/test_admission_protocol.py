@@ -249,3 +249,25 @@ def test_derived_cursor_namespaced_per_source(tmp_path):
     # ... and distinct when only the cap differs (different admission
     # semantics must not resume from each other's position)
     assert mk(a, cap="3")._cursor_path != ra._cursor_path
+
+    # ADVICE r10: options that shape the snapshot/admission BEYOND the
+    # caps must namespace too — two glob subsets of ONE directory, or
+    # recursive vs flat listing, or latestFirst admission order, see
+    # different file sets/orders and must not clobber each other
+    def mkopt(**extra):
+        return XmlStreamReader(
+            {"path": str(a), "rowTag": "r", "maxFilesPerTrigger": "2",
+             "checkpointLocation": ckpt, **extra},
+            SCHEMA,
+        )
+
+    base = mkopt()._cursor_path
+    assert mkopt(pathGlobFilter="x*.xml")._cursor_path != base
+    assert mkopt(pathGlobFilter="y*.xml")._cursor_path != \
+        mkopt(pathGlobFilter="x*.xml")._cursor_path
+    assert mkopt(recursiveFileLookup="true")._cursor_path != base
+    assert mkopt(latestFirst="true")._cursor_path != base
+    # case-insensitive spellings of the SAME option re-derive the same
+    # cursor (one reader restarted with equivalent options must resume)
+    assert mkopt(pathglobfilter="x*.xml")._cursor_path == \
+        mkopt(pathGlobFilter="x*.xml")._cursor_path

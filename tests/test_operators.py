@@ -3000,6 +3000,63 @@ def test_kmv_group_keys_survive_arrow_prereduce_losslessly(spark):
     assert got == {"nan": 3, None: 1, 1.5: 1}
 
 
+def test_dedup_retire_all_releases_every_scope(spark):
+    """ADVICE r10: per-operator scoped retirement leaves one cached
+    generation per scope alive for the session's lifetime; retire_all()
+    is the pipeline-boundary release path — it must drain every scope
+    and unpersist every frame."""
+    from spark_xml_spark.operators import retire_all
+    from spark_xml_spark.operators import dedup as dd
+
+    a = dd._persist_intermediate(spark.range(10), "scope_a")
+    b = dd._persist_intermediate(spark.range(20), "scope_b")
+    a.count()
+    b.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert {"scope_a", "scope_b"} <= set(dd._INTERMEDIATES)
+    retire_all()
+    assert not dd._INTERMEDIATES
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    retire_all()  # idempotent on an empty registry
+
+
+def test_kmv_vectorized_fast_path_multicol_nulls_match_slow(spark):
+    """VERDICT r10 item 2: the dictionary-encode + lexsort fast path
+    (all-scalar group keys) must group EXACTLY like the per-row canon
+    fold — multi-column keys, NULLs in either column, >2^53 bigints,
+    and values straddling Arrow batch boundaries. The double-key frame
+    (slow path, same data shape) is the cross-path control."""
+    from spark_xml_spark.operators import kmv_distinct
+
+    big = (1 << 60) + 1
+    rows = []
+    for rep in range(3):  # repeats so groups span partitions/batches
+        rows += [
+            (big, "x", f"i{rep}a"), (big, "x", f"i{rep}b"),
+            (big, None, f"i{rep}"), (None, "x", f"i{rep}"),
+            (None, None, f"i{rep}"), (7, "y", "same"),
+        ]
+    df = spark.createDataFrame(
+        rows, "g1 bigint, g2 string, it string"
+    ).repartition(4)
+    out = {(r.g1, r.g2): r.n_distinct
+           for r in kmv_distinct(df, ["g1", "g2"], "it", k=8).collect()}
+    assert out == {(big, "x"): 6, (big, None): 3, (None, "x"): 3,
+                   (None, None): 3, (7, "y"): 1}
+    # slow-path control: cast g1 to double (float keys route per-row);
+    # the same frame must produce the same per-group counts
+    dfd = df.withColumn("g1", df.g1.cast("double"))
+    outd = {(r.g1, r.g2): r.n_distinct
+            for r in kmv_distinct(dfd, ["g1", "g2"], "it", k=8).collect()}
+    assert outd == {(float(big), "x"): 6, (float(big), None): 3,
+                    (None, "x"): 3, (None, None): 3, (7.0, "y"): 1}
+    # estimate-only mode through the fast path too
+    est = {(r.g1, r.g2): r.n_kept
+           for r in kmv_distinct(df, ["g1", "g2"], "it", k=8,
+                                 exact=False).collect()}
+    assert est == out  # all groups below k: n_kept == exact distinct
+
+
 def test_kmv_estimate_mode_bit_identical_and_bounded(spark):
     """exact=False must skip the global distinct() (the
     corpus-cardinality shuffle) yet produce BIT-IDENTICAL n_kept and

@@ -1,0 +1,296 @@
+"""Scale-trend adjudication of the 2x-of-baseline gate (VERDICT r10
+item 3 / r11 task 2).
+
+The sf0.01 gate measurement shows most batch queries far above 2x of
+DuckDB — but at 60k-row scale every Spark reading is dominated by fixed
+per-query cost (job scheduling, codegen, Python-worker round-trips),
+not per-row work. The claim that matters for the 100 TB pitch is about
+MARGINAL cost: spark_s ~= floor + m_spark * rows while duck_s ~=
+m_duck * rows (DuckDB's floor is ~1 ms), so ratio(sf) must FALL
+monotonically with sf and converge to m_spark / m_duck. This script
+measures that instead of arguing it:
+
+  1. ~10 headline queries spanning xml_/dedup_/text_/events_/ann_ are
+     timed isolated (min-of-5, one warm run first) at sf0.001 / 0.01 /
+     0.1 against their DuckDB oracles (min-of-5, threads=cpus).
+  2. The marginal-cost asymptote is estimated from the two largest
+     scale points: m = (t(0.1) - t(0.01)) / (rows(0.1) - rows(0.01))
+     per engine; asymptotic_ratio = m_spark / m_duck. Negative slopes
+     (reading noise at these sizes) clamp to the floor-adjusted sf0.1
+     ratio, never to an artificially flattering number.
+  3. One corpus is scaled ~10x BEYOND sf0.1 (documents re-keyed x10
+     into a scratch dir; /root/testdata is read-only) and the top-3
+     pipeline operators (text_quality, dedup_exact, text_kmv) are
+     re-measured there on both engines — the direct "does the ratio
+     keep falling past the largest provided SF" check.
+
+Writes RATIO_TREND.json at the repo root:
+  {"summary": <compact block bench.py embeds in its payload>,
+   "detail":  <per-query raw seconds per sf per engine>}
+
+Run:  python tools/ratio_trend.py          (~6-8 min at local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TREND_QUERIES = [
+    "xml_scan_filter",
+    "xml_agg_q1",
+    "xml_join_agg",
+    "dedup_exact",
+    "dedup_simhash",
+    "text_quality",
+    "text_tokens",
+    "text_kmv",
+    "events_asof",
+    "events_rollup",
+    "ann_cosine_topk",
+]
+SFS = [0.001, 0.01, 0.1]
+SCALE10_QUERIES = ["text_quality", "dedup_exact", "text_kmv"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _spark_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _min_of(fn, n=5, warm=1):
+    for _ in range(warm):
+        fn()
+    best = None
+    for _ in range(n):
+        t = time.time()
+        fn()
+        dt = time.time() - t
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _duck_con(sf_dir: str, cpus: int):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def _build_scale10(src_sf_dir: str, dst: str) -> None:
+    """documents x10 (re-keyed doc_ids), every other table symlinked —
+    a drop-in sf_dir whose documents corpus is ~10x sf0.1."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        s = os.path.join(src_sf_dir, f"{t}.parquet")
+        d = os.path.join(dst, f"{t}.parquet")
+        if t == "documents" or not os.path.exists(s):
+            continue
+        if not os.path.exists(d):
+            os.symlink(s, d)
+    docs = os.path.join(dst, "documents.parquet")
+    if not os.path.exists(docs):
+        con = duckdb.connect()
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + 10000000 * i AS doc_id,
+                     text, lang, source, n_chars
+              FROM read_parquet('{src_sf_dir}/documents.parquet'),
+                   range(10) t(i)
+              ORDER BY doc_id
+            ) TO '{docs}' (FORMAT parquet)
+            """
+        )
+        con.close()
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    spark = _spark_session(cpus)
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    oracles = em.oracle_sql()
+
+    detail: dict = {"cpus": cpus, "spark_s": {}, "duck_s": {}, "rows": {}}
+    try:
+        detail["loadavg_start"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+
+    # rows(sf) proxy for the marginal-cost fit: the documents+lineitem
+    # row counts scale linearly with sf, so sf itself is the abscissa
+    for sf in SFS:
+        sf_dir = os.path.join(base, f"sf{sf}")
+        # XML caches for the xml_* queries: pay once, outside timing
+        try:
+            em._xml_table(spark, sf_dir, "lineitem", partitions=cpus)
+        except Exception:  # noqa: BLE001
+            pass
+        con = _duck_con(sf_dir, cpus)
+        for name in TREND_QUERIES:
+            fn = qs[name]
+            try:
+                s = _min_of(lambda: fn(spark, sf_dir).count())
+                detail["spark_s"].setdefault(name, {})[str(sf)] = round(s, 4)
+            except Exception as exc:  # noqa: BLE001
+                detail.setdefault("errors", {})[f"spark:{name}@{sf}"] = (
+                    repr(exc)[:200]
+                )
+            sql = oracles.get(name)
+            if not sql:
+                continue
+            try:
+                d = _min_of(lambda: con.execute(sql).fetchall())
+                detail["duck_s"].setdefault(name, {})[str(sf)] = round(d, 4)
+            except Exception as exc:  # noqa: BLE001
+                detail.setdefault("errors", {})[f"duck:{name}@{sf}"] = (
+                    repr(exc)[:200]
+                )
+        con.close()
+        sys.stderr.write(f"trend: sf{sf} done\n")
+
+    # Spark's fixed per-query floor on this session (same probe as
+    # bench.py): part of every reading that does not scale with rows
+    floor = _min_of(
+        lambda: spark.range(1000)
+        .selectExpr("id % 7 AS k")
+        .groupBy("k")
+        .count()
+        .collect()
+    )
+    detail["spark_floor_s"] = round(floor, 4)
+
+    # ---- the 10x-beyond-sf0.1 point for the top pipeline operators ----
+    scratch = os.environ.get(
+        "SPARK_GRAFT_SCALE10_DIR", "/tmp/xmlgraft_scale10"
+    )
+    sf01_dir = os.path.join(base, "sf0.1")
+    x10: dict = {}
+    try:
+        _build_scale10(sf01_dir, scratch)
+        con = _duck_con(scratch, cpus)
+        for name in SCALE10_QUERIES:
+            fn = qs[name]
+            rec: dict = {}
+            try:
+                rec["spark_s"] = round(
+                    _min_of(lambda: fn(spark, scratch).count(), n=3), 4
+                )
+                rec["duck_s"] = round(
+                    _min_of(
+                        lambda: con.execute(oracles[name]).fetchall(), n=3
+                    ),
+                    4,
+                )
+                rec["ratio"] = round(rec["spark_s"] / rec["duck_s"], 2)
+                sf01_sp = detail["spark_s"][name]["0.1"]
+                sf01_du = detail["duck_s"][name]["0.1"]
+                rec["ratio_sf01"] = round(sf01_sp / sf01_du, 2)
+                # marginal ratio across the 0.1 -> x10 step: the purest
+                # per-row cost comparison this host can produce
+                dsp = rec["spark_s"] - sf01_sp
+                ddu = rec["duck_s"] - sf01_du
+                if dsp > 0 and ddu > 0:
+                    rec["marginal_ratio"] = round(dsp / ddu, 2)
+            except Exception as exc:  # noqa: BLE001
+                rec["error"] = repr(exc)[:200]
+            x10[name] = rec
+        con.close()
+    except Exception as exc:  # noqa: BLE001
+        detail.setdefault("errors", {})["scale10"] = repr(exc)[:300]
+    finally:
+        if os.environ.get("SPARK_GRAFT_KEEP_SCALE10") != "1":
+            shutil.rmtree(scratch, ignore_errors=True)
+    detail["docs_x10"] = x10
+
+    # ---- summary: ratio per sf, monotonicity, asymptote ----------------
+    ratio_by_sf: dict = {}
+    asym: dict = {}
+    mono_down = 0
+    for name in TREND_QUERIES:
+        sp = detail["spark_s"].get(name, {})
+        du = detail["duck_s"].get(name, {})
+        rs = []
+        for sf in SFS:
+            k = str(sf)
+            rs.append(
+                round(sp[k] / du[k], 2) if k in sp and k in du and du[k] > 0
+                else None
+            )
+        ratio_by_sf[name] = rs
+        if all(r is not None for r in rs) and rs[0] > rs[1] > rs[2]:
+            mono_down += 1
+        # marginal slope between the two largest scale points; sf is the
+        # abscissa (row counts scale linearly with sf for every table)
+        try:
+            m_sp = (sp["0.1"] - sp["0.01"]) / (0.1 - 0.01)
+            m_du = (du["0.1"] - du["0.01"]) / (0.1 - 0.01)
+            if m_sp > 0 and m_du > 0:
+                asym[name] = round(m_sp / m_du, 2)
+            else:
+                # noise-dominated slope: fall back to the floor-adjusted
+                # largest-scale ratio (conservative, never flattering)
+                asym[name] = round(
+                    max(sp["0.1"] - floor, 0.001) / du["0.1"], 2
+                )
+        except (KeyError, ZeroDivisionError):
+            pass
+    summary = {
+        "sfs": SFS,
+        "ratio_by_sf": ratio_by_sf,
+        "asymptotic_ratio": asym,
+        "monotone_down_n": mono_down,
+        "n": len(TREND_QUERIES),
+        "spark_floor_s": round(floor, 3),
+        "docs_x10": {
+            n: {k: v for k, v in r.items() if k != "spark_s" and k != "duck_s"}
+            for n, r in x10.items()
+        },
+    }
+    try:
+        detail["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    out = {"summary": summary, "detail": detail}
+    with open(os.path.join(REPO, "RATIO_TREND.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
