@@ -52,8 +52,10 @@ def is_ascii_compatible(charset: str) -> bool:
 # Fixed code-unit widths for the UTF-16/32 families: these split in
 # parallel via the transcoding scanner (_scan_unit_width_range). Other
 # non-ASCII-compatible charsets probe as width-1 below when their codec
-# is provably stateless single-byte (EBCDIC family etc.); only stateful
-# or multi-byte exotics (ISO-2022, Shift-JIS) stay whole-file.
+# is provably stateless single-byte (EBCDIC family etc.); multi-byte CJK
+# codecs split via the '<'-aligned transcode when lt_safe_multibyte
+# proves re-sync (_scan_lt_aligned_range); only charsets where a raw
+# 0x3C is ambiguous (ISO-2022, HZ) stay whole-file.
 _UNIT_WIDTHS = {
     "utf-16": 2, "utf-16-le": 2, "utf-16-be": 2, "utf-16le": 2, "utf-16be": 2,
     "utf-32": 4, "utf-32-le": 4, "utf-32-be": 4, "utf-32le": 4, "utf-32be": 4,
@@ -94,6 +96,81 @@ def unit_width(charset: str) -> Optional[int]:
         # them through the transcoder would be a regression
         return None
     return _single_byte_codec_width(c)
+
+
+@functools.lru_cache(maxsize=64)
+def lt_safe_multibyte(charset: str) -> bool:
+    """True when ``charset`` is a multi-byte codec where the byte 0x3C
+    ('<') appears ONLY as the one-byte encoding of '<' itself — never
+    inside a multi-byte sequence and never as a lead byte of anything
+    else — and no shift/escape state exists. Then every 0x3C in the raw
+    stream is a character boundary where a fresh decoder may start, so
+    byte-range splits are safe: each task aligns its scan to the first
+    '<' at/after its range start and transcodes from there (the per-
+    split InputStreamReader decode of XmlInputFormat.scala:76-122,
+    extended to CJK codecs with a PROVEN alignment rule instead of an
+    assumed one).
+
+    Holds for Shift-JIS/cp932 (trail bytes 0x40+), Big5/cp950 (trail
+    0x40+), EUC-JP/KR (all components 0x80+), GBK/GB2312/GB18030
+    (trails 0x40+; 4-byte form uses digit bytes 0x30-0x39). Rejects
+    ISO-2022-* (ESC-stateful; 0x3C is a legal second byte of a shifted
+    2-byte code), HZ and UTF-7 (shift sequences), proven by the sweep
+    below rather than by a charset allowlist."""
+    c = charset.lower().replace("_", "-")
+    if is_ascii_compatible(charset) or unit_width(charset) is not None:
+        return False
+    import codecs as _pyc
+
+    try:
+        _pyc.lookup(c)
+    except LookupError:
+        return False
+    # the structural chars the transcoded scanner emits patterns for
+    # must be ASCII-identical (they are re-encoded as UTF-8 after the
+    # transcode, so only '<' alignment strictly needs it — but a codec
+    # that remaps ASCII punctuation is not in this family anyway)
+    try:
+        for ch in "<>/\"' \t\r\n=!?[]-":
+            if ch.encode(c) != ch.encode("ascii"):
+                return False
+    except (UnicodeEncodeError, LookupError):
+        return False
+    # sweep the BMP (+ an astral sample for 4-byte GB18030 forms):
+    # 0x3C anywhere in a non-'<' encoding breaks alignment; 0x1B (ESC) /
+    # 0x0E / 0x0F mark shift-state codecs where a fresh decoder cannot
+    # start at a raw '<'
+    probe = list(range(0x80, 0x10000)) + list(range(0x10000, 0x10200)) \
+        + [0x20000, 0x2A6D6]
+    multi = False
+    samples = []
+    for cp in probe:
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        try:
+            b = chr(cp).encode(c)
+        except UnicodeEncodeError:
+            continue
+        if 0x3C in b or 0x1B in b or 0x0E in b or 0x0F in b:
+            return False
+        if len(b) > 1:
+            multi = True
+            if len(samples) < 64 and cp % 251 == 0:
+                samples.append(chr(cp))
+    if not multi:
+        return False
+    # functional re-sync proof: encode a STREAM (stateful encoders may
+    # merge runs across chars), cut it at the 0x3C byte, and require a
+    # fresh decoder on the tail to reproduce '<r>' + suffix exactly —
+    # the exact operation the split scanner performs at its boundary
+    for s in samples[:16]:
+        stream = (s + "<r>" + s).encode(c)
+        i = stream.find(b"<")
+        if i < 0:
+            return False
+        if stream[i:].decode(c, errors="replace") != "<r>" + s:
+            return False
+    return True
 
 
 @dataclass(frozen=True)
@@ -167,11 +244,12 @@ def plan_splits(
     files: Optional[List[tuple]] = None,
 ) -> List[FileSplit]:
     """Driver-side split planning: uncompressed files in any
-    ASCII-compatible, fixed-unit-width (UTF-16/32), or stateless
-    single-byte (EBCDIC family) charset are carved into byte ranges (the
-    analogue of HDFS splits); compressed files (except splittable bz2)
-    and stateful/multi-byte exotic charsets (ISO-2022, Shift-JIS) become
-    one whole-file split each. ``files`` accepts a pre-listed
+    ASCII-compatible, fixed-unit-width (UTF-16/32), stateless
+    single-byte (EBCDIC family), or '<'-unambiguous multi-byte
+    (Shift-JIS/Big5/EUC/GBK — lt_safe_multibyte) charset are carved
+    into byte ranges (the analogue of HDFS splits); compressed files
+    (except splittable bz2) and shift-state charsets (ISO-2022, HZ)
+    become one whole-file split each. ``files`` accepts a pre-listed
     [(path, size), ...] so callers that already enumerated the tree
     don't list it twice."""
     splits: List[FileSplit] = []
@@ -195,6 +273,7 @@ def plan_splits(
             continue
         if comp is not None or not (
             is_ascii_compatible(charset) or unit_width(charset)
+            or lt_safe_multibyte(charset)
         ):
             splits.append(FileSplit(f, 0, -1, comp, whole_file=True))
             continue
@@ -404,6 +483,100 @@ def _scan_unit_width_range(
         if owned == 0 and end >= 0:
             fh.close()
             return
+    yield from _scan_transcoded(fh, cs, owned, row_tag)
+
+
+class _PrefixedReader:
+    """Serve ``head`` bytes, then the rest of ``fh`` — used when the
+    '<'-alignment search has already consumed part of the stream."""
+
+    __slots__ = ("_head", "_fh")
+
+    def __init__(self, head: bytes, fh):
+        self._head = head
+        self._fh = fh
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            out = self._head if n < 0 else self._head[:n]
+            self._head = self._head[len(out):]
+            return out
+        return self._fh.read(n)
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def _scan_lt_aligned_range(
+    split: FileSplit, row_tag: str, charset: str
+) -> Iterator[str]:
+    """Split-parallel scan for lt-safe multi-byte charsets (Shift-JIS,
+    Big5, EUC-JP/KR, GBK/GB18030 — :func:`lt_safe_multibyte`): byte
+    offsets are not character boundaries, but every 0x3C byte IS one
+    (proven by the probe), so each task aligns to the first '<' at/after
+    its range start and transcodes from there. Ownership: a record
+    belongs to the split whose [start, end) contains its start-tag's
+    '<' source byte — the left neighbour's transcoder stops admitting
+    record starts at the same boundary (owned_utf8_end), and no '<' can
+    exist in the unaligned gap [start, first-'<'), so the partition is
+    exact: no loss, no duplication. The reference decodes any charset
+    per split (XmlInputFormat.scala:76-122) but ASSUMES re-sync; this
+    path only runs for codecs where the probe proved it."""
+    cs = charset.lower().replace("_", "-")
+    if split.compression is not None:
+        # decompressed whole stream, all owned (gzip etc.: one split)
+        yield from _scan_transcoded(_open_stream(split), cs, -1, row_tag)
+        return
+    fh = _open_stream(split)
+    start = split.start
+    try:
+        fh.seek(start)
+    except (OSError, ValueError):
+        left = start
+        while left > 0:
+            skipped = fh.read(min(_CHUNK, left))
+            if not skipped:
+                break
+            left -= len(skipped)
+    if split.eof >= 0:
+        fh = _CapReader(fh, split.eof - start)
+    if start == 0:
+        # file head: decode the prologue too, no alignment needed
+        owned = -1 if split.end < 0 else split.end
+        if owned == 0 and split.end >= 0:
+            fh.close()
+            return
+        yield from _scan_transcoded(fh, cs, owned, row_tag)
+        return
+    # align: find the first 0x3C at/after start (a guaranteed character
+    # boundary); record starts can only live at '<' bytes, so nothing
+    # ownable precedes it
+    pos = start
+    head = b""
+    while True:
+        chunk = fh.read(_CHUNK)
+        if not chunk:
+            fh.close()
+            return  # no '<' in the remainder: nothing starts here
+        i = chunk.find(b"<")
+        if i >= 0:
+            pos += i
+            head = chunk[i:]
+            break
+        pos += len(chunk)
+    if split.end >= 0 and pos >= split.end:
+        fh.close()
+        return  # first '<' lies beyond the owned range
+    owned = -1 if split.end < 0 else split.end - pos
+    yield from _scan_transcoded(_PrefixedReader(head, fh), cs, owned,
+                                row_tag)
+
+
+def _scan_transcoded(fh, cs: str, owned: int, row_tag: str) -> Iterator[str]:
+    """Shared scan loop over a :class:`_Utf8Transcoder` stream: UTF-16/32
+    unit-aligned ranges and lt-aligned multi-byte ranges both run the
+    standard UTF-8 byte scanner over the transcoded stream; ``owned``
+    source bytes bound where new record starts are admitted."""
     tc = _Utf8Transcoder(fh, cs, owned)
     try:
         buf = _Buffer(tc)  # utf-8 transcoded offsets, base 0
@@ -501,11 +674,25 @@ def scan_split_windows(
         for r in _scan_unit_width_range(split, row_tag, charset, w):
             yield ("rec", r)
         return
-    if not is_ascii_compatible(charset) and split.compression is None:
-        # Other non-ASCII-compatible charsets (no fixed unit width):
-        # decode the whole file and scan text.
-        with fs.open_input(split.path) as fh:
+    if not is_ascii_compatible(charset):
+        if lt_safe_multibyte(charset):
+            # Shift-JIS/Big5/EUC/GBK family: split-parallel via the
+            # '<'-aligned per-split transcode (compressed files arrive
+            # as one whole-file split and take the owned=-1 path)
+            for r in _scan_lt_aligned_range(split, row_tag, charset):
+                yield ("rec", r)
+            return
+        # Stateful exotics (ISO-2022, HZ): decode the whole stream
+        # (decompressing if needed) and scan text.
+        fh = fs.open_input(split.path)
+        try:
+            if split.eof >= 0:
+                fh = _CapReader(fh, split.eof)
+            if split.compression is not None:
+                fh = codecs.wrap_read(fh, split.compression)
             text = fh.read().decode(charset)
+        finally:
+            fh.close()
         for r in scan_string(text, row_tag):
             yield ("rec", r)
         return

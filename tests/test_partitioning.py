@@ -424,10 +424,94 @@ def test_ebcdic_single_byte_split_parallel_exact(charset):
     assert got == recs
 
 
-def test_stateful_and_multibyte_codecs_stay_whole_file():
-    """The single-byte probe must REJECT codecs where a byte boundary can
-    split a character or escape sequence — those degrade to whole-file
-    splits (correctness over parallelism)."""
+@pytest.mark.parametrize(
+    "charset,extra",
+    [
+        ("shift_jis", "テスト日本語"),
+        ("cp932", "日本語ソ能表"),  # bytes whose trails hit ASCII letters
+        ("big5", "測試中文字"),
+        ("euc_jp", "日本語えほん"),
+        ("euc_kr", "한국어시험"),
+        ("gbk", "测试中文字"),
+        ("gb18030", "测试𠀋中文"),  # 4-byte GB18030 form included
+    ],
+)
+def test_multibyte_cjk_split_parallel_exact(charset, extra):
+    """Multi-byte CJK charsets split in parallel through the '<'-aligned
+    per-split transcode (lt_safe_multibyte probe: 0x3C never occurs
+    inside a multi-byte sequence, so every '<' byte is a character
+    boundary a fresh decoder may start at): many byte-range splits,
+    exact record counts, character-identical record text at every
+    boundary — mirroring the cp037/UTF-16 cases and closing the last
+    charset-parity delta vs the reference's per-split
+    InputStreamReader decode (XmlInputFormat.scala:76-122)."""
+    assert _tok.lt_safe_multibyte(charset)
+    splits, recs, got = _unit_roundtrip(charset, n=300, target=256,
+                                        extra=extra)
+    assert len(splits) > 10  # genuinely split-parallel, not whole-file
+    assert got == recs
+
+
+def test_multibyte_cjk_non_ascii_rowtag_and_boundary_chars():
+    """Non-ASCII rowTag (encoded in the charset on disk, matched in
+    transcoded UTF-8 space) and multi-byte chars straddling every split
+    boundary (tiny target) stay exact."""
+    recs = [f"<データ><a>漢字{i}</a></データ>" for i in range(200)]
+    doc = "<root>" + "".join(recs) + "</root>"
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml")
+    with open(p, "wb") as fh:
+        fh.write(doc.encode("shift_jis"))
+    splits = _tok.plan_splits(p, "shift_jis", 64)
+    assert len(splits) > 20
+    got = []
+    for s in splits:
+        got.extend(_tok.scan_split(s, "データ", "shift_jis"))
+    assert got == recs
+
+
+def test_multibyte_cjk_gzip_whole_file_decode():
+    """Compressed CJK: gzip forces one whole-file split; the lt-aligned
+    scanner's owned=-1 path must decode the decompressed Shift-JIS
+    stream exactly."""
+    import gzip
+
+    recs = [f"<r><a>日本語{i}</a></r>" for i in range(40)]
+    doc = "<root>" + "".join(recs) + "</root>"
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml.gz")
+    with gzip.open(p, "wb") as fh:
+        fh.write(doc.encode("shift_jis"))
+    splits = _tok.plan_splits(p, "shift_jis", 64)
+    assert len(splits) == 1 and splits[0].whole_file
+    got = list(_tok.scan_split(splits[0], "r", "shift_jis"))
+    assert got == recs
+
+
+def test_stateful_codecs_stay_whole_file():
+    """Codecs where a raw 0x3C byte is AMBIGUOUS (ISO-2022's shifted
+    2-byte codes include 0x3C; HZ likewise) must fail the probe and
+    degrade to whole-file splits (correctness over parallelism) — and
+    the whole-file decode must still be exact."""
+    for cs in ("iso2022-jp", "hz"):
+        assert _tok.lt_safe_multibyte(cs) is False, cs
+        assert _tok.unit_width(cs) is None, cs
+    recs_j = [f"<r><a>日本語{i}</a></r>" for i in range(50)]
+    doc = "<root>" + "".join(recs_j) + "</root>"
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml")
+    with open(p, "wb") as fh:
+        fh.write(doc.encode("iso2022_jp"))
+    splits = _tok.plan_splits(p, "iso2022_jp", 64)
+    assert len(splits) == 1 and splits[0].whole_file
+    got = list(_tok.scan_split(splits[0], "r", "iso2022_jp"))
+    assert got == recs_j
+
+
+def test_single_byte_probe_rejects_multibyte_codecs():
+    """unit_width (the stateless SINGLE-BYTE probe) must keep rejecting
+    multi-byte codecs — they are served by the lt-aligned path, not the
+    unit-width path."""
     for cs in ("shift-jis", "iso2022-jp", "big5", "gb2312", "utf-7"):
         assert _tok.unit_width(cs) is None, cs
     # and the probe result is consistent: a cp037 doc scanned whole-file
