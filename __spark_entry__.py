@@ -2922,6 +2922,43 @@ def q_text_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG PIXEL decode end-to-end (operators/multimodal.py
+    decode_png_pixels -> image_pixel_stats): planted PNGs whose pixels
+    follow a closed-form formula of doc_id — value[i] = (doc_id*7 +
+    i*13) % 256 over h x w x channels samples, channels cycling
+    gray/RGB/gray+alpha/RGBA — encoded with ALL FIVE scanline filter
+    types (None/Sub/Up/Average/Paeth cycling per row). The Spark side
+    inflates and unfilters the real PNG bytes; the oracle recomputes
+    the same integer stats straight from the formula, so any unfilter
+    or palette bug breaks the match (an encoder/decoder bug pair
+    cannot cancel: the oracle never touches the bytes)."""
+    from spark_xml_spark.operators import image_pixel_stats
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from spark_xml_spark.operators.multimodal import encode_png
+
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["id"]:
+                did = int(did)
+                h, w = 8 + did % 5, 9 + did % 7
+                nch = (1, 3, 2, 4)[did % 4]
+                vals = (did * 7 + np.arange(h * w * nch) * 13) % 256
+                px = vals.astype(np.uint8).reshape(h, w, nch)
+                ids.append(did)
+                payloads.append(encode_png(px, filters=(0, 1, 2, 3, 4)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = spark.range(24).repartition(4).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+    return image_pixel_stats(d).orderBy("doc_id")
+
+
 def q_text_kmv_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV estimate-only mode (operators/sketch.py kmv_distinct
     exact=False): the 100 TB path. Exact mode's global distinct() over
@@ -3254,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kmv_merge": q_text_kmv_merge,
         "stream_kmv": q_stream_kmv,
         "text_kmv_est": q_text_kmv_est,
+        "multimodal_pixels": q_multimodal_pixels,
     }
 
 
@@ -4942,4 +4980,26 @@ def oracle_sql() -> dict[str, str]:
     # per-query independence makes micro-batched ANN exact: the streamed
     # probe's union of batch results equals the one-batch join
     sql["stream_ann"] = sql["ann_ivf_knn"]
+    sql["multimodal_pixels"] = """
+        -- pixel stats recomputed from the planted PNGs' generative
+        -- formula (value[i] = (doc_id*7 + i*13) % 256): the Spark side
+        -- must inflate + unfilter the actual PNG bytes to the same
+        -- integers, independent of the encoder
+        WITH d AS (
+          SELECT r.range AS did,
+                 CASE r.range % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                      WHEN 2 THEN 2 ELSE 4 END AS ch,
+                 8 + r.range % 5 AS h, 9 + r.range % 7 AS w
+          FROM range(24) r
+        ), s AS (
+          SELECT did, ch, h, w, unnest(range(h*w*ch)) AS i FROM d
+        )
+        SELECT did AS doc_id, CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height, CAST(ch AS INT) AS channels,
+               CAST(SUM((did*7 + i*13) % 256) AS BIGINT) AS px_sum,
+               CAST(MIN((did*7 + i*13) % 256) AS INT) AS px_min,
+               CAST(MAX((did*7 + i*13) % 256) AS INT) AS px_max
+        FROM s GROUP BY did, ch, h, w
+        ORDER BY doc_id
+    """
     return sql

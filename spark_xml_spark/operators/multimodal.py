@@ -109,6 +109,233 @@ def default_image_decoder(payload: bytes) -> dict:
     )
 
 
+def decode_png_pixels(payload: bytes):
+    """Pure-stdlib PNG PIXEL decode (zlib inflate + per-scanline
+    unfilter, RFC 2083 §6): returns an (h, w, channels) uint8 numpy
+    array. Supports bit depth 8 in color types 0 (gray), 2 (RGB),
+    3 (palette -> expanded RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. All five filter types (None/Sub/Up/Average/Paeth)
+    are implemented; Adam7 interlace, 1/2/4/16-bit depths and non-PNG
+    formats still raise — the injectable-seam contract shrinks to
+    exactly what stdlib cannot express, instead of all pixel work."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "pixel decoding beyond PNG requires an image library not "
+            "present in this environment; inject a real decoder"
+        )
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("corrupt PNG: no IHDR")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    try:
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    except KeyError:
+        raise ValueError(f"corrupt PNG: color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("corrupt PNG: truncated pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = nch  # bytes per pixel at depth 8
+    off = 0
+    for y in range(h):
+        ft = raw[off]
+        off += 1
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=off).copy()
+        off += stride
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up: vectorized (uint8 addition wraps mod 256)
+            cur += prev
+        elif ft == 1:  # Sub: sequential in x (left-neighbour recurrence)
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: filter type {ft}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[:, :, 0]]
+    return px
+
+
+def encode_png(pixels, filters=(0,)) -> bytes:
+    """Pure-stdlib PNG encoder (fixture/write seam): (h, w) or
+    (h, w, channels) uint8 array -> PNG bytes, bit depth 8, color type
+    from channel count (1 gray / 2 gray+alpha / 3 RGB / 4 RGBA).
+    ``filters`` cycles per scanline through PNG filter types 0-4, so a
+    fixture built with (0, 1, 2, 3, 4) exercises EVERY unfilter branch
+    of :func:`decode_png_pixels`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    bpp = nch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        if ft == 0:
+            raw.extend(line.tobytes())
+        elif ft == 1:
+            enc = line.copy()
+            enc[bpp:] = (line[bpp:].astype(np.int16)
+                         - line[:-bpp].astype(np.int16)) & 0xFF
+            raw.extend(enc.astype(np.uint8).tobytes())
+        elif ft == 2:
+            raw.extend(((line.astype(np.int16) - prev.astype(np.int16))
+                        & 0xFF).astype(np.uint8).tobytes())
+        elif ft == 3:
+            enc = bytearray(stride)
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                enc[x] = (int(line[x]) - (left + int(prev[x])) // 2) & 0xFF
+            raw.extend(enc)
+        elif ft == 4:
+            enc = bytearray(stride)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (int(line[x]) - pred) & 0xFF
+            raw.extend(enc)
+        else:
+            raise ValueError(f"filter type {ft}")
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Optional[Callable[[bytes], object]] = None,
+) -> DataFrame:
+    """Per-image pixel statistics over binary payloads via Arrow-batched
+    ``mapInPandas``: decode (default :func:`decode_png_pixels`), emit
+    integer stats (sum/min/max over all samples) — drift-free values an
+    independent engine can recompute. Undecodable payloads yield NULL
+    stats instead of killing the task (extract_features' error
+    contract); NotImplementedError still propagates, keeping the
+    injectable-seam contract loud for formats stdlib can't decode."""
+    import pandas as pd  # executor-side import
+
+    impl = decoder or decode_png_pixels
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((did, None, None, None, None, None, None))
+                    continue
+                try:
+                    px = impl(bytes(payload))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((did, None, None, None, None, None, None))
+                    continue
+                h, w, nch = px.shape
+                flat = px.reshape(-1)
+                rows.append(
+                    (did, w, h, nch, int(flat.sum(dtype="int64")),
+                     int(flat.min()), int(flat.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels",
+                         "px_sum", "px_min", "px_max"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, PIXEL_STATS_SCHEMA
+    )
+
+
 def default_audio_decoder(payload: bytes) -> dict:
     """Pure-stdlib audio HEADER decoder: real sample rate / channels / bit
     depth / frame count / duration for RIFF/WAVE payloads via a fmt+data

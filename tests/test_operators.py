@@ -458,6 +458,128 @@ def test_default_image_decoder_headers():
         default_image_decoder(b"RIFF....WAVE")
 
 
+def test_png_pixel_decode_hand_verified_filters():
+    """decode_png_pixels against HAND-FILTERED scanlines (the filtered
+    bytes below are computed by hand from RFC 2083 §6, independent of
+    encode_png — an encoder/decoder bug pair cannot cancel here).
+    3x3 grayscale, rows filtered Sub / Up / Paeth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # target pixels (rows): (10, 20, 30), (15, 25, 35), (20, 40, 60)
+    # row0 Sub(1):  10, 20-10=10, 30-20=10            -> 01 0A 0A 0A
+    # row1 Up(2):   15-10=5, 25-20=5, 35-30=5          -> 02 05 05 05
+    # row2 Paeth(4): x0: a=0,b=15,c=0 -> p=15, pred=b=15, 20-15=5
+    #                x1: a=20,b=25,c=15 -> p=30, pa=10,pb=5,pc=15,
+    #                    pred=b=25, 40-25=15
+    #                x2: a=40,b=35,c=25 -> p=50, pa=10,pb=15,pc=25,
+    #                    pred=a=40, 60-40=20           -> 04 05 0F 14
+    raw = bytes(
+        [1, 10, 10, 10,
+         2, 5, 5, 5,
+         4, 5, 15, 20]
+    )
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png_pixels(png)
+    assert px.shape == (3, 3, 1)
+    assert px[:, :, 0].tolist() == [[10, 20, 30], [15, 25, 35],
+                                    [20, 40, 60]]
+
+    # Average filter, 2-channel (bpp=2): row0 avg with prev=0:
+    #  x0: (12 - 0//2)=12  x1: (34 - 0//2)=34
+    #  x2: left=12 -> 50-(12+0)//2=44  x3: left=34 -> 60-(34+0)//2=43
+    raw2 = bytes([3, 12, 34, 44, 43])
+    ihdr2 = struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0)  # gray+alpha
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", zlib.compress(raw2))
+        + chunk(b"IEND", b"")
+    )
+    px2 = decode_png_pixels(png2)
+    assert px2.reshape(-1).tolist() == [12, 34, 50, 60]
+
+    # palette expansion (color type 3): indices -> PLTE RGB triples
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    raw3 = bytes([0, 0, 2, 1])  # one row, indices 0,2,1, no filter
+    ihdr3 = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    png3 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr3)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw3))
+        + chunk(b"IEND", b"")
+    )
+    px3 = decode_png_pixels(png3)
+    assert px3.shape == (1, 3, 3)
+    assert px3[0].tolist() == [[255, 0, 0], [0, 0, 255], [0, 255, 0]]
+
+    # contract errors
+    import pytest
+
+    with pytest.raises(NotImplementedError):  # not a PNG
+        decode_png_pixels(b"\xff\xd8\xffjpeg")
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+             + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+             + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):  # 16-bit depth
+        decode_png_pixels(png16)
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    png_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+             + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+             + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):  # Adam7 interlace
+        decode_png_pixels(png_i)
+
+    # encoder round-trip across every filter type and channel count
+    from spark_xml_spark.operators.multimodal import encode_png
+
+    rng = np.random.RandomState(7)
+    for nch in (1, 2, 3, 4):
+        want = rng.randint(0, 256, (6, 5, nch), dtype=np.uint8)
+        got = decode_png_pixels(encode_png(want, filters=(0, 1, 2, 3, 4)))
+        assert (got == want).all(), nch
+
+
+def test_image_pixel_stats_operator(spark):
+    """image_pixel_stats over a mixed frame: decodable PNGs produce
+    integer stats, an undecodable payload NULLs out, a NULL payload
+    NULLs out — no task failure."""
+    import numpy as np
+
+    from spark_xml_spark.operators import encode_png, image_pixel_stats
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    rows = [
+        (1, bytearray(encode_png(px, filters=(4,)))),
+        (2, bytearray(b"\x89PNG\r\n\x1a\nGARBAGE")),  # corrupt PNG
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in image_pixel_stats(df).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (4, 2, 3)
+    assert out[1].px_sum == int(px.sum())
+    assert out[1].px_min == 0 and out[1].px_max == 23
+    assert out[2].px_sum is None and out[3].px_sum is None
+
+
 def test_lsh_topk_tolerates_dirty_vectors(spark):
     """Regression: a null or wrong-dimension embedding must not fail the
     LSH query — dirty rows bucket to signature 0 (the replaced JVM
