@@ -2922,6 +2922,76 @@ def q_text_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (streaming/joins.py
+    stream_stream_interval_join): 'view' and 'purchase' events replayed
+    as TWO independent file streams, joined on user_id where the
+    purchase lands within [view_ts, view_ts + 3600 s]. Symmetric hash
+    join buffers both sides keyed by user_id; the replay watermark is
+    wider than the corpus span so no row is dropped and the full SQL
+    join replays the result exactly (the stream_simhash oracle shape).
+    delta_s is computed in microseconds then floored, matching the
+    oracle's epoch_ns arithmetic bit-for-bit."""
+    import tempfile
+
+    from spark_xml_spark.streaming import stream_stream_interval_join
+
+    work = tempfile.mkdtemp(prefix="xml_ssjoin_q_")
+    out = os.path.join(work, "out")
+
+    def _mk_build(etype):
+        def _build(path):
+            ev = _events(spark, sf_dir)
+            _, ts_utc = _events_ts_cols(ev)
+            (
+                ev.filter(F.col("event_type") == etype)
+                .select("event_id", "user_id", ts_utc.alias("ts"))
+                .coalesce(4)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+
+        return _build
+
+    schema = "event_id long, user_id long, ts timestamp"
+    src_a = _stream_source(
+        spark, sf_dir, "ssjoin-view-tsus", "events", _mk_build("view")
+    )
+    src_b = _stream_source(
+        spark, sf_dir, "ssjoin-purchase-tsus", "events",
+        _mk_build("purchase"),
+    )
+    joined = stream_stream_interval_join(
+        spark.readStream.schema(schema).parquet(src_a),
+        spark.readStream.schema(schema).parquet(src_b),
+        key="user_id",
+        lower_s=0,
+        upper_s=3600,
+        watermark="3650 days",  # finite replay: drop nothing
+    )
+    res = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        (
+            (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts")))
+            / F.lit(1000000)
+        ).cast("bigint").alias("delta_s"),
+    )
+    q = (
+        res.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return (
+        spark.read.parquet(out)
+        .orderBy("user_id", "view_id", "purchase_id")
+    )
+
+
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG PIXEL decode end-to-end (operators/multimodal.py
     decode_png_pixels -> image_pixel_stats): planted PNGs whose pixels
@@ -3292,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv": q_stream_kmv,
         "text_kmv_est": q_text_kmv_est,
         "multimodal_pixels": q_multimodal_pixels,
+        "stream_join": q_stream_join,
     }
 
 
@@ -4980,6 +5051,24 @@ def oracle_sql() -> dict[str, str]:
     # per-query independence makes micro-batched ANN exact: the streamed
     # probe's union of batch results equals the one-batch join
     sql["stream_ann"] = sql["ann_ivf_knn"]
+    sql["stream_join"] = """
+        -- full SQL replay of the stream-stream interval join: inner
+        -- join, purchase within [view_ts, view_ts + 3600 s] per user
+        WITH a AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view'
+        ), b AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT a.user_id AS user_id, a.event_id AS view_id,
+               b.event_id AS purchase_id,
+               CAST((epoch_ns(b.ts) - epoch_ns(a.ts)) // 1000000000
+                    AS BIGINT) AS delta_s
+        FROM a JOIN b ON a.user_id = b.user_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND
+        ORDER BY user_id, view_id, purchase_id
+    """
     sql["multimodal_pixels"] = """
         -- pixel stats recomputed from the planted PNGs' generative
         -- formula (value[i] = (doc_id*7 + i*13) % 256): the Spark side

@@ -12,6 +12,7 @@ from spark_xml_spark.streaming.dedup import (
     dedup_stream,
     dedup_stream_exact,
 )
+from spark_xml_spark.streaming.joins import stream_stream_interval_join
 from spark_xml_spark.streaming.foreach import (
     idempotent_parquet_writer,
     read_batches,
@@ -26,4 +27,5 @@ __all__ = [
     "dedup_stream_exact",
     "idempotent_parquet_writer",
     "read_batches",
+    "stream_stream_interval_join",
 ]

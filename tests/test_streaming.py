@@ -956,3 +956,128 @@ def test_idempotent_foreach_batch_writer_replay(spark, tmp_path):
         (r.id, r.v) for r in read_batches(spark, out).collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_stream_interval_join_kill_and_resume(spark, tmp_path):
+    """Stream-stream watermarked join survives a mid-stream kill: run
+    with maxFilesPerTrigger=1 over multi-file sources, stop after the
+    first progress, restart on the SAME checkpoint — the final sink must
+    equal the batch join exactly (no loss, no duplication of pairs whose
+    sides arrived in different microbatches)."""
+    import pandas as pd
+
+    from spark_xml_spark.streaming import stream_stream_interval_join
+
+    # two sides: key k, left times base+0/100/..., right offset +30 s.
+    # base keeps event times AWAY from epoch 0: the clamped watermark
+    # origin (max(0, max_event_time - delay)) drops rows sitting exactly
+    # at epoch 0 — the stream_simhash fixtures shift for the same reason
+    base = 1_000_000
+    left_rows = [(k, 1000 + k * 10 + t // 100, float(base + t))
+                 for k in range(6) for t in range(0, 500, 100)]
+    right_rows = [(k, 2000 + k * 10 + t // 100, float(base + t + 30))
+                  for k in range(6) for t in range(0, 500, 100)]
+    la = str(tmp_path / "left")
+    rb = str(tmp_path / "right")
+    for path, rows in ((la, left_rows), (rb, right_rows)):
+        (
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["k", "eid", "sec"])
+            )
+            .select(
+                "k", "eid",
+                F.timestamp_seconds(F.col("sec")).alias("ts"),
+            )
+            .repartition(4)
+            .write.mode("overwrite").parquet(path)
+        )
+    schema = "k long, eid long, ts timestamp"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start(available_now):
+        joined = stream_stream_interval_join(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(la),
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(rb),
+            key="k", lower_s=0, upper_s=60, watermark="1 hour",
+        )
+        res = joined.select(
+            F.col("l.k").alias("k"),
+            F.col("l.eid").alias("left_eid"),
+            F.col("r.eid").alias("right_eid"),
+        )
+        w = (
+            res.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # phase 1: start, let SOME microbatches commit, kill mid-stream
+    q = start(available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+    # phase 2: resume from the same checkpoint to completion
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(120)
+
+    got = sorted(
+        (r.k, r.left_eid, r.right_eid)
+        for r in spark.read.parquet(out).distinct().collect()
+    )
+    lb = spark.createDataFrame(
+        pd.DataFrame(left_rows, columns=["k", "eid", "sec"])
+    )
+    rbb = spark.createDataFrame(
+        pd.DataFrame(right_rows, columns=["k", "eid", "sec"])
+    )
+    want = sorted(
+        (r.k, r.left_eid, r.right_eid)
+        for r in lb.alias("l").join(
+            rbb.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("r.sec") >= F.col("l.sec"))
+            & (F.col("r.sec") <= F.col("l.sec") + 60),
+        ).select(
+            F.col("l.k").alias("k"),
+            F.col("l.eid").alias("left_eid"),
+            F.col("r.eid").alias("right_eid"),
+        ).collect()
+    )
+    assert want  # non-trivial join
+    assert got == want
+
+
+def test_stream_stream_interval_join_validation(spark, tmp_path):
+    """Batch inputs, empty interval, and bad how are rejected loudly."""
+    import pytest
+
+    from spark_xml_spark.streaming import stream_stream_interval_join
+
+    batch = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    with pytest.raises(ValueError, match="STREAMING"):
+        stream_stream_interval_join(batch, batch, key="k")
+    src = str(tmp_path / "s")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    with pytest.raises(ValueError, match="empty interval"):
+        stream_stream_interval_join(
+            stream, stream, key="k", lower_s=10, upper_s=5
+        )
+    with pytest.raises(ValueError, match="how"):
+        stream_stream_interval_join(stream, stream, key="k", how="cross")
+    with pytest.raises(ValueError, match="join key"):
+        stream_stream_interval_join(stream, stream, key=[])
