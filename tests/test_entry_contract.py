@@ -105,3 +105,19 @@ def _fake_row(t: str) -> str:
         cname, ctype = spec.strip().split(" ", 1)
         cols.append(f"CAST(NULL AS {ctype}) AS {cname}")
     return ", ".join(cols)
+
+
+def test_scale_doc_covers_every_query():
+    """SCALE.md is the per-operator 100 TB contract sheet; every
+    queries() key must appear in it (backtick-quoted) so a new operator
+    cannot land without a documented scale contract."""
+    import os
+
+    import __spark_entry__ as em
+
+    doc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "SCALE.md")
+    with open(doc_path) as fh:
+        doc = fh.read()
+    missing = [q for q in em.queries() if f"`{q}`" not in doc]
+    assert not missing, f"SCALE.md lacks contracts for: {missing}"

@@ -196,15 +196,30 @@ def main() -> None:
         if flags == ["CARTESIAN"] and name in INTENDED_CARTESIAN:
             flags = []
             waived = f" (cartesian waived: {INTENDED_CARTESIAN[name]})"
-        n_exchanges = plan.count("Exchange hashpartitioning") + plan.count(
-            "Exchange rangepartitioning"
-        )
+        # UNIQUE exchanges, deduped by plan_id: the executed-plan print
+        # repeats a cached subtree's exchanges across AQE sections, so a
+        # raw substring count double-counts (events_asof_bucketed: 12 raw
+        # vs 7 unique). Same method as the pinned budget test
+        # (tests/test_plan_hygiene.py test_asof_bucketed_exchange_budget).
+        import re as _re
+
+        ex_ids: dict = {}
+        raw_ex = 0
+        for m in _re.finditer(
+            r"Exchange (?:hash|range)partitioning[^\n]*", plan
+        ):
+            raw_ex += 1
+            pid = _re.search(r"\[plan_id=(\d+)\]", m.group(0))
+            ex_ids[pid.group(1) if pid else f"line{raw_ex}:{m.group(0)}"] = 1
+        n_exchanges = len(ex_ids)
         n_scans = plan.count("BatchScan xml-graft")
         status = "FLAG" if flags else "ok"
         if flags:
             bad += 1
+        dup_note = f" (raw={raw_ex})" if raw_ex != n_exchanges else ""
         print(
-            f"{status:5} {name}: exchanges={n_exchanges} xml_scans={n_scans}"
+            f"{status:5} {name}: exchanges={n_exchanges}{dup_note} "
+            f"xml_scans={n_scans}"
             + (f" {','.join(flags)}" if flags else "")
             + waived
         )
