@@ -442,6 +442,13 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "RATIO_TREND.json")) as fh:
             ratio_trend = json.load(fh).get("summary")
+        if ratio_trend:
+            # keep the embed compact: the driver artifact preserves only
+            # a 2 KB tail and ratio_summary must fit behind this; the
+            # full per-sf table lives in RATIO_TREND.json
+            ratio_trend = {
+                k: v for k, v in ratio_trend.items() if k != "ratio_by_sf"
+            }
     except (OSError, ValueError):
         pass
     payload = {
