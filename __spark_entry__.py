@@ -5053,20 +5053,24 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_ann"] = sql["ann_ivf_knn"]
     sql["stream_join"] = """
         -- full SQL replay of the stream-stream interval join: inner
-        -- join, purchase within [view_ts, view_ts + 3600 s] per user
+        -- join, purchase within [view_ts, view_ts + 3600 s] per user.
+        -- Compared in MICROSECONDS (epoch_ns // 1000) on both bounds
+        -- and the delta: the Spark side carries timestamp_micros
+        -- instants, so with legacy TIMESTAMP(NANOS) files a
+        -- sub-microsecond component must not flip a boundary row in
+        -- the oracle only
         WITH a AS (
-          SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'view'
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+          FROM events WHERE event_type = 'view'
         ), b AS (
-          SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase'
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+          FROM events WHERE event_type = 'purchase'
         )
         SELECT a.user_id AS user_id, a.event_id AS view_id,
                b.event_id AS purchase_id,
-               CAST((epoch_ns(b.ts) - epoch_ns(a.ts)) // 1000000000
-                    AS BIGINT) AS delta_s
+               CAST((b.us - a.us) // 1000000 AS BIGINT) AS delta_s
         FROM a JOIN b ON a.user_id = b.user_id
-         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND
+         AND b.us >= a.us AND b.us <= a.us + 3600000000
         ORDER BY user_id, view_id, purchase_id
     """
     sql["multimodal_pixels"] = """

@@ -301,7 +301,8 @@ def image_pixel_stats(
     stats instead of killing the task (extract_features' error
     contract); NotImplementedError still propagates, keeping the
     injectable-seam contract loud for formats stdlib can't decode."""
-    import pandas as pd  # executor-side import
+    import numpy as np  # executor-side import
+    import pandas as pd
 
     impl = decoder or decode_png_pixels
 
@@ -313,18 +314,23 @@ def image_pixel_stats(
                     rows.append((did, None, None, None, None, None, None))
                     continue
                 try:
-                    px = impl(bytes(payload))
+                    # shape handling stays INSIDE the try: an injected
+                    # decoder may return a 2-D grayscale array (PIL
+                    # does) or something unshapeable — the NULL-stats
+                    # contract covers decode AND normalization failures
+                    px = np.asarray(impl(bytes(payload)))
+                    if px.ndim == 2:
+                        px = px[:, :, None]
+                    h, w, nch = px.shape
+                    flat = px.reshape(-1)
+                    rows.append(
+                        (did, w, h, nch, int(flat.sum(dtype="int64")),
+                         int(flat.min()), int(flat.max()))
+                    )
                 except NotImplementedError:
                     raise
                 except Exception:
                     rows.append((did, None, None, None, None, None, None))
-                    continue
-                h, w, nch = px.shape
-                flat = px.reshape(-1)
-                rows.append(
-                    (did, w, h, nch, int(flat.sum(dtype="int64")),
-                     int(flat.min()), int(flat.max()))
-                )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "width", "height", "channels",

@@ -115,16 +115,28 @@ def lt_safe_multibyte(charset: str) -> bool:
     0x40+), EUC-JP/KR (all components 0x80+), GBK/GB2312/GB18030
     (trails 0x40+; 4-byte form uses digit bytes 0x30-0x39). Rejects
     ISO-2022-* (ESC-stateful; 0x3C is a legal second byte of a shifted
-    2-byte code), HZ and UTF-7 (shift sequences), proven by the sweep
-    below rather than by a charset allowlist."""
+    2-byte code) and HZ (shift sequences), proven by the sweep below
+    rather than by a charset allowlist; UTF-7 is rejected BY NAME — it
+    passes every sweep, but RFC 2152 makes the direct form of '<'
+    optional, so a conformant file may contain no 0x3C byte at all."""
     c = charset.lower().replace("_", "-")
     if is_ascii_compatible(charset) or unit_width(charset) is not None:
         return False
     import codecs as _pyc
 
     try:
-        _pyc.lookup(c)
+        canonical = _pyc.lookup(c).name
     except LookupError:
+        return False
+    if canonical == "utf-7":
+        # UTF-7 passes every byte-sweep below (Python's encoder emits
+        # '<' directly and base64 runs never contain 0x3C), but the
+        # SPEC (RFC 2152) makes direct encoding of set-O chars like '<'
+        # OPTIONAL: a conformant producer (e.g. .NET UTF7Encoding) may
+        # write '<' as '+ADw-', leaving ZERO 0x3C bytes in the file —
+        # '<'-alignment would silently lose every record. No sweep of
+        # OUR codec can prove a negative over all conformant encoders,
+        # so the alternative-representation family is rejected by name.
         return False
     # the structural chars the transcoded scanner emits patterns for
     # must be ASCII-identical (they are re-encoded as UTF-8 after the
@@ -466,24 +478,30 @@ def _scan_unit_width_range(
     else:
         start = split.start - (split.start % w)
         end = split.end if split.end < 0 else split.end - (split.end % w)
-        fh = _open_stream(split)
-        try:
-            fh.seek(start)
-        except (OSError, ValueError):
-            # non-seekable: skip forward by reading
-            left = start
-            while left > 0:
-                skipped = fh.read(min(_CHUNK, left))
-                if not skipped:
-                    break
-                left -= len(skipped)
-        if split.eof >= 0:
-            fh = _CapReader(fh, split.eof - start)
+        fh = _seek_or_skip(_open_stream(split), start, split.eof)
         owned = -1 if end < 0 else max(end - start, 0)
         if owned == 0 and end >= 0:
             fh.close()
             return
     yield from _scan_transcoded(fh, cs, owned, row_tag)
+
+
+def _seek_or_skip(fh, start: int, eof: int):
+    """Position ``fh`` at ``start`` (seek, or read-skip for non-seekable
+    streams) and apply the committed-offset cap when ``eof`` >= 0 —
+    the shared preamble of every ranged transcoding scanner."""
+    try:
+        fh.seek(start)
+    except (OSError, ValueError):
+        left = start
+        while left > 0:
+            skipped = fh.read(min(_CHUNK, left))
+            if not skipped:
+                break
+            left -= len(skipped)
+    if eof >= 0:
+        fh = _CapReader(fh, eof - start)
+    return fh
 
 
 class _PrefixedReader:
@@ -527,19 +545,8 @@ def _scan_lt_aligned_range(
         # decompressed whole stream, all owned (gzip etc.: one split)
         yield from _scan_transcoded(_open_stream(split), cs, -1, row_tag)
         return
-    fh = _open_stream(split)
     start = split.start
-    try:
-        fh.seek(start)
-    except (OSError, ValueError):
-        left = start
-        while left > 0:
-            skipped = fh.read(min(_CHUNK, left))
-            if not skipped:
-                break
-            left -= len(skipped)
-    if split.eof >= 0:
-        fh = _CapReader(fh, split.eof - start)
+    fh = _seek_or_skip(_open_stream(split), start, split.eof)
     if start == 0:
         # file head: decode the prologue too, no alignment needed
         owned = -1 if split.end < 0 else split.end
@@ -550,7 +557,11 @@ def _scan_lt_aligned_range(
         return
     # align: find the first 0x3C at/after start (a guaranteed character
     # boundary); record starts can only live at '<' bytes, so nothing
-    # ownable precedes it
+    # ownable precedes it. The search is BOUNDED by split.end: a '<' at
+    # or beyond end is the right neighbour's to own, so a split whose
+    # range lies inside a '<'-free region (huge text node) must not
+    # stream to EOF looking for one — each task reads only its range
+    # plus at most one chunk.
     pos = start
     head = b""
     while True:
@@ -564,6 +575,9 @@ def _scan_lt_aligned_range(
             head = chunk[i:]
             break
         pos += len(chunk)
+        if split.end >= 0 and pos >= split.end:
+            fh.close()
+            return  # no '<' in the owned range: nothing starts here
     if split.end >= 0 and pos >= split.end:
         fh.close()
         return  # first '<' lies beyond the owned range

@@ -493,7 +493,7 @@ def test_stateful_codecs_stay_whole_file():
     2-byte codes include 0x3C; HZ likewise) must fail the probe and
     degrade to whole-file splits (correctness over parallelism) — and
     the whole-file decode must still be exact."""
-    for cs in ("iso2022-jp", "hz"):
+    for cs in ("iso2022-jp", "hz", "utf-7", "utf_7"):
         assert _tok.lt_safe_multibyte(cs) is False, cs
         assert _tok.unit_width(cs) is None, cs
     recs_j = [f"<r><a>日本語{i}</a></r>" for i in range(50)]
@@ -506,6 +506,29 @@ def test_stateful_codecs_stay_whole_file():
     assert len(splits) == 1 and splits[0].whole_file
     got = list(_tok.scan_split(splits[0], "r", "iso2022_jp"))
     assert got == recs_j
+
+
+def test_utf7_set_o_encoding_stays_whole_file_and_exact():
+    """UTF-7 regression: RFC 2152 makes the direct form of '<' OPTIONAL
+    — a conformant producer (e.g. .NET UTF7Encoding) writes '<' as
+    '+ADw-', leaving ZERO 0x3C bytes in the file, so '<'-aligned
+    byte-range splits would lose every record whose split head has no
+    raw '<'. The probe must reject UTF-7 BY NAME (it passes every byte
+    sweep); the whole-file path must decode the set-O form exactly."""
+    recs = [f"<r><a>{i}</a></r>" for i in range(50)]
+    doc = "<root>" + "".join(recs) + "</root>"
+    # encode with NO direct set-O characters: '<' -> +ADw-, '>' -> +AD4-
+    enc = doc.replace("<", "+ADw-").replace(">", "+AD4-").encode("ascii")
+    assert b"<" not in enc  # the file genuinely has no 0x3C byte
+    assert enc.decode("utf-7") == doc  # and is valid UTF-7
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.xml")
+    with open(p, "wb") as fh:
+        fh.write(enc)
+    splits = _tok.plan_splits(p, "utf-7", 64)
+    assert len(splits) == 1 and splits[0].whole_file
+    got = list(_tok.scan_split(splits[0], "r", "utf-7"))
+    assert got == recs
 
 
 def test_single_byte_probe_rejects_multibyte_codecs():

@@ -1031,9 +1031,12 @@ def test_stream_stream_interval_join_kill_and_resume(spark, tmp_path):
     q2 = start(available_now=True)
     assert q2.awaitTermination(120)
 
+    # NO distinct: the file sink's metadata log gives exactly-once, so
+    # the raw sink contents must equal the batch join INCLUDING
+    # multiplicity — a re-emitted pair after restart must fail here
     got = sorted(
         (r.k, r.left_eid, r.right_eid)
-        for r in spark.read.parquet(out).distinct().collect()
+        for r in spark.read.parquet(out).collect()
     )
     lb = spark.createDataFrame(
         pd.DataFrame(left_rows, columns=["k", "eid", "sec"])
