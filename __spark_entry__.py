@@ -2993,34 +2993,57 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG PIXEL decode end-to-end (operators/multimodal.py
-    decode_png_pixels -> image_pixel_stats): planted PNGs whose pixels
-    follow a closed-form formula of doc_id — value[i] = (doc_id*7 +
-    i*13) % 256 over h x w x channels samples, channels cycling
-    gray/RGB/gray+alpha/RGBA — encoded with ALL FIVE scanline filter
-    types (None/Sub/Up/Average/Paeth cycling per row). The Spark side
-    inflates and unfilters the real PNG bytes; the oracle recomputes
-    the same integer stats straight from the formula, so any unfilter
-    or palette bug breaks the match (an encoder/decoder bug pair
-    cannot cancel: the oracle never touches the bytes)."""
+    """PNG + GIF PIXEL decode end-to-end (operators/multimodal.py
+    decode_png_pixels / decode_gif_pixels -> image_pixel_stats):
+    planted images whose pixels follow a closed-form formula of doc_id
+    — value[i] = (doc_id*7 + i*13) % 256. doc_id % 6 in 0..3 plants a
+    PNG (channels cycling gray/RGB/gray+alpha/RGBA, ALL FIVE scanline
+    filter types cycling per row); doc_id % 6 in 4..5 plants a GIF
+    whose formula values are PALETTE INDICES mapped through
+    pal[j] = (j, 255-j, (j*7)%256) — so the stats cover zlib inflate +
+    unfilter AND variable-width LZW + palette expansion. The oracle
+    recomputes the stats straight from the formulas, so a decoder bug
+    cannot cancel against the encoder (the oracle never touches the
+    bytes)."""
     from spark_xml_spark.operators import image_pixel_stats
 
     def gen(it):
         import numpy as np
         import pandas as pd
 
-        from spark_xml_spark.operators.multimodal import encode_png
+        from spark_xml_spark.operators.multimodal import (
+            encode_gif,
+            encode_png,
+        )
 
+        pal = np.stack(
+            [np.arange(256), 255 - np.arange(256),
+             (np.arange(256) * 7) % 256],
+            axis=1,
+        ).astype(np.uint8)
         for pdf in it:
             ids, payloads = [], []
             for did in pdf["id"]:
                 did = int(did)
                 h, w = 8 + did % 5, 9 + did % 7
-                nch = (1, 3, 2, 4)[did % 4]
-                vals = (did * 7 + np.arange(h * w * nch) * 13) % 256
-                px = vals.astype(np.uint8).reshape(h, w, nch)
+                m = did % 6
+                if m >= 4:
+                    vals = (did * 7 + np.arange(h * w) * 13) % 256
+                    payloads.append(
+                        encode_gif(
+                            vals.astype(np.uint8).reshape(h, w), pal
+                        )
+                    )
+                else:
+                    nch = (1, 3, 2, 4)[m]
+                    vals = (did * 7 + np.arange(h * w * nch) * 13) % 256
+                    payloads.append(
+                        encode_png(
+                            vals.astype(np.uint8).reshape(h, w, nch),
+                            filters=(0, 1, 2, 3, 4),
+                        )
+                    )
                 ids.append(did)
-                payloads.append(encode_png(px, filters=(0, 1, 2, 3, 4)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     d = spark.range(24).repartition(4).mapInPandas(
@@ -5074,25 +5097,42 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY user_id, view_id, purchase_id
     """
     sql["multimodal_pixels"] = """
-        -- pixel stats recomputed from the planted PNGs' generative
-        -- formula (value[i] = (doc_id*7 + i*13) % 256): the Spark side
-        -- must inflate + unfilter the actual PNG bytes to the same
-        -- integers, independent of the encoder
+        -- pixel stats recomputed from the planted images' generative
+        -- formulas (v[i] = (doc_id*7 + i*13) % 256; GIF rows map v
+        -- through pal[j] = (j, 255-j, (j*7)%256)): the Spark side must
+        -- inflate+unfilter the PNG bytes / LZW-decode the GIF bytes to
+        -- the same integers, independent of the encoders
         WITH d AS (
-          SELECT r.range AS did,
-                 CASE r.range % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
-                      WHEN 2 THEN 2 ELSE 4 END AS ch,
+          SELECT r.range AS did, r.range % 6 AS m,
                  8 + r.range % 5 AS h, 9 + r.range % 7 AS w
           FROM range(24) r
-        ), s AS (
-          SELECT did, ch, h, w, unnest(range(h*w*ch)) AS i FROM d
+        ), dims AS (
+          SELECT did, m, h, w,
+                 CASE WHEN m >= 4 THEN 3
+                      ELSE CASE m WHEN 0 THEN 1 WHEN 1 THEN 3
+                                WHEN 2 THEN 2 ELSE 4 END
+                 END AS ch
+          FROM d
+        ), idx AS (
+          SELECT did, m, h, w, ch,
+                 unnest(range(CASE WHEN m >= 4 THEN h*w
+                              ELSE h*w*ch END)) AS i
+          FROM dims
+        ), vals AS (
+          SELECT did, w, h, ch,
+                 unnest(CASE WHEN m >= 4 THEN
+                          [(did*7 + i*13) % 256,
+                           255 - (did*7 + i*13) % 256,
+                           (((did*7 + i*13) % 256) * 7) % 256]
+                        ELSE [(did*7 + i*13) % 256] END) AS pv
+          FROM idx
         )
         SELECT did AS doc_id, CAST(w AS INT) AS width,
                CAST(h AS INT) AS height, CAST(ch AS INT) AS channels,
-               CAST(SUM((did*7 + i*13) % 256) AS BIGINT) AS px_sum,
-               CAST(MIN((did*7 + i*13) % 256) AS INT) AS px_min,
-               CAST(MAX((did*7 + i*13) % 256) AS INT) AS px_max
-        FROM s GROUP BY did, ch, h, w
+               CAST(SUM(pv) AS BIGINT) AS px_sum,
+               CAST(MIN(pv) AS INT) AS px_min,
+               CAST(MAX(pv) AS INT) AS px_max
+        FROM vals GROUP BY did, w, h, ch
         ORDER BY doc_id
     """
     return sql

@@ -275,6 +275,231 @@ def encode_png(pixels, filters=(0,)) -> bytes:
     )
 
 
+def decode_gif_pixels(payload: bytes):
+    """Pure-stdlib GIF PIXEL decode (variable-width LSB-first LZW per
+    GIF89a appendix F): returns the FIRST image frame as an (h, w, 3)
+    uint8 RGB array via its (local else global) color table, honoring
+    the interlace flag. Extensions are skipped; animation frames beyond
+    the first are out of scope (stats sample frame 1)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError(
+            "pixel decoding beyond PNG/GIF requires an image library not "
+            "present in this environment; inject a real decoder"
+        )
+    pos = 6
+    _sw, _sh = struct.unpack("<HH", payload[pos:pos + 4])
+    packed = payload[pos + 4]
+    pos += 7  # LSD
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos:pos + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * n
+
+    def _skip_subblocks(p):
+        while True:
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+
+    while pos < len(payload):
+        intro = payload[pos]
+        if intro == 0x21:  # extension: label + sub-blocks
+            pos = _skip_subblocks(pos + 2)
+            continue
+        if intro == 0x3B:  # trailer before any image
+            raise ValueError("corrupt GIF: no image data")
+        if intro != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{intro:02x}")
+        break
+    _l, _t, w, h = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+    ipacked = payload[pos + 9]
+    pos += 10
+    pal = gct
+    if ipacked & 0x80:  # local color table
+        n = 2 << (ipacked & 0x07)
+        pal = np.frombuffer(
+            payload[pos:pos + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("corrupt GIF: no color table")
+    interlaced = bool(ipacked & 0x40)
+    mcs = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        data += payload[pos:pos + ln]
+        pos += ln
+
+    # ---- LZW decode: LSB-first variable-width codes -------------------
+    clear = 1 << mcs
+    end = clear + 1
+    width = mcs + 1
+    table: list = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = 0
+    nbits = 0
+    bytepos = 0
+    while True:
+        while nbits < width:
+            if bytepos >= len(data):
+                raise ValueError("corrupt GIF: LZW stream truncated")
+            acc |= data[bytepos] << nbits
+            nbits += 8
+            bytepos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = table[: clear + 2]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF: LZW code out of range")
+        out += entry
+        prev = entry
+        # width grows once the NEXT code to assign needs one more bit
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < w * h:
+        raise ValueError("corrupt GIF: pixel data short")
+    idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+    rows = idx.reshape(h, w)
+    if interlaced:
+        de = np.empty_like(rows)
+        src = 0
+        for first, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for y in range(first, h, step):
+                de[y] = rows[src]
+                src += 1
+        rows = de
+    return pal[rows]  # (h, w, 3)
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Pure-stdlib GIF89a encoder (fixture/write seam): (h, w) uint8
+    palette-index array + (n, 3) palette -> single-frame GIF with a real
+    variable-width LZW stream (dictionary growth and width bumps
+    exercised; tiny fixtures never reach the 12-bit cap)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = 1
+    while (1 << n) < len(pal) or n < 2:
+        n += 1
+    table_n = 1 << n
+    mcs = max(n, 2)
+    clear = 1 << mcs
+    end = clear + 1
+
+    codes: list = [clear]
+    dict_: dict = {bytes((i,)): i for i in range(clear)}
+    next_code = clear + 2
+    cur = b""
+    for b in idx.reshape(-1).tobytes():
+        nxt = cur + bytes((b,))
+        if nxt in dict_:
+            cur = nxt
+        else:
+            codes.append(dict_[cur])
+            dict_[nxt] = next_code
+            next_code += 1
+            cur = bytes((b,))
+    if cur:
+        codes.append(dict_[cur])
+    codes.append(end)
+
+    # pack LSB-first, widening on an exact simulation of the DECODER's
+    # table: it adds one entry per emitted code after the first
+    # following a clear, and widens when the table reaches 2^width
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+    width = mcs + 1
+    table_size = clear + 2
+    first_after_clear = True
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            width = mcs + 1
+            table_size = clear + 2
+            first_after_clear = True
+        elif c == end:
+            pass
+        elif first_after_clear:
+            first_after_clear = False
+        else:
+            table_size += 1
+            if table_size == (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (n - 1))  # global color table, 2^n entries
+    out += b"\x00\x00"
+    padded = np.zeros((table_n, 3), dtype=np.uint8)
+    padded[: len(pal)] = pal
+    out += padded.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+    for i in range(0, len(bits), 255):
+        block = bits[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def default_pixel_decoder(payload: bytes):
+    """Magic-sniffing pixel decode: PNG and GIF are real pure-stdlib
+    (decode_png_pixels / decode_gif_pixels); anything else raises
+    through the injectable-seam contract."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
+    raise NotImplementedError(
+        "pixel decoding beyond PNG/GIF requires an image library not "
+        "present in this environment; inject a real decoder"
+    )
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -304,7 +529,7 @@ def image_pixel_stats(
     import numpy as np  # executor-side import
     import pandas as pd
 
-    impl = decoder or decode_png_pixels
+    impl = decoder or default_pixel_decoder
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:

@@ -558,6 +558,75 @@ def test_png_pixel_decode_hand_verified_filters():
         assert (got == want).all(), nch
 
 
+def test_gif_pixel_decode_hand_packed_lzw():
+    """decode_gif_pixels against a HAND-PACKED LZW stream (codes and
+    widths written out from GIF89a appendix F by hand, packed by an
+    independent in-test packer — encoder/decoder bugs cannot cancel):
+    mcs=2, pixels [0,1,2,3] -> codes [CLEAR=4, 0, 1, 2, 3, END=5] with
+    widths [3,3,3,3,4,4] (the decoder's table hits 2^3 after code 2,
+    so code 3 and END read at width 4)."""
+    import struct
+
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import (
+        decode_gif_pixels,
+        default_pixel_decoder,
+    )
+
+    def pack_lsb(code_widths):
+        acc = nbits = 0
+        out = bytearray()
+        for c, w in code_widths:
+            acc |= c << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    lzw = pack_lsb([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)])
+    pal = bytes([10, 11, 12,  20, 21, 22,  30, 31, 32,  40, 41, 42])
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 4, 1)
+        + bytes([0x80 | 0x01])  # GCT, 4 entries
+        + b"\x00\x00" + pal
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 1) + b"\x00"
+        + bytes([2])  # LZW min code size
+        + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    px = decode_gif_pixels(gif)
+    assert px.shape == (1, 4, 3)
+    assert px[0].tolist() == [[10, 11, 12], [20, 21, 22],
+                              [30, 31, 32], [40, 41, 42]]
+    # dispatching decoder routes GIF and PNG; others raise
+    assert (default_pixel_decoder(gif) == px).all()
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        default_pixel_decoder(b"\xff\xd8\xffjpeg")
+
+    # interlaced round-trip: encode non-interlaced rows, rewrite the
+    # descriptor flag + row order by hand, decode must deinterlace
+    from spark_xml_spark.operators.multimodal import encode_gif
+
+    rng = np.random.RandomState(5)
+    pal256 = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, (10, 7), dtype=np.uint8)
+    order = [y for f, s in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(f, 10, s)]
+    g = bytearray(encode_gif(idx[order], pal256))
+    # image descriptor sits right after header+LSD+GCT
+    desc = 6 + 7 + 256 * 3
+    assert g[desc] == 0x2C
+    g[desc + 9] |= 0x40  # set interlace flag
+    got = decode_gif_pixels(bytes(g))
+    assert (got == pal256[idx]).all()
+
+
 def test_image_pixel_stats_operator(spark):
     """image_pixel_stats over a mixed frame: decodable PNGs produce
     integer stats, an undecodable payload NULLs out, a NULL payload
