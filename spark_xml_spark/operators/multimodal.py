@@ -24,6 +24,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step), from the
+# PNG spec's 8x8 pattern —
+#   1 6 4 6 2 6 4 6
+#   7 7 7 7 7 7 7 7
+#   5 6 5 6 5 6 5 6
+#   7 7 7 7 7 7 7 7
+#   3 6 4 6 3 6 4 6   (passes 4 and 6 start at ROW 0, not mid-grid)
+#   ... rows 5-7 repeat 7 / 5 6 / 7
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 # magic prefixes -> media kind (the usual sniff table)
 _MAGIC = {
     b"\x89PNG": "image/png",
@@ -113,11 +126,13 @@ def decode_png_pixels(payload: bytes):
     """Pure-stdlib PNG PIXEL decode (zlib inflate + per-scanline
     unfilter, RFC 2083 §6): returns an (h, w, channels) uint8 numpy
     array. Supports bit depth 8 in color types 0 (gray), 2 (RGB),
-    3 (palette -> expanded RGB), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced. All five filter types (None/Sub/Up/Average/Paeth)
-    are implemented; Adam7 interlace, 1/2/4/16-bit depths and non-PNG
-    formats still raise — the injectable-seam contract shrinks to
-    exactly what stdlib cannot express, instead of all pixel work."""
+    3 (palette -> expanded RGB), 4 (gray+alpha), 6 (RGBA), both
+    non-interlaced and Adam7-interlaced (seven independently-filtered
+    sub-images scattered back to the grid). All five filter types
+    (None/Sub/Up/Average/Paeth) are implemented; 1/2/4/16-bit depths
+    and non-PNG formats still raise — the injectable-seam contract
+    shrinks to exactly what stdlib cannot express, instead of all
+    pixel work."""
     import struct
     import zlib
 
@@ -151,51 +166,75 @@ def decode_png_pixels(payload: bytes):
     depth, color, _comp, _filt, interlace = ihdr[8:13]
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} unsupported")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: interlace method {interlace}")
     try:
         nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     except KeyError:
         raise ValueError(f"corrupt PNG: color type {color}")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("corrupt PNG: truncated pixel data")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
     bpp = nch  # bytes per pixel at depth 8
-    off = 0
-    for y in range(h):
-        ft = raw[off]
-        off += 1
-        cur = np.frombuffer(raw, dtype=np.uint8, count=stride,
-                            offset=off).copy()
-        off += stride
-        if ft == 0:
-            pass
-        elif ft == 2:  # Up: vectorized (uint8 addition wraps mod 256)
-            cur += prev
-        elif ft == 1:  # Sub: sequential in x (left-neighbour recurrence)
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
-        elif ft == 3:  # Average
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"corrupt PNG: filter type {ft}")
-        out[y] = cur
-        prev = cur
-    px = out.reshape(h, w, nch)
+
+    def _unfilter(off, n_rows, stride):
+        """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+        raw[off]; returns ((n_rows, stride) array, new off). The
+        previous-row context resets per call — exactly PNG's rule for
+        each Adam7 pass (every pass filters as an independent image)."""
+        if len(raw) - off < n_rows * (stride + 1):
+            raise ValueError("corrupt PNG: truncated pixel data")
+        rows = np.empty((n_rows, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(n_rows):
+            ft = raw[off]
+            off += 1
+            cur = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                                offset=off).copy()
+            off += stride
+            if ft == 0:
+                pass
+            elif ft == 2:  # Up: vectorized (uint8 addition wraps)
+                cur += prev
+            elif ft == 1:  # Sub: sequential in x (left recurrence)
+                for x in range(bpp, stride):
+                    cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    left = int(cur[x - bpp]) if x >= bpp else 0
+                    cur[x] = (
+                        int(cur[x]) + (left + int(prev[x])) // 2
+                    ) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                    cur[x] = (int(cur[x]) + pred) & 0xFF
+            else:
+                raise ValueError(f"corrupt PNG: filter type {ft}")
+            rows[y] = cur
+            prev = cur
+        return rows, off
+
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        out = np.empty((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            rows, off = _unfilter(off, hp, wp * nch)
+            out[y0::dy, x0::dx] = rows.reshape(hp, wp, nch)
+        px = out
+    else:
+        rows, _ = _unfilter(0, h, w * nch)
+        px = rows.reshape(h, w, nch)
     if color == 3:
         if plte is None:
             raise ValueError("corrupt PNG: palette image without PLTE")

@@ -541,12 +541,12 @@ def test_png_pixel_decode_hand_verified_filters():
              + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):  # 16-bit depth
         decode_png_pixels(png16)
+    # Adam7 1x1: the whole image is pass 1 (one filtered scanline)
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
     png_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
-             + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+             + chunk(b"IDAT", zlib.compress(b"\x00\x2a"))
              + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):  # Adam7 interlace
-        decode_png_pixels(png_i)
+    assert decode_png_pixels(png_i).reshape(-1).tolist() == [0x2A]
 
     # encoder round-trip across every filter type and channel count
     from spark_xml_spark.operators.multimodal import encode_png
@@ -556,6 +556,53 @@ def test_png_pixel_decode_hand_verified_filters():
         want = rng.randint(0, 256, (6, 5, nch), dtype=np.uint8)
         got = decode_png_pixels(encode_png(want, filters=(0, 1, 2, 3, 4)))
         assert (got == want).all(), nch
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7-interlaced PNGs: seven independently-filtered sub-images
+    scattered back to the grid. Pass data is built IN THE TEST by numpy
+    slicing + hand Up-filtering (enc = row - prev, prev resetting per
+    pass) — independent of encode_png, so the decoder's per-pass
+    filter-context reset is verified, not round-tripped."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png_pixels,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(11)
+    for (h, w, nch, ct) in [(9, 10, 1, 0), (8, 8, 3, 2), (5, 3, 4, 6),
+                            (2, 9, 2, 4), (16, 17, 3, 2), (7, 1, 1, 0)]:
+        px = rng.randint(0, 256, (h, w, nch), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            prev = np.zeros(sub.shape[1] * nch, dtype=np.uint8)
+            for row in sub:
+                flat = row.reshape(-1)
+                raw.append(2)  # Up filter, hand-computed
+                raw += (flat - prev).tobytes()  # uint8 wrap == mod 256
+                prev = flat
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(png)
+        assert got.shape == (h, w, nch) and (got == px).all(), (h, w, nch)
 
 
 def test_gif_pixel_decode_hand_packed_lzw():
