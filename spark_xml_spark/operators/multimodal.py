@@ -414,13 +414,17 @@ def decode_gif_pixels(payload: bytes):
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            if len(table) < 4096:  # deferred-clear streams stop adding
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
         else:
             raise ValueError("corrupt GIF: LZW code out of range")
         out += entry
+        if len(out) >= w * h:
+            break  # first frame complete: a crafted stream with tiny
+            # declared dims must not expand quadratically past the cap
         prev = entry
         # width grows once the NEXT code to assign needs one more bit
         if len(table) == (1 << width) and width < 12:
@@ -468,11 +472,18 @@ def encode_gif(indices, palette) -> bytes:
         nxt = cur + bytes((b,))
         if nxt in dict_:
             cur = nxt
-        else:
-            codes.append(dict_[cur])
-            dict_[nxt] = next_code
-            next_code += 1
-            cur = bytes((b,))
+            continue
+        codes.append(dict_[cur])
+        dict_[nxt] = next_code
+        next_code += 1
+        cur = bytes((b,))
+        if next_code > 4095:
+            # 12-bit code space exhausted: emit CLEAR immediately (no
+            # deferred mode) so encoder and decoder tables stay in
+            # lockstep — silently wrapping past 4095 corrupts streams
+            codes.append(clear)
+            dict_ = {bytes((i,)): i for i in range(clear)}
+            next_code = clear + 2
     if cur:
         codes.append(dict_[cur])
     codes.append(end)

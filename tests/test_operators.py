@@ -674,6 +674,64 @@ def test_gif_pixel_decode_hand_packed_lzw():
     assert (got == pal256[idx]).all()
 
 
+def test_gif_lzw_table_cap_and_hostile_stream_bound():
+    """Two GIF LZW edge contracts: (a) images large enough to exhaust
+    the 12-bit code space round-trip exactly (the encoder emits CLEAR
+    and resets instead of silently wrapping past 4095); (b) a crafted
+    stream of ever-growing entries with tiny declared dims decodes in
+    O(w*h), not O(stream^2) — the decoder stops at the first frame's
+    pixel count instead of expanding the whole stream."""
+    import struct
+
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(1)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, (120, 120), dtype=np.uint8)  # >4095 codes
+    assert (decode_gif_pixels(encode_gif(idx, pal)) == pal[idx]).all()
+
+    def pack_lsb(cw):
+        acc = nbits = 0
+        out = bytearray()
+        for c, w in cw:
+            acc |= c << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    codes = [(256, 9), (0, 9)]  # clear, literal 0
+    width, table = 9, 258
+    for _ in range(3000):  # each KwKwK code emits one byte more
+        codes.append((table, width))
+        table += 1
+        if table == (1 << width) and width < 12:
+            width += 1
+    codes.append((257, width))
+    lzw = pack_lsb(codes)
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80 | 0x07])
+        + b"\x00\x00" + bytes(768)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([8])
+    )
+    for i in range(0, len(lzw), 255):
+        b = lzw[i:i + 255]
+        gif += bytes([len(b)]) + b
+    gif += b"\x00\x3b"
+    px = decode_gif_pixels(gif)  # must return promptly, bounded output
+    assert px.shape == (2, 2, 3)
+
+
 def test_image_pixel_stats_operator(spark):
     """image_pixel_stats over a mixed frame: decodable PNGs produce
     integer stats, an undecodable payload NULLs out, a NULL payload
