@@ -124,15 +124,16 @@ def default_image_decoder(payload: bytes) -> dict:
 
 def decode_png_pixels(payload: bytes):
     """Pure-stdlib PNG PIXEL decode (zlib inflate + per-scanline
-    unfilter, RFC 2083 §6): returns an (h, w, channels) uint8 numpy
-    array. Supports bit depth 8 in color types 0 (gray), 2 (RGB),
-    3 (palette -> expanded RGB), 4 (gray+alpha), 6 (RGBA), both
-    non-interlaced and Adam7-interlaced (seven independently-filtered
-    sub-images scattered back to the grid). All five filter types
-    (None/Sub/Up/Average/Paeth) are implemented; 1/2/4/16-bit depths
-    and non-PNG formats still raise — the injectable-seam contract
-    shrinks to exactly what stdlib cannot express, instead of all
-    pixel work."""
+    unfilter, RFC 2083 §6): returns an (h, w, channels) numpy array —
+    uint8 at depth 8, uint16 at depth 16 (filters operate on BYTES at
+    either depth; samples are big-endian u16 at 16). Supports color
+    types 0 (gray), 2 (RGB), 3 (palette -> expanded RGB, depth 8), 4
+    (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
+    (seven independently-filtered sub-images scattered back to the
+    grid). All five filter types (None/Sub/Up/Average/Paeth) are
+    implemented; 1/2/4-bit depths and non-PNG formats still raise —
+    the injectable-seam contract shrinks to exactly what stdlib cannot
+    express, instead of all pixel work."""
     import struct
     import zlib
 
@@ -164,7 +165,7 @@ def decode_png_pixels(payload: bytes):
         raise ValueError("corrupt PNG: no IHDR")
     w, h = struct.unpack(">II", ihdr[:8])
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} unsupported")
     if interlace not in (0, 1):
         raise ValueError(f"corrupt PNG: interlace method {interlace}")
@@ -172,8 +173,11 @@ def decode_png_pixels(payload: bytes):
         nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     except KeyError:
         raise ValueError(f"corrupt PNG: color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("corrupt PNG: 16-bit palette is not legal")
     raw = zlib.decompress(b"".join(idat))
-    bpp = nch  # bytes per pixel at depth 8
+    sbytes = depth // 8  # bytes per sample
+    bpp = nch * sbytes  # filter distance = bytes per pixel
 
     def _unfilter(off, n_rows, stride):
         """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
@@ -221,20 +225,30 @@ def decode_png_pixels(payload: bytes):
             prev = cur
         return rows, off
 
+    def _samples(rows, n_rows, n_cols):
+        """Filtered BYTE rows -> (n_rows, n_cols, nch) sample array:
+        identity at depth 8; big-endian u16 view at depth 16 (filters
+        operate on bytes regardless of depth, per the spec)."""
+        if sbytes == 1:
+            return rows.reshape(n_rows, n_cols, nch)
+        u16 = rows.reshape(n_rows, -1).view(">u2").astype(np.uint16)
+        return u16.reshape(n_rows, n_cols, nch)
+
     if interlace:  # Adam7: seven independently-filtered sub-images
-        out = np.empty((h, w, nch), dtype=np.uint8)
+        out = np.empty((h, w, nch), dtype=np.uint16 if sbytes == 2
+                       else np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             wp = (w - x0 + dx - 1) // dx
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            rows, off = _unfilter(off, hp, wp * nch)
-            out[y0::dy, x0::dx] = rows.reshape(hp, wp, nch)
+            rows, off = _unfilter(off, hp, wp * bpp)
+            out[y0::dy, x0::dx] = _samples(rows, hp, wp)
         px = out
     else:
-        rows, _ = _unfilter(0, h, w * nch)
-        px = rows.reshape(h, w, nch)
+        rows, _ = _unfilter(0, h, w * bpp)
+        px = _samples(rows, h, w)
     if color == 3:
         if plte is None:
             raise ValueError("corrupt PNG: palette image without PLTE")

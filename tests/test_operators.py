@@ -537,10 +537,16 @@ def test_png_pixel_decode_hand_verified_filters():
         decode_png_pixels(b"\xff\xd8\xffjpeg")
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
-             + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+             + chunk(b"IDAT", zlib.compress(b"\x00\x12\x34"))
              + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):  # 16-bit depth
-        decode_png_pixels(png16)
+    # 16-bit depth decodes (uint16 big-endian samples)
+    assert decode_png_pixels(png16).reshape(-1).tolist() == [0x1234]
+    ihdr4 = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    png4 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):  # sub-byte depth
+        decode_png_pixels(png4)
     # Adam7 1x1: the whole image is pass 1 (one filtered scanline)
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
     png_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
@@ -672,6 +678,77 @@ def test_gif_pixel_decode_hand_packed_lzw():
     g[desc + 9] |= 0x40  # set interlace flag
     got = decode_gif_pixels(bytes(g))
     assert (got == pal256[idx]).all()
+
+
+def test_png_16bit_depth_decode():
+    """16-bit PNGs: filters operate on BYTES (the Up rows below are
+    hand-computed byte-wise, independent of the encoder), samples are
+    big-endian u16 — decode must return uint16 exactly, linear and
+    Adam7-interlaced; 16-bit palette is rejected as corrupt."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from spark_xml_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png_pixels,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(2)
+    for (h, w, nch, ct) in [(5, 7, 1, 0), (4, 3, 3, 2), (6, 2, 4, 6)]:
+        px = rng.randint(0, 65536, (h, w, nch), dtype=np.uint16)
+        raw = bytearray()
+        prev = np.zeros(w * nch * 2, dtype=np.uint8)
+        for y in range(h):
+            arr = np.frombuffer(px[y].astype(">u2").tobytes(),
+                                dtype=np.uint8)
+            raw.append(2)  # Up on bytes (uint8 wrap == mod 256)
+            raw += (arr - prev).tobytes()
+            prev = arr
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ct, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(png)
+        assert got.dtype == np.uint16 and (got == px).all(), (h, w, nch)
+    # Adam7 16-bit
+    h, w = 9, 10
+    px = rng.randint(0, 65536, (h, w, 1), dtype=np.uint16)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw += row.astype(">u2").tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png_pixels(png) == px).all()
+    # 16-bit palette is illegal per the spec
+    ihdr_bad = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    png_bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_bad)
+        + chunk(b"PLTE", bytes(3))
+        + chunk(b"IDAT", zlib.compress(bytes(3)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        decode_png_pixels(png_bad)
 
 
 def test_gif_lzw_table_cap_and_hostile_stream_bound():
