@@ -2922,6 +2922,45 @@ def q_text_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV SAMPLE decode end-to-end (operators/multimodal.py
+    decode_wav_samples -> audio_sample_stats): planted PCM-16 clips
+    whose samples follow a closed-form formula of doc_id — s[i] =
+    (doc_id*7 + i*13) % 65536 - 32768 over n_frames x channels samples
+    — with per-doc channel counts and sample rates. The oracle
+    recomputes the integer stats straight from the formula (it never
+    touches the RIFF bytes), so chunk-walk or sample-layout bugs break
+    the match."""
+    from spark_xml_spark.operators import audio_sample_stats
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from spark_xml_spark.operators.multimodal import encode_wav
+
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["id"]:
+                did = int(did)
+                ch = 1 + did % 3
+                nf = 50 + did % 17
+                vals = (did * 7 + np.arange(nf * ch) * 13) % 65536 - 32768
+                payloads.append(
+                    encode_wav(
+                        vals.astype(np.int16).reshape(nf, ch),
+                        8000 + did,
+                    )
+                )
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = spark.range(24).repartition(4).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+    return audio_sample_stats(d).orderBy("doc_id")
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked interval join (streaming/joins.py
     stream_stream_interval_join): 'view' and 'purchase' events replayed
@@ -3386,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kmv_est": q_text_kmv_est,
         "multimodal_pixels": q_multimodal_pixels,
         "stream_join": q_stream_join,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -5095,6 +5135,24 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN b ON a.user_id = b.user_id
          AND b.us >= a.us AND b.us <= a.us + 3600000000
         ORDER BY user_id, view_id, purchase_id
+    """
+    sql["multimodal_audio"] = """
+        -- sample stats recomputed from the planted PCM-16 clips'
+        -- generative formula (s[i] = (doc_id*7 + i*13) % 65536 - 32768)
+        WITH d AS (
+          SELECT r.range AS did, 1 + r.range % 3 AS ch,
+                 50 + r.range % 17 AS nf, 8000 + r.range AS sr
+          FROM range(24) r
+        ), s AS (
+          SELECT did, ch, nf, sr, unnest(range(nf*ch)) AS i FROM d
+        )
+        SELECT did AS doc_id, CAST(sr AS INT) AS sample_rate,
+               CAST(ch AS INT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+               CAST(SUM((did*7 + i*13) % 65536 - 32768) AS BIGINT) AS s_sum,
+               CAST(MIN((did*7 + i*13) % 65536 - 32768) AS BIGINT) AS s_min,
+               CAST(MAX((did*7 + i*13) % 65536 - 32768) AS BIGINT) AS s_max
+        FROM s GROUP BY did, ch, nf, sr
+        ORDER BY doc_id
     """
     sql["multimodal_pixels"] = """
         -- pixel stats recomputed from the planted images' generative

@@ -681,6 +681,143 @@ def default_audio_decoder(payload: bytes) -> dict:
     )
 
 
+def decode_wav_samples(payload: bytes):
+    """Pure-stdlib WAV SAMPLE decode: returns (samples, sample_rate)
+    with ``samples`` an (n_frames, channels) numpy array — int16/int32
+    for PCM 16/32, uint8 for PCM 8, float32 for IEEE-float (fmt 3).
+    Walks the RIFF chunks like :func:`default_audio_decoder` (word-
+    aligned stepping); compressed codecs (ADPCM, MP3-in-WAV) and
+    non-WAV payloads raise through the injectable-seam contract."""
+    import struct
+
+    import numpy as np
+
+    if not (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        raise NotImplementedError(
+            "sample decoding beyond PCM/float WAV requires an audio "
+            "library not present in this environment; inject a real "
+            "decoder"
+        )
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    audio_fmt, ch, rate, _br, _ba, bits = fmt
+    if ch == 0:
+        raise ValueError("corrupt WAV: zero channels")
+    if audio_fmt == 1 and bits == 16:
+        dt = np.dtype("<i2")
+    elif audio_fmt == 1 and bits == 32:
+        dt = np.dtype("<i4")
+    elif audio_fmt == 1 and bits == 8:
+        dt = np.dtype("u1")
+    elif audio_fmt == 3 and bits == 32:
+        dt = np.dtype("<f4")
+    else:
+        raise NotImplementedError(
+            f"WAV codec {audio_fmt}/{bits}-bit needs a real audio "
+            "library; inject a decoder"
+        )
+    n = len(data) // (dt.itemsize * ch)
+    samples = np.frombuffer(
+        data, dtype=dt, count=n * ch
+    ).reshape(n, ch)
+    return samples, int(rate)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("s_sum", T.LongType()),
+        T.StructField("s_min", T.LongType()),
+        T.StructField("s_max", T.LongType()),
+    ]
+)
+
+
+def audio_sample_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Optional[Callable[[bytes], object]] = None,
+) -> DataFrame:
+    """Per-clip sample statistics over binary WAV payloads via
+    Arrow-batched ``mapInPandas`` (image_pixel_stats' audio sibling):
+    integer sum/min/max over every sample of every channel — values an
+    independent engine recomputes exactly. Float-WAV sums are truncated
+    toward zero to keep the output integral; undecodable payloads NULL
+    out, NotImplementedError propagates (seam contract)."""
+    import pandas as pd  # executor-side import
+
+    impl = decoder or decode_wav_samples
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((did, None, None, None, None, None, None))
+                    continue
+                try:
+                    samples, rate = impl(bytes(payload))
+                    n, ch = samples.shape
+                    flat = samples.reshape(-1)
+                    rows.append(
+                        (did, rate, ch, n, int(flat.sum(dtype="int64")),
+                         int(flat.min()), int(flat.max()))
+                    )
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((did, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "n_frames",
+                         "s_sum", "s_min", "s_max"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, AUDIO_STATS_SCHEMA
+    )
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Pure-stdlib PCM-16 WAV encoder (fixture/write seam):
+    (n_frames, channels) int16 array -> canonical RIFF/WAVE bytes."""
+    import struct
+
+    import numpy as np
+
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    n, ch = s.shape
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def default_video_decoder(payload: bytes) -> dict:
     """Pure-stdlib video HEADER decoder: ISO BMFF (MP4/MOV) box walk —
     major brand from ftyp, timescale/duration from moov/mvhd (v0 and v1

@@ -809,6 +809,60 @@ def test_gif_lzw_table_cap_and_hostile_stream_bound():
     assert px.shape == (2, 2, 3)
 
 
+def test_wav_sample_decode_and_stats(spark):
+    """decode_wav_samples across PCM widths + float WAV; the
+    audio_sample_stats operator NULLs undecodable payloads and keeps
+    NotImplementedError loud for compressed codecs."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spark_xml_spark.operators import (
+        audio_sample_stats,
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    # PCM-16 round-trip is covered via encode_wav; hand-build the other
+    # widths (encoder-independent): PCM-8 (uint8) and float32
+    def wav(fmt_code, bits, ch, rate, data):
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate,
+                          rate * ch * bits // 8, ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    s8, _ = decode_wav_samples(
+        wav(1, 8, 1, 8000, bytes([0, 127, 255]))
+    )
+    assert s8.reshape(-1).tolist() == [0, 127, 255]
+    f32 = np.array([[0.5, -1.0], [0.25, 1.0]], dtype="<f4")
+    sf_, rate = decode_wav_samples(wav(3, 32, 2, 44100, f32.tobytes()))
+    assert rate == 44100 and (sf_ == f32).all()
+    with pytest.raises(NotImplementedError):  # ADPCM
+        decode_wav_samples(wav(2, 4, 1, 8000, b"\x00\x00"))
+    with pytest.raises(NotImplementedError):  # not a WAV
+        decode_wav_samples(b"ID3\x03rest")
+
+    clip = encode_wav(
+        np.array([[100, -5], [7, 8], [-32768, 32767]], dtype=np.int16),
+        22050,
+    )
+    rows = [
+        (1, bytearray(clip)),
+        (2, bytearray(b"RIFF\x04\x00\x00\x00WAVE")),  # no fmt/data
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in audio_sample_stats(df).collect()}
+    assert (out[1].sample_rate, out[1].channels, out[1].n_frames) == \
+        (22050, 2, 3)
+    assert out[1].s_sum == 100 - 5 + 7 + 8 - 32768 + 32767
+    assert (out[1].s_min, out[1].s_max) == (-32768, 32767)
+    assert out[2].s_sum is None and out[3].s_sum is None
+
+
 def test_image_pixel_stats_operator(spark):
     """image_pixel_stats over a mixed frame: decodable PNGs produce
     integer stats, an undecodable payload NULLs out, a NULL payload
