@@ -2922,6 +2922,26 @@ def q_text_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 terms (operators/textstats.py
+    tfidf_top_terms): corpus-wide doc frequencies and N, ln-smoothed
+    idf, score rounded to 6 decimals BEFORE ranking on both engines
+    (a last-ulp libm log difference cannot flip the k boundary), ties
+    by UTF-8-byte term order. Result restricted to doc_id < 40 AFTER
+    scoring — the idf statistics stay corpus-wide."""
+    from spark_xml_spark.operators import tfidf_top_terms
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    out = tfidf_top_terms(d, "doc_id", "text", k=3)
+    return (
+        out.filter(F.col("doc_id") < 40)
+        .orderBy(
+            "doc_id", F.col("score").desc(),
+            F.encode(F.col("term"), "UTF-8"),
+        )
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV SAMPLE decode end-to-end (operators/multimodal.py
     decode_wav_samples -> audio_sample_stats): planted PCM-16 clips
@@ -3426,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixels": q_multimodal_pixels,
         "stream_join": q_stream_join,
         "multimodal_audio": q_multimodal_audio,
+        "text_tfidf": q_text_tfidf,
     }
 
 
@@ -5135,6 +5156,36 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN b ON a.user_id = b.user_id
          AND b.us >= a.us AND b.us <= a.us + 3600000000
         ORDER BY user_id, view_id, purchase_id
+    """
+    sql["text_tfidf"] = f"""
+        -- TF-IDF top-3 per doc: corpus-wide df and N, ln-smoothed idf,
+        -- score rounded to 6 decimals BEFORE ranking (cross-engine k
+        -- boundary), UTF-8-byte term tiebreak (DuckDB's default string
+        -- comparison is binary)
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                   '{TOKEN_REGEX}')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 ROUND(tf.tf * ln((n.n + 1.0) / (dfq.df + 1)), 6) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM scored
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, score
+        FROM ranked WHERE rn <= 3 AND doc_id < 40
+        ORDER BY doc_id, score DESC, term
     """
     sql["multimodal_audio"] = """
         -- sample stats recomputed from the planted PCM-16 clips'

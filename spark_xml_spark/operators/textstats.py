@@ -611,6 +611,78 @@ def vocab_topk(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF top-k terms — the classic relevance /
+    keyword-extraction primitive of a text pipeline. Tokens are
+    lowercased TOKEN_REGEX matches; tf = in-document term count, df =
+    number of documents containing the term (corpus-wide), idf =
+    ln((N+1)/(df+1)) with N = distinct documents; score = round(tf *
+    idf, 6) — rounded BEFORE ranking in both engines so a last-ulp
+    libm difference cannot flip the k boundary, with ties broken by
+    the term's UTF-8 bytes (vocab_topk's cross-engine total order).
+    Output: id, term, tf, df, score for each document's top k.
+
+    Plan shape for 100 TB: explode -> (id, term) hash aggregate (1
+    shuffle, map-side combine), PERSISTED (scoped-intermediate
+    protocol) because it feeds two branches — the term-keyed doc-freq
+    aggregate and the scoring join — which would otherwise re-evaluate
+    the corpus explode+shuffle once each (verified: 2 Generate nodes,
+    0 ReusedExchange without the persist). The join is term-keyed and
+    NOT broadcast (a web-scale vocabulary exceeds driver memory); N
+    enters as a 1-row broadcast; per-doc window top-k adds 1 shuffle
+    on id. Per-task state = one document's terms in the window;
+    nothing corpus-sized ever collects."""
+    from pyspark.sql import Window
+
+    from spark_xml_spark.operators.dedup import (
+        _persist_intermediate,
+        _retire_intermediates,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("term"),
+    )
+    _retire_intermediates("tfidf_top_terms")  # own previous call only
+    tf = _persist_intermediate(
+        toks.groupBy("_id", "term").agg(F.count("*").alias("tf")),
+        "tfidf_top_terms",
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.encode(F.col("term"), "UTF-8")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "score"
+        )
+    )
+
+
 # Closed integer bucket edges (tokens <= edge). Integer comparisons keep
 # the bucketing byte-identical across engines — a log2()-based bucket
 # can flip at exact powers of two under float rounding.

@@ -275,3 +275,15 @@ def test_data_split_and_lengths_single_aggregate(push_conf):
         assert "Join" not in plan, name
         assert "Window" not in plan, name
         assert "partial_count" in plan, name
+
+
+def test_tfidf_tf_frame_persisted_single_evaluation(push_conf):
+    # tfidf_top_terms' (id, term, tf) aggregate feeds TWO branches
+    # (doc-freq agg + scoring join); without the scoped persist each
+    # branch re-evaluates the corpus explode+shuffle (verified: 0
+    # ReusedExchange). Pin: both consumers read the cache, the N total
+    # enters as a broadcast (never a collect), no row-Python anywhere.
+    plan = _plan(push_conf, "text_tfidf")
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
