@@ -438,3 +438,56 @@ def test_strict_and_window_paths_equivalence_property(recs):
     win = list(D._columnar_window_batches(windows(), _FLAT_SCHEMA, opts, 4))
     wt = pa.Table.from_batches(win) if win else ref.slice(0, 0)
     assert wt.equals(ref)
+
+
+_CJK_TEXT = st.text(
+    alphabet=st.sampled_from(
+        # ASCII mixes with multi-byte chars whose trail bytes include
+        # ASCII-letter values (Shift-JIS 0x40-0x7E trails) — the
+        # adversarial byte-space for the '<'-aligned scanner
+        list("abz09 .") + list("日本語テスト漢字能表ソ噂浬欺圭")
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(_CJK_TEXT, min_size=1, max_size=30),
+    split_size=st.integers(min_value=16, max_value=2048),
+    charset=st.sampled_from(["shift_jis", "euc_jp", "gbk"]),
+)
+def test_cjk_lt_aligned_split_ownership_property(texts, split_size,
+                                                 charset):
+    """EXACTLY-ONCE ownership for the '<'-aligned multi-byte scanner:
+    any (document, split size, CJK charset) reproduces the record list
+    — boundaries landing inside multi-byte sequences, records starting
+    at every offset, attribute values with fake closers."""
+    import os
+    import tempfile
+
+    recs = []
+    for i, t in enumerate(texts):
+        try:
+            t.encode(charset)
+        except UnicodeEncodeError:
+            t = "x"
+        recs.append(f'<ROW a="v{i}"><b>{t}</b></ROW>')
+    doc = "<ROWS>" + "".join(recs) + "</ROWS>"
+    fd, path = tempfile.mkstemp(suffix=".xml")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(doc.encode(charset))
+        splits = tokenizer.plan_splits(
+            path, charset, target_split_size=split_size
+        )
+        got = []
+        for s in splits:
+            got.extend(tokenizer.scan_split(s, "ROW", charset))
+        assert got == recs, (
+            f"charset={charset} split_size={split_size} "
+            f"n_splits={len(splits)}"
+        )
+    finally:
+        os.unlink(path)
