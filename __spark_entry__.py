@@ -2942,6 +2942,21 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = "fast hash join window"
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed query (operators/textstats.py
+    bm25_topk): Lucene-form non-negative idf, k1=1.2 / b=0.75 length
+    normalization over corpus-average token length, score rounded to 6
+    decimals before ranking, ties by doc_id. The oracle replays the
+    identical formula (same operator order) in SQL."""
+    from spark_xml_spark.operators import bm25_topk
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    return bm25_topk(d, _BM25_QUERY, "doc_id", "text", k=10)
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV SAMPLE decode end-to-end (operators/multimodal.py
     decode_wav_samples -> audio_sample_stats): planted PCM-16 clips
@@ -3447,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "multimodal_audio": q_multimodal_audio,
         "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
     }
 
 
@@ -5156,6 +5172,49 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN b ON a.user_id = b.user_id
          AND b.us >= a.us AND b.us <= a.us + 3600000000
         ORDER BY user_id, view_id, purchase_id
+    """
+    sql["text_bm25"] = f"""
+        -- BM25 top-10 for the fixed query '{_BM25_QUERY}': Lucene idf
+        -- ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2 b=0.75, per-doc
+        -- token-length normalization vs the corpus average; identical
+        -- operator order to the Spark expression, rounded to 6
+        -- decimals before ranking, ties by doc_id
+        WITH q AS (
+          SELECT unnest(['fast','hash','join','window']) AS term
+        ), toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                   '{TOKEN_REGEX}')) AS term
+          FROM documents
+        ), lens AS (
+          SELECT doc_id,
+                 COALESCE(len(regexp_extract_all(lower(text),
+                                                 '{TOKEN_REGEX}')), 0)
+                   AS len
+          FROM documents
+        ), stats AS (
+          SELECT COUNT(*) AS n, AVG(len) AS avg_len FROM lens
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks JOIN q USING (term)
+          GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT tf.doc_id,
+                 ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len
+                                     / stats.avg_len)) AS s
+          FROM tf
+          JOIN dfq USING (term)
+          JOIN lens ON tf.doc_id = lens.doc_id
+          CROSS JOIN stats
+        )
+        SELECT doc_id, ROUND(SUM(s), 6) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10
     """
     sql["text_tfidf"] = f"""
         -- TF-IDF top-3 per doc: corpus-wide df and N, ln-smoothed idf,

@@ -683,6 +683,123 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document ranking for a query string (Robertson/Sparck
+    Jones; the lexical-retrieval baseline every contamination check and
+    hard-negative miner needs). Query and documents tokenize with the
+    same lowercased TOKEN_REGEX; score(d) = sum over DISTINCT query
+    terms t of idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d /
+    avg_len)), idf = ln((N - df + 0.5) / (df + 0.5) + 1) (the
+    non-negative Lucene form). Scores round to 6 decimals BEFORE
+    ranking (cross-engine k boundary; same discipline as
+    tfidf_top_terms), ties by id ascending. Output: id, score,
+    n_hits (distinct query terms present).
+
+    Plan shape for 100 TB: doc tokens explode -> (id, term) aggregate
+    (1 shuffle) restricted to the BROADCAST query-term set (a query is
+    tiny, unlike a vocabulary); df-per-query-term and (N, avg_len)
+    are one-row/tiny aggregates entering by broadcast; the final
+    per-doc sum is one hash aggregate; TakeOrderedAndProject returns
+    k rows to the driver."""
+    import re as _re
+
+    q_terms = sorted(
+        set(
+            t.lower()
+            for t in _re.findall(TOKEN_REGEX, query.lower())
+        )
+    )
+    if not q_terms:
+        raise ValueError("query produced no tokens under TOKEN_REGEX")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(t,) for t in q_terms], "term string"
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("term"),
+    )
+    # per-doc length over ALL tokens (needed before the query filter).
+    # Persisted (scoped-intermediate protocol): it feeds the (N,
+    # avg_len) aggregate AND the per-doc scoring join — unpersisted,
+    # each consumer re-tokenizes the corpus.
+    from spark_xml_spark.operators.dedup import (
+        _persist_intermediate,
+        _retire_intermediates,
+    )
+
+    _retire_intermediates("bm25_topk")  # own previous call only
+    lens = _persist_intermediate(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+                )
+            ).cast("long").alias("_len"),
+        ),
+        "bm25_topk",
+    )
+    stats = lens.agg(
+        F.count("*").alias("_n"),
+        F.avg("_len").alias("_avg"),
+    )
+    tf = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(lens, "_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_len") / F.col("_avg")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.round(F.sum("_s"), 6).alias("score"),
+            F.count("*").cast("bigint").alias("n_hits"),
+        )
+        .select(F.col("_id").alias(id_col), "score", "n_hits")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 # Closed integer bucket edges (tokens <= edge). Integer comparisons keep
 # the bucketing byte-identical across engines — a log2()-based bucket
 # can flip at exact powers of two under float rounding.
