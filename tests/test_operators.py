@@ -3561,3 +3561,33 @@ def test_range_join_shared_column_guard(spark):
     iv = spark.createDataFrame([(0.0, 10.0, 7.0)], "lo double, hi double, v double")
     with pytest.raises(ValueError, match="BOTH sides"):
         range_join(df, iv, "v", "lo", "hi", bin_width=5.0)
+
+
+def test_bm25_topk_edge_contracts(spark):
+    """Empty query raises; ranking prefers rarer terms and saturates
+    with tf (k1); ties break by id ascending."""
+    import pytest
+
+    from spark_xml_spark.operators import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common common common"),
+            (3, "rare rare common"),
+            (4, "filler words only"),
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(df, "   ")
+    out = bm25_topk(df, "rare", k=4).collect()
+    assert [r.doc_id for r in out] == [3, 1]  # tf=2 beats tf=1; no-hit docs absent
+    assert all(r.n_hits == 1 for r in out)
+    # identical docs tie -> id ascending
+    df2 = spark.createDataFrame(
+        [(7, "x y"), (5, "x y"), (9, "x y")], "doc_id long, text string"
+    )
+    out2 = bm25_topk(df2, "x", k=3).collect()
+    assert [r.doc_id for r in out2] == [5, 7, 9]
+    assert len({round(r.score, 6) for r in out2}) == 1

@@ -287,3 +287,15 @@ def test_tfidf_tf_frame_persisted_single_evaluation(push_conf):
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcast_query_and_persisted_lengths(push_conf):
+    # bm25_topk: the query-term set must BROADCAST (tiny side), the
+    # per-doc length frame must persist (feeds corpus stats AND the
+    # scoring join), the result must come back via
+    # TakeOrderedAndProject (k rows to the driver), no row-Python.
+    plan = _plan(push_conf, "text_bm25")
+    assert "BroadcastExchange" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
