@@ -10,7 +10,7 @@ m_duck * rows (DuckDB's floor is ~1 ms), so ratio(sf) must FALL
 monotonically with sf and converge to m_spark / m_duck. This script
 measures that instead of arguing it:
 
-  1. ~10 headline queries spanning xml_/dedup_/text_/events_/ann_ are
+  1. ~13 headline queries spanning xml_/dedup_/text_/events_/ann_ are
      timed isolated (min-of-5, one warm run first) at sf0.001 / 0.01 /
      0.1 against their DuckDB oracles (min-of-5, threads=cpus).
   2. The marginal-cost asymptote is estimated from the two largest
@@ -51,12 +51,14 @@ TREND_QUERIES = [
     "text_quality",
     "text_tokens",
     "text_kmv",
+    "text_tfidf",
+    "text_bm25",
     "events_asof",
     "events_rollup",
     "ann_cosine_topk",
 ]
 SFS = [0.001, 0.01, 0.1]
-SCALE10_QUERIES = ["text_quality", "dedup_exact", "text_kmv"]
+SCALE10_QUERIES = ["text_quality", "dedup_exact", "text_kmv", "text_tfidf"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
