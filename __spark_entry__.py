@@ -5173,6 +5173,15 @@ def oracle_sql() -> dict[str, str]:
          AND b.us >= a.us AND b.us <= a.us + 3600000000
         ORDER BY user_id, view_id, purchase_id
     """
+    # the oracle's query-term set derives from the SAME constant and
+    # tokenization as the Spark side — editing _BM25_QUERY cannot
+    # silently desync the two
+    import re as _re
+
+    from spark_xml_spark.operators.textstats import TOKEN_REGEX as _TRX
+
+    _bm25_terms = sorted(set(_re.findall(_TRX, _BM25_QUERY.lower())))
+    _bm25_unnest = ",".join(f"'{t}'" for t in _bm25_terms)
     sql["text_bm25"] = f"""
         -- BM25 top-10 for the fixed query '{_BM25_QUERY}': Lucene idf
         -- ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2 b=0.75, per-doc
@@ -5180,7 +5189,7 @@ def oracle_sql() -> dict[str, str]:
         -- operator order to the Spark expression, rounded to 6
         -- decimals before ranking, ties by doc_id
         WITH q AS (
-          SELECT unnest(['fast','hash','join','window']) AS term
+          SELECT unnest([{_bm25_unnest}]) AS term
         ), toks AS (
           SELECT doc_id, unnest(regexp_extract_all(lower(text),
                                                    '{TOKEN_REGEX}')) AS term

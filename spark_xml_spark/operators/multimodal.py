@@ -944,6 +944,8 @@ def png_nearest_resize(payload: bytes, w: int, h: int) -> bytes:
     are narrowed to 8 bits (high byte) for the depth-8 encoder."""
     import numpy as np
 
+    if w < 1 or h < 1:
+        raise ValueError(f"target dimensions must be >= 1, got {w}x{h}")
     px = default_pixel_decoder(payload)
     if px.dtype != np.uint8:
         px = (px >> 8).astype(np.uint8)

@@ -711,12 +711,7 @@ def bm25_topk(
     k rows to the driver."""
     import re as _re
 
-    q_terms = sorted(
-        set(
-            t.lower()
-            for t in _re.findall(TOKEN_REGEX, query.lower())
-        )
-    )
+    q_terms = sorted(set(_re.findall(TOKEN_REGEX, query.lower())))
     if not q_terms:
         raise ValueError("query produced no tokens under TOKEN_REGEX")
     spark = df.sparkSession
@@ -744,10 +739,11 @@ def bm25_topk(
     lens = _persist_intermediate(
         df.select(
             F.col(id_col).alias("_id"),
-            F.size(
-                F.regexp_extract_all(
-                    F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
-                )
+            # NULL text = 0 tokens (corpus_profile's policy; the oracle
+            # COALESCEs identically — an un-guarded size(NULL) would
+            # silently drop NULL-text docs from avg_len under ANSI)
+            F.coalesce(
+                token_count_col(F.lower(F.col(text_col))), F.lit(0)
             ).cast("long").alias("_len"),
         ),
         "bm25_topk",
@@ -756,10 +752,13 @@ def bm25_topk(
         F.count("*").alias("_n"),
         F.avg("_len").alias("_avg"),
     )
-    tf = (
+    # tf feeds TWO branches (df-per-term aggregate + scoring join);
+    # persisted like lens, else the corpus explode+aggregate runs twice
+    tf = _persist_intermediate(
         toks.join(F.broadcast(qdf), "term")
         .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf")),
+        "bm25_topk",
     )
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (

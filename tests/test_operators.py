@@ -3576,12 +3576,21 @@ def test_bm25_topk_edge_contracts(spark):
             (2, "common common common"),
             (3, "rare rare common"),
             (4, "filler words only"),
+            (5, None),  # NULL text = 0 tokens, counts in N and avg_len
         ],
         "doc_id long, text string",
     )
     with pytest.raises(ValueError, match="no tokens"):
         bm25_topk(df, "   ")
     out = bm25_topk(df, "rare", k=4).collect()
+    # the NULL-text doc must depress avg_len (5 docs, 12 tokens) — the
+    # score for doc 3 reflects len normalization against 2.4, not 3.0
+    import math
+
+    idf = math.log((5 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    expect3 = round(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.4)),
+                    6)
+    assert abs(out[0].score - expect3) < 1e-9
     assert [r.doc_id for r in out] == [3, 1]  # tf=2 beats tf=1; no-hit docs absent
     assert all(r.n_hits == 1 for r in out)
     # identical docs tie -> id ascending

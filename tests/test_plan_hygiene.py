@@ -290,12 +290,13 @@ def test_tfidf_tf_frame_persisted_single_evaluation(push_conf):
 
 
 def test_bm25_broadcast_query_and_persisted_lengths(push_conf):
-    # bm25_topk: the query-term set must BROADCAST (tiny side), the
-    # per-doc length frame must persist (feeds corpus stats AND the
-    # scoring join), the result must come back via
+    # bm25_topk: the query-term set must BROADCAST (tiny side), BOTH
+    # shared frames must persist — the per-doc length frame (corpus
+    # stats + scoring join) AND the tf frame (df-per-term aggregate +
+    # scoring join), i.e. 4 cache reads — the result must come back via
     # TakeOrderedAndProject (k rows to the driver), no row-Python.
     plan = _plan(push_conf, "text_bm25")
     assert "BroadcastExchange" in plan
-    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("InMemoryTableScan") >= 4
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
