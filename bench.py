@@ -315,10 +315,6 @@ def main() -> None:
                     if dt > 2.0:
                         break  # expensive oracle: one reading suffices
                 if timed_out:
-                    oracle_timeout.append(name)
-                    sys.stderr.write(
-                        f"oracle {name}: TIMEOUT >{oracle_cap_s}s\n"
-                    )
                     # an interrupted connection carries no state
                     # guarantees; rebuild it before the next oracle
                     try:
@@ -326,8 +322,17 @@ def main() -> None:
                     except Exception:  # noqa: BLE001
                         pass
                     con = _oracle_connect()
-                elif best is not None:
+                # a timeout on repetition 2/3 must not discard a valid
+                # completed reading (ADVICE r11): record the best we
+                # have; only a query with NO completed repetition is an
+                # oracle_timeout
+                if best is not None:
                     oracle_s[name] = round(best, 3)
+                elif timed_out:
+                    oracle_timeout.append(name)
+                    sys.stderr.write(
+                        f"oracle {name}: TIMEOUT >{oracle_cap_s}s\n"
+                    )
             except Exception as exc:  # noqa: BLE001
                 errors[f"oracle:{name}"] = repr(exc)[:200]
         con.close()

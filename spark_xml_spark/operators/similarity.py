@@ -63,14 +63,47 @@ def brute_force_cosine_topk(
     query: Sequence[float],
     k: int = 10,
     id_col: str = "vec_id",
+    scoring: str = "matmul",
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector.
-
-    One scan; ORDER BY + LIMIT compiles to TakeOrderedAndProject
-    (per-partition heap + driver merge of k rows — not a global sort), so
-    this is the correct *exact* baseline even at scale.
     Returns (id_col, cosine) sorted desc, deterministic tie-break on id.
+
+    Two scoring engines, the same pair ``knn_join`` exposes:
+
+    - ``'matmul'`` (default): one (batch x dim) @ (dim x 1) numpy matmul
+      per Arrow corpus batch, fused with the per-partition top-k heap
+      (``_matmul_score_rows`` with Q=1) — the exact flops of the fold in
+      one BLAS call instead of an interpreted JVM fold per row
+      (higher-order functions skip whole-stage codegen). Emits
+      partitions*k candidates into the single keyed merge; no shuffle of
+      the corpus.
+    - ``'fold'``: the sequential JVM ``zip_with``/``aggregate`` fold +
+      TakeOrderedAndProject (per-partition heap + driver merge of k rows
+      — not a global sort). Bit-exact against a sequential-sum oracle;
+      use it when last-ulp reproducibility of the cosine matters more
+      than throughput. numpy's blocked sums can differ from the
+      sequential fold in the last ulps, so ranks may flip only across
+      cosine ties tighter than ~1e-12; NaN corpus components rank last
+      (NULL) under matmul but first under the fold's raw NaN ordering.
     """
+    if scoring == "matmul":
+        c = df.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        scored = _matmul_score_rows(
+            c,
+            [(0, [float(x) for x in query])],
+            T.StructField("_qid", T.IntegerType()),
+            k,
+        )
+        return (
+            _topk_merge(scored, k, "_q", id_col)
+            .select(F.col(id_col), F.col("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+        )
+    if scoring != "fold":
+        raise ValueError(f"scoring must be 'fold' or 'matmul', got {scoring!r}")
     return (
         df.select(
             F.col(id_col),
@@ -161,10 +194,25 @@ def knn_join(
 
 
 def _matmul_score_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """knn_join's matmul engine: collect the bounded query side (the fold
+    path broadcasts it) and delegate to the shared row-list scorer."""
+    qrows = q.collect()
+    return _matmul_score_rows(
+        c, [(r["_qid"], r["_qv"]) for r in qrows], q.schema["_qid"], k
+    )
+
+
+def _matmul_score_rows(
+    c: DataFrame, qrows: Sequence, qid_field: T.StructField, k: int
+) -> DataFrame:
     """Vectorized k-NN scoring: one (batch x dim) @ (dim x Q) numpy
     matmul per Arrow batch of the corpus, fused with the per-partition
     top-k selection in the same mapInPandas pass (memory O(Q * k) per
     task, emitting partitions*Q*k candidate rows for the keyed merge).
+    ``qrows`` is the already-local (qid, qvec) list — knn_join collects
+    its query DataFrame; brute_force_cosine_topk passes its literal
+    query directly (Q=1), so the single-query path launches no extra
+    job.
 
     This is knn_join's large-Q scale path: the fold path does Q
     INTERPRETED JVM folds per corpus row (higher-order functions skip
@@ -186,18 +234,15 @@ def _matmul_score_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     0.0; zero-norm / null / empty / NaN-component CORPUS vector -> NULL
     cosine (sorts last); null / empty / null-element query vector ->
     NULL against everything; ties break on ascending corpus id."""
-    qrows = q.collect()  # bounded query side (the fold path broadcasts it)
-    qids = [r["_qid"] for r in qrows]
-    nq = len(qids)
+    nq = len(qrows)
     # per-dimension query groups: dim -> (ids, dim x Qd matrix, norms)
     by_dim: dict = {}
     bad_qids = []  # null/empty/null-element queries: all-NULL output
-    for r in qrows:
-        v = r["_qv"]
+    for qid, v in qrows:
         if v is None or len(v) == 0 or any(x is None for x in v):
-            bad_qids.append(r["_qid"])
+            bad_qids.append(qid)
         else:
-            by_dim.setdefault(len(v), []).append((r["_qid"], v))
+            by_dim.setdefault(len(v), []).append((qid, v))
     groups = []
     for d, members in by_dim.items():
         gmat = np.array([v for _, v in members], dtype=np.float64).T
@@ -210,7 +255,7 @@ def _matmul_score_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
 
     out_schema = T.StructType(
         [
-            q.schema["_qid"],
+            qid_field,
             c.schema["_cid"],
             T.StructField("_cos", T.DoubleType()),
         ]
@@ -228,14 +273,24 @@ def _matmul_score_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
             for gids, d, gmat, gnorm1 in groups:
                 rows = np.nonzero(lens == d)[0]
                 if len(rows):
-                    cmat = np.zeros((len(rows), d))
+                    # fast path: one vstack of the equal-length subset
+                    # (null list elements surface as NaN via Arrow or
+                    # raise on None — both funnel to NULL cosine, same
+                    # as the per-row fallback)
+                    sub = [b["_cv"][i] for i in rows]
                     cbad = np.zeros(len(rows), dtype=bool)
-                    for out_i, i in enumerate(rows):
-                        arr = np.asarray(b["_cv"][i], dtype=object)
-                        if (arr == None).any():  # noqa: E711 (elementwise)
-                            cbad[out_i] = True
-                        else:
-                            cmat[out_i] = arr.astype(np.float64)
+                    try:
+                        cmat = np.asarray(sub, dtype=np.float64)
+                        if cmat.ndim != 2:
+                            raise ValueError("ragged")
+                    except (TypeError, ValueError):
+                        cmat = np.zeros((len(rows), d))
+                        for out_i, arr0 in enumerate(sub):
+                            arr = np.asarray(arr0, dtype=object)
+                            if (arr == None).any():  # noqa: E711 (elementwise)
+                                cbad[out_i] = True
+                            else:
+                                cmat[out_i] = arr.astype(np.float64)
                     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
                     cbad |= cnorm == 0.0
                     with np.errstate(invalid="ignore", divide="ignore"):

@@ -180,9 +180,19 @@ def _kmin_partials(hashes: DataFrame, group_cols, k: int,
                 import pyarrow.compute as pc
 
                 codes = None
+                radix = 1  # composite codes live in [0, radix)
                 for c in group_cols:
                     d = pc.dictionary_encode(batch.column(c))
                     card = len(d.dictionary)
+                    # mixed-radix compose overflows int64 when the
+                    # running product of per-column cardinalities
+                    # exceeds 2^63; silent wraparound would alias two
+                    # distinct groups (ADVICE r11) — fall back to the
+                    # lossless per-row path for this batch instead
+                    if radix > (2**63 - 1) // (card + 1):
+                        codes = None
+                        break
+                    radix *= card + 1
                     arr = (
                         d.indices.fill_null(card)
                         .to_numpy(zero_copy_only=False)
@@ -191,6 +201,7 @@ def _kmin_partials(hashes: DataFrame, group_cols, k: int,
                     codes = (
                         arr if codes is None else codes * (card + 1) + arr
                     )
+            if fast and codes is not None:
                 order = np.lexsort((hv, codes))
                 sc = codes[order]
                 shv = hv[order]

@@ -68,6 +68,7 @@ class XmlStreamReader(DataSourceStreamReader):
         self._cursor_path = options.get("admissionCursorPath") or options.get(
             "admissioncursorpath"
         )
+        self._legacy_cursor_path: Optional[str] = None
         if self._cursor_path is None and (
             self._max_files is not None or self._max_bytes is not None
         ):
@@ -121,6 +122,24 @@ class XmlStreamReader(DataSourceStreamReader):
                 self._cursor_path = os.path.join(
                     ckpt, f"xml_graft_admission_cursor-{tag}.json"
                 )
+                # pre-r11 cursors hashed only (path, caps) — without the
+                # listing/order options now in ident — so an existing
+                # stream restarting after that upgrade would miss its
+                # cursor under the new name and re-admit files (ADVICE
+                # r11). _cursor_load falls back to this legacy name once
+                # and migrates it.
+                legacy = "|".join(
+                    str(x)
+                    for x in (
+                        os.path.abspath(self._path),
+                        self._max_files,
+                        self._max_bytes,
+                    )
+                )
+                ltag = hashlib.sha256(legacy.encode()).hexdigest()[:16]
+                self._legacy_cursor_path = os.path.join(
+                    ckpt, f"xml_graft_admission_cursor-{ltag}.json"
+                )
                 try:
                     os.makedirs(ckpt, exist_ok=True)
                 except OSError:
@@ -168,12 +187,31 @@ class XmlStreamReader(DataSourceStreamReader):
             return None
         import json
 
-        try:
-            with open(self._cursor_path) as fh:
-                files = json.load(fh).get("files", {})
-            return {str(f): int(sz) for f, sz in files.items()}
-        except (OSError, ValueError):
-            return None
+        for path in (self._cursor_path, self._legacy_cursor_path):
+            if not path:
+                continue
+            try:
+                with open(path) as fh:
+                    files = json.load(fh).get("files", {})
+                cur = {str(f): int(sz) for f, sz in files.items()}
+            except (OSError, ValueError):
+                continue
+            if path != self._cursor_path:
+                # one-time migration of a pre-r11 (path+caps-only hash)
+                # cursor to the current derived name, so the admitted
+                # position survives the naming upgrade; the legacy file
+                # is left in place (harmless, and another not-yet-
+                # migrated co-located reader may still be reading it)
+                saved = self._planned
+                self._planned = dict(cur)
+                try:
+                    self._cursor_save()
+                except OSError:
+                    pass  # migration is best-effort; cur still applies
+                finally:
+                    self._planned = saved
+            return cur
+        return None
 
     def _cursor_save(self) -> None:
         if not self._cursor_path:

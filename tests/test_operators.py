@@ -1816,6 +1816,29 @@ def test_clean_text_markup_entities_whitespace(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_brute_force_two_engine_parity(spark, embs):
+    """matmul (default) vs fold engines of brute_force_cosine_topk: same
+    ids in the same order, cosines equal to well past the 9-dp oracle
+    rounding (numpy's blocked sums may differ from the sequential JVM
+    fold only in the last ulps); zero-norm query scores 0.0 on both;
+    unknown engine name raises."""
+    rows = embs.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    fold = brute_force_cosine_topk(
+        embs, "embedding", q, k=10, scoring="fold"
+    ).collect()
+    mm = brute_force_cosine_topk(embs, "embedding", q, k=10).collect()
+    assert [r.vec_id for r in mm] == [r.vec_id for r in fold]
+    for a, b in zip(mm, fold):
+        assert a.cosine == pytest.approx(b.cosine, abs=1e-12)
+    zero = brute_force_cosine_topk(
+        embs.limit(3), "embedding", [0.0] * len(q), k=3
+    ).collect()
+    assert [r.cosine for r in zero] == [0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="scoring"):
+        brute_force_cosine_topk(embs, "embedding", q, scoring="nope")
+
+
 def test_knn_join_matches_single_query_brute_force(spark, embs):
     """Batch k-NN join == per-query brute-force top-k (ids AND cosines),
     with and without the Arrow prereduce; rank is 1..k; q_id/id name
@@ -1833,7 +1856,9 @@ def test_knn_join_matches_single_query_brute_force(spark, embs):
                embs.filter(F.col("vec_id") == qid).first()["embedding"]]
         expected[qid] = [
             (r["vec_id"], r["cosine"])
-            for r in brute_force_cosine_topk(embs, "embedding", vec, k=5).collect()
+            for r in brute_force_cosine_topk(
+                embs, "embedding", vec, k=5, scoring="fold"
+            ).collect()
         ]
     for prereduce in (True, False):
         out = knn_join(embs, q, "embedding", "vec_id", q_id_col="q_id",
@@ -3120,6 +3145,27 @@ def test_kmv_distinct_estimator_properties(spark):
         kmv_distinct(df, ["g"], "it", k=1)
     with pytest.raises(ValueError, match="collide"):
         kmv_distinct(df.withColumn("n_kept", F.lit(1)), ["g"], "it")
+
+
+def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):
+    """7 high-cardinality group columns in one Arrow batch push the
+    mixed-radix composite past 2^63 (ADVICE r11: silent int64 wraparound
+    aliased distinct groups); the prereduce must detect the overflow and
+    fall back to the per-row lossless path — counts stay exact."""
+    from spark_xml_spark.operators import kmv_distinct
+
+    n = 900  # card ~900 per column -> radix ~901^7 ~ 4.8e20 > 2^63
+    rows = [
+        tuple(f"c{j}-{i}" for j in range(7)) + (f"it-{i % 3}",)
+        for i in range(n)
+    ]
+    cols = [f"g{j}" for j in range(7)]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{c} string" for c in cols) + ", it string"
+    ).coalesce(1)  # one partition -> one Arrow batch sees all 900 groups
+    out = kmv_distinct(df, cols, "it", k=16).collect()
+    assert len(out) == n  # no group aliasing
+    assert all(r.n_distinct == 1 for r in out)
 
 
 def test_asof_join_null_right_values_and_ts(spark):

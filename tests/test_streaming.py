@@ -553,6 +553,46 @@ def test_max_files_per_trigger_caps_backlog_from_batch_zero(spark, tmp_path):
     assert nonempty[0] == [0, 1, 2, 3]
 
 
+def test_legacy_cursor_name_migrates_on_miss(tmp_path):
+    """A capped stream created before the cursor name started hashing the
+    listing/order options (glob/recursive/latestFirst) must not lose its
+    admitted position after the upgrade (ADVICE r11): on a miss under the
+    new derived name, _cursor_load falls back to the legacy
+    (path+caps-only) name once and migrates the file forward."""
+    import hashlib
+    import json
+
+    from spark_xml_spark.streaming.source import XmlStreamReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    legacy_ident = "|".join(str(x) for x in (os.path.abspath(str(src)), 2, None))
+    ltag = hashlib.sha256(legacy_ident.encode()).hexdigest()[:16]
+    legacy_file = ckpt / f"xml_graft_admission_cursor-{ltag}.json"
+    admitted = {"files": {str(src / "a.xml"): 11}}
+    legacy_file.write_text(json.dumps(admitted))
+
+    rdr = XmlStreamReader(
+        {
+            "path": str(src),
+            "maxFilesPerTrigger": "2",
+            "checkpointLocation": str(ckpt),
+        },
+        T.StructType([T.StructField("a", T.LongType())]),
+    )
+    assert rdr._cursor_path != str(legacy_file)
+    assert rdr._legacy_cursor_path == str(legacy_file)
+    cur = rdr._cursor_load()
+    assert cur == {str(src / "a.xml"): 11}
+    # migrated forward under the new name; _planned untouched
+    assert json.load(open(rdr._cursor_path))["files"] == admitted["files"]
+    assert rdr._planned == {}
+    # subsequent loads hit the new name directly
+    assert rdr._cursor_load() == cur
+
+
 def test_max_files_without_cursor_first_batch_uncapped(spark, tmp_path):
     """Without admissionCursorPath the first batch of a run cannot be
     capped (the engine never reveals the committed position, and any

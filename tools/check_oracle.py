@@ -4,7 +4,11 @@ and values — row-order SENSITIVE (stricter than needed if the driver
 hashes order-insensitively, but every query now has a deterministic
 orderBy mirrored in its oracle, so in-order equality is the contract).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--summary] [sf_dir] [query ...]
+
+--summary appends one machine-greppable line the round log (and the
+judge) can cite directly:
+  SUMMARY sf=<dir> pass=<n> fail=<n> rows_only=<n> total=<n> wall_s=<s>
 """
 
 from __future__ import annotations
@@ -52,8 +56,11 @@ def table_of(df_rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--summary"]
+    summary = "--summary" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    t_start = time.time()
 
     import duckdb
 
@@ -77,6 +84,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_ok = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -93,6 +101,7 @@ def main():
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{dt:.1f}s]")
+            n_rows_only += 1
             continue
         try:
             res = con.execute(sql)
@@ -119,7 +128,15 @@ def main():
             failures.append(name)
             continue
         print(f"OK    {name}: {len(st)} rows match [{dt:.1f}s]")
+        n_ok += 1
     print()
+    if summary:
+        total = n_ok + n_rows_only + len(failures)
+        print(
+            f"SUMMARY sf={sf_dir} pass={n_ok} fail={len(failures)} "
+            f"rows_only={n_rows_only} total={total} "
+            f"wall_s={time.time() - t_start:.1f}"
+        )
     if failures:
         print("FAILURES:", ", ".join(failures))
         sys.exit(1)

@@ -18,11 +18,18 @@ measures that instead of arguing it:
      per engine; asymptotic_ratio = m_spark / m_duck. Negative slopes
      (reading noise at these sizes) clamp to the floor-adjusted sf0.1
      ratio, never to an artificially flattering number.
-  3. One corpus is scaled ~10x BEYOND sf0.1 (documents re-keyed x10
-     into a scratch dir; /root/testdata is read-only) and the top-3
-     pipeline operators (text_quality, dedup_exact, text_kmv) are
-     re-measured there on both engines — the direct "does the ratio
-     keep falling past the largest provided SF" check.
+  3. Corpora are scaled BEYOND sf0.1 into a scratch dir (re-keyed
+     replication; /root/testdata is read-only): documents x10 for the
+     pipeline operators, customer x100 + lineitem x10 for the XML
+     headline queries (VERDICT r11 task 1 — the 172x/48x asymptotic
+     entries had no beyond-sf0.1 point), embeddings x100 for
+     ann_cosine_topk (2,000 vectors at sf0.1 is pure floor). Each
+     query is re-measured there on both engines — the direct "does
+     the ratio keep falling past the largest provided SF" check. The
+     XML entries also record the isolated pruned scan+parse wall of
+     the scaled table (xml_scan_s): XML parse is work the parquet
+     baseline never pays, so the honest check is marginal query cost
+     ~= marginal scan cost, not marginal ratio <= 2.
 
 Writes RATIO_TREND.json at the repo root:
   {"summary": <compact block bench.py embeds in its payload>,
@@ -59,6 +66,22 @@ TREND_QUERIES = [
 ]
 SFS = [0.001, 0.01, 0.1]
 SCALE10_QUERIES = ["text_quality", "dedup_exact", "text_kmv", "text_tfidf"]
+# tables replicated (re-keyed) beyond sf0.1 in the scratch dir:
+# table -> (factor, rekeyed id column, deterministic output order)
+SCALEUP = {
+    "documents": (10, "doc_id", ["doc_id"]),
+    "customer": (100, "c_custkey", ["c_custkey"]),
+    "lineitem": (10, "l_orderkey", ["l_orderkey", "l_linenumber"]),
+    "embeddings": (100, "vec_id", ["vec_id"]),
+}
+# XML headline queries measured at the scaled corpus; value = the pruned
+# (table, columns) read whose isolated scan wall is recorded alongside
+SCALEUP_XML_QUERIES = {
+    "xml_scan_filter": ("customer", ["c_custkey", "c_name", "c_acctbal"]),
+    "xml_agg_q1": ("lineitem", ["l_returnflag", "l_linestatus",
+                                "l_quantity", "l_extendedprice"]),
+    "xml_join_agg": ("customer", ["c_nationkey", "c_acctbal"]),
+}
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -107,32 +130,35 @@ def _duck_con(sf_dir: str, cpus: int):
 
 
 def _build_scale10(src_sf_dir: str, dst: str) -> None:
-    """documents x10 (re-keyed doc_ids), every other table symlinked —
-    a drop-in sf_dir whose documents corpus is ~10x sf0.1."""
+    """A drop-in sf_dir scaled beyond sf0.1: every table in SCALEUP is
+    replicated factor-x with re-keyed ids (replicas keep their payload
+    bytes — per-row scan/parse cost is what the marginal fit prices),
+    every other table symlinked."""
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
+    con = None
     for t in TABLES:
         s = os.path.join(src_sf_dir, f"{t}.parquet")
         d = os.path.join(dst, f"{t}.parquet")
-        if t == "documents" or not os.path.exists(s):
+        if not os.path.exists(s) or os.path.exists(d):
             continue
-        if not os.path.exists(d):
+        if t not in SCALEUP:
             os.symlink(s, d)
-    docs = os.path.join(dst, "documents.parquet")
-    if not os.path.exists(docs):
-        con = duckdb.connect()
+            continue
+        factor, key, order = SCALEUP[t]
+        if con is None:
+            con = duckdb.connect()
         con.execute(
             f"""
             COPY (
-              SELECT doc_id + 10000000 * i AS doc_id,
-                     text, lang, source, n_chars
-              FROM read_parquet('{src_sf_dir}/documents.parquet'),
-                   range(10) t(i)
-              ORDER BY doc_id
-            ) TO '{docs}' (FORMAT parquet)
+              SELECT src.* REPLACE ({key} + 10000000 * i AS {key})
+              FROM read_parquet('{s}') src, range({factor}) t(i)
+              ORDER BY {", ".join(order)}
+            ) TO '{d}' (FORMAT parquet)
             """
         )
+    if con is not None:
         con.close()
 
 
@@ -201,35 +227,70 @@ def main() -> None:
     )
     sf01_dir = os.path.join(base, "sf0.1")
     x10: dict = {}
+    xml_x: dict = {}
+    emb_x: dict = {}
+
+    def _scaleup_rec(name: str, con, n: int = 3) -> dict:
+        """One beyond-sf0.1 reading: both engines at the scratch corpus,
+        plus the marginal ratio across the sf0.1 -> scaled step — the
+        purest per-row cost comparison this host can produce."""
+        fn = qs[name]
+        rec: dict = {}
+        try:
+            rec["spark_s"] = round(
+                _min_of(lambda: fn(spark, scratch).count(), n=n), 4
+            )
+            rec["duck_s"] = round(
+                _min_of(lambda: con.execute(oracles[name]).fetchall(), n=n),
+                4,
+            )
+            rec["ratio"] = round(rec["spark_s"] / rec["duck_s"], 2)
+            sf01_sp = detail["spark_s"][name]["0.1"]
+            sf01_du = detail["duck_s"][name]["0.1"]
+            rec["ratio_sf01"] = round(sf01_sp / sf01_du, 2)
+            dsp = rec["spark_s"] - sf01_sp
+            ddu = rec["duck_s"] - sf01_du
+            if dsp > 0 and ddu > 0:
+                rec["marginal_ratio"] = round(dsp / ddu, 2)
+        except Exception as exc:  # noqa: BLE001
+            rec["error"] = repr(exc)[:200]
+        return rec
+
     try:
         _build_scale10(sf01_dir, scratch)
         con = _duck_con(scratch, cpus)
         for name in SCALE10_QUERIES:
-            fn = qs[name]
-            rec: dict = {}
+            x10[name] = _scaleup_rec(name, con)
+        # XML headline queries (VERDICT r11 task 1): customer x100 /
+        # lineitem x10. marginal_ratio here prices XML parsing the
+        # parquet oracle never pays, so the adjudicating number is
+        # xml_scan_s: the isolated pruned scan+parse wall of the scaled
+        # table with exactly the query's column set — marginal query
+        # seconds at or under the scan wall mean the plan adds ~nothing
+        # on top of the format cost.
+        for name, (tbl, cols) in SCALEUP_XML_QUERIES.items():
+            rec = _scaleup_rec(name, con)
+            rec["x"] = SCALEUP[tbl][0]
             try:
-                rec["spark_s"] = round(
-                    _min_of(lambda: fn(spark, scratch).count(), n=3), 4
-                )
-                rec["duck_s"] = round(
+                rec["xml_scan_s"] = round(
                     _min_of(
-                        lambda: con.execute(oracles[name]).fetchall(), n=3
+                        lambda: em._xml_table(
+                            spark, scratch, tbl,
+                            columns=cols, partitions=cpus,
+                        ).count(),
+                        n=3,
                     ),
                     4,
                 )
-                rec["ratio"] = round(rec["spark_s"] / rec["duck_s"], 2)
-                sf01_sp = detail["spark_s"][name]["0.1"]
-                sf01_du = detail["duck_s"][name]["0.1"]
-                rec["ratio_sf01"] = round(sf01_sp / sf01_du, 2)
-                # marginal ratio across the 0.1 -> x10 step: the purest
-                # per-row cost comparison this host can produce
-                dsp = rec["spark_s"] - sf01_sp
-                ddu = rec["duck_s"] - sf01_du
-                if dsp > 0 and ddu > 0:
-                    rec["marginal_ratio"] = round(dsp / ddu, 2)
             except Exception as exc:  # noqa: BLE001
-                rec["error"] = repr(exc)[:200]
-            x10[name] = rec
+                rec["xml_scan_error"] = repr(exc)[:200]
+            xml_x[name] = rec
+        # ann at embeddings x100: 2,000 vectors at sf0.1 is pure floor —
+        # this is the first data point where per-row scoring cost is
+        # visible at all (the r11 non-monotone entry was floor noise)
+        rec = _scaleup_rec("ann_cosine_topk", con)
+        rec["x"] = SCALEUP["embeddings"][0]
+        emb_x["ann_cosine_topk"] = rec
         con.close()
     except Exception as exc:  # noqa: BLE001
         detail.setdefault("errors", {})["scale10"] = repr(exc)[:300]
@@ -237,6 +298,8 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_KEEP_SCALE10") != "1":
             shutil.rmtree(scratch, ignore_errors=True)
     detail["docs_x10"] = x10
+    detail["xml_scaleup"] = xml_x
+    detail["emb_x100"] = emb_x
 
     # ---- summary: ratio per sf, monotonicity, asymptote ----------------
     ratio_by_sf: dict = {}
@@ -281,6 +344,8 @@ def main() -> None:
             n: {k: v for k, v in r.items() if k != "spark_s" and k != "duck_s"}
             for n, r in x10.items()
         },
+        "xml_scaleup": xml_x,
+        "emb_x100": emb_x,
     }
     try:
         detail["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
