@@ -3067,18 +3067,22 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG + GIF PIXEL decode end-to-end (operators/multimodal.py
-    decode_png_pixels / decode_gif_pixels -> image_pixel_stats):
-    planted images whose pixels follow a closed-form formula of doc_id
-    — value[i] = (doc_id*7 + i*13) % 256. doc_id % 6 in 0..3 plants a
-    PNG (channels cycling gray/RGB/gray+alpha/RGBA, ALL FIVE scanline
-    filter types cycling per row); doc_id % 6 in 4..5 plants a GIF
-    whose formula values are PALETTE INDICES mapped through
-    pal[j] = (j, 255-j, (j*7)%256) — so the stats cover zlib inflate +
-    unfilter AND variable-width LZW + palette expansion. The oracle
-    recomputes the stats straight from the formulas, so a decoder bug
-    cannot cancel against the encoder (the oracle never touches the
-    bytes)."""
+    """PNG + GIF + baseline-JPEG PIXEL decode end-to-end
+    (operators/multimodal.py decode_png_pixels / decode_gif_pixels /
+    decode_jpeg_pixels -> image_pixel_stats): planted images whose
+    pixels follow a closed-form formula of doc_id — value[i] =
+    (doc_id*7 + i*13) % 256. doc_id % 8 in 0..3 plants a PNG (channels
+    cycling gray/RGB/gray+alpha/RGBA, ALL FIVE scanline filter types
+    cycling per row); 4..5 plants a GIF whose formula values are
+    PALETTE INDICES mapped through pal[j] = (j, 255-j, (j*7)%256); 6
+    plants a grayscale baseline JPEG and 7 an RGB 4:2:0 JPEG — both
+    built so the lossy pipeline is exact end-to-end: each 8x8 block is
+    uniform at v[b] = (doc_id*7 + b*13) % 256 (DC-only blocks with the
+    flat-8 quant table recover v bit-exactly through any conforming
+    IDCT; R=G=B makes chroma flat 128 so 4:2:0 upsampling and the
+    YCbCr->RGB transform are exact too). The oracle recomputes the
+    stats straight from the formulas, so a decoder bug cannot cancel
+    against the encoder (the oracle never touches the bytes)."""
     from spark_xml_spark.operators import image_pixel_stats
 
     def gen(it):
@@ -3087,6 +3091,7 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from spark_xml_spark.operators.multimodal import (
             encode_gif,
+            encode_jpeg,
             encode_png,
         )
 
@@ -3099,8 +3104,29 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for did in pdf["id"]:
                 did = int(did)
+                m = did % 8
+                if m >= 6:
+                    if m == 6:
+                        h, w = 8 * (1 + did % 2), 8 * (1 + did % 3)
+                    else:
+                        h, w = 16, 16 * (1 + did % 2)
+                    nb = (h // 8) * (w // 8)
+                    v = (did * 7 + np.arange(nb) * 13) % 256
+                    img = np.kron(
+                        v.reshape(h // 8, w // 8), np.ones((8, 8))
+                    ).astype(np.uint8)
+                    if m == 6:
+                        payloads.append(encode_jpeg(img))
+                    else:
+                        payloads.append(
+                            encode_jpeg(
+                                np.stack([img] * 3, axis=2),
+                                subsampling="420",
+                            )
+                        )
+                    ids.append(did)
+                    continue
                 h, w = 8 + did % 5, 9 + did % 7
-                m = did % 6
                 if m >= 4:
                     vals = (did * 7 + np.arange(h * w) * 13) % 256
                     payloads.append(
@@ -5276,28 +5302,40 @@ def oracle_sql() -> dict[str, str]:
     sql["multimodal_pixels"] = """
         -- pixel stats recomputed from the planted images' generative
         -- formulas (v[i] = (doc_id*7 + i*13) % 256; GIF rows map v
-        -- through pal[j] = (j, 255-j, (j*7)%256)): the Spark side must
-        -- inflate+unfilter the PNG bytes / LZW-decode the GIF bytes to
-        -- the same integers, independent of the encoders
+        -- through pal[j] = (j, 255-j, (j*7)%256); JPEG rows (m 6/7)
+        -- index v per UNIFORM 8x8 BLOCK, each contributing 64*ch equal
+        -- samples — the DC-only/flat-8-quant construction is lossless,
+        -- so the formula IS the decoded image): the Spark side must
+        -- inflate+unfilter the PNG bytes / LZW-decode the GIF bytes /
+        -- Huffman-decode+IDCT the JPEG bytes to the same integers,
+        -- independent of the encoders
         WITH d AS (
-          SELECT r.range AS did, r.range % 6 AS m,
-                 8 + r.range % 5 AS h, 9 + r.range % 7 AS w
-          FROM range(24) r
+          SELECT r.range AS did, r.range % 8 AS m FROM range(24) r
         ), dims AS (
-          SELECT did, m, h, w,
-                 CASE WHEN m >= 4 THEN 3
+          SELECT did, m,
+                 CASE WHEN m = 6 THEN 8*(1 + did % 2)
+                      WHEN m = 7 THEN 16
+                      ELSE 8 + did % 5 END AS h,
+                 CASE WHEN m = 6 THEN 8*(1 + did % 3)
+                      WHEN m = 7 THEN 16*(1 + did % 2)
+                      ELSE 9 + did % 7 END AS w,
+                 CASE WHEN m = 6 THEN 1
+                      WHEN m = 7 THEN 3
+                      WHEN m >= 4 THEN 3
                       ELSE CASE m WHEN 0 THEN 1 WHEN 1 THEN 3
                                 WHEN 2 THEN 2 ELSE 4 END
                  END AS ch
           FROM d
         ), idx AS (
           SELECT did, m, h, w, ch,
-                 unnest(range(CASE WHEN m >= 4 THEN h*w
+                 unnest(range(CASE WHEN m >= 6 THEN (h//8)*(w//8)
+                              WHEN m >= 4 THEN h*w
                               ELSE h*w*ch END)) AS i
           FROM dims
         ), vals AS (
-          SELECT did, w, h, ch,
-                 unnest(CASE WHEN m >= 4 THEN
+          SELECT did, m, w, h, ch,
+                 CASE WHEN m >= 6 THEN 64*ch ELSE 1 END AS mult,
+                 unnest(CASE WHEN m IN (4, 5) THEN
                           [(did*7 + i*13) % 256,
                            255 - (did*7 + i*13) % 256,
                            (((did*7 + i*13) % 256) * 7) % 256]
@@ -5306,10 +5344,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT did AS doc_id, CAST(w AS INT) AS width,
                CAST(h AS INT) AS height, CAST(ch AS INT) AS channels,
-               CAST(SUM(pv) AS BIGINT) AS px_sum,
+               CAST(SUM(pv * mult) AS BIGINT) AS px_sum,
                CAST(MIN(pv) AS INT) AS px_min,
                CAST(MAX(pv) AS INT) AS px_max
-        FROM vals GROUP BY did, w, h, ch
+        FROM vals GROUP BY did, m, w, h, ch
         ORDER BY doc_id
     """
     return sql

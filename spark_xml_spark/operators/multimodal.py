@@ -6,9 +6,12 @@ The Spark-side design is real and tested: BinaryType payload column,
 metadata struct (byte_len, magic, sha), `mapInPandas` feature extraction
 with bounded Arrow batches. Image HEADER decoding (format/width/height
 for PNG/GIF/JPEG) is real and pure-stdlib (``default_image_decoder``);
-PIXEL decoding is the one injectable seam — the image/audio libraries are
-not in this container — so swapping in a real decoder (PIL/torchaudio)
-changes ONE function, not the pipeline.
+PIXEL/sample decoding is real for PNG (incl. 16-bit + Adam7), GIF,
+baseline-sequential JPEG (Huffman + IDCT, T.81 SOF0), and WAV — all
+stdlib+numpy. The remaining formats (progressive JPEG, CMYK, MP3, MP4
+frames) stay behind the injectable decoder seam — the media libraries
+are not in this container — so swapping in a real decoder
+(PIL/torchaudio) changes ONE function, not the pipeline.
 
 Scale notes: payloads never pass through Python except inside the Arrow
 batches of the explicitly-invoked extract step; metadata derivation is
@@ -550,14 +553,570 @@ def encode_gif(indices, palette) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (ITU-T T.81 baseline sequential DCT, 8-bit)
+# ---------------------------------------------------------------------------
+
+# zig-zag scan: natural (row-major) index of each zig-zag position
+# (T.81 Figure 5)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# T.81 Annex K default Huffman tables: (BITS counts per code length
+# 1..16, HUFFVAL symbol list). Encoder and decoder both build from
+# these arrays, so the codec is self-consistent by construction and
+# interoperable with standard baseline files.
+_JPEG_DC_LUM = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_DC_CHR = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_AC_LUM = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_JPEG_AC_CHR = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+# default quantization (flat 8): chosen so a DC-only block decodes
+# bit-exactly (DC step 8 divides the forward DC term 8*(v-128) with no
+# remainder) — fixtures stay closed-form-checkable while arbitrary
+# images roundtrip within normal quantization error
+_JPEG_FLAT_Q8 = (8,) * 64
+
+
+def _jpeg_dct_basis():
+    import math
+
+    import numpy as np
+
+    b = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            b[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return b
+
+
+def _jpeg_huff_codes(bits, values):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} (T.81 Annex C code
+    assignment: codes of each length are consecutive)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_huff_lookup(bits, values):
+    """(BITS, HUFFVAL) -> {(length, code): symbol} for MSB-first decode."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _jpeg_huff_codes(bits, values).items()
+    }
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        pad = (8 - self._n % 8) % 8
+        if pad:
+            self.put((1 << pad) - 1, pad)  # 1-pad to a byte boundary
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    stops at any real marker (leaving pos on the 0xFF)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def at_marker(self) -> bool:
+        return (
+            self._n == 0
+            and self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and self.buf[self.pos + 1] != 0x00
+        )
+
+    def reset(self) -> None:
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.buf
+        if self.pos >= len(b):
+            raise ValueError("truncated JPEG entropy data")
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # marker inside a scan where bits are still needed:
+                # pad with 1s like most decoders (only well-formed
+                # streams are planted/parsed here, so this is a
+                # truncation guard, not a recovery path)
+                self._acc = (self._acc << 8) | 0xFF
+                self._n += 8
+                return
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.12 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Baseline-sequential JPEG pixel decode (ITU-T T.81, SOF0, 8-bit):
+    marker parse -> Huffman entropy decode (DC diff + AC run-length,
+    restart-interval aware) -> dequantize -> float IDCT -> nearest-
+    neighbour chroma upsample -> YCbCr->RGB. Returns (h, w) uint8 for
+    1-component images, (h, w, 3) RGB for 3-component. Progressive
+    (SOF2), arithmetic coding, 12-bit precision, hierarchical, and
+    4-component (CMYK) streams raise NotImplementedError — the same
+    injectable-seam contract as the other decoders (swap in PIL for
+    full coverage)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 3 >= len(b):
+            raise ValueError("truncated JPEG stream")
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG contains no scan")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone markers
+        (seglen,) = struct.unpack(">H", b[pos:pos + 2])
+        seg = b[pos + 2:pos + seglen]
+        segend = pos + seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq:
+                    vals = struct.unpack(f">{64}H", seg[p:p + 128])
+                    p += 128
+                else:
+                    vals = tuple(seg[p:p + 64])
+                    p += 64
+                tbl = np.zeros(64)
+                for zz, nat in enumerate(_JPEG_ZIGZAG):
+                    tbl[nat] = vals[zz]
+                qt[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = tuple(seg[p + 1:p + 17])
+                n = sum(counts)
+                vals = tuple(seg[p + 17:p + 17 + n])
+                p += 17 + n
+                (huff_ac if tc else huff_dc)[th] = _jpeg_huff_lookup(
+                    counts, vals
+                )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {prec} unsupported (baseline 8-bit "
+                    "only); inject a real decoder"
+                )
+            if nf not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {nf} components unsupported (grayscale/"
+                    "YCbCr only); inject a real decoder"
+                )
+            comps = []
+            for ci in range(nf):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF, 0xDE):
+            raise NotImplementedError(
+                "progressive/arithmetic/hierarchical JPEG unsupported "
+                "(baseline sequential only); inject a real decoder"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si:3 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            pos = segend
+            return _jpeg_decode_scan(
+                b, pos, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval, np,
+            )
+        pos = segend
+
+
+def _jpeg_decode_scan(
+    b, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval, np
+):
+    h, w, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan JPEG unsupported (single "
+            "interleaved baseline scan only); inject a real decoder"
+        )
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    basis = _jpeg_dct_basis()
+    planes = []
+    meta = []  # (hs, vs, qtbl, dc_lookup, ac_lookup) per scan component
+    for cs, td, ta in scan:
+        hs, vs, tq = by_id[cs]
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8)))
+        meta.append((hs, vs, qt[tq], huff_dc[td], huff_ac[ta]))
+    rdr = _JpegBitReader(b, pos)
+    pred = [0] * len(scan)
+    coef = np.zeros(64)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                # byte-align and consume the RSTn marker
+                rdr.reset()
+                while rdr.buf[rdr.pos] != 0xFF:
+                    rdr.pos += 1
+                if not 0xD0 <= rdr.buf[rdr.pos + 1] <= 0xD7:
+                    raise ValueError("JPEG restart marker expected")
+                rdr.pos += 2
+                pred = [0] * len(scan)
+            for ci, (hs, vs, qtbl, dct, act) in enumerate(meta):
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        coef[:] = 0.0
+                        s = rdr.huff(dct)
+                        diff = _jpeg_extend(rdr.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.huff(act)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                rdr.bits(size), size
+                            )
+                            k += 1
+                        block = (
+                            basis.T
+                            @ (coef.reshape(8, 8) * qtbl)
+                            @ basis
+                        )
+                        y0 = (my * vs + byi) * 8
+                        x0 = (mx * hs + bxi) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+    out = []
+    for ci, (hs, vs, _, _, _) in enumerate(meta):
+        p = planes[ci] + 128.0
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(pixels, quant=_JPEG_FLAT_Q8, subsampling: str = "444") -> bytes:
+    """Baseline-sequential JPEG encoder (fixture/write seam, the
+    encode_png/encode_gif pattern): (h, w) grayscale or (h, w, 3) RGB
+    uint8 -> SOF0 JFIF bytes with T.81 Annex K Huffman tables. ``quant``
+    is the 64-entry natural-order quantization table applied to every
+    component (default flat 8 — see _JPEG_FLAT_Q8); ``subsampling`` is
+    '444' or '420' (chroma). RGB converts via the JFIF YCbCr forward
+    transform, so an R=G=B image yields exact Y=v / Cb=Cr=128 planes —
+    the closed-form-fixture construction."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg takes (h, w) or (h, w, 3) pixels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = px.shape[:2]
+    if gray:
+        comps = [(1, 1, 1, px)]
+    else:
+        r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+        if subsampling == "420":
+            comps = [(1, 2, 2, y), (2, 1, 1, cb), (3, 1, 1, cr)]
+        else:
+            comps = [(1, 1, 1, y), (2, 1, 1, cb), (3, 1, 1, cr)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qnat = np.asarray(quant, dtype=np.float64).reshape(8, 8)
+    basis = _jpeg_dct_basis()
+
+    # per-component padded planes (edge replication), chroma box-averaged
+    planes = []
+    for _, hs, vs, plane in comps:
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = (h + fy - 1) // fy * fy
+            pw = (w + fx - 1) // fx * fx
+            padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = padded.reshape(ph // fy, fy, pw // fx, fx).mean(
+                axis=(1, 3)
+            )
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        planes.append(
+            np.pad(
+                plane,
+                ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+                mode="edge",
+            )
+            - 128.0
+        )
+
+    dc_tables = [_JPEG_DC_LUM] + ([_JPEG_DC_CHR] * 2 if not gray else [])
+    ac_tables = [_JPEG_AC_LUM] + ([_JPEG_AC_CHR] * 2 if not gray else [])
+    dc_codes = [_jpeg_huff_codes(*t) for t in dc_tables]
+    ac_codes = [_jpeg_huff_codes(*t) for t in ac_tables]
+
+    def _cat(v: int) -> int:
+        return 0 if v == 0 else abs(v).bit_length()
+
+    wtr = _JpegBitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, hs, vs, _) in enumerate(comps):
+                ti = min(ci, len(dc_codes) - 1)
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        y0 = (my * vs + byi) * 8
+                        x0 = (mx * hs + bxi) * 8
+                        blk = planes[ci][y0:y0 + 8, x0:x0 + 8]
+                        coef = basis @ blk @ basis.T
+                        q = np.rint(coef / qnat).astype(np.int64)
+                        zz = [
+                            int(q.reshape(-1)[nat]) for nat in _JPEG_ZIGZAG
+                        ]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        s = _cat(diff)
+                        code, ln = dc_codes[ti][s]
+                        wtr.put(code, ln)
+                        if s:
+                            wtr.put(
+                                diff if diff > 0 else diff + (1 << s) - 1,
+                                s,
+                            )
+                        run = 0
+                        last_nz = 0
+                        for k in range(63, 0, -1):
+                            if zz[k]:
+                                last_nz = k
+                                break
+                        for k in range(1, last_nz + 1):
+                            v = zz[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[ti][0xF0]
+                                wtr.put(code, ln)
+                                run -= 16
+                            s = _cat(v)
+                            code, ln = ac_codes[ti][(run << 4) | s]
+                            wtr.put(code, ln)
+                            wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_codes[ti][0x00]
+                            wtr.put(code, ln)
+    wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zzq = bytes(
+        int(np.asarray(quant).reshape(-1)[nat]) for nat in _JPEG_ZIGZAG
+    )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zzq
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + zzq
+    nf = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for cid, hs, vs, _ in comps:
+        out += struct.pack(">BBB", cid, (hs << 4) | vs, 0 if cid == 1 else
+                           (0 if gray else 1))
+    for tc, tbls in ((0, dc_tables), (1, ac_tables)):
+        emitted = set()
+        for ti, (bits, vals) in enumerate(tbls):
+            th = 0 if ti == 0 else 1
+            if th in emitted:
+                continue
+            emitted.add(th)
+            out += b"\xff\xc4" + struct.pack(
+                ">HB", 19 + len(vals), (tc << 4) | th
+            ) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
+    for ci, (cid, _, _, _) in enumerate(comps):
+        t = 0 if ci == 0 else 1
+        out += struct.pack(">BB", cid, (t << 4) | t)
+    out += b"\x00\x3f\x00"
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def default_pixel_decoder(payload: bytes):
-    """Magic-sniffing pixel decode: PNG and GIF are real pure-stdlib
-    (decode_png_pixels / decode_gif_pixels); anything else raises
-    through the injectable-seam contract."""
+    """Magic-sniffing pixel decode: PNG, GIF, and baseline JPEG are real
+    pure-stdlib+numpy (decode_png_pixels / decode_gif_pixels /
+    decode_jpeg_pixels); anything else raises through the
+    injectable-seam contract."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg_pixels(payload)
     raise NotImplementedError(
         "pixel decoding beyond PNG/GIF requires an image library not "
         "present in this environment; inject a real decoder"

@@ -659,7 +659,12 @@ def test_gif_pixel_decode_hand_packed_lzw():
     assert (default_pixel_decoder(gif) == px).all()
     import pytest
 
+    # baseline JPEG now decodes for real; a format with no decoder
+    # (BMP) still raises the seam contract, and JPEG garbage is a loud
+    # ValueError rather than a silent crash
     with pytest.raises(NotImplementedError):
+        default_pixel_decoder(b"BM" + bytes(64))
+    with pytest.raises(ValueError, match="truncated JPEG"):
         default_pixel_decoder(b"\xff\xd8\xffjpeg")
 
     # interlaced round-trip: encode non-interlaced rows, rewrite the
@@ -807,6 +812,169 @@ def test_gif_lzw_table_cap_and_hostile_stream_bound():
     gif += b"\x00\x3b"
     px = decode_gif_pixels(gif)  # must return promptly, bounded output
     assert px.shape == (2, 2, 3)
+
+
+def _annex_k_jpeg_tables() -> bytes:
+    """DHT segments (DC+AC luminance, Annex K) reused by the hand-crafted
+    JPEG fixtures below — built from the spec arrays, NOT via encode_jpeg."""
+    import struct
+
+    from spark_xml_spark.operators.multimodal import (
+        _JPEG_AC_LUM,
+        _JPEG_DC_LUM,
+    )
+
+    out = b""
+    for tc, (bits, vals) in ((0, _JPEG_DC_LUM), (1, _JPEG_AC_LUM)):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">HB", 19 + len(vals), tc << 4)
+            + bytes(bits)
+            + bytes(vals)
+        )
+    return out
+
+
+def _jpeg_headers(h: int, w: int) -> bytes:
+    """SOI + flat-8 DQT + grayscale SOF0 + Annex K DHTs (hand-built)."""
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([8] * 64)
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + b"\x01\x11\x00"
+        + _annex_k_jpeg_tables()
+    )
+
+
+def test_jpeg_hand_crafted_dc_only_stream():
+    """decode_jpeg_pixels against a HAND-CODED baseline stream (the bits
+    below are worked out from T.81 Annex F/K by hand, independent of
+    encode_jpeg — an encoder/decoder bug pair cannot cancel here).
+    Single 8x8 grayscale block: DC category 2 ('011' in the Annex K DC
+    luminance table), diff=+2 ('10'), EOB ('1010'), 1-padded to a byte:
+    01110101 01111111 -> 0x75 0x7F. Dequantized DC = 2*8 = 16, IDCT of a
+    DC-only block = 16/8 = 2 uniform, +128 level shift = 130."""
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import decode_jpeg_pixels
+
+    jpeg = _jpeg_headers(8, 8) + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    jpeg += b"\x75\x7f" + b"\xff\xd9"
+    px = decode_jpeg_pixels(jpeg)
+    assert px.shape == (8, 8) and px.dtype == np.uint8
+    assert (px == 130).all()
+
+
+def test_jpeg_restart_interval_hand_crafted():
+    """DRI=1 + RST0 between two hand-coded MCUs: the DC predictor must
+    reset at the restart marker (both blocks code diff=+2, so WITHOUT
+    the reset block 2 would decode to 132, not 130)."""
+    import struct
+
+    from spark_xml_spark.operators.multimodal import decode_jpeg_pixels
+
+    jpeg = (
+        _jpeg_headers(8, 16)
+        + b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: interval 1
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + b"\x75\x7f"          # MCU 0: DC +2, EOB, 1-padded
+        + b"\xff\xd0"          # RST0
+        + b"\x75\x7f"          # MCU 1: DC +2 again from a RESET predictor
+        + b"\xff\xd9"
+    )
+    px = decode_jpeg_pixels(jpeg)
+    assert px.shape == (8, 16)
+    assert (px == 130).all()
+
+
+def test_jpeg_roundtrip_block_uniform_exact():
+    """encode_jpeg/decode_jpeg_pixels roundtrip is EXACT for the
+    closed-form fixture construction: uniform 8x8 blocks under the
+    flat-8 quant table (DC step 8 divides 8*(v-128)), grayscale and
+    R=G=B color at both 4:4:4 and 4:2:0 (flat-128 chroma survives
+    subsampling and the YCbCr->RGB transform exactly)."""
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    vals = (np.arange(6).reshape(2, 3) * 41 + 7) % 256
+    img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+    assert (decode_jpeg_pixels(encode_jpeg(img)) == img).all()
+    rgb = np.stack([img] * 3, axis=2)
+    for sub in ("444", "420"):
+        out = decode_jpeg_pixels(encode_jpeg(rgb, subsampling=sub))
+        assert out.shape == rgb.shape
+        assert (out == rgb).all(), sub
+    # odd (non-multiple-of-8) dims: solid image stays exact through the
+    # encoder's edge padding and the decoder's crop
+    odd = np.full((13, 19), 200, dtype=np.uint8)
+    assert (decode_jpeg_pixels(encode_jpeg(odd)) == odd).all()
+
+
+def test_jpeg_random_roundtrip_within_quant_error():
+    """Arbitrary images roundtrip within normal flat-8 quantization
+    error (every Huffman symbol class gets exercised: long AC runs,
+    ZRL, big categories)."""
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    err = np.abs(
+        decode_jpeg_pixels(encode_jpeg(gray)).astype(int) - gray.astype(int)
+    )
+    assert err.max() <= 32 and err.mean() < 4
+    color = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(color))
+    err = np.abs(out.astype(int) - color.astype(int))
+    assert err.max() <= 48 and err.mean() < 8  # chroma rounding included
+
+
+def test_jpeg_unsupported_variants_raise_seam_contract():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_xml_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + b"\x01\x11\x00"
+    )
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_pixels(sof2)
+    twelve = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 12, 8, 8, 1)
+        + b"\x01\x11\x00"
+    )
+    with _pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg_pixels(twelve)
+    cmyk = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, 8, 8, 4)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00"
+    )
+    with _pytest.raises(NotImplementedError, match="components"):
+        decode_jpeg_pixels(cmyk)
+    with _pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n")
 
 
 def test_png_nearest_resize_real_pixels(spark):
