@@ -26,6 +26,7 @@ identity) so the ~20 queries pay the write+infer cost once per table.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
@@ -971,6 +972,23 @@ def _await_stream(q, timeout_s: int = 300) -> None:
         )
 
 
+@contextlib.contextmanager
+def _stateful_parts(spark: SparkSession, n: int = 4):
+    """Run a stateful streaming query with a small shuffle-partition
+    count (restored on exit): every stateful operator materializes a
+    state store per shuffle partition per microbatch, so at local
+    replay scale 32 partitions is pure state-store file churn. The
+    count bakes into the (per-call, throwaway) checkpoint; at
+    production scale the same knob is sized to the cluster instead
+    (VERDICT r11 task 5)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _stream_source(spark: SparkSession, sf_dir: str, name: str,
                    base_table: str, build) -> str:
     """Cached stream-source parquet directory keyed by (name+recipe,
@@ -1072,6 +1090,10 @@ def q_stream_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         watermark="3650 days",  # finite replay: drop nothing
     )
+    # NOT _stateful_parts-wrapped: simhash's stateful stage does real
+    # CPU work per partition (pandas pair generation), so cutting the
+    # partition count serializes it (measured 4.0s @ 32 vs 5.8s @ 4);
+    # the small-state fast path is for join/window state bookkeeping
     q = (
         pairs.writeStream.format("parquet")
         .option("path", out)
@@ -3005,7 +3027,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider than the corpus span so no row is dropped and the full SQL
     join replays the result exactly (the stream_simhash oracle shape).
     delta_s is computed in microseconds then floored, matching the
-    oracle's epoch_ns arithmetic bit-for-bit."""
+    oracle's epoch_ns arithmetic bit-for-bit.
+
+    The stateful stages run with shuffle.partitions=4 for this query
+    (restored after): a symmetric hash join materializes TWO state
+    stores per shuffle partition per microbatch, so at local replay
+    scale 32 partitions is pure state-store file churn — the partition
+    count bakes into the (per-call, throwaway) checkpoint, and at
+    production scale the same knob is simply sized to the cluster
+    instead (VERDICT r11 task 5)."""
     import tempfile
 
     from spark_xml_spark.streaming import stream_stream_interval_join
@@ -3052,14 +3082,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000)
         ).cast("bigint").alias("delta_s"),
     )
-    q = (
-        res.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    with _stateful_parts(spark):
+        q = (
+            res.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     return (
         spark.read.parquet(out)
         .orderBy("user_id", "view_id", "purchase_id")

@@ -1067,11 +1067,28 @@ def test_stream_stream_interval_join_kill_and_resume(spark, tmp_path):
         time.sleep(0.2)
     q.stop()
     q.awaitTermination(30)
-    # phase 2: resume from the same checkpoint to completion
-    # (generous timeout: under full-suite load a 32-thread local box
-    # runs many concurrent Spark stages; a tight bound flakes)
+    # phase 2: resume from the same checkpoint to completion.
+    # Condition-polled, not a fixed await (VERDICT r11 task 3): under
+    # full-suite load with a concurrent Spark session a fixed bound
+    # flakes — instead the clock RESETS whenever a new microbatch
+    # commits, so the test only fails if the resumed stream makes no
+    # progress at all for the window.
     q2 = start(available_now=True)
-    assert q2.awaitTermination(300)
+    window_s = 120
+    deadline = time.time() + window_s
+    last_bid = -1
+    while q2.isActive and time.time() < deadline:
+        p = q2.lastProgress
+        bid = p["batchId"] if p else -1
+        if bid > last_bid:
+            last_bid = bid
+            deadline = time.time() + window_s
+        time.sleep(0.2)
+    assert not q2.isActive, (
+        f"resumed stream stalled: no new batch for {window_s}s "
+        f"(last batch {last_bid})"
+    )
+    q2.awaitTermination(30)
 
     # NO distinct: the file sink's metadata log gives exactly-once, so
     # the raw sink contents must equal the batch join INCLUDING
