@@ -2930,7 +2930,13 @@ def q_text_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose register layout is engine-private), every intermediate of KMV
     is a portable hash value, so the DuckDB oracle reproduces the exact
     sketch AND the exact estimate — a verifiable cardinality estimator.
-    n_distinct (exact, for error visibility) rides along."""
+    n_distinct (exact, for error visibility) rides along.
+
+    NOTE this query deliberately pays exact mode's corpus-cardinality
+    distinct so the oracle can score the estimator's error — that cost
+    is verification, not the operator's scale cost. The 100 TB default
+    is estimate-only (`text_kmv_est`, no global distinct; SCALE.md
+    'Sketches': 1.94 s vs 1.29 s at sf0.1, gap = the distinct)."""
     from spark_xml_spark.operators import kmv_distinct
     from spark_xml_spark.operators.dedup import _word_shingles
 
