@@ -702,14 +702,6 @@ class _JpegBitReader:
         self._acc = 0
         self._n = 0
 
-    def at_marker(self) -> bool:
-        return (
-            self._n == 0
-            and self.pos + 1 < len(self.buf)
-            and self.buf[self.pos] == 0xFF
-            and self.buf[self.pos + 1] != 0x00
-        )
-
     def reset(self) -> None:
         self._acc = 0
         self._n = 0

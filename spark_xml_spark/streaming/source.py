@@ -68,7 +68,7 @@ class XmlStreamReader(DataSourceStreamReader):
         self._cursor_path = options.get("admissionCursorPath") or options.get(
             "admissioncursorpath"
         )
-        self._legacy_cursor_path: Optional[str] = None
+        self._legacy_cursor_paths: List[str] = []
         if self._cursor_path is None and (
             self._max_files is not None or self._max_bytes is not None
         ):
@@ -122,12 +122,12 @@ class XmlStreamReader(DataSourceStreamReader):
                 self._cursor_path = os.path.join(
                     ckpt, f"xml_graft_admission_cursor-{tag}.json"
                 )
-                # pre-r11 cursors hashed only (path, caps) — without the
-                # listing/order options now in ident — so an existing
-                # stream restarting after that upgrade would miss its
-                # cursor under the new name and re-admit files (ADVICE
-                # r11). _cursor_load falls back to this legacy name once
-                # and migrates it.
+                # earlier cursor-name eras must keep their admitted
+                # position across the naming upgrades (ADVICE r11):
+                # r10 hashed only (path, caps) without the listing/order
+                # options now in ident; before that the name was the
+                # fixed un-tagged file. _cursor_load probes these in
+                # order on a miss and migrates the first hit forward.
                 legacy = "|".join(
                     str(x)
                     for x in (
@@ -137,9 +137,12 @@ class XmlStreamReader(DataSourceStreamReader):
                     )
                 )
                 ltag = hashlib.sha256(legacy.encode()).hexdigest()[:16]
-                self._legacy_cursor_path = os.path.join(
-                    ckpt, f"xml_graft_admission_cursor-{ltag}.json"
-                )
+                self._legacy_cursor_paths = [
+                    os.path.join(
+                        ckpt, f"xml_graft_admission_cursor-{ltag}.json"
+                    ),
+                    os.path.join(ckpt, "xml_graft_admission_cursor.json"),
+                ]
                 try:
                     os.makedirs(ckpt, exist_ok=True)
                 except OSError:
@@ -187,7 +190,7 @@ class XmlStreamReader(DataSourceStreamReader):
             return None
         import json
 
-        for path in (self._cursor_path, self._legacy_cursor_path):
+        for path in [self._cursor_path] + self._legacy_cursor_paths:
             if not path:
                 continue
             try:

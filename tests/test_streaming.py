@@ -574,16 +574,19 @@ def test_legacy_cursor_name_migrates_on_miss(tmp_path):
     admitted = {"files": {str(src / "a.xml"): 11}}
     legacy_file.write_text(json.dumps(admitted))
 
-    rdr = XmlStreamReader(
-        {
-            "path": str(src),
-            "maxFilesPerTrigger": "2",
-            "checkpointLocation": str(ckpt),
-        },
-        T.StructType([T.StructField("a", T.LongType())]),
-    )
+    def _mk():
+        return XmlStreamReader(
+            {
+                "path": str(src),
+                "maxFilesPerTrigger": "2",
+                "checkpointLocation": str(ckpt),
+            },
+            T.StructType([T.StructField("a", T.LongType())]),
+        )
+
+    rdr = _mk()
     assert rdr._cursor_path != str(legacy_file)
-    assert rdr._legacy_cursor_path == str(legacy_file)
+    assert rdr._legacy_cursor_paths[0] == str(legacy_file)
     cur = rdr._cursor_load()
     assert cur == {str(src / "a.xml"): 11}
     # migrated forward under the new name; _planned untouched
@@ -591,6 +594,18 @@ def test_legacy_cursor_name_migrates_on_miss(tmp_path):
     assert rdr._planned == {}
     # subsequent loads hit the new name directly
     assert rdr._cursor_load() == cur
+
+    # oldest era: the fixed un-tagged cursor filename must also migrate
+    os.remove(rdr._cursor_path)
+    os.remove(legacy_file)
+    fixed = ckpt / "xml_graft_admission_cursor.json"
+    fixed.write_text(json.dumps({"files": {str(src / "b.xml"): 7}}))
+    rdr2 = _mk()
+    assert rdr2._legacy_cursor_paths[1] == str(fixed)
+    assert rdr2._cursor_load() == {str(src / "b.xml"): 7}
+    assert json.load(open(rdr2._cursor_path))["files"] == {
+        str(src / "b.xml"): 7
+    }
 
 
 def test_max_files_without_cursor_first_batch_uncapped(spark, tmp_path):

@@ -137,18 +137,34 @@ def _build_scale10(src_sf_dir: str, dst: str) -> None:
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
-    con = None
+    con = duckdb.connect()
+
+    def _rows(path: str) -> int:
+        return con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+
     for t in TABLES:
         s = os.path.join(src_sf_dir, f"{t}.parquet")
         d = os.path.join(dst, f"{t}.parquet")
-        if not os.path.exists(s) or os.path.exists(d):
+        if not os.path.exists(s):
             continue
         if t not in SCALEUP:
-            os.symlink(s, d)
+            if not os.path.exists(d):
+                os.symlink(s, d)
             continue
         factor, key, order = SCALEUP[t]
-        if con is None:
-            con = duckdb.connect()
+        if os.path.exists(d):
+            # a pre-existing file must PROVE it is the scaled replica
+            # (exact factor x source rows): a scratch dir left by an
+            # older build (symlinked, unscaled) or a killed COPY would
+            # otherwise be measured and published as x{factor}
+            try:
+                if _rows(d) == factor * _rows(s):
+                    continue
+            except duckdb.Error:
+                pass
+            os.remove(d)
         con.execute(
             f"""
             COPY (
@@ -158,8 +174,7 @@ def _build_scale10(src_sf_dir: str, dst: str) -> None:
             ) TO '{d}' (FORMAT parquet)
             """
         )
-    if con is not None:
-        con.close()
+    con.close()
 
 
 def main() -> None:
