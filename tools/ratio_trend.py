@@ -73,7 +73,12 @@ SCALEUP = {
     "customer": (100, "c_custkey", ["c_custkey"]),
     "lineitem": (10, "l_orderkey", ["l_orderkey", "l_linenumber"]),
     "embeddings": (100, "vec_id", ["vec_id"]),
+    "events": (10, "event_id", ["event_id"]),
 }
+# events-family queries measured at the x10 events corpus (replicas
+# keep their timestamps, so bucket/asof key distributions scale in rows
+# per key — the worst case for the rollup agg and the asof dedup)
+SCALE10_EVENTS = ["events_rollup", "events_asof"]
 # XML headline queries measured at the scaled corpus; value = the pruned
 # (table, columns) read whose isolated scan wall is recorded alongside
 SCALEUP_XML_QUERIES = {
@@ -244,6 +249,7 @@ def main() -> None:
     x10: dict = {}
     xml_x: dict = {}
     emb_x: dict = {}
+    events_x: dict = {}
 
     def _scaleup_rec(name: str, con, n: int = 3) -> dict:
         """One beyond-sf0.1 reading: both engines at the scratch corpus,
@@ -306,6 +312,10 @@ def main() -> None:
         rec = _scaleup_rec("ann_cosine_topk", con)
         rec["x"] = SCALEUP["embeddings"][0]
         emb_x["ann_cosine_topk"] = rec
+        for name in SCALE10_EVENTS:
+            rec = _scaleup_rec(name, con)
+            rec["x"] = SCALEUP["events"][0]
+            events_x[name] = rec
         con.close()
     except Exception as exc:  # noqa: BLE001
         detail.setdefault("errors", {})["scale10"] = repr(exc)[:300]
@@ -315,6 +325,7 @@ def main() -> None:
     detail["docs_x10"] = x10
     detail["xml_scaleup"] = xml_x
     detail["emb_x100"] = emb_x
+    detail["events_x10"] = events_x
 
     # ---- summary: ratio per sf, monotonicity, asymptote ----------------
     ratio_by_sf: dict = {}
@@ -361,6 +372,7 @@ def main() -> None:
         },
         "xml_scaleup": xml_x,
         "emb_x100": emb_x,
+        "events_x10": events_x,
     }
     try:
         detail["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
