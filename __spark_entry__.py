@@ -1036,15 +1036,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     ckpt = os.path.join(work, "ckpt")
     check_checkpoint_encoding(ckpt)  # refuse cross-encoding resume
-    q = (
-        dedup_stream_exact(stream, cols=["text"])
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    with _stateful_parts(spark):
+        q = (
+            dedup_stream_exact(stream, cols=["text"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     kept = spark.read.parquet(out)
     return kept.agg(
         F.count("*").cast("bigint").alias("n_kept"),
@@ -1416,15 +1417,18 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "ts timestamp, event_type string, value double"
     ).parquet(src)
-    q = (
-        windowed_event_counts(stream, window_duration="1 hour", watermark="30 minutes")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    with _stateful_parts(spark):
+        q = (
+            windowed_event_counts(
+                stream, window_duration="1 hour", watermark="30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     got = spark.read.parquet(out)
     return got.select(
         F.unix_timestamp("window_start").alias("win_start_s"),
@@ -3320,13 +3324,14 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(state, f"b{batch_id}")
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    with _stateful_parts(spark):
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     sketches = spark.read.option("recursiveFileLookup", "true").parquet(state)
     merged = kmv_merge([sketches], ["source"], k=64)
     out = kmv_estimate(merged, k=64)
