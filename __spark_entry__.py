@@ -3203,6 +3203,56 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(d).orderBy("doc_id")
 
 
+def q_multimodal_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio HEADER metadata over mixed MP3/WAV payloads
+    (operators/multimodal.py _decode_mp3_header + audio_headers):
+    planted constant-bitrate MP3s — doc_id % 3 == 0: MPEG-1 Layer III
+    128 kbps 44.1 kHz stereo behind an ID3v2 tag of (doc_id % 7) * 16
+    bytes (frame length 417); 1: MPEG-2 Layer III 64 kbps 22.05 kHz
+    mono, untagged (frame length 208) — and PCM-16 WAVs (2: encode_wav,
+    8 kHz + doc_id, mono), each with 3 + doc_id % 5 frames. All outputs
+    are integers (duration an exact integer-arithmetic millisecond
+    count), so the oracle recomputes every field from the planting
+    formula — the decoder must skip the syncsafe ID3 size, decode the
+    sync header's version/layer/bitrate/rate/mode bits, and count audio
+    bytes to match."""
+    from spark_xml_spark.operators import audio_headers
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from spark_xml_spark.operators.multimodal import encode_wav
+
+        v1 = bytes([0xFF, 0xFB, 0x90, 0x40])  # V1 L3 128k 44100 joint
+        v2 = bytes([0xFF, 0xF3, 0x80, 0xC0])  # V2 L3 64k 22050 mono
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["id"]:
+                did = int(did)
+                nf = 3 + did % 5
+                m = did % 3
+                if m == 0:
+                    tag = (
+                        b"ID3" + bytes([4, 0, 0])
+                        + bytes([0, 0, 0, (did % 7) * 16])
+                        + bytes((did % 7) * 16)
+                    )
+                    payloads.append(tag + (v1 + bytes(417 - 4)) * nf)
+                elif m == 1:
+                    payloads.append((v2 + bytes(208 - 4)) * nf)
+                else:
+                    s = np.zeros((nf, 1), dtype=np.int16)
+                    payloads.append(encode_wav(s, 8000 + did))
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = spark.range(12).repartition(4).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+    return audio_headers(d).orderBy("doc_id")
+
+
 def q_text_kmv_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV estimate-only mode (operators/sketch.py kmv_distinct
     exact=False): the 100 TB path. Exact mode's global distinct() over
@@ -3541,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
+        "multimodal_mp3": q_multimodal_mp3,
     }
 
 
@@ -5401,5 +5452,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(pv) AS INT) AS px_max
         FROM vals GROUP BY did, m, w, h, ch
         ORDER BY doc_id
+    """
+    sql["multimodal_mp3"] = """
+        -- audio header fields recomputed from the planting formula:
+        -- m=0 V1L3 128kbps/44100/stereo (frame 417B), m=1 V2L3
+        -- 64kbps/22050/mono (frame 208B), m=2 PCM-16 WAV mono at
+        -- 8000+did Hz; every field integer, duration integer-ms
+        WITH d AS (
+          SELECT r.range AS did, r.range % 3 AS m,
+                 3 + r.range % 5 AS nf
+          FROM range(12) r
+        )
+        SELECT did AS doc_id,
+               CASE WHEN m = 2 THEN 'wav' ELSE 'mp3' END AS format,
+               CAST(CASE m WHEN 0 THEN 44100 WHEN 1 THEN 22050
+                    ELSE 8000 + did END AS INT) AS sample_rate,
+               CAST(CASE WHEN m = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+               CAST(CASE m WHEN 0 THEN 128 WHEN 1 THEN 64
+                    ELSE NULL END AS INT) AS bitrate_kbps,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(CASE m
+                    WHEN 0 THEN (nf * 417 * 8000) // 128000
+                    WHEN 1 THEN (nf * 208 * 8000) // 64000
+                    ELSE (nf * 1000) // (8000 + did)
+                    END AS BIGINT) AS duration_ms
+        FROM d ORDER BY did
     """
     return sql

@@ -1226,9 +1226,163 @@ def default_audio_decoder(payload: bytes) -> dict:
             out["n_frames"] = int(frames)
             out["duration_s"] = frames / rate
         return out
+    mp3 = _decode_mp3_header(payload)
+    if mp3 is not None:
+        return mp3
     raise NotImplementedError(
-        "audio decoding beyond WAV headers requires an audio library not "
-        "present in this environment; inject a real decoder"
+        "audio decoding beyond WAV/MP3 headers requires an audio library "
+        "not present in this environment; inject a real decoder"
+    )
+
+
+# MPEG audio frame header tables (ISO/IEC 11172-3 / 13818-3, public):
+# bitrate kbps by (version-group, layer) and sample rate by version bits
+_MP3_BITRATES = {
+    ("1", 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+               384, 416, 448),
+    ("1", 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+               320, 384),
+    ("1", 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320),
+    ("2", 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+               224, 256),
+    ("2", 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160),
+    ("2", 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+_MP3_VERSION = {3: "1", 2: "2", 0: "2.5"}
+
+
+def _decode_mp3_header(payload: bytes):
+    """MPEG audio (MP3) HEADER metadata, pure stdlib: skip an ID3v2 tag
+    (syncsafe size), find the first frame sync, decode version / layer /
+    bitrate / sample rate / channel mode, and derive CBR estimates
+    (frame count and duration from the audio byte count at the header's
+    bitrate — exact for constant-bitrate files, the honest estimate for
+    VBR without a full frame walk). Returns None when the payload is
+    neither ID3-tagged nor sync-prefixed (caller raises the seam)."""
+    pos = 0
+    tagged = payload[:3] == b"ID3" and len(payload) >= 10
+    if tagged:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    # the sync must sit exactly at the post-tag offset (a bounded scan
+    # would misclassify arbitrary binaries that merely contain 0xFFEx)
+    h = payload[pos:pos + 4]
+    if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    vbits = (h[1] >> 3) & 0x3
+    lbits = (h[1] >> 1) & 0x3
+    if vbits == 1 or lbits == 0:
+        return None  # reserved version/layer
+    version = _MP3_VERSION[vbits]
+    layer = 4 - lbits
+    br_idx = (h[2] >> 4) & 0xF
+    sr_idx = (h[2] >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format/bad bitrate or reserved rate
+    vgroup = "1" if version == "1" else "2"
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx]
+    rate = _MP3_RATES[vbits][sr_idx]
+    channels = 1 if ((h[3] >> 6) & 0x3) == 3 else 2
+    audio_bytes = len(payload) - pos
+    spf = 384 if layer == 1 else (
+        1152 if layer == 2 or version == "1" else 576
+    )
+    if layer == 1:
+        frame_len = (12 * bitrate * 1000 // rate) * 4
+    else:
+        flen_units = 144 if (layer == 2 or version == "1") else 72
+        frame_len = flen_units * bitrate * 1000 // rate
+    return {
+        "format": "mp3",
+        "version": version,
+        "layer": layer,
+        "bitrate_kbps": int(bitrate),
+        "sample_rate": int(rate),
+        "channels": channels,
+        "audio_bytes": int(audio_bytes),
+        "n_frames": int(audio_bytes // max(frame_len, 1)),
+        "duration_s": audio_bytes * 8 / (bitrate * 1000),
+    }
+
+
+AUDIO_HEADERS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def audio_headers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Optional[Callable[[bytes], dict]] = None,
+) -> DataFrame:
+    """Per-payload audio HEADER metadata via Arrow-batched mapInPandas
+    (the image_pixel_stats shape): WAV fields come from the fmt/data
+    chunk walk, MP3 fields from the frame-sync header; duration is an
+    exact INTEGER millisecond count (bits x 1000 // bitrate for MP3,
+    frames x 1000 // rate for WAV) so an independent engine reproduces
+    it with integer arithmetic — no float drift in the gate.
+    Undecodable payloads yield a NULL-fields row; NotImplementedError
+    propagates (seam contract)."""
+    import pandas as pd
+
+    impl = decoder or default_audio_decoder
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                null_row = (did, None, None, None, None, None, None)
+                if payload is None:
+                    rows.append(null_row)
+                    continue
+                try:
+                    m = impl(bytes(payload))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append(null_row)
+                    continue
+                if m.get("format") == "mp3":
+                    ms = m["audio_bytes"] * 8000 // (m["bitrate_kbps"] * 1000)
+                    rows.append(
+                        (did, "mp3", m["sample_rate"], m["channels"],
+                         m["bitrate_kbps"], m["n_frames"], ms)
+                    )
+                else:
+                    nf = m.get("n_frames")
+                    ms = (
+                        nf * 1000 // m["sample_rate"]
+                        if nf is not None and m.get("sample_rate")
+                        else None
+                    )
+                    rows.append(
+                        (did, m.get("format"), m.get("sample_rate"),
+                         m.get("channels"), None, nf, ms)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "sample_rate", "channels",
+                         "bitrate_kbps", "n_frames", "duration_ms"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, AUDIO_HEADERS_SCHEMA
     )
 
 

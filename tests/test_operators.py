@@ -977,6 +977,77 @@ def test_jpeg_unsupported_variants_raise_seam_contract():
         decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n")
 
 
+def test_mp3_header_decode_hand_built_frames():
+    """_decode_mp3_header via default_audio_decoder against HAND-BUILT
+    sync headers (bit fields from ISO 11172-3/13818-3 worked out by
+    hand): V1L3 128k/44.1k joint-stereo behind an ID3v2 tag, V2L3
+    64k/22.05k mono untagged; reserved/free-format headers and non-MP3
+    magics keep the seam contract."""
+    import pytest as _pytest
+
+    from spark_xml_spark.operators.multimodal import default_audio_decoder
+
+    v1 = bytes([0xFF, 0xFB, 0x90, 0x40])  # sync|V1|L3, 128k|44100, joint
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 1, 4]) + bytes(132)
+    m = default_audio_decoder(id3 + (v1 + bytes(413)) * 5)
+    assert (m["format"], m["version"], m["layer"]) == ("mp3", "1", 3)
+    assert (m["bitrate_kbps"], m["sample_rate"], m["channels"]) == (
+        128, 44100, 2)
+    assert m["audio_bytes"] == 5 * 417 and m["n_frames"] == 5
+    assert m["duration_s"] == 5 * 417 * 8 / 128000
+
+    v2 = bytes([0xFF, 0xF3, 0x80, 0xC0])  # sync|V2|L3, 64k|22050, mono
+    m = default_audio_decoder((v2 + bytes(204)) * 3)
+    assert (m["version"], m["layer"], m["bitrate_kbps"],
+            m["sample_rate"], m["channels"]) == ("2", 3, 64, 22050, 1)
+    assert m["n_frames"] == 3
+
+    # Layer I frame-length rule: V1L1 256k/44100 -> (12*256000//44100)*4
+    v1l1 = bytes([0xFF, 0xFF, 0x80, 0x40])
+    m = default_audio_decoder(v1l1 + bytes(1000))
+    assert (m["layer"], m["bitrate_kbps"]) == (1, 256)
+    assert m["n_frames"] == (4 + 1000) // ((12 * 256000 // 44100) * 4)
+
+    for bad in (
+        b"OggS" + bytes(32),                         # not MPEG audio
+        bytes([0xFF, 0xEB, 0x90, 0x40]),             # reserved version
+        bytes([0xFF, 0xF9, 0x90, 0x40]),             # reserved layer
+        bytes([0xFF, 0xFB, 0x00, 0x40]),             # free-format bitrate
+        bytes([0xFF, 0xFB, 0x9C, 0x40]),             # reserved rate
+        b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(20),  # tag, no sync
+    ):
+        with _pytest.raises(NotImplementedError):
+            default_audio_decoder(bad)
+
+
+def test_audio_headers_operator_mixed_formats(spark):
+    """audio_headers over a mixed MP3/WAV/garbage frame: integer-exact
+    duration_ms on both formats, NULL-fields row for undecodable bytes
+    that match no seam (None payload), seam raise preserved."""
+    import numpy as np
+
+    from spark_xml_spark.operators import audio_headers
+    from spark_xml_spark.operators.multimodal import encode_wav
+
+    v1 = bytes([0xFF, 0xFB, 0x90, 0x40])
+    rows = [
+        (1, (v1 + bytes(413)) * 4),
+        (2, encode_wav(np.zeros((480, 2), dtype=np.int16), 16000)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in audio_headers(df).collect()}
+    assert (got[1].format, got[1].sample_rate, got[1].channels,
+            got[1].bitrate_kbps, got[1].n_frames) == ("mp3", 44100, 2,
+                                                      128, 4)
+    assert got[1].duration_ms == 4 * 417 * 8000 // 128000
+    assert (got[2].format, got[2].sample_rate, got[2].channels,
+            got[2].bitrate_kbps, got[2].n_frames) == ("wav", 16000, 2,
+                                                      None, 480)
+    assert got[2].duration_ms == 480 * 1000 // 16000
+    assert got[3].format is None and got[3].duration_ms is None
+
+
 def test_png_nearest_resize_real_pixels(spark):
     """png_nearest_resize is a REAL resizer for the resize_images seam:
     decoded-pixel nearest-neighbour semantics (checked against numpy
