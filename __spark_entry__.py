@@ -3121,12 +3121,14 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycling gray/RGB/gray+alpha/RGBA, ALL FIVE scanline filter types
     cycling per row); 4..5 plants a GIF whose formula values are
     PALETTE INDICES mapped through pal[j] = (j, 255-j, (j*7)%256); 6
-    plants a grayscale baseline JPEG and 7 an RGB 4:2:0 JPEG — both
-    built so the lossy pipeline is exact end-to-end: each 8x8 block is
-    uniform at v[b] = (doc_id*7 + b*13) % 256 (DC-only blocks with the
-    flat-8 quant table recover v bit-exactly through any conforming
-    IDCT; R=G=B makes chroma flat 128 so 4:2:0 upsampling and the
-    YCbCr->RGB transform are exact too). The oracle recomputes the
+    plants a grayscale JPEG and 7 an RGB 4:2:0 JPEG — baseline
+    sequential or PROGRESSIVE (SOF2 successive-approximation, the
+    doc_id//8 == 1 plants), both built so the lossy pipeline is exact
+    end-to-end: each 8x8 block is uniform at v[b] = (doc_id*7 + b*13)
+    % 256 (DC-only blocks with the flat-8 quant table recover v
+    bit-exactly through any conforming IDCT; R=G=B makes chroma flat
+    128 so 4:2:0 upsampling and the YCbCr->RGB transform are exact
+    too). The oracle recomputes the
     stats straight from the formulas, so a decoder bug cannot cancel
     against the encoder (the oracle never touches the bytes)."""
     from spark_xml_spark.operators import image_pixel_stats
@@ -3154,25 +3156,31 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if m >= 6:
                     # vary dims on did//8 (did%2 is CONSTANT within a
                     # %8 residue class — review r12); the 2x variants
-                    # exercise multi-MCU-ROW decode (mcuy > 1)
+                    # exercise multi-MCU-ROW decode (mcuy > 1); the
+                    # did//8 == 1 plants encode PROGRESSIVE (SOF2
+                    # multi-scan), exact through the same DC-only
+                    # construction, so the gate covers both entropy
+                    # paths
                     if m == 6:
                         h = 8 * (1 + (did // 8) % 2)
                         w = 8 * (1 + (did // 8) % 3)
                     else:
                         h = 16 * (1 + (did // 8) % 2)
                         w = 16 * (1 + (did // 8) % 3)
+                    prog = (did // 8) % 3 == 1
                     nb = (h // 8) * (w // 8)
                     v = (did * 7 + np.arange(nb) * 13) % 256
                     img = np.kron(
                         v.reshape(h // 8, w // 8), np.ones((8, 8))
                     ).astype(np.uint8)
                     if m == 6:
-                        payloads.append(encode_jpeg(img))
+                        payloads.append(encode_jpeg(img, progressive=prog))
                     else:
                         payloads.append(
                             encode_jpeg(
                                 np.stack([img] * 3, axis=2),
                                 subsampling="420",
+                                progressive=prog,
                             )
                         )
                     ids.append(did)

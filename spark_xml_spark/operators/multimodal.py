@@ -7,8 +7,9 @@ metadata struct (byte_len, magic, sha), `mapInPandas` feature extraction
 with bounded Arrow batches. Image HEADER decoding (format/width/height
 for PNG/GIF/JPEG) is real and pure-stdlib (``default_image_decoder``);
 PIXEL/sample decoding is real for PNG (incl. 16-bit + Adam7), GIF,
-baseline-sequential JPEG (Huffman + IDCT, T.81 SOF0), and WAV — all
-stdlib+numpy. The remaining formats (progressive JPEG, CMYK, MP3, MP4
+JPEG (baseline sequential SOF0 AND progressive SOF2, Huffman + IDCT,
+T.81), and WAV — all stdlib+numpy; MP3 headers decode to metadata. The
+remaining formats (arithmetic/CMYK JPEG, MP3 samples, MP4
 frames) stay behind the injectable decoder seam — the media libraries
 are not in this container — so swapping in a real decoder
 (PIL/torchaudio) changes ONE function, not the pipeline.
@@ -756,15 +757,18 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Baseline-sequential JPEG pixel decode (ITU-T T.81, SOF0, 8-bit):
-    marker parse -> Huffman entropy decode (DC diff + AC run-length,
-    restart-interval aware) -> dequantize -> float IDCT -> nearest-
-    neighbour chroma upsample -> YCbCr->RGB. Returns (h, w) uint8 for
-    1-component images, (h, w, 3) RGB for 3-component. Progressive
-    (SOF2), arithmetic coding, 12-bit precision, hierarchical, and
-    4-component (CMYK) streams raise NotImplementedError — the same
-    injectable-seam contract as the other decoders (swap in PIL for
-    full coverage)."""
+    """JPEG pixel decode (ITU-T T.81, 8-bit): baseline sequential
+    (SOF0/1 — Huffman entropy decode with DC diff + AC run-length,
+    restart-interval aware) AND progressive (SOF2 — multi-scan
+    spectral-selection / successive-approximation coefficient
+    accumulation per Annex G: DC first + refinement, AC first with EOB
+    runs, AC refinement with inline correction bits), then dequantize
+    -> float IDCT -> nearest-neighbour chroma upsample -> YCbCr->RGB.
+    Returns (h, w) uint8 for 1-component images, (h, w, 3) RGB for
+    3-component. Arithmetic coding, 12-bit precision, hierarchical,
+    4-component (CMYK), and restart markers inside progressive scans
+    raise NotImplementedError — the same injectable-seam contract as
+    the other decoders (swap in PIL for full coverage)."""
     import struct
 
     import numpy as np
@@ -776,16 +780,22 @@ def decode_jpeg_pixels(payload: bytes):
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    progressive = False
+    coefs = None  # progressive: per-component (BY, BX, 64) zigzag coefs
     restart_interval = 0
     pos = 2
     while True:
-        if pos + 3 >= len(b):
+        if pos + 3 >= len(b) and not (
+            pos + 1 < len(b) and b[pos + 1] == 0xD9
+        ):
             raise ValueError("truncated JPEG stream")
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = b[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                return _jpeg_render_progressive(frame, coefs, qt, np)
             raise ValueError("JPEG contains no scan")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # standalone markers
@@ -820,7 +830,8 @@ def decode_jpeg_pixels(payload: bytes):
                 )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(
@@ -837,11 +848,12 @@ def decode_jpeg_pixels(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF, 0xDE):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG unsupported "
-                "(baseline sequential only); inject a real decoder"
+                "arithmetic/hierarchical/lossless JPEG unsupported "
+                "(baseline sequential + progressive only); inject a "
+                "real decoder"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -851,11 +863,25 @@ def decode_jpeg_pixels(payload: bytes):
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si:3 + 2 * si]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            pos = segend
-            return _jpeg_decode_scan(
-                b, pos, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval, np,
+            if not progressive:
+                return _jpeg_decode_scan(
+                    b, segend, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval, np,
+                )
+            if restart_interval:
+                raise NotImplementedError(
+                    "restart intervals in progressive JPEG unsupported; "
+                    "inject a real decoder"
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _jpeg_prog_init(frame, np)
+            pos = _jpeg_decode_prog_scan(
+                b, segend, frame, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                coefs, huff_dc, huff_ac, np,
             )
+            continue
         pos = segend
 
 
@@ -935,6 +961,13 @@ def _jpeg_decode_scan(
         p = planes[ci] + 128.0
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(p[:h, :w])
+    return _jpeg_color_finish(out, np)
+
+
+def _jpeg_color_finish(out, np):
+    """Cropped float sample planes -> uint8 image; 3 planes are JFIF
+    YCbCr (shared by the baseline and progressive render paths so the
+    two can be compared pixel-for-pixel)."""
     if len(out) == 1:
         return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
     y, cb, cr = out
@@ -945,15 +978,234 @@ def _jpeg_decode_scan(
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(pixels, quant=_JPEG_FLAT_Q8, subsampling: str = "444") -> bytes:
-    """Baseline-sequential JPEG encoder (fixture/write seam, the
-    encode_png/encode_gif pattern): (h, w) grayscale or (h, w, 3) RGB
-    uint8 -> SOF0 JFIF bytes with T.81 Annex K Huffman tables. ``quant``
-    is the 64-entry natural-order quantization table applied to every
-    component (default flat 8 — see _JPEG_FLAT_Q8); ``subsampling`` is
-    '444' or '420' (chroma). RGB converts via the JFIF YCbCr forward
-    transform, so an R=G=B image yields exact Y=v / Cb=Cr=128 planes —
-    the closed-form-fixture construction."""
+def _jpeg_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) of a frame header."""
+    h, w, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    return (
+        hmax, vmax,
+        (w + 8 * hmax - 1) // (8 * hmax),
+        (h + 8 * vmax - 1) // (8 * vmax),
+    )
+
+
+def _jpeg_comp_blocks(frame, ci):
+    """Coded block-grid dims (cbh, cbw) of component ci for
+    NON-interleaved scans: ceil of the component's scaled sample dims
+    over 8 (T.81 A.2.2) — NOT the MCU-padded grid."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _jpeg_geometry(frame)
+    _, hs, vs, _ = comps[ci]
+    ch_ = (h * vs + vmax - 1) // vmax
+    cw_ = (w * hs + hmax - 1) // hmax
+    return (ch_ + 7) // 8, (cw_ + 7) // 8
+
+
+def _jpeg_prog_init(frame, np):
+    """Per-component NATURAL-order coefficient grids over the
+    MCU-padded plane, accumulated across progressive scans (the scan
+    decoder maps each zigzag band position through _JPEG_ZIGZAG as it
+    stores)."""
+    _, _, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_geometry(frame)
+    return [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for _, hs, vs, _ in comps
+    ]
+
+
+def _jpeg_decode_prog_scan(
+    b, pos, frame, scan, ss, se, ah, al, coefs, huff_dc, huff_ac, np
+):
+    """Decode ONE progressive scan's entropy data into the coefficient
+    grids (T.81 Annex G / the canonical libjpeg walk): DC first +
+    refinement (interleaved or single-component), AC first with EOB
+    runs, AC refinement with inline correction bits. Returns the byte
+    position of the next marker."""
+    h, w, comps = frame
+    by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    hmax, vmax, mcux, mcuy = _jpeg_geometry(frame)
+    rdr = _JpegBitReader(b, pos)
+    zz = _JPEG_ZIGZAG
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        sc = [(by_id[cs], td) for cs, td, _ in scan]
+        pred = {ci: 0 for ci, _ in sc}
+
+        def _dc_blocks():
+            if len(sc) > 1:  # interleaved MCU order over the full grid
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci, td in sc:
+                            _, hs, vs, _ = comps[ci]
+                            for byi in range(vs):
+                                for bxi in range(hs):
+                                    yield (ci, td, my * vs + byi,
+                                           mx * hs + bxi)
+            else:  # single component: raster over its coded blocks
+                ci, td = sc[0]
+                cbh, cbw = _jpeg_comp_blocks(frame, ci)
+                for by in range(cbh):
+                    for bx in range(cbw):
+                        yield ci, td, by, bx
+
+        for ci, td, by, bx in _dc_blocks():
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                s = rdr.huff(huff_dc[td])
+                diff = _jpeg_extend(rdr.bits(s), s) if s else 0
+                pred[ci] += diff
+                blk[0] = pred[ci] << al
+            elif rdr.bit():
+                blk[0] |= 1 << al
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cs, _, ta = scan[0]
+        ci = by_id[cs]
+        act = huff_ac[ta]
+        cbh, cbw = _jpeg_comp_blocks(frame, ci)
+        eobrun = 0
+        p1 = 1 << al
+
+        def _refine(blk, idx):
+            if rdr.bit():
+                c = int(blk[idx])
+                if (c & p1) == 0:
+                    blk[idx] = c + p1 if c >= 0 else c - p1
+
+        for by in range(cbh):
+            for bx in range(cbw):
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = rdr.huff(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rdr.bits(r)
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC index overflow")
+                            blk[zz[k]] = _jpeg_extend(rdr.bits(s), s) << al
+                            k += 1
+                    continue
+                # AH > 0: refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = rdr.huff(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rdr.bits(r)
+                                break
+                            # ZRL: walk over 16 zero-history positions
+                        elif s == 1:
+                            newval = p1 if rdr.bit() else -p1
+                        else:
+                            raise ValueError(
+                                "invalid size in AC refinement scan"
+                            )
+                        while k <= se:
+                            idx = zz[k]
+                            if blk[idx] != 0:
+                                _refine(blk, idx)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG AC refinement overflow"
+                                )
+                            blk[zz[k]] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        idx = zz[k]
+                        if blk[idx] != 0:
+                            _refine(blk, idx)
+                        k += 1
+                    eobrun -= 1
+    # resync: remaining bits are padding; the next marker starts the
+    # following segment (stuffed FF00 bytes belong to this scan)
+    pos = rdr.pos
+    while pos + 1 < len(b) and not (
+        b[pos] == 0xFF and b[pos + 1] != 0x00
+    ):
+        pos += 1
+    return pos
+
+
+def _jpeg_render_progressive(frame, coefs, qt, np):
+    """Dequantize + IDCT the accumulated coefficient grids and finish
+    exactly like the baseline path (same basis, same upsample, same
+    color transform) — a progressive stream of the same quantized
+    coefficients must decode pixel-identical to its baseline sibling."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _jpeg_geometry(frame)
+    basis = _jpeg_dct_basis()
+    out = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        g = coefs[ci]  # (BY, BX, 64) NATURAL order
+        BY, BX = g.shape[:2]
+        nat = g.astype(np.float64).reshape(BY, BX, 8, 8)
+        nat *= qt[tq]
+        # the EXACT chained-matmul expression of the baseline block loop
+        # (an einsum's different float summation order flips np.rint
+        # half-ties, costing pixel parity with the baseline decode)
+        blocks = np.empty_like(nat)
+        for by in range(BY):
+            for bx in range(BX):
+                blocks[by, bx] = basis.T @ nat[by, bx] @ basis
+        p = blocks.transpose(0, 2, 1, 3).reshape(BY * 8, BX * 8) + 128.0
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
+    return _jpeg_color_finish(out, np)
+
+
+def encode_jpeg(
+    pixels,
+    quant=_JPEG_FLAT_Q8,
+    subsampling: str = "444",
+    progressive: bool = False,
+) -> bytes:
+    """JPEG encoder (fixture/write seam, the encode_png/encode_gif
+    pattern): (h, w) grayscale or (h, w, 3) RGB uint8 -> JFIF bytes.
+    ``quant`` is the 64-entry natural-order quantization table applied
+    to every component (default flat 8 — see _JPEG_FLAT_Q8);
+    ``subsampling`` is '444' or '420' (chroma). RGB converts via the
+    JFIF YCbCr forward transform, so an R=G=B image yields exact Y=v /
+    Cb=Cr=128 planes — the closed-form-fixture construction.
+
+    ``progressive=False``: baseline sequential (SOF0) with T.81 Annex K
+    Huffman tables. ``progressive=True``: progressive (SOF2) with a
+    4-stage successive-approximation scan script per T.81 Annex G —
+    DC first at Al=1, DC refinement, per-component AC first (Ss=1..63,
+    Al=1) with real EOB-run accumulation, per-component AC refinement
+    (Ah=1, Al=0) with correction-bit buffering. The quantized
+    coefficients are IDENTICAL to the baseline path's, so
+    decode(progressive bytes) == decode(baseline bytes) pixel-for-pixel
+    (pinned by tests). AC scans use a flat 8-bit Huffman table (255
+    codes, all-ones reserved per Annex C) because the Annex K
+    sequential AC tables lack the EOBRUN symbols progressive needs."""
     import struct
 
     import numpy as np
@@ -1002,6 +1254,12 @@ def encode_jpeg(pixels, quant=_JPEG_FLAT_Q8, subsampling: str = "444") -> bytes:
                 mode="edge",
             )
             - 128.0
+        )
+
+    if progressive:
+        return _encode_jpeg_progressive(
+            comps, planes, qnat, basis, mcux, mcuy, h, w, gray, quant,
+            struct, np,
         )
 
     dc_tables = [_JPEG_DC_LUM] + ([_JPEG_DC_CHR] * 2 if not gray else [])
@@ -1094,6 +1352,258 @@ def encode_jpeg(pixels, quant=_JPEG_FLAT_Q8, subsampling: str = "444") -> bytes:
         out += struct.pack(">BB", cid, (t << 4) | t)
     out += b"\x00\x3f\x00"
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# flat AC Huffman table for progressive scans: 255 symbols at 8 bits
+# (the 8-bit all-ones code stays unassigned — Annex C reserves the
+# all-1-bits code of every length as a prefix for longer codes; with no
+# longer codes it simply must not be used). Symbol 0xFF (ZRL category
+# 15) is the one dropped — progressive never emits it.
+_JPEG_AC_FLAT = (
+    (0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(255)),
+)
+
+
+def _jpeg_coef_grids(comps, planes, qnat, basis, mcux, mcuy, np):
+    """Quantized zigzag coefficient grids, one (BY, BX, 64) int64 array
+    per component over the MCU-padded plane — the same rint((B p B^T)/q)
+    quantization the baseline writer applies block-by-block, vectorized,
+    so both scan orders read identical coefficients."""
+    zz = np.asarray(_JPEG_ZIGZAG)
+    grids = []
+    for (_, hs, vs, _), plane in zip(comps, planes):
+        BY, BX = mcuy * vs, mcux * hs
+        blocks = plane.reshape(BY, 8, BX, 8).transpose(0, 2, 1, 3)
+        # the EXACT chained-matmul forward DCT of the baseline writer's
+        # block loop: an einsum's different float summation order flips
+        # np.rint half-ties in quantization, so the progressive stream
+        # would encode slightly different coefficients than the
+        # baseline stream of the same image — costing the pixel-parity
+        # contract the tests pin
+        coef = np.empty_like(blocks)
+        for by in range(BY):
+            for bx in range(BX):
+                coef[by, bx] = basis @ blocks[by, bx] @ basis.T
+        q = np.rint(coef / qnat).astype(np.int64)
+        grids.append(q.reshape(BY, BX, 64)[:, :, zz])
+    return grids
+
+
+class _ProgACWriter:
+    """AC-scan state for one progressive scan (T.81 G.1.2.2-3): EOB-run
+    accumulation plus TWO correction-bit buffers with distinct flush
+    points — ``br_eob`` holds bits for history coefficients inside
+    EOB-covered blocks (they ride immediately after the EOBRUN symbol,
+    where the decoder's EOB logic reads them), while ``br_cur`` holds
+    bits for the current block's history positions since the last
+    symbol (they ride after THAT symbol, where the decoder's advance
+    walk reads them). Flushing both at one point desyncs the stream."""
+
+    def __init__(self, wtr, codes):
+        self.wtr = wtr
+        self.codes = codes
+        self.eobrun = 0
+        self.br_eob: list = []
+        self.br_cur: list = []
+
+    def sym(self, s):
+        code, ln = self.codes[s]
+        self.wtr.put(code, ln)
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.wtr.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            for bit in self.br_eob:
+                self.wtr.put(bit, 1)
+            self.br_eob = []
+
+    def emit_cur(self):
+        for bit in self.br_cur:
+            self.wtr.put(bit, 1)
+        self.br_cur = []
+
+    def bump_eob(self):
+        self.eobrun += 1
+        self.br_eob.extend(self.br_cur)
+        self.br_cur = []
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+
+def _encode_jpeg_progressive(
+    comps, planes, qnat, basis, mcux, mcuy, h, w, gray, quant, struct, np
+):
+    grids = _jpeg_coef_grids(comps, planes, qnat, basis, mcux, mcuy, np)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    dc_tables = [_JPEG_DC_LUM] + ([_JPEG_DC_CHR] * 2 if not gray else [])
+    dc_codes = [_jpeg_huff_codes(*t) for t in dc_tables]
+    ac_codes = _jpeg_huff_codes(*_JPEG_AC_FLAT)
+
+    def _cat(v):
+        return 0 if v == 0 else abs(v).bit_length()
+
+    def _cdims(hs, vs):
+        ch_ = (h * vs + vmax - 1) // vmax
+        cw_ = (w * hs + hmax - 1) // hmax
+        return (ch_ + 7) // 8, (cw_ + 7) // 8
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zzq = bytes(
+        int(np.asarray(quant).reshape(-1)[nat]) for nat in _JPEG_ZIGZAG
+    )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zzq
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + zzq
+    nf = 1 if gray else 3
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for cid, hs, vs, _ in comps:
+        out += struct.pack(
+            ">BBB", cid, (hs << 4) | vs, 0 if cid == 1 or gray else 1
+        )
+    emitted = set()
+    for ti, (bits, vals) in enumerate(dc_tables):
+        th = 0 if ti == 0 else 1
+        if th not in emitted:
+            emitted.add(th)
+            out += b"\xff\xc4" + struct.pack(
+                ">HB", 19 + len(vals), th
+            ) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 19 + len(_JPEG_AC_FLAT[1]), (1 << 4) | 0
+    ) + bytes(_JPEG_AC_FLAT[0]) + bytes(_JPEG_AC_FLAT[1])
+
+    def _sos(comp_ids, ss, se, ah, al, body):
+        ns = len(comp_ids)
+        hdr = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for ci in comp_ids:
+            cid = comps[ci][0]
+            td = 0 if (ci == 0 or gray) else 1
+            ta = 0  # single flat AC table
+            hdr += struct.pack(">BB", cid, (td << 4) | (ta if ss else td))
+        hdr += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return bytes(hdr) + body
+
+    all_ci = list(range(len(comps)))
+
+    # ---- scan 1: DC first, interleaved, Al=1 ----------------------------
+    wtr = _JpegBitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, hs, vs, _) in enumerate(comps):
+                tbl = dc_codes[min(ci, len(dc_codes) - 1)]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        dc = int(grids[ci][my * vs + byi, mx * hs + bxi, 0])
+                        t = dc >> 1  # DC point transform: arithmetic shift
+                        diff = t - pred[ci]
+                        pred[ci] = t
+                        s = _cat(diff)
+                        code, ln = tbl[s]
+                        wtr.put(code, ln)
+                        if s:
+                            wtr.put(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+    wtr.flush()
+    out += _sos(all_ci, 0, 0, 0, 1, bytes(wtr.out))
+
+    # ---- scan 2: DC refinement (raw bit al=0 per block) ------------------
+    wtr = _JpegBitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, hs, vs, _) in enumerate(comps):
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        dc = int(grids[ci][my * vs + byi, mx * hs + bxi, 0])
+                        wtr.put(dc & 1, 1)
+    wtr.flush()
+    out += _sos(all_ci, 0, 0, 1, 0, bytes(wtr.out))
+
+    # ---- per component: AC first (Ss=1..63, Al=1), then refinement ------
+    def _pt(v):  # AC point transform at Al=1: divide, truncate to zero
+        return -((-v) >> 1) if v < 0 else v >> 1
+
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        cbh, cbw = _cdims(hs, vs)
+        wtr = _JpegBitWriter()
+        st = _ProgACWriter(wtr, ac_codes)
+        for by in range(cbh):
+            for bx in range(cbw):
+                zzb = grids[ci][by, bx]
+                run = 0
+                for k in range(1, 64):
+                    t = _pt(int(zzb[k]))
+                    if t == 0:
+                        run += 1
+                        continue
+                    st.flush_eob()
+                    while run > 15:
+                        st.sym(0xF0)
+                        run -= 16
+                    s = _cat(t)
+                    st.sym((run << 4) | s)
+                    wtr.put(t if t > 0 else t + (1 << s) - 1, s)
+                    run = 0
+                if run > 0:  # trailing zeros fold into the EOB run
+                    st.bump_eob()
+        st.flush_eob()
+        wtr.flush()
+        out += _sos([ci], 1, 63, 0, 1, bytes(wtr.out))
+
+    # AC refinement: ZRLs are emitted EAGERLY (the moment the 16th
+    # zero-history position of a run is seen) so the correction-bit
+    # buffer can never hold a bit for a history position beyond the
+    # span the decoder traverses for that ZRL — with deferred ZRLs a
+    # history coefficient sitting after the 16th zero would have its
+    # bit emitted before the next symbol while the decoder reads it
+    # after (stream desync). Eager ZRL is legal (just less folded) and
+    # keeps encoder and decoder walks in lockstep by construction.
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        cbh, cbw = _cdims(hs, vs)
+        wtr = _JpegBitWriter()
+        st = _ProgACWriter(wtr, ac_codes)
+        for by in range(cbh):
+            for bx in range(cbw):
+                zzb = grids[ci][by, bx]
+                run = 0
+                for k in range(1, 64):
+                    v = int(zzb[k])
+                    a = abs(v)
+                    if a == 0:
+                        run += 1
+                        if run == 16:
+                            st.flush_eob()
+                            st.sym(0xF0)
+                            st.emit_cur()
+                            run = 0
+                        continue
+                    if a > 1:  # history: correction bit rides the buffer
+                        st.br_cur.append(a & 1)
+                        continue
+                    # newly nonzero (+-1): flush EOB run, then code it
+                    st.flush_eob()
+                    st.sym((run << 4) | 1)
+                    wtr.put(1 if v > 0 else 0, 1)
+                    st.emit_cur()
+                    run = 0
+                if run > 0 or st.br_cur:
+                    st.bump_eob()
+        st.flush_eob()
+        wtr.flush()
+        out += _sos([ci], 1, 63, 1, 0, bytes(wtr.out))
+
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -939,6 +939,50 @@ def test_jpeg_random_roundtrip_within_quant_error():
     assert err.max() <= 48 and err.mean() < 8  # chroma rounding included
 
 
+def test_jpeg_progressive_decodes_pixel_identical_to_baseline():
+    """encode_jpeg(progressive=True) emits a real SOF2 multi-scan
+    stream (DC first at Al=1 -> DC refinement -> per-component AC first
+    with EOB runs -> AC refinement with correction bits); both paths
+    quantize with the identical chained-matmul DCT, so the progressive
+    stream must decode PIXEL-IDENTICAL to the baseline stream of the
+    same image — any desync in EOB-run accounting, ZRL walks,
+    correction-bit ordering, or the point transforms breaks equality
+    exactly rather than approximately."""
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    # dense random gray (every huffman class), two quant tables
+    for q in (tuple([8] * 64), tuple(range(1, 65))):
+        im = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+        pb = encode_jpeg(im, quant=q, progressive=True)
+        assert b"\xff\xc2" in pb[:200]  # SOF2 frame
+        assert (decode_jpeg_pixels(pb) ==
+                decode_jpeg_pixels(encode_jpeg(im, quant=q))).all()
+    # sparse image: long zero runs drive ZRL + multi-block EOB runs
+    im = np.full((32, 48), 128, dtype=np.uint8)
+    ys, xs = rng.integers(0, 32, 10), rng.integers(0, 48, 10)
+    im[ys, xs] = rng.integers(0, 256, 10)
+    assert (decode_jpeg_pixels(encode_jpeg(im, progressive=True)) ==
+            decode_jpeg_pixels(encode_jpeg(im))).all()
+    # color, both subsamplings, odd dims
+    im3 = rng.integers(0, 256, (19, 35, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        assert (
+            decode_jpeg_pixels(encode_jpeg(im3, subsampling=sub,
+                                           progressive=True))
+            == decode_jpeg_pixels(encode_jpeg(im3, subsampling=sub))
+        ).all(), sub
+    # block-uniform fixture construction stays EXACT through SOF2
+    vals = (np.arange(6).reshape(2, 3) * 41 + 7) % 256
+    u = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+    assert (decode_jpeg_pixels(encode_jpeg(u, progressive=True)) == u).all()
+
+
 def test_jpeg_unsupported_variants_raise_seam_contract():
     import struct
 
@@ -950,13 +994,13 @@ def test_jpeg_unsupported_variants_raise_seam_contract():
         encode_jpeg,
     )
 
-    sof2 = (
+    arith = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + b"\xff\xc9" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
         + b"\x01\x11\x00"
     )
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_pixels(sof2)
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_pixels(arith)
     twelve = (
         b"\xff\xd8"
         + b"\xff\xc0" + struct.pack(">HBHHB", 11, 12, 8, 8, 1)
