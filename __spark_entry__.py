@@ -5463,9 +5463,10 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["multimodal_mp3"] = """
         -- audio header fields recomputed from the planting formula:
-        -- m=0 V1L3 128kbps/44100/stereo (frame 417B), m=1 V2L3
-        -- 64kbps/22050/mono (frame 208B), m=2 PCM-16 WAV mono at
-        -- 8000+did Hz; every field integer, duration integer-ms
+        -- m=0 V1L3 128kbps/44100/stereo (frame 417B, spf 1152), m=1
+        -- V2L3 64kbps/22050/mono (frame 208B, spf 576), m=2 PCM-16 WAV
+        -- mono at 8000+did Hz; every field integer; duration is the
+        -- sample-based integer ms the frame walk yields
         WITH d AS (
           SELECT r.range AS did, r.range % 3 AS m,
                  3 + r.range % 5 AS nf
@@ -5480,8 +5481,8 @@ def oracle_sql() -> dict[str, str]:
                     ELSE NULL END AS INT) AS bitrate_kbps,
                CAST(nf AS BIGINT) AS n_frames,
                CAST(CASE m
-                    WHEN 0 THEN (nf * 417 * 8000) // 128000
-                    WHEN 1 THEN (nf * 208 * 8000) // 64000
+                    WHEN 0 THEN (nf * 1152 * 1000) // 44100
+                    WHEN 1 THEN (nf * 576 * 1000) // 22050
                     ELSE (nf * 1000) // (8000 + did)
                     END AS BIGINT) AS duration_ms
         FROM d ORDER BY did

@@ -781,7 +781,7 @@ def decode_jpeg_pixels(payload: bytes):
     huff_ac: dict = {}
     frame = None
     progressive = False
-    coefs = None  # progressive: per-component (BY, BX, 64) zigzag coefs
+    coefs = None  # progressive: per-component (BY, BX, 64) NATURAL-order coefs
     restart_interval = 0
     pos = 2
     while True:
@@ -895,10 +895,7 @@ def _jpeg_decode_scan(
             "non-interleaved multi-scan JPEG unsupported (single "
             "interleaved baseline scan only); inject a real decoder"
         )
-    hmax = max(hs for _, hs, _, _ in comps)
-    vmax = max(vs for _, _, vs, _ in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mcux, mcuy = _jpeg_geometry(frame)
     basis = _jpeg_dct_basis()
     planes = []
     meta = []  # (hs, vs, qtbl, dc_lookup, ac_lookup) per scan component
@@ -1450,10 +1447,6 @@ def _encode_jpeg_progressive(
     def _cat(v):
         return 0 if v == 0 else abs(v).bit_length()
 
-    def _cdims(hs, vs):
-        ch_ = (h * vs + vmax - 1) // vmax
-        cw_ = (w * hs + hmax - 1) // hmax
-        return (ch_ + 7) // 8, (cw_ + 7) // 8
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(
@@ -1536,7 +1529,7 @@ def _encode_jpeg_progressive(
         return -((-v) >> 1) if v < 0 else v >> 1
 
     for ci, (_, hs, vs, _) in enumerate(comps):
-        cbh, cbw = _cdims(hs, vs)
+        cbh, cbw = _jpeg_comp_blocks((h, w, comps), ci)
         wtr = _JpegBitWriter()
         st = _ProgACWriter(wtr, ac_codes)
         for by in range(cbh):
@@ -1571,7 +1564,7 @@ def _encode_jpeg_progressive(
     # after (stream desync). Eager ZRL is legal (just less folded) and
     # keeps encoder and decoder walks in lockstep by construction.
     for ci, (_, hs, vs, _) in enumerate(comps):
-        cbh, cbw = _cdims(hs, vs)
+        cbh, cbw = _jpeg_comp_blocks((h, w, comps), ci)
         wtr = _JpegBitWriter()
         st = _ProgACWriter(wtr, ac_codes)
         for by in range(cbh):
@@ -1609,10 +1602,10 @@ def _encode_jpeg_progressive(
 
 
 def default_pixel_decoder(payload: bytes):
-    """Magic-sniffing pixel decode: PNG, GIF, and baseline JPEG are real
-    pure-stdlib+numpy (decode_png_pixels / decode_gif_pixels /
-    decode_jpeg_pixels); anything else raises through the
-    injectable-seam contract."""
+    """Magic-sniffing pixel decode: PNG, GIF, and JPEG (baseline
+    sequential AND progressive SOF2) are real pure-stdlib+numpy
+    (decode_png_pixels / decode_gif_pixels / decode_jpeg_pixels);
+    anything else raises through the injectable-seam contract."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -1766,23 +1759,11 @@ _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
 _MP3_VERSION = {3: "1", 2: "2", 0: "2.5"}
 
 
-def _decode_mp3_header(payload: bytes):
-    """MPEG audio (MP3) HEADER metadata, pure stdlib: skip an ID3v2 tag
-    (syncsafe size), find the first frame sync, decode version / layer /
-    bitrate / sample rate / channel mode, and derive CBR estimates
-    (frame count and duration from the audio byte count at the header's
-    bitrate — exact for constant-bitrate files, the honest estimate for
-    VBR without a full frame walk). Returns None when the payload is
-    neither ID3-tagged nor sync-prefixed (caller raises the seam)."""
-    pos = 0
-    tagged = payload[:3] == b"ID3" and len(payload) >= 10
-    if tagged:
-        size = 0
-        for b in payload[6:10]:
-            size = (size << 7) | (b & 0x7F)
-        pos = 10 + size
-    # the sync must sit exactly at the post-tag offset (a bounded scan
-    # would misclassify arbitrary binaries that merely contain 0xFFEx)
+def _mp3_frame_header(payload: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``. Returns
+    (version, layer, bitrate_kbps, rate, channels, spf, frame_len) or
+    None when the bytes are not a decodable frame header (no sync,
+    reserved fields, free-format bitrate)."""
     h = payload[pos:pos + 4]
     if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
         return None
@@ -1799,16 +1780,55 @@ def _decode_mp3_header(payload: bytes):
     vgroup = "1" if version == "1" else "2"
     bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx]
     rate = _MP3_RATES[vbits][sr_idx]
+    padding = (h[2] >> 1) & 0x1
     channels = 1 if ((h[3] >> 6) & 0x3) == 3 else 2
-    audio_bytes = len(payload) - pos
     spf = 384 if layer == 1 else (
         1152 if layer == 2 or version == "1" else 576
     )
     if layer == 1:
-        frame_len = (12 * bitrate * 1000 // rate) * 4
+        frame_len = ((12 * bitrate * 1000 // rate) + padding) * 4
     else:
         flen_units = 144 if (layer == 2 or version == "1") else 72
-        frame_len = flen_units * bitrate * 1000 // rate
+        frame_len = flen_units * bitrate * 1000 // rate + padding
+    return version, layer, bitrate, rate, channels, spf, frame_len
+
+
+def _decode_mp3_header(payload: bytes):
+    """MPEG audio (MP3) HEADER metadata, pure stdlib: skip an ID3v2 tag
+    (syncsafe size, footer flag honored), decode the first frame-sync
+    header (version / layer / bitrate / sample rate / channel mode),
+    then WALK the frame headers — each frame's length includes its own
+    padding bit, so ``n_frames`` is exact for padded CBR and VBR alike,
+    and ``duration_s`` is sample-based (frames x samples-per-frame /
+    rate), not a byte-rate estimate. The walk is O(frames) over header
+    bytes only; it stops at the first non-frame byte (tag trailer /
+    truncation). Returns None when the payload is neither ID3-tagged
+    nor sync-prefixed (caller raises the seam)."""
+    pos = 0
+    tagged = payload[:3] == b"ID3" and len(payload) >= 10
+    if tagged:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+        if payload[5] & 0x10:  # ID3v2.4 footer: 10 more trailer bytes
+            pos += 10
+    # the sync must sit exactly at the post-tag offset (a bounded scan
+    # would misclassify arbitrary binaries that merely contain 0xFFEx)
+    first = _mp3_frame_header(payload, pos)
+    if first is None:
+        return None
+    version, layer, bitrate, rate, channels, spf, _ = first
+    audio_bytes = len(payload) - pos
+    n_frames = 0
+    duration = 0.0
+    while True:
+        fh = _mp3_frame_header(payload, pos)
+        if fh is None or pos + fh[6] > len(payload):
+            break
+        n_frames += 1
+        duration += fh[5] / fh[3]  # this frame's spf / its rate
+        pos += fh[6]
     return {
         "format": "mp3",
         "version": version,
@@ -1816,9 +1836,10 @@ def _decode_mp3_header(payload: bytes):
         "bitrate_kbps": int(bitrate),
         "sample_rate": int(rate),
         "channels": channels,
+        "spf": int(spf),
         "audio_bytes": int(audio_bytes),
-        "n_frames": int(audio_bytes // max(frame_len, 1)),
-        "duration_s": audio_bytes * 8 / (bitrate * 1000),
+        "n_frames": int(n_frames),
+        "duration_s": duration,
     }
 
 
@@ -1843,9 +1864,9 @@ def audio_headers(
 ) -> DataFrame:
     """Per-payload audio HEADER metadata via Arrow-batched mapInPandas
     (the image_pixel_stats shape): WAV fields come from the fmt/data
-    chunk walk, MP3 fields from the frame-sync header; duration is an
-    exact INTEGER millisecond count (bits x 1000 // bitrate for MP3,
-    frames x 1000 // rate for WAV) so an independent engine reproduces
+    chunk walk, MP3 fields from the frame-header walk; duration is an
+    exact INTEGER millisecond count (frames x samples-per-frame x 1000
+    // rate for MP3, frames x 1000 // rate for WAV) so an independent engine reproduces
     it with integer arithmetic — no float drift in the gate.
     Undecodable payloads yield a NULL-fields row; NotImplementedError
     propagates (seam contract)."""
@@ -1869,10 +1890,20 @@ def audio_headers(
                     rows.append(null_row)
                     continue
                 if m.get("format") == "mp3":
-                    ms = m["audio_bytes"] * 8000 // (m["bitrate_kbps"] * 1000)
+                    # sample-based integer ms (frames x spf x 1000 //
+                    # rate); every field guarded — an INJECTED seam
+                    # decoder may return a sparse dict and must get the
+                    # NULL-fields contract, not a task crash
+                    nf, spf = m.get("n_frames"), m.get("spf")
+                    rate = m.get("sample_rate")
+                    ms = (
+                        nf * spf * 1000 // rate
+                        if nf is not None and spf and rate
+                        else None
+                    )
                     rows.append(
-                        (did, "mp3", m["sample_rate"], m["channels"],
-                         m["bitrate_kbps"], m["n_frames"], ms)
+                        (did, "mp3", rate, m.get("channels"),
+                         m.get("bitrate_kbps") or None, nf, ms)
                     )
                 else:
                     nf = m.get("n_frames")

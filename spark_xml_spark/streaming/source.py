@@ -190,7 +190,18 @@ class XmlStreamReader(DataSourceStreamReader):
             return None
         import json
 
-        for path in [self._cursor_path] + self._legacy_cursor_paths:
+        probes = [(self._cursor_path, True)]
+        for i, lp in enumerate(self._legacy_cursor_paths):
+            # the hashed legacy name (i == 0) encodes path+caps, so it
+            # can only belong to this stream; the oldest FIXED name
+            # carries no identity — a recycled checkpoint dir could
+            # hold a different stream's cursor, and adopting it would
+            # mark never-ingested files as admitted (silent data loss).
+            # It is adopted only if every recorded file lies under this
+            # stream's source path.
+            probes.append((lp, i == 0))
+        src_root = os.path.abspath(self._path) + os.sep
+        for path, trusted in probes:
             if not path:
                 continue
             try:
@@ -198,6 +209,10 @@ class XmlStreamReader(DataSourceStreamReader):
                     files = json.load(fh).get("files", {})
                 cur = {str(f): int(sz) for f, sz in files.items()}
             except (OSError, ValueError):
+                continue
+            if not trusted and not all(
+                os.path.abspath(f).startswith(src_root) for f in cur
+            ):
                 continue
             if path != self._cursor_path:
                 # one-time migration of a pre-r11 (path+caps-only hash)

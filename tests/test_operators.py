@@ -1038,7 +1038,12 @@ def test_mp3_header_decode_hand_built_frames():
     assert (m["bitrate_kbps"], m["sample_rate"], m["channels"]) == (
         128, 44100, 2)
     assert m["audio_bytes"] == 5 * 417 and m["n_frames"] == 5
-    assert m["duration_s"] == 5 * 417 * 8 / 128000
+    assert m["duration_s"] == 5 * 1152 / 44100  # sample-based
+
+    # ID3v2.4 FOOTER flag (byte 5, 0x10): tag occupies 10+size+10 bytes
+    id3f = b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 20]) + bytes(30)
+    m = default_audio_decoder(id3f + (v1 + bytes(413)) * 2)
+    assert m["n_frames"] == 2
 
     v2 = bytes([0xFF, 0xF3, 0x80, 0xC0])  # sync|V2|L3, 64k|22050, mono
     m = default_audio_decoder((v2 + bytes(204)) * 3)
@@ -1046,11 +1051,24 @@ def test_mp3_header_decode_hand_built_frames():
             m["sample_rate"], m["channels"]) == ("2", 3, 64, 22050, 1)
     assert m["n_frames"] == 3
 
+    # PADDED CBR (the real-world 44.1 kHz shape): frames alternate the
+    # padding bit, 417/418 bytes — the frame WALK counts them exactly
+    # where a bytes//frame_len estimate overcounts
+    v1pad = bytes([0xFF, 0xFB, 0x92, 0x40])  # same header, padding=1
+    payload = b"".join(
+        (v1 + bytes(413)) if i % 2 == 0 else (v1pad + bytes(414))
+        for i in range(10)
+    )
+    m = default_audio_decoder(payload)
+    assert m["n_frames"] == 10
+    assert m["duration_s"] == 10 * 1152 / 44100
+
     # Layer I frame-length rule: V1L1 256k/44100 -> (12*256000//44100)*4
     v1l1 = bytes([0xFF, 0xFF, 0x80, 0x40])
-    m = default_audio_decoder(v1l1 + bytes(1000))
+    flen = (12 * 256000 // 44100) * 4
+    m = default_audio_decoder((v1l1 + bytes(flen - 4)) * 4)
     assert (m["layer"], m["bitrate_kbps"]) == (1, 256)
-    assert m["n_frames"] == (4 + 1000) // ((12 * 256000 // 44100) * 4)
+    assert m["n_frames"] == 4 and m["spf"] == 384
 
     for bad in (
         b"OggS" + bytes(32),                         # not MPEG audio
@@ -1084,7 +1102,7 @@ def test_audio_headers_operator_mixed_formats(spark):
     assert (got[1].format, got[1].sample_rate, got[1].channels,
             got[1].bitrate_kbps, got[1].n_frames) == ("mp3", 44100, 2,
                                                       128, 4)
-    assert got[1].duration_ms == 4 * 417 * 8000 // 128000
+    assert got[1].duration_ms == 4 * 1152 * 1000 // 44100
     assert (got[2].format, got[2].sample_rate, got[2].channels,
             got[2].bitrate_kbps, got[2].n_frames) == ("wav", 16000, 2,
                                                       None, 480)

@@ -607,6 +607,15 @@ def test_legacy_cursor_name_migrates_on_miss(tmp_path):
         str(src / "b.xml"): 7
     }
 
+    # the fixed-era name carries no stream identity: a cursor whose
+    # files live under a DIFFERENT source path (recycled checkpoint
+    # dir) must be IGNORED, not adopted — adopting would mark foreign
+    # paths admitted and silently skip this stream's files
+    os.remove(rdr2._cursor_path)
+    fixed.write_text(json.dumps({"files": {str(tmp_path / "other" / "c.xml"): 5}}))
+    rdr3 = _mk()
+    assert rdr3._cursor_load() is None
+
 
 def test_max_files_without_cursor_first_batch_uncapped(spark, tmp_path):
     """Without admissionCursorPath the first batch of a run cannot be
