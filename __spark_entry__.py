@@ -3261,6 +3261,21 @@ def q_multimodal_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_headers(d).orderBy("doc_id")
 
 
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text vectorizer (operators/textstats.py
+    hash_embed): signed term-frequency vectors at dim=16 from
+    engine-portable md5 bucket/sign hashes — the oracle rebuilds every
+    vector cell-for-cell in SQL (unnest tokens -> md5 bucket/sign ->
+    grid left-join), so the embedding VALUES are verified, not just
+    shapes; tokenless documents must come back as zero vectors."""
+    from spark_xml_spark.operators import hash_embed
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("doc_id") < 60
+    )
+    return hash_embed(d, "text", dim=16, salt="he1").orderBy("doc_id")
+
+
 def q_text_kmv_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV estimate-only mode (operators/sketch.py kmv_distinct
     exact=False): the 100 TB path. Exact mode's global distinct() over
@@ -3600,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         "multimodal_mp3": q_multimodal_mp3,
+        "text_hash_embed": q_text_hash_embed,
     }
 
 
@@ -5460,6 +5476,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(pv) AS INT) AS px_max
         FROM vals GROUP BY did, m, w, h, ch
         ORDER BY doc_id
+    """
+    sql["text_hash_embed"] = """
+        -- every embedding cell rebuilt from the same md5 bucket/sign
+        -- construction: token t adds (1 - 2*(md5('she1'||t)[0] % 2))
+        -- at bucket md5('bhe1'||t)[0:4] % 16; a doc x bucket grid
+        -- left-joined against the summed weights yields the vector
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS t
+          FROM documents WHERE doc_id < 60
+        ), w AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('bhe1' || t), 1, 4))
+                      AS INTEGER) % 16 AS b,
+                 SUM(1 - 2 * (CAST(('0x' || substr(md5('she1' || t), 1, 1))
+                                   AS INTEGER) % 2)) AS wt
+          FROM toks GROUP BY doc_id, b
+        ), grid AS (
+          SELECT d.doc_id, r.range AS i
+          FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 60) d,
+               range(16) r
+        )
+        SELECT g.doc_id,
+               list(CAST(COALESCE(w.wt, 0) AS BIGINT) ORDER BY g.i)
+                 AS embedding
+        FROM grid g
+        LEFT JOIN w ON w.doc_id = g.doc_id AND w.b = g.i
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
     """
     sql["multimodal_mp3"] = """
         -- audio header fields recomputed from the planting formula:

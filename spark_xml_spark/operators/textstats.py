@@ -219,6 +219,80 @@ def deterministic_sample(
     return df.filter(_md5_bucket(F.col(id_col), salt) < F.lit(rate_pct))
 
 
+def hash_embed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text vectorizer: each document
+    becomes a fixed-``dim`` signed term-frequency vector with NO
+    vocabulary — token t adds sign(t) at bucket(t), both derived from
+    engine-portable md5 prefixes (the Weinberger et al. construction:
+    the random signs make bucket collisions cancel in expectation, so
+    inner products are unbiased estimates of the bag-of-words inner
+    product). Output: (id_col, out_col array<bigint>), one row per
+    input row — tokenless documents get the zero vector.
+
+    Every value is integer-exact and any md5 implementation reproduces
+    it (DuckDB/Trino/Python agree bucket-for-bucket), so the vectors
+    are verifiable — unlike HashingTF's engine-private murmur3.
+
+    Scale shape (100 TB): tokenize + hash are pure codegen; ONE keyed
+    aggregation per stage — (id, bucket) partial-sum then per-id
+    assembly via map_from_entries + a dim-bounded transform (no pivot,
+    no vocabulary broadcast, no UDF); the left join restoring
+    tokenless rows broadcasts nothing and reuses the id partitioning.
+    State per group is O(dim)."""
+    if dim <= 0 or dim > 0xFFFF:
+        raise ValueError("dim must be in [1, 65535]")  # 4 hex digits
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.filter(words, lambda t: t != F.lit(""))
+    tok = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+
+    def _hex_head(prefix: str, n: int) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix + salt), F.col("_t"))), 1, n
+            ),
+            16, 10,
+        ).cast("long")
+
+    bucket = (_hex_head("b", 4) % dim).alias("_b")
+    sign = (F.lit(1) - 2 * (_hex_head("s", 1) % 2)).alias("_s")
+    weights = (
+        tok.select(id_col, bucket, sign)
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").cast("long").alias("_w"))
+    )
+    vecs = (
+        weights.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_b"), F.col("_w")))
+            ).alias("_m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias(out_col),
+        )
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    return (
+        df.select(id_col)
+        .join(vecs, id_col, "left")
+        .select(id_col, F.coalesce(F.col(out_col), zero).alias(out_col))
+    )
+
+
 # PII patterns chosen to parse identically under Java regex (Spark) and
 # RE2 (DuckDB/Go tooling): no backreferences, no lookaround — a redaction
 # applied by any engine in the pipeline removes the same spans.

@@ -3448,6 +3448,45 @@ def test_kmv_distinct_estimator_properties(spark):
         kmv_distinct(df.withColumn("n_kept", F.lit(1)), ["g"], "it")
 
 
+def test_hash_embed_matches_python_reference(spark):
+    """hash_embed == an independent hashlib.md5 reference cell-for-cell
+    (bucket, sign, summed weights), including NULL / empty /
+    whitespace-only texts (zero vectors, never dropped rows); the plan
+    stays UDF-free (pure codegen + two keyed aggs)."""
+    import hashlib
+
+    from spark_xml_spark.operators import hash_embed
+
+    rows = [
+        (1, "The quick  brown fox the fox"),
+        (2, ""),
+        (3, None),
+        (4, "   "),
+        (5, "solo token solo Solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hash_embed(df, "text", dim=8, salt="x")
+    got = {r.doc_id: list(r.embedding) for r in out.collect()}
+
+    def ref(text, dim=8, salt="x"):
+        v = [0] * dim
+        for t in (text or "").lower().split():
+            b = int(hashlib.md5(("b" + salt + t).encode()).hexdigest()[:4],
+                    16) % dim
+            s = 1 - 2 * (int(hashlib.md5(
+                ("s" + salt + t).encode()).hexdigest()[:1], 16) % 2)
+            v[b] += s
+        return v
+
+    assert set(got) == {1, 2, 3, 4, 5}
+    for did, text in rows:
+        assert got[did] == ref(text), did
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError, match="dim"):
+        hash_embed(df, "text", dim=0)
+
+
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):
     """7 high-cardinality group columns in one Arrow batch push the
     mixed-radix composite past 2^63 (ADVICE r11: silent int64 wraparound
