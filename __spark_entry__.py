@@ -3276,6 +3276,22 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embed(d, "text", dim=16, salt="he1").orderBy("doc_id")
 
 
+def q_text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-group sampling (operators/textstats.py
+    group_sample): 7 docs per source by smallest md5('gs2' || doc_id)
+    rank — the oracle recomputes the md5 ranking with ROW_NUMBER in SQL,
+    so the SAMPLED ROWS themselves match (ids and ranks), not just the
+    per-group counts."""
+    from spark_xml_spark.operators import group_sample
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False)
+    return (
+        group_sample(d, "source", "doc_id", k=7, salt="gs2")
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
 def q_text_kmv_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV estimate-only mode (operators/sketch.py kmv_distinct
     exact=False): the 100 TB path. Exact mode's global distinct() over
@@ -3616,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "multimodal_mp3": q_multimodal_mp3,
         "text_hash_embed": q_text_hash_embed,
+        "text_group_sample": q_text_group_sample,
     }
 
 
@@ -5476,6 +5493,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(pv) AS INT) AS px_max
         FROM vals GROUP BY did, m, w, h, ch
         ORDER BY doc_id
+    """
+    sql["text_group_sample"] = """
+        -- the md5 ranking recomputed with ROW_NUMBER: same hash, same
+        -- (hash, id) tie-break, same k cut — row-for-row equality
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('gs2' || COALESCE(CAST(doc_id AS VARCHAR),
+                                                  '')),
+                            doc_id
+                 ) AS sample_rank
+          FROM documents
+        )
+        SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM ranked WHERE sample_rank <= 7
+        ORDER BY source, sample_rank
     """
     sql["text_hash_embed"] = """
         -- every embedding cell rebuilt from the same md5 bucket/sign

@@ -219,6 +219,43 @@ def deterministic_sample(
     return df.filter(_md5_bucket(F.col(id_col), salt) < F.lit(rate_pct))
 
 
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic exactly-k-per-group sampling: within each group
+    keep the k rows whose md5(salt || id) ranks smallest (ties broken
+    on the id), a uniform draw that — like :func:`deterministic_sample`
+    — depends only on the ids: stable across runs, partitionings, and
+    engines, and REBALANCED corpora stay comparable (adding rows to one
+    group never changes another group's sample; re-running after an
+    append keeps every still-ranked row). Groups smaller than k keep
+    all rows. Adds a ``sample_rank`` column (1..k).
+
+    Scale shape (100 TB): one shuffle on the group key; the rank is a
+    window over (group, hash) — per-task state is one group partition's
+    sort run, no vocabulary, no broadcast, no driver collect. For
+    hot-group skew, pre-salting the group key and re-ranking the k*S
+    survivors is the standard two-phase refinement."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    hv = F.md5(
+        F.concat(
+            F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(hv.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def hash_embed(
     df: DataFrame,
     text_col: str,

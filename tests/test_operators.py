@@ -3487,6 +3487,54 @@ def test_hash_embed_matches_python_reference(spark):
         hash_embed(df, "text", dim=0)
 
 
+def test_group_sample_deterministic_and_append_stable(spark):
+    """group_sample keeps exactly k rows per group (all rows when the
+    group is smaller), identical across repartitionings, and APPENDING
+    rows to one group never changes another group's sample; ranks are
+    1..k; NULL ids hash as '' (kept deterministically, never dropped)."""
+    import hashlib
+
+    from spark_xml_spark.operators import group_sample
+
+    rows = [("a", i) for i in range(20)] + [("b", 100 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = {
+        (r.source, r.doc_id): r.sample_rank
+        for r in group_sample(df, "source", "doc_id", k=5, salt="t").collect()
+    }
+    a_ids = sorted(i for (s, i) in out if s == "a")
+    exp_a = sorted(
+        range(20),
+        key=lambda i: (hashlib.md5(f"t{i}".encode()).hexdigest(), i),
+    )[:5]
+    assert a_ids == sorted(exp_a)
+    assert sorted(i for (s, i) in out if s == "b") == [100, 101, 102]
+    assert sorted(
+        r for (s, _), r in out.items() if s == "a") == [1, 2, 3, 4, 5]
+    # partitioning-independence
+    out2 = {
+        (r.source, r.doc_id): r.sample_rank
+        for r in group_sample(
+            df.repartition(7), "source", "doc_id", k=5, salt="t"
+        ).collect()
+    }
+    assert out2 == out
+    # append to group b only: group a's sample unchanged
+    df3 = df.union(
+        spark.createDataFrame([("b", 200 + i) for i in range(30)],
+                              "source string, doc_id long")
+    )
+    out3 = {
+        (r.source, r.doc_id): r.sample_rank
+        for r in group_sample(df3, "source", "doc_id", k=5, salt="t").collect()
+    }
+    assert {kv: r for kv, r in out3.items() if kv[0] == "a"} == {
+        kv: r for kv, r in out.items() if kv[0] == "a"
+    }
+    with pytest.raises(ValueError, match="k must be"):
+        group_sample(df, "source", "doc_id", k=0)
+
+
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):
     """7 high-cardinality group columns in one Arrow batch push the
     mixed-radix composite past 2^63 (ADVICE r11: silent int64 wraparound
