@@ -3292,6 +3292,34 @@ def q_text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_hash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hashed-BoW retrieval COMPOSITION: hash_embed vectors
+    (the text_hash_embed construction, dim=16/salt='he1') fed straight
+    into the exact batch k-NN join — documents 0/17/34 retrieve their
+    4 nearest neighbours by cosine over the signed term-frequency
+    vectors. Integer vectors make every dot product and norm exactly
+    representable in float64, so the cosines are bit-identical between
+    the JVM fold and DuckDB's list_dot_product and the ranking is fully
+    deterministic (ties break on ascending doc id in both engines);
+    the fold's zero-norm semantics (query norm forced to 1, zero-norm
+    corpus rows NULL/last) are mirrored in the oracle's CASE/NULLIF."""
+    from spark_xml_spark.operators import hash_embed, knn_join
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("doc_id") < 60
+    )
+    vecs = hash_embed(d, "text", dim=16, salt="he1").select(
+        "doc_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = vecs.filter(F.col("doc_id").isin(0, 17, 34)).select(
+        F.col("doc_id").alias("q_id"), "embedding"
+    )
+    out = knn_join(vecs, q, "embedding", "doc_id", q_id_col="q_id", k=4)
+    return out.select(
+        "q_id", "doc_id", F.round("cosine", 9).alias("cosine_r"), "rank"
+    ).orderBy("q_id", "rank")
+
+
 def q_text_kmv_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV estimate-only mode (operators/sketch.py kmv_distinct
     exact=False): the 100 TB path. Exact mode's global distinct() over
@@ -3633,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp3": q_multimodal_mp3,
         "text_hash_embed": q_text_hash_embed,
         "text_group_sample": q_text_group_sample,
+        "text_hash_knn": q_text_hash_knn,
     }
 
 
@@ -5493,6 +5522,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(pv) AS INT) AS px_max
         FROM vals GROUP BY did, m, w, h, ch
         ORDER BY doc_id
+    """
+    sql["text_hash_knn"] = """
+        -- hash_embed vectors rebuilt in SQL (the text_hash_embed CTEs,
+        -- DOUBLE cells), then exact cosine top-4 per query doc; the
+        -- fold's zero-norm semantics mirrored (query norm 0 -> 1,
+        -- corpus norm 0 -> NULL cosine, NULLS LAST in the ranking)
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS t
+          FROM documents WHERE doc_id < 60
+        ), w AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('bhe1' || t), 1, 4))
+                      AS INTEGER) % 16 AS b,
+                 SUM(1 - 2 * (CAST(('0x' || substr(md5('she1' || t), 1, 1))
+                                   AS INTEGER) % 2)) AS wt
+          FROM toks GROUP BY doc_id, b
+        ), grid AS (
+          SELECT d.doc_id, r.range AS i
+          FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 60) d,
+               range(16) r
+        ), v AS (
+          SELECT g.doc_id,
+                 list(CAST(COALESCE(w.wt, 0) AS DOUBLE) ORDER BY g.i)
+                   AS emb
+          FROM grid g
+          LEFT JOIN w ON w.doc_id = g.doc_id AND w.b = g.i
+          GROUP BY g.doc_id
+        ), q AS (
+          SELECT doc_id AS q_id, emb AS qv FROM v
+          WHERE doc_id IN (0, 17, 34)
+        ), scored AS (
+          SELECT q.q_id, v.doc_id,
+                 list_dot_product(v.emb, q.qv)
+                   / NULLIF(
+                       sqrt(list_dot_product(v.emb, v.emb))
+                       * (CASE WHEN list_dot_product(q.qv, q.qv) = 0
+                               THEN 1.0
+                               ELSE sqrt(list_dot_product(q.qv, q.qv))
+                          END),
+                       0.0) AS cosine
+          FROM v, q
+        ), ranked AS (
+          SELECT q_id, doc_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY cosine DESC NULLS LAST, doc_id ASC
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT q_id, doc_id, round(cosine, 9) AS cosine_r, rank
+        FROM ranked WHERE rank <= 4 ORDER BY q_id, rank
     """
     sql["text_group_sample"] = """
         -- the md5 ranking recomputed with ROW_NUMBER: same hash, same

@@ -158,6 +158,8 @@ INTENDED_CARTESIAN = {
     # of vectors vs a 100 TB corpus); the broadcast nested-loop join IS
     # the scoring pass, and the corpus is scanned exactly once.
     "ann_knn_join": "broadcast k-NN scoring pass over a bounded query batch",
+    # same knn_join engine fed by hash_embed vectors (3 query docs)
+    "text_hash_knn": "broadcast k-NN scoring pass over a bounded query batch",
 }
 
 
