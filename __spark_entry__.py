@@ -3308,9 +3308,8 @@ def q_text_hash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
         F.col("doc_id") < 60
     )
-    vecs = hash_embed(d, "text", dim=16, salt="he1").select(
-        "doc_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    # no cast here: knn_join casts both sides to array<double> itself
+    vecs = hash_embed(d, "text", dim=16, salt="he1")
     q = vecs.filter(F.col("doc_id").isin(0, 17, 34)).select(
         F.col("doc_id").alias("q_id"), "embedding"
     )

@@ -235,6 +235,12 @@ def group_sample(
     append keeps every still-ranked row). Groups smaller than k keep
     all rows. Adds a ``sample_rank`` column (1..k).
 
+    PRECONDITION: ``id_col`` must be unique within each group (it is an
+    id). Rows sharing an id — including multiple NULL ids, which all
+    hash alike — tie on the full (hash, id) sort key, and which of the
+    tied ROWS wins is partitioning-dependent; the determinism contract
+    holds at the id level only.
+
     Scale shape (100 TB): one shuffle on the group key; the rank is a
     window over (group, hash) — per-task state is one group partition's
     sort run, no vocabulary, no broadcast, no driver collect. For
@@ -273,42 +279,48 @@ def hash_embed(
     product). Output: (id_col, out_col array<bigint>), one row per
     input row — tokenless documents get the zero vector.
 
-    Every value is integer-exact and any md5 implementation reproduces
-    it (DuckDB/Trino/Python agree bucket-for-bucket), so the vectors
-    are verifiable — unlike HashingTF's engine-private murmur3.
+    The bucket/sign HASHING is integer-exact and engine-portable (any
+    md5 implementation agrees), so the vectors are verifiable — unlike
+    HashingTF's engine-private murmur3. Tokenization is Java ``\\s+``
+    over lowercased text: reproduce it with the same ASCII whitespace
+    class in other engines (Python's ``str.split`` and RE2's ``\\s``
+    additionally split some Unicode whitespace — NBSP-bearing corpora
+    tokenize differently there).
 
-    Scale shape (100 TB): tokenize + hash are pure codegen; ONE keyed
-    aggregation per stage — (id, bucket) partial-sum then per-id
+    ``id_col`` identifies the DOCUMENT: output is one row per distinct
+    id, and rows sharing an id (including a NULL id — one group, like
+    any groupBy key) merge their tokens into one vector.
+
+    Scale shape (100 TB): tokenize + hash are pure codegen over ONE
+    scan (explode_outer keeps tokenless documents in the stream — no
+    restore join); one (id, bucket) partial-sum shuffle, then per-id
     assembly via map_from_entries + a dim-bounded transform (no pivot,
-    no vocabulary broadcast, no UDF); the left join restoring
-    tokenless rows broadcasts nothing and reuses the id partitioning.
-    State per group is O(dim)."""
+    no vocabulary broadcast, no UDF). State per group is O(dim)."""
     if dim <= 0 or dim > 0xFFFF:
         raise ValueError("dim must be in [1, 65535]")  # 4 hex digits
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     toks = F.filter(words, lambda t: t != F.lit(""))
-    tok = df.select(F.col(id_col), F.explode(toks).alias("_t"))
-
-    def _hex_head(prefix: str, n: int) -> Column:
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(prefix + salt), F.col("_t"))), 1, n
-            ),
-            16, 10,
-        ).cast("long")
-
-    bucket = (_hex_head("b", 4) % dim).alias("_b")
-    sign = (F.lit(1) - 2 * (_hex_head("s", 1) % 2)).alias("_s")
+    tok = df.select(F.col(id_col), F.explode_outer(toks).alias("_t"))
+    bucket = (_md5_hex_head(F.col("_t"), "b" + salt, 4) % dim).alias("_b")
+    sign = (
+        F.lit(1) - 2 * (_md5_hex_head(F.col("_t"), "s" + salt, 1) % 2)
+    ).alias("_s")
     weights = (
         tok.select(id_col, bucket, sign)
         .groupBy(id_col, "_b")
         .agg(F.sum("_s").cast("long").alias("_w"))
     )
-    vecs = (
+    return (
         weights.groupBy(id_col)
         .agg(
             F.map_from_entries(
-                F.collect_list(F.struct(F.col("_b"), F.col("_w")))
+                # the NULL-bucket entry is the explode_outer marker row
+                # of a tokenless document — drop it from the map but
+                # keep the id (an empty map yields the zero vector)
+                F.filter(
+                    F.collect_list(F.struct(F.col("_b"), F.col("_w"))),
+                    lambda e: e["_b"].isNotNull(),
+                )
             ).alias("_m")
         )
         .select(
@@ -321,12 +333,6 @@ def hash_embed(
                 ),
             ).alias(out_col),
         )
-    )
-    zero = F.array_repeat(F.lit(0).cast("long"), dim)
-    return (
-        df.select(id_col)
-        .join(vecs, id_col, "left")
-        .select(id_col, F.coalesce(F.col(out_col), zero).alias(out_col))
     )
 
 
@@ -644,6 +650,19 @@ def pack_sequences(
     )
 
 
+def _md5_hex_head(col: Column, salt: str, n: int) -> Column:
+    """THE engine-portable hash primitive shared by every md5-derived
+    bucket/sign in this module (and mirrored verbatim in the DuckDB
+    oracles): the first ``n`` hex digits of md5(salt || col) as a long.
+    NULL input propagates NULL (callers choose their own NULL policy —
+    _md5_bucket coalesces to '', hash_embed filters). Change this in
+    ONE place only; three independent copies of the recipe was a
+    review-flagged divergence hazard."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, n), 16, 10
+    ).cast("long")
+
+
 def _md5_bucket(col: Column, salt: str, mod: int = 100) -> Column:
     """Engine-portable [0, mod) bucket of (salt || id): first 16 bits of
     the md5 hex digest, mod ``mod``. NULL ids hash as '' (one fixed
@@ -651,13 +670,7 @@ def _md5_bucket(col: Column, salt: str, mod: int = 100) -> Column:
     rows. Any md5 implementation (Spark, DuckDB, Trino, Python) assigns
     the identical bucket, so a mixed-engine pipeline agrees on splits."""
     return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.coalesce(col.cast("string"), F.lit("")))),
-                1, 4,
-            ),
-            16, 10,
-        ).cast("long")
+        _md5_hex_head(F.coalesce(col.cast("string"), F.lit("")), salt, 4)
         % mod
     )
 

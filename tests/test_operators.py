@@ -3451,8 +3451,11 @@ def test_kmv_distinct_estimator_properties(spark):
 def test_hash_embed_matches_python_reference(spark):
     """hash_embed == an independent hashlib.md5 reference cell-for-cell
     (bucket, sign, summed weights), including NULL / empty /
-    whitespace-only texts (zero vectors, never dropped rows); the plan
-    stays UDF-free (pure codegen + two keyed aggs)."""
+    whitespace-only texts (zero vectors, never dropped documents),
+    NULL-id documents (review r12: their tokens must produce the real
+    vector — the old restore-join silently zeroed them), and
+    duplicate-id rows (ONE merged document per the groupBy contract);
+    the plan stays UDF-free (pure codegen + two keyed aggs)."""
     import hashlib
 
     from spark_xml_spark.operators import hash_embed
@@ -3463,24 +3466,31 @@ def test_hash_embed_matches_python_reference(spark):
         (3, None),
         (4, "   "),
         (5, "solo token solo Solo"),
+        (None, "hello world hello"),
+        (7, "alpha beta"),
+        (7, "beta gamma"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = hash_embed(df, "text", dim=8, salt="x")
     got = {r.doc_id: list(r.embedding) for r in out.collect()}
 
-    def ref(text, dim=8, salt="x"):
+    def ref(*texts, dim=8, salt="x"):
         v = [0] * dim
-        for t in (text or "").lower().split():
-            b = int(hashlib.md5(("b" + salt + t).encode()).hexdigest()[:4],
-                    16) % dim
-            s = 1 - 2 * (int(hashlib.md5(
-                ("s" + salt + t).encode()).hexdigest()[:1], 16) % 2)
-            v[b] += s
+        for text in texts:
+            for t in (text or "").lower().split():
+                b = int(hashlib.md5(("b" + salt + t).encode()).hexdigest()[:4],
+                        16) % dim
+                s = 1 - 2 * (int(hashlib.md5(
+                    ("s" + salt + t).encode()).hexdigest()[:1], 16) % 2)
+                v[b] += s
         return v
 
-    assert set(got) == {1, 2, 3, 4, 5}
-    for did, text in rows:
+    assert set(got) == {1, 2, 3, 4, 5, None, 7}
+    for did, text in rows[:5]:
         assert got[did] == ref(text), did
+    assert got[None] == ref("hello world hello")
+    assert got[None] != [0] * 8  # tokens under a NULL id are NOT lost
+    assert got[7] == ref("alpha beta", "beta gamma")  # merged document
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     with pytest.raises(ValueError, match="dim"):
