@@ -111,6 +111,10 @@ def default_image_decoder(payload: bytes) -> dict:
             if payload[i] != 0xFF:
                 break
             marker = payload[i + 1]
+            if marker == 0xFF:
+                # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -785,6 +789,12 @@ def decode_jpeg_pixels(payload: bytes):
     restart_interval = 0
     pos = 2
     while True:
+        if pos < len(b) and b[pos] == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # the marker code — advance to the LAST 0xFF of the run so
+            # the byte after it is the marker, not another fill byte
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
         if pos + 3 >= len(b) and not (
             pos + 1 < len(b) and b[pos + 1] == 0xD9
         ):
@@ -915,6 +925,10 @@ def _jpeg_decode_scan(
                 # byte-align and consume the RSTn marker
                 rdr.reset()
                 while rdr.buf[rdr.pos] != 0xFF:
+                    rdr.pos += 1
+                # T.81 B.1.1.2: skip optional 0xFF fill bytes to the
+                # last 0xFF of the run before reading the marker code
+                while rdr.buf[rdr.pos + 1] == 0xFF:
                     rdr.pos += 1
                 if not 0xD0 <= rdr.buf[rdr.pos + 1] <= 0xD7:
                     raise ValueError("JPEG restart marker expected")

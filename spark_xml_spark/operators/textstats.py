@@ -248,6 +248,14 @@ def group_sample(
     survivors is the standard two-phase refinement."""
     if k <= 0:
         raise ValueError("k must be positive")
+    if "sample_rank" in df.columns:
+        # overwriting a caller's column with the rank would silently
+        # corrupt it — the same fail-loud contract hash_embed's out_col
+        # check enforces
+        raise ValueError(
+            "input already has a 'sample_rank' column; rename it before "
+            "group_sample"
+        )
     from pyspark.sql import Window
 
     hv = F.md5(

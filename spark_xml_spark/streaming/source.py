@@ -17,6 +17,7 @@ rollback, matching the batch writer's semantics).
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
@@ -31,6 +32,8 @@ from pyspark.sql.datasource import (
 
 from spark_xml_spark.options import XmlOptions
 from spark_xml_spark.xmlcore import parser, tokenizer
+
+_LOG = logging.getLogger(__name__)
 
 
 @dataclass
@@ -210,22 +213,41 @@ class XmlStreamReader(DataSourceStreamReader):
                 cur = {str(f): int(sz) for f, sz in files.items()}
             except (OSError, ValueError):
                 continue
-            if not trusted and not all(
-                os.path.abspath(f).startswith(src_root) for f in cur
+            if not trusted and (
+                # the identity-less fixed name must carry at least one
+                # file provably under THIS stream's source root; an
+                # empty map passes all() vacuously and would bake a
+                # foreign stream's cursor file into this stream's
+                # identity path
+                not cur
+                or not all(
+                    os.path.abspath(f).startswith(src_root) for f in cur
+                )
             ):
                 continue
             if path != self._cursor_path:
                 # one-time migration of a pre-r11 (path+caps-only hash)
                 # cursor to the current derived name, so the admitted
-                # position survives the naming upgrade; the legacy file
-                # is left in place (harmless, and another not-yet-
-                # migrated co-located reader may still be reading it)
+                # position survives the naming upgrade
+                _LOG.warning(
+                    "xml stream source adopted legacy admission cursor "
+                    "%s (migrating to %s)", path, self._cursor_path,
+                )
                 saved = self._planned
                 self._planned = dict(cur)
                 try:
                     self._cursor_save()
                 except OSError:
                     pass  # migration is best-effort; cur still applies
+                else:
+                    # retire the legacy file so a later loss of the
+                    # current cursor can never silently rewind the
+                    # admitted position to this now-stale snapshot
+                    # (re-admitting files = duplicate ingestion)
+                    try:
+                        os.replace(path, path + ".migrated")
+                    except OSError:
+                        pass  # read-only ckpt: warning above still fired
                 finally:
                     self._planned = saved
             return cur

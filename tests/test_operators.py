@@ -889,6 +889,47 @@ def test_jpeg_restart_interval_hand_crafted():
     assert (px == 130).all()
 
 
+def test_jpeg_ff_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code. Pad the hand-crafted fixtures' markers with FF runs — in the
+    segment loop (before DQT/SOF/SOS/EOI), and in the entropy stream
+    before an RSTn — and the decode must be byte-identical to the
+    unpadded stream (ADVICE r12: the second 0xFF was being read as the
+    marker code, so seglen came from the wrong bytes)."""
+    import struct
+
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        default_image_decoder,
+    )
+
+    fill = b"\xff\xff\xff"
+    jpeg = (
+        b"\xff\xd8"
+        + fill
+        + b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([8] * 64)
+        + fill
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 16, 1)
+        + b"\x01\x11\x00"
+        + _annex_k_jpeg_tables()
+        + fill
+        + b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: interval 1
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + b"\x75\x7f"          # MCU 0: DC +2, EOB, 1-padded
+        + b"\xff\xff\xd0"      # fill byte + RST0
+        + b"\x75\x7f"          # MCU 1: DC +2 from a reset predictor
+        + fill + b"\xff\xd9"   # fill bytes + EOI
+    )
+    px = decode_jpeg_pixels(jpeg)
+    assert px.shape == (8, 16) and px.dtype == np.uint8
+    assert (px == 130).all()
+    # the header walker (default_image_decoder) takes the same padding
+    meta = default_image_decoder(jpeg)
+    assert (meta["format"], meta["width"], meta["height"]) == ("jpeg", 16, 8)
+
+
 def test_jpeg_roundtrip_block_uniform_exact():
     """encode_jpeg/decode_jpeg_pixels roundtrip is EXACT for the
     closed-form fixture construction: uniform 8x8 blocks under the
@@ -3543,6 +3584,12 @@ def test_group_sample_deterministic_and_append_stable(spark):
     }
     with pytest.raises(ValueError, match="k must be"):
         group_sample(df, "source", "doc_id", k=0)
+    # a pre-existing sample_rank column must fail loudly, not be
+    # silently overwritten (ADVICE r12)
+    with pytest.raises(ValueError, match="sample_rank"):
+        group_sample(
+            df.withColumn("sample_rank", F.lit(0)), "source", "doc_id", k=5
+        )
 
 
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):

@@ -592,12 +592,19 @@ def test_legacy_cursor_name_migrates_on_miss(tmp_path):
     # migrated forward under the new name; _planned untouched
     assert json.load(open(rdr._cursor_path))["files"] == admitted["files"]
     assert rdr._planned == {}
+    # the legacy file is RETIRED (renamed .migrated) so a later loss of
+    # the current cursor can never silently rewind the admitted position
+    # to this stale snapshot (ADVICE r12: duplicate re-ingestion)
+    assert not legacy_file.exists()
+    assert (ckpt / (legacy_file.name + ".migrated")).exists()
     # subsequent loads hit the new name directly
     assert rdr._cursor_load() == cur
+    # proof of the retirement's purpose: with the current cursor gone,
+    # the stale legacy snapshot must NOT be re-adopted
+    os.remove(rdr._cursor_path)
+    assert _mk()._cursor_load() is None
 
     # oldest era: the fixed un-tagged cursor filename must also migrate
-    os.remove(rdr._cursor_path)
-    os.remove(legacy_file)
     fixed = ckpt / "xml_graft_admission_cursor.json"
     fixed.write_text(json.dumps({"files": {str(src / "b.xml"): 7}}))
     rdr2 = _mk()
@@ -606,6 +613,8 @@ def test_legacy_cursor_name_migrates_on_miss(tmp_path):
     assert json.load(open(rdr2._cursor_path))["files"] == {
         str(src / "b.xml"): 7
     }
+    assert not fixed.exists()
+    assert (ckpt / (fixed.name + ".migrated")).exists()
 
     # the fixed-era name carries no stream identity: a cursor whose
     # files live under a DIFFERENT source path (recycled checkpoint
@@ -615,6 +624,12 @@ def test_legacy_cursor_name_migrates_on_miss(tmp_path):
     fixed.write_text(json.dumps({"files": {str(tmp_path / "other" / "c.xml"): 5}}))
     rdr3 = _mk()
     assert rdr3._cursor_load() is None
+    # ... and an EMPTY files map passes the all() check vacuously but
+    # proves nothing about identity — it too must be ignored, not baked
+    # into this stream's cursor path (ADVICE r12)
+    fixed.write_text(json.dumps({"files": {}}))
+    assert _mk()._cursor_load() is None
+    assert fixed.exists()  # ignored means untouched, not migrated
 
 
 def test_max_files_without_cursor_first_batch_uncapped(spark, tmp_path):
