@@ -6,7 +6,7 @@ band), so the shuffle is keyed and bounded, and Catalyst/AQE pick the join
 strategy. The exact-Jaccard verifier joins only candidate pairs.
 
 Scale notes (100 TB):
-- exact_dedup: one hash-keyed shuffle; map-side partial aggregation applies.
+- exact_dedup: one content-keyed shuffle; map-side partial aggregation applies.
 - ngram_jaccard_pairs: the inverted-index join shuffles on prefix shingles
   only (AllPairs/PPJoin prefix filtering): ultra-frequent shingles rank
   LAST under the ascending-document-frequency order and fall out of every
@@ -269,35 +269,72 @@ def exact_dedup(
     cols: Optional[Sequence[str]] = None,
     id_col: Optional[str] = None,
 ) -> DataFrame:
-    """Exact deduplication by content hash (sha2-256 over the chosen
-    columns). Keeps one row per distinct content: the row with the minimum
+    """Exact deduplication by content equality over the chosen columns.
+    Keeps one row per distinct content: the row with the minimum
     ``id_col`` when given (deterministic), else an arbitrary one
     (``dropDuplicates`` semantics).
 
-    ONE shuffle keyed by the hash, ONE evaluation of the input: with
-    id_col the keeper row travels through a map-side-combinable
-    ``min_by(struct(*), id)`` aggregate. (The groupBy-then-semi-join
+    ONE shuffle keyed by the content columns, ONE evaluation of the
+    input: with id_col the keeper's NON-key columns travel through a
+    map-side-combinable ``min_by(struct(carry), id)`` aggregate while the
+    content rides as the group key. (The groupBy-then-semi-join
     formulation reads the input in TWO plan branches — at 100 TB that is
     a second full scan — and its keep-list join is an extra shuffle.)
-    """
+
+    Grouping is by the RAW columns, not a content hash (r13, from the
+    docs-x100 profile): the sha2-256 grouping key cost ~1 us/doc — 65%
+    of the query's marginal cost at 500k docs — purely to build a key
+    that was dropped afterwards, and the ``min_by(struct(*all))`` then
+    re-shipped the content a second time inside the value struct. Native
+    grouping removes the hash CPU, ships the content ONCE, eliminates
+    any hash-collision false-merge risk, and keeps SQL GROUP BY NULL
+    semantics (NULLs group together; NULL != ''), matching the engine's
+    oracle exactly. Fixed-size content keys are still the right call
+    where the key itself persists — streaming dedup state and
+    corpus_delta artifacts keep ``_content_hash_col``."""
     cols = list(cols) if cols else [c for c in df.columns if c != id_col]
-    hashed = df.withColumn("_content_hash", _content_hash_col(cols))
     if id_col is None:
-        return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")
-    out_cols = df.columns
-    # order by (id IS NULL, id): non-NULL ids win with the minimum id;
-    # a group whose ids are ALL NULL still keeps one real row
-    # (dropDuplicates semantics) — a bare min_by(_, id) would skip every
-    # NULL ordering value and fabricate an all-NULL phantom row
-    return (
-        hashed.groupBy("_content_hash")
-        .agg(
-            F.min_by(
-                F.struct(*out_cols),
-                F.struct(F.col(id_col).isNull(), F.col(id_col)),
-            ).alias("_row")
+        return df.dropDuplicates(cols)
+    carry = [c for c in df.columns if c not in cols]
+    if not carry:
+        # every output column is a group key: groups are whole rows
+        return df.distinct()
+    if carry == [id_col]:
+        # the id is the ONLY non-key column: plain min(id) gives the
+        # keeper exactly (min ignores NULL ids; an all-NULL group yields
+        # NULL — one row either way) and, unlike any struct-buffered
+        # aggregate, stays inside whole-stage-codegen HashAggregate —
+        # the struct path below plans as SortAggregate, which at docs
+        # x100 spent more sorting each partition by the content key
+        # than the whole hash aggregation costs
+        return (
+            df.groupBy(*cols)
+            .agg(F.min(id_col).alias(id_col))
+            .select(*df.columns)
         )
-        .select("_row.*")
+    # keeper = min(struct(id IS NULL, id, rest...)): non-NULL ids win
+    # with the minimum id; a group whose ids are ALL NULL still keeps
+    # one real row (dropDuplicates semantics). min over an orderable
+    # struct instead of min_by because Spark plans min_by as a
+    # SortAggregate — sorting every partition by the content key cost
+    # more than the whole hash aggregation at docs x100 — while
+    # min(struct) stays inside whole-stage-codegen HashAggregate.
+    # Ordering NULL-flag first also avoids min_by's phantom-row trap
+    # (a bare min_by(_, id) skips NULL ordering values entirely).
+    ordered = F.struct(
+        F.col(id_col).isNull().alias("_idnull"),
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(c) for c in carry if c != id_col],
+    )
+    return (
+        df.groupBy(*cols)
+        .agg(F.min(ordered).alias("_row"))
+        .select(*[
+            F.col(c) if c in cols
+            else F.col("_row").getField("_id").alias(c) if c == id_col
+            else F.col("_row").getField(c).alias(c)
+            for c in df.columns
+        ])
     )
 
 
