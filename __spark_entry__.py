@@ -3609,6 +3609,32 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_start", "event_type")
 
 
+def q_events_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-PASS hourly rollup — the yardstick shape (VERDICT r12
+    task 3): events_rollup's recorded scale marginal compared the
+    two-pass incremental DEMO (split + rollup twice + merge) against a
+    one-pass oracle, an apples-to-oranges reading by construction. This
+    query pins time_rollup itself — one scan, one map-side-combinable
+    keyed shuffle — to the identical from-scratch oracle, so the
+    recorded events x10 marginal prices the operator."""
+    from spark_xml_spark.operators import time_rollup
+
+    e = _events(spark, sf_dir)
+    ts_sec, _ = _events_ts_cols(e)
+    base = e.withColumn("ts_sec", ts_sec).select(
+        "event_type", "ts_sec", "value"
+    )
+    rolled = time_rollup(base, "ts_sec", ["event_type"], 3600, "value")
+    return rolled.select(
+        "bucket_start",
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("string").alias("sum_value_s"),
+        "min_value",
+        "max_value",
+    ).orderBy("bucket_start", "event_type")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a session breaks after a
     30-minute silence; per-user session stats."""
@@ -3752,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_embed": q_text_hash_embed,
         "text_group_sample": q_text_group_sample,
         "text_hash_knn": q_text_hash_knn,
+        "events_rollup_once": q_events_rollup_once,
     }
 
 
@@ -5436,6 +5463,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY bucket_start, event_type
         ORDER BY bucket_start, event_type
     """
+    # the single-pass rollup computes exactly the from-scratch result
+    # the merge demo must also reproduce — one oracle, two query shapes
+    sql["events_rollup_once"] = sql["events_rollup"]
     sql["stream_multimodal"] = sql["multimodal_features"]
     # per-query independence makes micro-batched ANN exact: the streamed
     # probe's union of batch results equals the one-batch join

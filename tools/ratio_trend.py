@@ -62,6 +62,7 @@ TREND_QUERIES = [
     "text_bm25",
     "events_asof",
     "events_rollup",
+    "events_rollup_once",
     "ann_cosine_topk",
 ]
 SFS = [0.001, 0.01, 0.1]
@@ -77,8 +78,12 @@ SCALEUP = {
 }
 # events-family queries measured at the x10 events corpus (replicas
 # keep their timestamps, so bucket/asof key distributions scale in rows
-# per key — the worst case for the rollup agg and the asof dedup)
-SCALE10_EVENTS = ["events_rollup", "events_asof"]
+# per key — the worst case for the rollup agg and the asof dedup).
+# events_rollup_once is the adjudicating one-pass rollup shape; the
+# events_rollup merge DEMO deliberately rolls the corpus up twice, so
+# its marginal against the one-pass oracle over-reads by construction
+# (VERDICT r12 task 3)
+SCALE10_EVENTS = ["events_rollup", "events_rollup_once", "events_asof"]
 # XML headline queries measured at the scaled corpus; value = the pruned
 # (table, columns) read whose isolated scan wall is recorded alongside
 SCALEUP_XML_QUERIES = {
@@ -317,6 +322,68 @@ def main() -> None:
             rec["x"] = SCALEUP["events"][0]
             events_x[name] = rec
         con.close()
+        # ---- documents x100 for dedup_exact (VERDICT r12 task 2): the
+        # x10 point is still floor-dominated on the Spark side, so the
+        # adjudicating marginal is the x10 -> x100 slope, where data
+        # cost finally moves both engines ----
+        scratch100 = scratch + "_docs100"
+        os.makedirs(scratch100, exist_ok=True)
+        import duckdb as _duck
+
+        c100 = _duck.connect()
+        s_doc = os.path.join(sf01_dir, "documents.parquet")
+        d_doc = os.path.join(scratch100, "documents.parquet")
+        n_src = c100.execute(
+            f"SELECT count(*) FROM read_parquet('{s_doc}')"
+        ).fetchone()[0]
+        ok = False
+        if os.path.exists(d_doc):
+            try:
+                ok = c100.execute(
+                    f"SELECT count(*) FROM read_parquet('{d_doc}')"
+                ).fetchone()[0] == 100 * n_src
+            except _duck.Error:
+                pass
+            if not ok:
+                os.remove(d_doc)
+        if not ok:
+            c100.execute(
+                f"""
+                COPY (
+                  SELECT src.* REPLACE (doc_id + 10000000 * i AS doc_id)
+                  FROM read_parquet('{s_doc}') src, range(100) t(i)
+                  ORDER BY doc_id
+                ) TO '{d_doc}' (FORMAT parquet)
+                """
+            )
+        c100.close()
+        for t in TABLES:
+            sp = os.path.join(sf01_dir, f"{t}.parquet")
+            dp = os.path.join(scratch100, f"{t}.parquet")
+            if t != "documents" and os.path.exists(sp) and not os.path.exists(dp):
+                os.symlink(sp, dp)
+        con = _duck_con(scratch100, cpus)
+        name = "dedup_exact"
+        rec: dict = {"x": 100}
+        try:
+            rec["spark_s"] = round(
+                _min_of(lambda: qs[name](spark, scratch100).count(), n=3), 4
+            )
+            rec["duck_s"] = round(
+                _min_of(lambda: con.execute(oracles[name]).fetchall(), n=3), 4
+            )
+            rec["ratio"] = round(rec["spark_s"] / rec["duck_s"], 2)
+            x10r = x10.get(name, {})
+            dsp = rec["spark_s"] - x10r.get("spark_s", 0)
+            ddu = rec["duck_s"] - x10r.get("duck_s", 0)
+            if x10r and dsp > 0 and ddu > 0:
+                rec["marginal_ratio_x10_to_x100"] = round(dsp / ddu, 2)
+        except Exception as exc:  # noqa: BLE001
+            rec["error"] = repr(exc)[:200]
+        con.close()
+        detail["docs_x100"] = {name: rec}
+        if os.environ.get("SPARK_GRAFT_KEEP_SCALE10") != "1":
+            shutil.rmtree(scratch100, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         detail.setdefault("errors", {})["scale10"] = repr(exc)[:300]
     finally:
@@ -373,6 +440,7 @@ def main() -> None:
         "xml_scaleup": xml_x,
         "emb_x100": emb_x,
         "events_x10": events_x,
+        "docs_x100": detail.get("docs_x100", {}),
     }
     try:
         detail["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
