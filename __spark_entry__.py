@@ -1182,18 +1182,22 @@ def q_stream_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         watermark="3650 days",  # finite replay: drop nothing
     )
-    # NOT _stateful_parts-wrapped: simhash's stateful stage does real
-    # CPU work per partition (pandas pair generation), so cutting the
-    # partition count serializes it (measured 4.0s @ 32 vs 5.8s @ 4);
-    # the small-state fast path is for join/window state bookkeeping
-    q = (
-        pairs.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_stream(q)
+    # _stateful_parts at n=8, not the join/window queries' n=4: the
+    # stateful stage here does real per-group pandas work (~2k band
+    # buckets), so the optimum balances state-store churn against
+    # group-processing parallelism. Quiet-host warm sweep (min-of-3,
+    # r13): 32 parts 2.43s / 16 parts 2.01s / 8 parts 1.87s / 4 parts
+    # 2.03s — r12's "4 is worse than 32" reading was both extremes of
+    # the same curve.
+    with _stateful_parts(spark, n=8):
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
     return (
         spark.read.parquet(out)
         .distinct()
