@@ -3223,9 +3223,15 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     % 256 (DC-only blocks with the flat-8 quant table recover v
     bit-exactly through any conforming IDCT; R=G=B makes chroma flat
     128 so 4:2:0 upsampling and the YCbCr->RGB transform are exact
-    too). The oracle recomputes the
-    stats straight from the formulas, so a decoder bug cannot cancel
-    against the encoder (the oracle never touches the bytes)."""
+    too). doc_id 24..31 plants 4-component CMYK JPEGs (r12 task 7) with
+    all four channels equal per block — Adobe transform 0 (raw CMYK)
+    and 2 (YCCK: equal channels give flat-128 chroma, so the forward +
+    inverse transform round-trips v exactly) alternate in pairs. The
+    oracle recomputes the stats straight from the formulas, so a
+    decoder bug cannot cancel against the encoder (the oracle never
+    touches the bytes; hand-coded bit-stream tests additionally pin the
+    4-component entropy layout and the YCCK inverse independent of the
+    encoder)."""
     from spark_xml_spark.operators import image_pixel_stats
 
     def gen(it):
@@ -3248,6 +3254,22 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["id"]:
                 did = int(did)
                 m = did % 8
+                if did >= 24:  # CMYK JPEG plants (both Adobe transforms)
+                    h = 8 * (1 + did % 2)
+                    w = 8 * (1 + did % 3)
+                    nb = (h // 8) * (w // 8)
+                    v = (did * 7 + np.arange(nb) * 13) % 256
+                    img = np.kron(
+                        v.reshape(h // 8, w // 8), np.ones((8, 8))
+                    ).astype(np.uint8)
+                    payloads.append(
+                        encode_jpeg(
+                            np.stack([img] * 4, axis=2),
+                            adobe_transform=0 if (did // 2) % 2 == 0 else 2,
+                        )
+                    )
+                    ids.append(did)
+                    continue
                 if m >= 6:
                     # vary dims on did//8 (did%2 is CONSTANT within a
                     # %8 residue class — review r12); the 2x variants
@@ -3300,7 +3322,7 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(did)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    d = spark.range(24).repartition(4).mapInPandas(
+    d = spark.range(32).repartition(4).mapInPandas(
         gen, "doc_id long, payload binary"
     )
     return image_pixel_stats(d).orderBy("doc_id")
@@ -5607,16 +5629,23 @@ def oracle_sql() -> dict[str, str]:
         -- Huffman-decode+IDCT the JPEG bytes to the same integers,
         -- independent of the encoders
         WITH d AS (
-          SELECT r.range AS did, r.range % 8 AS m FROM range(24) r
+          -- m = 8: the CMYK JPEG plants (did 24..31; all four channels
+          -- equal v per block, exact through Adobe transform 0 AND 2)
+          SELECT r.range AS did,
+                 CASE WHEN r.range >= 24 THEN 8 ELSE r.range % 8 END AS m
+          FROM range(32) r
         ), dims AS (
           SELECT did, m,
-                 CASE WHEN m = 6 THEN 8*(1 + (did//8) % 2)
+                 CASE WHEN m = 8 THEN 8*(1 + did % 2)
+                      WHEN m = 6 THEN 8*(1 + (did//8) % 2)
                       WHEN m = 7 THEN 16*(1 + (did//8) % 2)
                       ELSE 8 + did % 5 END AS h,
-                 CASE WHEN m = 6 THEN 8*(1 + (did//8) % 3)
+                 CASE WHEN m = 8 THEN 8*(1 + did % 3)
+                      WHEN m = 6 THEN 8*(1 + (did//8) % 3)
                       WHEN m = 7 THEN 16*(1 + (did//8) % 3)
                       ELSE 9 + did % 7 END AS w,
-                 CASE WHEN m = 6 THEN 1
+                 CASE WHEN m = 8 THEN 4
+                      WHEN m = 6 THEN 1
                       WHEN m = 7 THEN 3
                       WHEN m >= 4 THEN 3
                       ELSE CASE m WHEN 0 THEN 1 WHEN 1 THEN 3

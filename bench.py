@@ -456,6 +456,16 @@ def main() -> None:
             }
     except (OSError, ValueError):
         pass
+    # the round's provenance-stamped scan yardstick (tools/profile_scan
+    # min-of-5 under a loadavg guard, VERDICT r12 task 4) rides along so
+    # the artifact and BASELINE.md cite the same number
+    scan_yardstick = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCAN_YARDSTICK.json")) as fh:
+            scan_yardstick = json.load(fh)
+    except (OSError, ValueError):
+        pass
     payload = {
         # contract keys first; per-query detail in the middle; the gate
         # summary LAST so the driver's 2 KB tail-truncated artifact
@@ -491,16 +501,44 @@ def main() -> None:
         "ratio_summary: they time multi-trigger micro-batch machinery "
         "vs a one-shot SQL replay",
         **({"ratio_trend": ratio_trend} if ratio_trend else {}),
+        **({"scan_yardstick": scan_yardstick} if scan_yardstick else {}),
         "bench_wall_s": round(time.time() - proc_start, 1),
         "ratio_summary": ratio_summary,
     }
     line = json.dumps(payload)
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as fh:
+        with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as fh:
             fh.write(line + "\n")
     except OSError:
         pass
+    # artifact + commit in ONE step (VERDICT r12 task 6): a bench run
+    # must never leave the tree dirty at round close. Only the bench
+    # artifacts are staged — never unrelated working-tree changes.
+    # Opt out with SPARK_GRAFT_BENCH_NO_COMMIT=1.
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_COMMIT") != "1":
+        import subprocess
+
+        try:
+            arts = ["BENCH_LOCAL.json", "SCAN_YARDSTICK.json",
+                    "RATIO_TREND.json"]
+            present = [a for a in arts if os.path.exists(
+                os.path.join(repo, a))]
+            subprocess.run(["git", "add", "--"] + present,
+                           cwd=repo, capture_output=True, timeout=30)
+            diff = subprocess.run(
+                ["git", "diff", "--cached", "--quiet", "--"] + present,
+                cwd=repo, capture_output=True, timeout=30,
+            )
+            if diff.returncode == 1:
+                subprocess.run(
+                    ["git", "commit", "-m",
+                     "Record bench/scan-yardstick artifacts", "--only",
+                     "--"] + present,
+                    cwd=repo, capture_output=True, timeout=30,
+                )
+        except Exception:  # noqa: BLE001 -- bench output must still print
+            pass
     print(line)
     spark.stop()
 

@@ -8,11 +8,12 @@ with bounded Arrow batches. Image HEADER decoding (format/width/height
 for PNG/GIF/JPEG) is real and pure-stdlib (``default_image_decoder``);
 PIXEL/sample decoding is real for PNG (incl. 16-bit + Adam7), GIF,
 JPEG (baseline sequential SOF0 AND progressive SOF2, Huffman + IDCT,
-T.81), and WAV — all stdlib+numpy; MP3 headers decode to metadata. The
-remaining formats (arithmetic/CMYK JPEG, MP3 samples, MP4
-frames) stay behind the injectable decoder seam — the media libraries
-are not in this container — so swapping in a real decoder
-(PIL/torchaudio) changes ONE function, not the pipeline.
+T.81; grayscale/YCbCr/CMYK incl. the Adobe YCCK transform), and WAV —
+all stdlib+numpy; MP3 headers decode to metadata. The remaining
+formats (arithmetic-coded JPEG, MP3 samples, MP4 frames) stay behind
+the injectable decoder seam — the media libraries are not in this
+container — so swapping in a real decoder (PIL/torchaudio) changes
+ONE function, not the pipeline.
 
 Scale notes: payloads never pass through Python except inside the Arrow
 batches of the explicitly-invoked extract step; metadata derivation is
@@ -769,10 +770,15 @@ def decode_jpeg_pixels(payload: bytes):
     runs, AC refinement with inline correction bits), then dequantize
     -> float IDCT -> nearest-neighbour chroma upsample -> YCbCr->RGB.
     Returns (h, w) uint8 for 1-component images, (h, w, 3) RGB for
-    3-component. Arithmetic coding, 12-bit precision, hierarchical,
-    4-component (CMYK), and restart markers inside progressive scans
-    raise NotImplementedError — the same injectable-seam contract as
-    the other decoders (swap in PIL for full coverage)."""
+    3-component, (h, w, 4) CMYK for 4-component (libjpeg semantics:
+    Adobe APP14 transform 2 = YCCK is undone — YCbCr inverse then
+    255-x on the first three planes — transform 0/absent passes the
+    stored samples through; note Adobe writers conventionally store
+    CMYK ink inverted, which is the caller's interpretation, exactly
+    as in libjpeg). Arithmetic coding, 12-bit precision, hierarchical,
+    and restart markers inside progressive scans raise
+    NotImplementedError — the same injectable-seam contract as the
+    other decoders (swap in PIL for full coverage)."""
     import struct
 
     import numpy as np
@@ -787,6 +793,7 @@ def decode_jpeg_pixels(payload: bytes):
     progressive = False
     coefs = None  # progressive: per-component (BY, BX, 64) NATURAL-order coefs
     restart_interval = 0
+    adobe_transform = None  # APP14 color-transform byte (0/1/2)
     pos = 2
     while True:
         if pos < len(b) and b[pos] == 0xFF:
@@ -805,7 +812,9 @@ def decode_jpeg_pixels(payload: bytes):
         pos += 2
         if marker == 0xD9:  # EOI
             if progressive and coefs is not None:
-                return _jpeg_render_progressive(frame, coefs, qt, np)
+                return _jpeg_render_progressive(
+                    frame, coefs, qt, np, adobe_transform,
+                )
             raise ValueError("JPEG contains no scan")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # standalone markers
@@ -840,6 +849,9 @@ def decode_jpeg_pixels(payload: bytes):
                 )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE:  # APP14: Adobe color-transform flag
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
@@ -848,10 +860,10 @@ def decode_jpeg_pixels(payload: bytes):
                     f"JPEG precision {prec} unsupported (baseline 8-bit "
                     "only); inject a real decoder"
                 )
-            if nf not in (1, 3):
+            if nf not in (1, 3, 4):
                 raise NotImplementedError(
                     f"JPEG with {nf} components unsupported (grayscale/"
-                    "YCbCr only); inject a real decoder"
+                    "YCbCr/CMYK only); inject a real decoder"
                 )
             comps = []
             for ci in range(nf):
@@ -876,7 +888,7 @@ def decode_jpeg_pixels(payload: bytes):
             if not progressive:
                 return _jpeg_decode_scan(
                     b, segend, frame, scan, qt, huff_dc, huff_ac,
-                    restart_interval, np,
+                    restart_interval, np, adobe_transform,
                 )
             if restart_interval:
                 raise NotImplementedError(
@@ -896,7 +908,8 @@ def decode_jpeg_pixels(payload: bytes):
 
 
 def _jpeg_decode_scan(
-    b, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval, np
+    b, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval, np,
+    adobe_transform=None,
 ):
     h, w, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
@@ -972,15 +985,29 @@ def _jpeg_decode_scan(
         p = planes[ci] + 128.0
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(p[:h, :w])
-    return _jpeg_color_finish(out, np)
+    return _jpeg_color_finish(out, np, adobe_transform)
 
 
-def _jpeg_color_finish(out, np):
+def _jpeg_color_finish(out, np, adobe_transform=None):
     """Cropped float sample planes -> uint8 image; 3 planes are JFIF
     YCbCr (shared by the baseline and progressive render paths so the
-    two can be compared pixel-for-pixel)."""
+    two can be compared pixel-for-pixel); 4 planes follow libjpeg's
+    CMYK semantics — Adobe APP14 transform 2 (YCCK) is undone via the
+    YCbCr inverse plus 255-x on the first three planes, any other
+    transform passes the stored samples through."""
     if len(out) == 1:
         return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+    if len(out) == 4:
+        y, cb, cr, k = out
+        if adobe_transform == 2:  # YCCK: invert the YCbCr->RGB result
+            c = 255.0 - (y + 1.402 * (cr - 128.0))
+            m = 255.0 - (
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            )
+            yy = 255.0 - (y + 1.772 * (cb - 128.0))
+            out = [c, m, yy, k]
+        cmyk = np.stack(out, axis=2)
+        return np.clip(np.rint(cmyk), 0, 255).astype(np.uint8)
     y, cb, cr = out
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -1165,7 +1192,7 @@ def _jpeg_decode_prog_scan(
     return pos
 
 
-def _jpeg_render_progressive(frame, coefs, qt, np):
+def _jpeg_render_progressive(frame, coefs, qt, np, adobe_transform=None):
     """Dequantize + IDCT the accumulated coefficient grids and finish
     exactly like the baseline path (same basis, same upsample, same
     color transform) — a progressive stream of the same quantized
@@ -1189,7 +1216,7 @@ def _jpeg_render_progressive(frame, coefs, qt, np):
         p = blocks.transpose(0, 2, 1, 3).reshape(BY * 8, BX * 8) + 128.0
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(p[:h, :w])
-    return _jpeg_color_finish(out, np)
+    return _jpeg_color_finish(out, np, adobe_transform)
 
 
 def encode_jpeg(
@@ -1197,6 +1224,7 @@ def encode_jpeg(
     quant=_JPEG_FLAT_Q8,
     subsampling: str = "444",
     progressive: bool = False,
+    adobe_transform: int = 0,
 ) -> bytes:
     """JPEG encoder (fixture/write seam, the encode_png/encode_gif
     pattern): (h, w) grayscale or (h, w, 3) RGB uint8 -> JFIF bytes.
@@ -1223,13 +1251,37 @@ def encode_jpeg(
 
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2
-    if not gray and (px.ndim != 3 or px.shape[2] != 3):
-        raise ValueError("encode_jpeg takes (h, w) or (h, w, 3) pixels")
+    cmyk = px.ndim == 3 and px.shape[2] == 4
+    if not gray and not cmyk and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError(
+            "encode_jpeg takes (h, w), (h, w, 3) or (h, w, 4) pixels"
+        )
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if cmyk and (subsampling != "444" or progressive):
+        raise ValueError(
+            "CMYK JPEG: 4:4:4 baseline only (the fixture seam mirrors "
+            "what decode_jpeg_pixels' 4-component path covers)"
+        )
+    if adobe_transform not in (0, 2):
+        raise ValueError("adobe_transform must be 0 (CMYK) or 2 (YCCK)")
     h, w = px.shape[:2]
     if gray:
         comps = [(1, 1, 1, px)]
+    elif cmyk:
+        c, m, yy, k = (px[:, :, i] for i in range(4))
+        if adobe_transform == 2:
+            # YCCK (libjpeg ycc_rgb inverse's forward): YCbCr over the
+            # INVERTED CMY planes; K coded directly
+            r, g, bl = 255.0 - c, 255.0 - m, 255.0 - yy
+            y = 0.299 * r + 0.587 * g + 0.114 * bl
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+            comps = [(1, 1, 1, y), (2, 1, 1, cb), (3, 1, 1, cr),
+                     (4, 1, 1, k)]
+        else:
+            comps = [(1, 1, 1, c), (2, 1, 1, m), (3, 1, 1, yy),
+                     (4, 1, 1, k)]
     else:
         r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * bl
@@ -1273,8 +1325,8 @@ def encode_jpeg(
             struct, np,
         )
 
-    dc_tables = [_JPEG_DC_LUM] + ([_JPEG_DC_CHR] * 2 if not gray else [])
-    ac_tables = [_JPEG_AC_LUM] + ([_JPEG_AC_CHR] * 2 if not gray else [])
+    dc_tables = [_JPEG_DC_LUM] + [_JPEG_DC_CHR] * (len(comps) - 1)
+    ac_tables = [_JPEG_AC_LUM] + [_JPEG_AC_CHR] * (len(comps) - 1)
     dc_codes = [_jpeg_huff_codes(*t) for t in dc_tables]
     ac_codes = [_jpeg_huff_codes(*t) for t in ac_tables]
 
@@ -1333,16 +1385,24 @@ def encode_jpeg(
     wtr.flush()
 
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(
-        ">H", 16
-    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if cmyk:
+        # Adobe APP14 instead of JFIF (JFIF allows 1/3 components only):
+        # 'Adobe' + version 100 + flags0/flags1 + the transform byte the
+        # decoder keys the YCCK inverse on
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+            ">HHHB", 100, 0, 0, adobe_transform
+        )
+    else:
+        out += b"\xff\xe0" + struct.pack(
+            ">H", 16
+        ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     zzq = bytes(
         int(np.asarray(quant).reshape(-1)[nat]) for nat in _JPEG_ZIGZAG
     )
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zzq
     if not gray:
         out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + zzq
-    nf = 1 if gray else 3
+    nf = len(comps)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
     for cid, hs, vs, _ in comps:
         out += struct.pack(">BBB", cid, (hs << 4) | vs, 0 if cid == 1 else

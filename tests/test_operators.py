@@ -889,6 +889,115 @@ def test_jpeg_restart_interval_hand_crafted():
     assert (px == 130).all()
 
 
+def _bits_to_bytes(bits: str) -> bytes:
+    """Pack a hand-written bit string MSB-first, 1-padded to a byte
+    (T.81 F.1.2.3 pad rule); fixture streams stay encoder-independent."""
+    bits = bits.replace(" ", "")
+    bits += "1" * (-len(bits) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def _jpeg_headers_cmyk(transform: int) -> bytes:
+    """SOI + Adobe APP14 + flat-8 DQT + 4-component SOF0 (all 1x1,
+    table 0) + Annex K DHTs — hand-built, independent of encode_jpeg."""
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+        + struct.pack(">HHHB", 100, 0, 0, transform)
+        + b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([8] * 64)
+        + b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, 8, 8, 4)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00"
+        + _annex_k_jpeg_tables()
+        + b"\xff\xda\x00\x0e\x04\x01\x00\x02\x00\x03\x00\x04\x00"
+        + b"\x00\x3f\x00"
+    )
+
+
+def test_jpeg_cmyk_hand_crafted_transform0():
+    """4-component baseline stream, Adobe transform 0 (raw CMYK), bits
+    hand-derived from Annex F/K: one MCU = four DC-only blocks coded
+    back to back, each DC category 2 ('011') + diff ('10' = +2, '01' =
+    -2 ...). Blocks code diffs +2, +4(-from-+2 => diff '10' again on a
+    fresh per-component predictor!), so use distinct diffs per
+    component to prove component-interleave order: C +2 (130), M -2
+    (126), Y +2 (130), K -2 (126). Category-2 negative -2 codes as
+    '01'. Each block: '011' + bits + EOB '1010'."""
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import decode_jpeg_pixels
+
+    bits = "011 10 1010" + "011 01 1010" + "011 10 1010" + "011 01 1010"
+    jpeg = _jpeg_headers_cmyk(0) + _bits_to_bytes(bits) + b"\xff\xd9"
+    px = decode_jpeg_pixels(jpeg)
+    assert px.shape == (8, 8, 4) and px.dtype == np.uint8
+    assert (px[:, :, 0] == 130).all()
+    assert (px[:, :, 1] == 126).all()
+    assert (px[:, :, 2] == 130).all()
+    assert (px[:, :, 3] == 126).all()
+
+
+def test_jpeg_cmyk_hand_crafted_ycck_transform2():
+    """YCCK (Adobe transform 2) hand stream: planes y=128, cb=cr=128,
+    k=130 — DC diffs 0 (category 0, code '00') for the first three and
+    +2 for K. The decoder must apply the YCbCr inverse THEN invert the
+    first three planes: c = m = y = 255 - 128 = 127, k = 130. A sign
+    error in the YCCK inverse cannot cancel against encode_jpeg here
+    (the bytes are hand-built)."""
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import decode_jpeg_pixels
+
+    bits = "00 1010" + "00 1010" + "00 1010" + "011 10 1010"
+    jpeg = _jpeg_headers_cmyk(2) + _bits_to_bytes(bits) + b"\xff\xd9"
+    px = decode_jpeg_pixels(jpeg)
+    assert px.shape == (8, 8, 4) and px.dtype == np.uint8
+    assert (px[:, :, 0] == 127).all()
+    assert (px[:, :, 1] == 127).all()
+    assert (px[:, :, 2] == 127).all()
+    assert (px[:, :, 3] == 130).all()
+
+
+def test_jpeg_cmyk_roundtrip_exact():
+    """encode_jpeg/decode_jpeg_pixels CMYK roundtrips: transform 0 is
+    exact for any per-block-uniform channels (no color math at all);
+    transform 2 (YCCK) is exact for the equal-channel fixture
+    construction (flat-128 chroma survives the forward + inverse
+    transform); arbitrary images stay within quantization error."""
+    import numpy as np
+
+    from spark_xml_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    vals = (np.arange(6).reshape(2, 3) * 41 + 7) % 256
+    img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+    indep = np.stack(
+        [img, (img + 40) % 256, (img + 80) % 256, (img + 120) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    assert (
+        decode_jpeg_pixels(encode_jpeg(indep, adobe_transform=0)) == indep
+    ).all()
+    eq4 = np.stack([img] * 4, axis=2)
+    assert (
+        decode_jpeg_pixels(encode_jpeg(eq4, adobe_transform=2)) == eq4
+    ).all()
+    rng = np.random.default_rng(11)
+    rand = rng.integers(0, 256, (16, 24, 4), dtype=np.uint8)
+    err = np.abs(
+        decode_jpeg_pixels(encode_jpeg(rand, adobe_transform=2)).astype(int)
+        - rand.astype(int)
+    )
+    assert err.max() <= 48 and err.mean() < 8
+    with pytest.raises(ValueError, match="4:4:4 baseline"):
+        encode_jpeg(eq4, subsampling="420")
+    with pytest.raises(ValueError, match="adobe_transform"):
+        encode_jpeg(eq4, adobe_transform=1)
+
+
 def test_jpeg_ff_fill_bytes_before_markers():
     """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
     code. Pad the hand-crafted fixtures' markers with FF runs — in the
@@ -1049,13 +1158,15 @@ def test_jpeg_unsupported_variants_raise_seam_contract():
     )
     with _pytest.raises(NotImplementedError, match="precision"):
         decode_jpeg_pixels(twelve)
-    cmyk = (
+    # 4-component (CMYK) is now SUPPORTED (r12 task 7): component counts
+    # beyond 4 stay behind the seam
+    five = (
         b"\xff\xd8"
-        + b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, 8, 8, 4)
-        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00"
+        + b"\xff\xc0" + struct.pack(">HBHHB", 23, 8, 8, 8, 5)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00\x05\x11\x00"
     )
     with _pytest.raises(NotImplementedError, match="components"):
-        decode_jpeg_pixels(cmyk)
+        decode_jpeg_pixels(five)
     with _pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
     with _pytest.raises(ValueError, match="not a JPEG"):
