@@ -203,12 +203,18 @@ def _local_dim_df(
     opts = _inject_session_timezone(
         spark, dict(read_options, rowTag=tag)
     )
-    key = (spark.sparkContext.applicationId, base,
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, base,
            tuple(f.name for f in schema.fields),
            tuple(sorted((k, str(v)) for k, v in opts.items())))
     df = _LOCAL_DIM_DFS.get(key)
     if df is not None:
         return df
+    # entries from stopped sessions can never hit again (appId changes):
+    # evict them so a long-lived multi-session process doesn't retain
+    # literal plans bound to dead sessions (review r13)
+    for k in [k for k in _LOCAL_DIM_DFS if k[0] != app_id]:
+        del _LOCAL_DIM_DFS[k]
     total = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(xml_dir) for f in fs

@@ -513,28 +513,26 @@ def main() -> None:
     except OSError:
         pass
     # artifact + commit in ONE step (VERDICT r12 task 6): a bench run
-    # must never leave the tree dirty at round close. Only the bench
-    # artifacts are staged — never unrelated working-tree changes.
-    # Opt out with SPARK_GRAFT_BENCH_NO_COMMIT=1.
+    # must never leave the tree dirty at round close. ONLY the file THIS
+    # run wrote is committed — staging SCAN_YARDSTICK/RATIO_TREND here
+    # would silently publish other tools' uncommitted candidate readings
+    # (review r13); those tools' outputs are committed by their own
+    # invokers. Opt out with SPARK_GRAFT_BENCH_NO_COMMIT=1.
     if os.environ.get("SPARK_GRAFT_BENCH_NO_COMMIT") != "1":
         import subprocess
 
         try:
-            arts = ["BENCH_LOCAL.json", "SCAN_YARDSTICK.json",
-                    "RATIO_TREND.json"]
-            present = [a for a in arts if os.path.exists(
-                os.path.join(repo, a))]
-            subprocess.run(["git", "add", "--"] + present,
+            art = "BENCH_LOCAL.json"
+            subprocess.run(["git", "add", "--", art],
                            cwd=repo, capture_output=True, timeout=30)
             diff = subprocess.run(
-                ["git", "diff", "--cached", "--quiet", "--"] + present,
+                ["git", "diff", "--cached", "--quiet", "--", art],
                 cwd=repo, capture_output=True, timeout=30,
             )
             if diff.returncode == 1:
                 subprocess.run(
-                    ["git", "commit", "-m",
-                     "Record bench/scan-yardstick artifacts", "--only",
-                     "--"] + present,
+                    ["git", "commit", "-m", "Record bench artifact",
+                     "--only", "--", art],
                     cwd=repo, capture_output=True, timeout=30,
                 )
         except Exception:  # noqa: BLE001 -- bench output must still print

@@ -25,6 +25,7 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def capped_collect(banded: DataFrame, key_cols: Sequence[str], id_col,
@@ -264,6 +265,18 @@ def _content_hash_col(cols: Sequence[str]) -> Column:
     return F.sha2(F.concat(*parts), 256)
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can ORDER values of this type (min/max/sort keys):
+    maps cannot be ordered anywhere in the type tree."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def exact_dedup(
     df: DataFrame,
     cols: Optional[Sequence[str]] = None,
@@ -276,10 +289,13 @@ def exact_dedup(
 
     ONE shuffle keyed by the content columns, ONE evaluation of the
     input: with id_col the keeper's NON-key columns travel through a
-    map-side-combinable ``min_by(struct(carry), id)`` aggregate while the
-    content rides as the group key. (The groupBy-then-semi-join
-    formulation reads the input in TWO plan branches — at 100 TB that is
-    a second full scan — and its keep-list join is an extra shuffle.)
+    map-side-combinable minimum aggregate — ``min(id)`` when the id is
+    the only carried column, ``min(struct(flag, id, rest...))`` when
+    more columns ride along, and ``min_by`` only for carry columns
+    whose types Spark cannot order (maps) — while the content rides as
+    the group key. (The groupBy-then-semi-join formulation reads the
+    input in TWO plan branches — at 100 TB that is a second full scan —
+    and its keep-list join is an extra shuffle.)
 
     Grouping is by the RAW columns, not a content hash (r13, from the
     docs-x100 profile): the sha2-256 grouping key cost ~1 us/doc — 65%
@@ -321,18 +337,37 @@ def exact_dedup(
     # min(struct) stays inside whole-stage-codegen HashAggregate.
     # Ordering NULL-flag first also avoids min_by's phantom-row trap
     # (a bare min_by(_, id) skips NULL ordering values entirely).
-    ordered = F.struct(
-        F.col(id_col).isNull().alias("_idnull"),
-        F.col(id_col).alias("_id"),
-        *[F.col(c).alias(c) for c in carry if c != id_col],
-    )
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    if all(_orderable(by_name[c]) for c in carry):
+        ordered = F.struct(
+            F.col(id_col).isNull().alias("_idnull"),
+            F.col(id_col).alias("_id"),
+            *[F.col(c).alias(c) for c in carry if c != id_col],
+        )
+        return (
+            df.groupBy(*cols)
+            .agg(F.min(ordered).alias("_row"))
+            .select(*[
+                F.col(c) if c in cols
+                else F.col("_row").getField("_id").alias(c) if c == id_col
+                else F.col("_row").getField(c).alias(c)
+                for c in df.columns
+            ])
+        )
+    # non-orderable carry types (maps): min over their struct is an
+    # analysis error — min_by orders on (flag, id) only and carries the
+    # values opaquely; the SortAggregate plan is the price of map-typed
+    # payload columns
     return (
         df.groupBy(*cols)
-        .agg(F.min(ordered).alias("_row"))
+        .agg(
+            F.min_by(
+                F.struct(*carry),
+                F.struct(F.col(id_col).isNull(), F.col(id_col)),
+            ).alias("_row")
+        )
         .select(*[
-            F.col(c) if c in cols
-            else F.col("_row").getField("_id").alias(c) if c == id_col
-            else F.col("_row").getField(c).alias(c)
+            F.col(c) if c in cols else F.col("_row").getField(c).alias(c)
             for c in df.columns
         ])
     )

@@ -228,7 +228,18 @@ class XmlStreamReader(DataSourceStreamReader):
             if path != self._cursor_path:
                 # one-time migration of a pre-r11 (path+caps-only hash)
                 # cursor to the current derived name, so the admitted
-                # position survives the naming upgrade
+                # position survives the naming upgrade. The legacy file
+                # is deliberately LEFT IN PLACE: the legacy names are
+                # SHARED (path+caps only / fixed), so a co-located
+                # reader differing only in listing options derives the
+                # same legacy file but a different current name —
+                # retiring it on first migration would hand that reader
+                # None and re-ingest its whole backlog. The residual
+                # risk (current cursor later lost -> stale legacy
+                # adopted -> partial rewind) is strictly smaller than
+                # the full-backlog re-admit that losing the cursor with
+                # NO fallback causes, and the adoption is logged loudly
+                # either way (ADVICE r12).
                 _LOG.warning(
                     "xml stream source adopted legacy admission cursor "
                     "%s (migrating to %s)", path, self._cursor_path,
@@ -239,15 +250,6 @@ class XmlStreamReader(DataSourceStreamReader):
                     self._cursor_save()
                 except OSError:
                     pass  # migration is best-effort; cur still applies
-                else:
-                    # retire the legacy file so a later loss of the
-                    # current cursor can never silently rewind the
-                    # admitted position to this now-stale snapshot
-                    # (re-admitting files = duplicate ingestion)
-                    try:
-                        os.replace(path, path + ".migrated")
-                    except OSError:
-                        pass  # read-only ckpt: warning above still fired
                 finally:
                     self._planned = saved
             return cur

@@ -1843,6 +1843,20 @@ def test_repetition_metrics_property_vs_python(spark):
     check()
 
 
+def test_exact_dedup_map_typed_carry_column(spark):
+    """Carry columns whose types Spark cannot ORDER (maps) must still
+    dedup (review r13: the min(struct) fast path is an analysis error
+    for them — the operator falls back to min_by, which orders on
+    (flag, id) only and carries the map opaquely)."""
+    df = spark.createDataFrame(
+        [(1, "a", {"k": "v1"}), (2, "a", {"k": "v2"}), (3, "b", {})],
+        "doc_id long, text string, meta map<string,string>",
+    )
+    out = {r.doc_id: r.meta for r in
+           exact_dedup(df, cols=["text"], id_col="doc_id").collect()}
+    assert out == {1: {"k": "v1"}, 3: {}}
+
+
 def test_exact_dedup_null_ids_keep_one_row(spark):
     """A content group whose ids are ALL NULL keeps one REAL row
     (dropDuplicates semantics) — min_by must not fabricate an all-NULL

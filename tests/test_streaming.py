@@ -592,19 +592,18 @@ def test_legacy_cursor_name_migrates_on_miss(tmp_path):
     # migrated forward under the new name; _planned untouched
     assert json.load(open(rdr._cursor_path))["files"] == admitted["files"]
     assert rdr._planned == {}
-    # the legacy file is RETIRED (renamed .migrated) so a later loss of
-    # the current cursor can never silently rewind the admitted position
-    # to this stale snapshot (ADVICE r12: duplicate re-ingestion)
-    assert not legacy_file.exists()
-    assert (ckpt / (legacy_file.name + ".migrated")).exists()
+    # the legacy file stays IN PLACE: its name is shared by co-located
+    # readers that differ only in listing options (they derive the same
+    # legacy file but different current names) — retiring it on first
+    # migration would hand the second reader None and re-ingest its
+    # whole backlog (review r13); the adoption is logged instead
+    assert legacy_file.exists()
     # subsequent loads hit the new name directly
     assert rdr._cursor_load() == cur
-    # proof of the retirement's purpose: with the current cursor gone,
-    # the stale legacy snapshot must NOT be re-adopted
-    os.remove(rdr._cursor_path)
-    assert _mk()._cursor_load() is None
 
     # oldest era: the fixed un-tagged cursor filename must also migrate
+    os.remove(rdr._cursor_path)
+    os.remove(legacy_file)
     fixed = ckpt / "xml_graft_admission_cursor.json"
     fixed.write_text(json.dumps({"files": {str(src / "b.xml"): 7}}))
     rdr2 = _mk()
@@ -613,8 +612,6 @@ def test_legacy_cursor_name_migrates_on_miss(tmp_path):
     assert json.load(open(rdr2._cursor_path))["files"] == {
         str(src / "b.xml"): 7
     }
-    assert not fixed.exists()
-    assert (ckpt / (fixed.name + ".migrated")).exists()
 
     # the fixed-era name carries no stream identity: a cursor whose
     # files live under a DIFFERENT source path (recycled checkpoint

@@ -374,10 +374,14 @@ def main() -> None:
             )
             rec["ratio"] = round(rec["spark_s"] / rec["duck_s"], 2)
             x10r = x10.get(name, {})
-            dsp = rec["spark_s"] - x10r.get("spark_s", 0)
-            ddu = rec["duck_s"] - x10r.get("duck_s", 0)
-            if x10r and dsp > 0 and ddu > 0:
-                rec["marginal_ratio_x10_to_x100"] = round(dsp / ddu, 2)
+            # require REAL x10 readings: an errored x10 record would
+            # default to 0 and mislabel the absolute x100 ratio as the
+            # x10->x100 marginal
+            if "spark_s" in x10r and "duck_s" in x10r:
+                dsp = rec["spark_s"] - x10r["spark_s"]
+                ddu = rec["duck_s"] - x10r["duck_s"]
+                if dsp > 0 and ddu > 0:
+                    rec["marginal_ratio_x10_to_x100"] = round(dsp / ddu, 2)
         except Exception as exc:  # noqa: BLE001
             rec["error"] = repr(exc)[:200]
         con.close()
