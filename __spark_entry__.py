@@ -3667,6 +3667,65 @@ def q_events_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_start", "event_type")
 
 
+def q_text_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketch.py quantile_sketch +
+    quantile_estimate): per-source document-length p50/p90 estimated
+    from a k=64 bottom-by-md5 deterministic sample — bounded O(k) state
+    per group, the incremental counterpart of percentile_filter's exact
+    percentiles. The oracle rebuilds the identical sample (same
+    md5(salt||id) ranking) in SQL and applies the identical spelled-out
+    R-7 interpolation, so every estimate is value-exact cross-engine."""
+    from spark_xml_spark.operators import quantile_estimate, quantile_sketch
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select(
+        "source", "doc_id", F.length("text").cast("double").alias("n_chars")
+    )
+    sk = quantile_sketch(d, ["source"], "n_chars", "doc_id", k=64, salt="qs")
+    est = quantile_estimate(sk, [0.5, 0.9])
+    return est.select(
+        "source",
+        F.size("qsample").cast("bigint").alias("n_sample"),
+        "p50",
+        "p90",
+    ).orderBy("source")
+
+
+def q_text_qsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch MERGE invariant through the oracle (the kmv_merge /
+    events_rollup pattern): the corpus splits by doc_id parity, each
+    half builds its own k=64 sketch, merge_quantile_sketches combines
+    the partials — and because the bottom-k of a union is the bottom-k
+    of the union of per-slice bottom-ks, the merged estimates must
+    EQUAL the from-scratch single-sketch estimates, which is exactly
+    what the (shared) oracle computes."""
+    from spark_xml_spark.operators import (
+        merge_quantile_sketches,
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).select(
+        "source", "doc_id", F.length("text").cast("double").alias("n_chars")
+    )
+    parts = [
+        quantile_sketch(
+            d.filter(F.col("doc_id") % 2 == i),
+            ["source"], "n_chars", "doc_id", k=64, salt="qs",
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_quantile_sketches(
+        parts[0].unionByName(parts[1]), ["source"], k=64
+    )
+    est = quantile_estimate(merged, [0.5, 0.9])
+    return est.select(
+        "source",
+        F.size("qsample").cast("bigint").alias("n_sample"),
+        "p50",
+        "p90",
+    ).orderBy("source")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via window functions: a session breaks after a
     30-minute silence; per-user session stats."""
@@ -3811,6 +3870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_group_sample": q_text_group_sample,
         "text_hash_knn": q_text_hash_knn,
         "events_rollup_once": q_events_rollup_once,
+        "text_qsketch": q_text_qsketch,
+        "text_qsketch_merge": q_text_qsketch_merge,
     }
 
 
@@ -5498,6 +5559,46 @@ def oracle_sql() -> dict[str, str]:
     # the single-pass rollup computes exactly the from-scratch result
     # the merge demo must also reproduce — one oracle, two query shapes
     sql["events_rollup_once"] = sql["events_rollup"]
+    sql["text_qsketch"] = """
+        -- rebuild the deterministic bottom-64-by-md5 sample and apply
+        -- the SAME spelled-out R-7 interpolation the engine computes
+        -- (pos = (n-1)*q; v[lo] + (v[hi]-v[lo])*(pos-lo)) — identical
+        -- float64 expression tree on both engines, so the estimates
+        -- are bit-exact, unlike engine-internal quantile_cont
+        -- factorizations that may drift an ulp
+        WITH b AS (
+          SELECT source, doc_id,
+                 CAST(length(text) AS DOUBLE) AS v,
+                 md5('qs' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE text IS NOT NULL
+        ), r AS (
+          SELECT source, v,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY h, doc_id) AS rn
+          FROM b
+        ), s AS (
+          SELECT source, list(v ORDER BY v) AS vals
+          FROM r WHERE rn <= 64 GROUP BY source
+        ), q AS (
+          SELECT source, vals, len(vals) AS n,
+                 CAST(len(vals) - 1 AS DOUBLE) * 0.5 AS pos50,
+                 CAST(len(vals) - 1 AS DOUBLE) * 0.9 AS pos90
+          FROM s
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_sample,
+               vals[CAST(floor(pos50) AS INT) + 1]
+                 + (vals[least(CAST(floor(pos50) AS INT) + 2, n)]
+                    - vals[CAST(floor(pos50) AS INT) + 1])
+                   * (pos50 - floor(pos50)) AS p50,
+               vals[CAST(floor(pos90) AS INT) + 1]
+                 + (vals[least(CAST(floor(pos90) AS INT) + 2, n)]
+                    - vals[CAST(floor(pos90) AS INT) + 1])
+                   * (pos90 - floor(pos90)) AS p90
+        FROM q ORDER BY source
+    """
+    # merged partial sketches == the from-scratch sketch (bottom-k of a
+    # union is the bottom-k of the union of bottom-ks) — one oracle
+    sql["text_qsketch_merge"] = sql["text_qsketch"]
     sql["stream_multimodal"] = sql["multimodal_features"]
     # per-query independence makes micro-batched ANN exact: the streamed
     # probe's union of batch results equals the one-batch join

@@ -510,3 +510,160 @@ def kmv_estimate(
         k, arr, F.col("n_kept"), F.col("n_kept").cast("double")
     )
     return df.withColumn("est_distinct", est)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (bottom-k-by-hash sample)
+# ---------------------------------------------------------------------------
+
+
+def _qs_hash(id_col: str, salt: str) -> Column:
+    """The group_sample/_md5_bucket recipe: md5(salt || id-as-string),
+    NULL ids hashing as '' — any md5 engine ranks identically."""
+    return F.md5(
+        F.concat(
+            F.lit(salt),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """Mergeable quantile sketch per group: the ``k`` rows whose
+    md5(salt || id) rank smallest form a uniform, DETERMINISTIC sample
+    of the group (the bottom-k-by-hash construction — the same argument
+    that makes KMV mergeable makes this sample mergeable: the bottom-k
+    of a union IS the bottom-k of the union of per-slice bottom-ks).
+    Output: (group_cols..., qsample: array<struct<h,i,v>> sorted by
+    (h, i), sketch_k) — one row per group; rows with NULL ``value_col``
+    are excluded before sampling (quantiles ignore NULLs).
+
+    Why next to percentile_filter's exact percentiles: exact
+    percentiles re-read the corpus per refresh. This sketch is the
+    INCREMENTAL path — O(k) state per group, built once per slice
+    (file, day, shard) and merged (``merge_quantile_sketches``) with
+    the exact same estimates as a from-scratch sketch of the union,
+    the merge_rollups/kmv_merge invariant. Estimator error is the
+    uniform-sample quantile error, ~1/sqrt(k) quantile deviation.
+
+    Determinism contract (group_sample parity): depends only on the
+    ids — stable across runs, partitionings, and engines; ``id_col``
+    must be unique per row within a group. Scale shape: one keyed
+    shuffle; rank is a window over (group, hash); the collect_list
+    aggregates at most k rows per group (bounded), and Catalyst reuses
+    the window's hash partitioning for the groupBy — no second
+    exchange."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    hv = _qs_hash(id_col, salt)
+    base = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        hv.asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        base.withColumn("_qs_h", hv)
+        .withColumn("_qs_r", F.row_number().over(w))
+        .filter(F.col("_qs_r") <= k)
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_qs_h").alias("h"),
+                        F.coalesce(
+                            F.col(id_col).cast("string"), F.lit("")
+                        ).alias("i"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("qsample")
+        )
+        .withColumn("sketch_k", F.lit(k).cast("bigint"))
+    )
+
+
+def merge_quantile_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    sketch_col: str = "qsample",
+) -> DataFrame:
+    """Combine partial quantile sketches (same build salt, DISJOINT row
+    slices — a row fed into two partials is sampled twice, the
+    merge_rollups disjointness contract) into one sketch per group:
+    explode, re-rank by (h, i), keep the k smallest. Exact: the merged
+    sketch equals the from-scratch sketch of the union whenever every
+    partial kept at least min(k, its-slice-size) rows — i.e. partial
+    build k >= merge k, validated via the carried ``sketch_k``."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    if "sketch_k" in df.columns:
+        bad = df.filter(F.col("sketch_k") < k).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"merge_quantile_sketches at k={k} over a sketch built "
+                f"with smaller k={bad[0]['sketch_k']}: the partial may "
+                "have dropped rows a from-scratch k-sketch would keep"
+            )
+    ex = df.select(*group_cols, F.explode(sketch_col).alias("_e"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_e.h").asc(), F.col("_e.i").asc()
+    )
+    return (
+        ex.withColumn("_qs_r", F.row_number().over(w))
+        .filter(F.col("_qs_r") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("_e")).alias(sketch_col))
+        .withColumn("sketch_k", F.lit(k).cast("bigint"))
+    )
+
+
+def quantile_estimate(
+    df: DataFrame,
+    qs: Sequence[float],
+    sketch_col: str = "qsample",
+    prefix: str = "p",
+) -> DataFrame:
+    """Interpolated quantile estimates off a (possibly merged) sketch:
+    adds one double column per q, named p50/p90/p99_9-style. The
+    interpolation is the R-7 / SQL quantile_cont rule — pos = (n-1)*q,
+    v[lo] + (v[hi]-v[lo]) * (pos-lo) — spelled out as explicit float64
+    arithmetic so an oracle replaying the same expression is
+    bit-identical (quantile_cont implementations may factor the same
+    formula differently and drift an ulp)."""
+    vals = F.array_sort(F.expr(f"transform({sketch_col}, x -> x.v)"))
+    out = df.withColumn("_qs_vals", vals)
+    n = F.size("_qs_vals")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        name = prefix + str(round(q * 100, 4)).rstrip("0").rstrip(".").replace(
+            ".", "_"
+        )
+        pos = (n - F.lit(1)).cast("double") * F.lit(float(q))
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        v_lo = F.element_at("_qs_vals", lo + F.lit(1))
+        v_hi = F.element_at(
+            "_qs_vals", F.least(lo + F.lit(2), n).cast("int")
+        )
+        out = out.withColumn(
+            name,
+            F.when(n == 0, F.lit(None).cast("double")).otherwise(
+                v_lo + (v_hi - v_lo) * frac
+            ),
+        )
+    return out.drop("_qs_vals")

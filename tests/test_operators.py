@@ -3717,6 +3717,73 @@ def test_group_sample_deterministic_and_append_stable(spark):
         )
 
 
+def test_quantile_sketch_deterministic_and_merge_exact(spark):
+    """quantile_sketch: sample depends only on ids (partitioning-
+    independent); merged partial sketches equal the from-scratch sketch
+    BIT-FOR-BIT (bottom-k of a union == bottom-k of the union of
+    bottom-ks); NULL values are excluded before sampling; estimates
+    match a manual R-7 interpolation; merging at k larger than the
+    build k fails loudly."""
+    import hashlib
+
+    from spark_xml_spark.operators import (
+        merge_quantile_sketches,
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    rows = [("a", i, float(10 + (i * 37) % 90)) for i in range(50)]
+    rows += [("b", 100 + i, float(5 * i)) for i in range(7)]
+    rows += [("b", 200, None)]  # NULL value: excluded, never sampled
+    df = spark.createDataFrame(rows, "source string, doc_id long, v double")
+
+    sk = quantile_sketch(df, ["source"], "v", "doc_id", k=8, salt="t")
+    got = {r.source: [tuple(e) for e in r.qsample] for r in sk.collect()}
+    # reference sample: bottom-8 by md5('t'||id), values sorted by (h,i)
+    def ref(ids_vals):
+        ranked = sorted(
+            ((hashlib.md5(f"t{i}".encode()).hexdigest(), str(i), v)
+             for i, v in ids_vals if v is not None),
+        )[:8]
+        return ranked
+
+    assert got["a"] == ref([(i, v) for s, i, v in rows if s == "a"])
+    assert got["b"] == ref([(i, v) for s, i, v in rows if s == "b"])
+    # partitioning-independence
+    sk2 = quantile_sketch(
+        df.repartition(7), ["source"], "v", "doc_id", k=8, salt="t"
+    )
+    assert {r.source: [tuple(e) for e in r.qsample]
+            for r in sk2.collect()} == got
+    # merged halves == from-scratch, bit-for-bit
+    parts = [
+        quantile_sketch(df.filter(F.col("doc_id") % 2 == i),
+                        ["source"], "v", "doc_id", k=8, salt="t")
+        for i in (0, 1)
+    ]
+    merged = merge_quantile_sketches(
+        parts[0].unionByName(parts[1]), ["source"], k=8
+    )
+    assert {r.source: [tuple(e) for e in r.qsample]
+            for r in merged.collect()} == got
+    # estimates: manual R-7 over the sample values
+    est = {r.source: (r.p50, r.n_sample) for r in quantile_estimate(
+        sk.withColumn("n_sample", F.size("qsample")), [0.5]).collect()}
+    for src in ("a", "b"):
+        vals = sorted(v for _, _, v in got[src])
+        n = len(vals)
+        pos = (n - 1) * 0.5
+        lo = int(pos)
+        exp = vals[lo] + (vals[min(lo + 1, n - 1)] - vals[lo]) * (pos - lo)
+        assert est[src][0] == exp, src
+    assert est["b"][1] == 7  # the NULL-value row never entered
+    # merge k must not exceed build k
+    with pytest.raises(ValueError, match="smaller k"):
+        merge_quantile_sketches(sk, ["source"], k=16)
+    with pytest.raises(ValueError, match="quantile"):
+        quantile_estimate(sk, [1.5])
+
+
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):
     """7 high-cardinality group columns in one Arrow batch push the
     mixed-radix composite past 2^63 (ADVICE r11: silent int64 wraparound
