@@ -3577,6 +3577,70 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "n_kept", "est_distinct").orderBy("source")
 
 
+def q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING percentile tracking with the mergeable quantile sketch
+    (the stream_kmv pattern): documents replay in micro-batches, each
+    batch builds its slice's bottom-k-by-hash sample (quantile_sketch)
+    into an idempotent per-batch-id location, and the final state is
+    merge_quantile_sketches over all per-batch partials. Micro-batch
+    slices are disjoint (file-stream batches partition the file set),
+    so the merged sample — and therefore every quantile estimate — is
+    BIT-IDENTICAL to sketching the whole corpus, which is exactly what
+    the shared text_qsketch oracle computes."""
+    import tempfile
+
+    from spark_xml_spark.operators import (
+        merge_quantile_sketches,
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    def _build(path):
+        d = _parquet(spark, sf_dir, "documents", fan_out=False)
+        d.select("doc_id", "source", "text").coalesce(6).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    src = _stream_source(spark, sf_dir, "kmv-docs-id-src-text", "documents",
+                         _build)
+    work = tempfile.mkdtemp(prefix="xml_sqsk_q_")
+    state = os.path.join(work, "sketches")
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+
+    def _sink(batch_df, batch_id):
+        base = batch_df.select(
+            "source", "doc_id",
+            F.length("text").cast("double").alias("n_chars"),
+        )
+        quantile_sketch(
+            base, ["source"], "n_chars", "doc_id", k=64, salt="qs"
+        ).write.mode("overwrite").parquet(
+            os.path.join(state, f"b{batch_id}")
+        )
+
+    with _stateful_parts(spark):
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
+    partials = spark.read.option("recursiveFileLookup", "true").parquet(state)
+    merged = merge_quantile_sketches(partials, ["source"], k=64)
+    est = quantile_estimate(merged, [0.5, 0.9])
+    return est.select(
+        "source",
+        F.size("qsample").cast("bigint").alias("n_sample"),
+        "p50",
+        "p90",
+    ).orderBy("source")
+
+
 def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKEW-SAFE as-of join (operators/joins.py asof_join_bucketed): the
     hot-key recipe as a first-class operator — both sides bucket by
@@ -3872,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_once": q_events_rollup_once,
         "text_qsketch": q_text_qsketch,
         "text_qsketch_merge": q_text_qsketch_merge,
+        "stream_qsketch": q_stream_qsketch,
     }
 
 
@@ -5597,8 +5662,10 @@ def oracle_sql() -> dict[str, str]:
         FROM q ORDER BY source
     """
     # merged partial sketches == the from-scratch sketch (bottom-k of a
-    # union is the bottom-k of the union of bottom-ks) — one oracle
+    # union is the bottom-k of the union of bottom-ks) — one oracle,
+    # shared by the batch merge demo AND the per-micro-batch stream
     sql["text_qsketch_merge"] = sql["text_qsketch"]
+    sql["stream_qsketch"] = sql["text_qsketch"]
     sql["stream_multimodal"] = sql["multimodal_features"]
     # per-query independence makes micro-batched ANN exact: the streamed
     # probe's union of batch results equals the one-batch join
