@@ -300,3 +300,15 @@ def test_bm25_broadcast_query_and_persisted_lengths(push_conf):
     assert plan.count("InMemoryTableScan") >= 4
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_sketch_single_exchange_no_python(push_conf):
+    # quantile_sketch's rank window and its bounded collect_list group
+    # by the SAME key, so Catalyst must reuse the window's hash
+    # partitioning — exactly ONE exchange for build + collect (the O(k)
+    # state claim in sketch.py depends on the collect seeing <= k rows
+    # per group, which the rank filter guarantees BEFORE the agg);
+    # everything stays JVM-side
+    plan = _plan(push_conf, "text_qsketch")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
