@@ -559,7 +559,11 @@ def quantile_sketch(
     shuffle; rank is a window over (group, hash); the collect_list
     aggregates at most k rows per group (bounded), and Catalyst reuses
     the window's hash partitioning for the groupBy — no second
-    exchange."""
+    exchange (plan-pinned). Hot-group skew (one group so large its
+    rank sort serializes a task): sketch with a SALTED group key
+    (group, md5-bucket) first, then ``merge_quantile_sketches`` on the
+    true group — the merge IS the re-rank, and its exactness argument
+    makes the two-phase result identical to the direct sketch."""
     if k <= 0:
         raise ValueError("k must be positive")
     from pyspark.sql import Window

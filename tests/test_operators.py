@@ -3777,6 +3777,16 @@ def test_quantile_sketch_deterministic_and_merge_exact(spark):
         exp = vals[lo] + (vals[min(lo + 1, n - 1)] - vals[lo]) * (pos - lo)
         assert est[src][0] == exp, src
     assert est["b"][1] == 7  # the NULL-value row never entered
+    # the documented hot-group-skew refinement: sketch under a SALTED
+    # group key, then merge on the true group — identical to the
+    # direct sketch (the merge IS the re-rank)
+    salted = quantile_sketch(
+        df.withColumn("bkt", F.col("doc_id") % 3),
+        ["source", "bkt"], "v", "doc_id", k=8, salt="t",
+    )
+    two_phase = merge_quantile_sketches(salted, ["source"], k=8)
+    assert {r.source: [tuple(e) for e in r.qsample]
+            for r in two_phase.collect()} == got
     # merge k must not exceed build k
     with pytest.raises(ValueError, match="smaller k"):
         merge_quantile_sketches(sk, ["source"], k=16)
