@@ -555,8 +555,15 @@ def quantile_sketch(
 
     Determinism contract (group_sample parity): depends only on the
     ids — stable across runs, partitionings, and engines; ``id_col``
-    must be unique per row within a group. Scale shape: one keyed
-    shuffle; rank is a window over (group, hash); the collect_list
+    should be unique per row within a group. Rows that TIE on the full
+    (hash, id, value) sort key — e.g. several NULL-id rows carrying the
+    same value — are interchangeable, so the SAMPLE (and every
+    estimate) is still deterministic; the value tiebreak makes
+    duplicate/NULL ids safe where a bare (hash, id) ordering would
+    leave the winner partitioning-dependent. Scale shape: one keyed
+    shuffle over ONLY (group, id, value) — other input columns are
+    pruned before the exchange; rank is a window over (group, hash);
+    the collect_list
     aggregates at most k rows per group (bounded), and Catalyst reuses
     the window's hash partitioning for the groupBy — no second
     exchange (plan-pinned). Hot-group skew (one group so large its
@@ -569,9 +576,14 @@ def quantile_sketch(
     from pyspark.sql import Window
 
     hv = _qs_hash(id_col, salt)
-    base = df.filter(F.col(value_col).isNotNull())
+    # prune to the surviving fields BEFORE the exchange: the window
+    # would otherwise shuffle and sort every input column (a carried
+    # text payload costs megabytes per group of wasted I/O)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, id_col, value_col
+    )
     w = Window.partitionBy(*group_cols).orderBy(
-        hv.asc(), F.col(id_col).asc()
+        hv.asc(), F.col(id_col).asc(), F.col(value_col).asc()
     )
     ranked = (
         base.withColumn("_qs_h", hv)
@@ -606,25 +618,37 @@ def merge_quantile_sketches(
     """Combine partial quantile sketches (same build salt, DISJOINT row
     slices — a row fed into two partials is sampled twice, the
     merge_rollups disjointness contract) into one sketch per group:
-    explode, re-rank by (h, i), keep the k smallest. Exact: the merged
-    sketch equals the from-scratch sketch of the union whenever every
-    partial kept at least min(k, its-slice-size) rows — i.e. partial
-    build k >= merge k, validated via the carried ``sketch_k``."""
+    explode, re-rank by (h, i, v), keep the k smallest. Exact: the
+    merged sketch equals the from-scratch sketch of the union whenever
+    every partial kept at least min(k, its-slice-size) rows — i.e.
+    partial build k >= merge k, enforced by the same lazy unprunable
+    guard kmv_merge uses (the carried ``sketch_k`` wraps the data
+    column, raising executor-side on any under-built partial — no
+    eager extra scan of stored partials)."""
     if k <= 0:
         raise ValueError("k must be positive")
     from pyspark.sql import Window
 
-    if "sketch_k" in df.columns:
-        bad = df.filter(F.col("sketch_k") < k).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"merge_quantile_sketches at k={k} over a sketch built "
-                f"with smaller k={bad[0]['sketch_k']}: the partial may "
-                "have dropped rows a from-scratch k-sketch would keep"
+    if "sketch_k" not in df.columns:
+        raise ValueError(
+            "merge_quantile_sketches inputs must come from "
+            "quantile_sketch (sketch_k column missing): without the "
+            "build k the merge cannot prove the partials kept every "
+            "row a from-scratch k-sketch would keep"
+        )
+    arr = F.when(F.col("sketch_k") >= k, F.col(sketch_col)).otherwise(
+        F.raise_error(
+            F.format_string(
+                "merge_quantile_sketches: requested k=%s exceeds an "
+                "input sketch's build k=%s — rebuild with a larger k",
+                F.lit(k),
+                F.col("sketch_k"),
             )
-    ex = df.select(*group_cols, F.explode(sketch_col).alias("_e"))
+        ).cast(df.schema[sketch_col].dataType.simpleString())
+    )
+    ex = df.select(*group_cols, F.explode(arr).alias("_e"))
     w = Window.partitionBy(*group_cols).orderBy(
-        F.col("_e.h").asc(), F.col("_e.i").asc()
+        F.col("_e.h").asc(), F.col("_e.i").asc(), F.col("_e.v").asc()
     )
     return (
         ex.withColumn("_qs_r", F.row_number().over(w))
@@ -651,12 +675,21 @@ def quantile_estimate(
     vals = F.array_sort(F.expr(f"transform({sketch_col}, x -> x.v)"))
     out = df.withColumn("_qs_vals", vals)
     n = F.size("_qs_vals")
+    seen: set = set()
     for q in qs:
+        q = float(q)  # an int 1 would name itself 'p1', not 'p100'
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
-        name = prefix + str(round(q * 100, 4)).rstrip("0").rstrip(".").replace(
-            ".", "_"
+        name = prefix + (
+            str(round(q * 100, 4)).rstrip("0").rstrip(".").replace(".", "_")
+            or "0"  # q=0.0 strips to '' — name it p0, not bare prefix
         )
+        if name in seen:
+            raise ValueError(
+                f"quantiles {sorted(qs)} derive the duplicate column "
+                f"name {name!r}; withColumn would silently overwrite"
+            )
+        seen.add(name)
         pos = (n - F.lit(1)).cast("double") * F.lit(float(q))
         lo = F.floor(pos).cast("int")
         frac = pos - lo.cast("double")

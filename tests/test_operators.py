@@ -3787,11 +3787,39 @@ def test_quantile_sketch_deterministic_and_merge_exact(spark):
     two_phase = merge_quantile_sketches(salted, ["source"], k=8)
     assert {r.source: [tuple(e) for e in r.qsample]
             for r in two_phase.collect()} == got
-    # merge k must not exceed build k
-    with pytest.raises(ValueError, match="smaller k"):
-        merge_quantile_sketches(sk, ["source"], k=16)
+    # merge k must not exceed build k — enforced lazily (executor
+    # raise), and a missing sketch_k is a hard error, not a skipped
+    # check (review r13)
+    with pytest.raises(Exception, match="exceeds an input sketch"):
+        merge_quantile_sketches(sk, ["source"], k=16).collect()
+    with pytest.raises(ValueError, match="sketch_k column missing"):
+        merge_quantile_sketches(sk.drop("sketch_k"), ["source"], k=8)
     with pytest.raises(ValueError, match="quantile"):
         quantile_estimate(sk, [1.5])
+    # name derivation: int q=1 is q=1.0 and names itself p100 (not the
+    # p1 an int round() would derive), estimating the sample max
+    assert {r.source: r.p100 for r in quantile_estimate(sk, [1]).collect()} \
+        == {s: max(v for _, _, v in e) for s, e in got.items()}
+    with pytest.raises(ValueError, match="duplicate column name"):
+        quantile_estimate(sk, [0.011, 0.0110001])
+    # NULL-id ties: several NULL-id rows share the hash of ''; the
+    # value tiebreak keeps the sample deterministic across
+    # partitionings (review r13)
+    nid = spark.createDataFrame(
+        [("z", None, 9.0), ("z", None, 3.0), ("z", None, 6.0)],
+        "source string, doc_id long, v double",
+    )
+    outs = {
+        tuple(
+            tuple(e) for e in quantile_sketch(
+                nid.repartition(p), ["source"], "v", "doc_id",
+                k=2, salt="t",
+            ).collect()[0].qsample
+        )
+        for p in (1, 2, 5)
+    }
+    assert len(outs) == 1  # identical sample whatever the partitioning
+    assert [e[2] for e in next(iter(outs))] == [3.0, 6.0]
 
 
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):
