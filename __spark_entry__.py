@@ -3577,6 +3577,30 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "n_kept", "est_distinct").orderBy("source")
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (operators/rollup.py funnel_steps): per user,
+    the longest prefix of view -> click -> purchase completable in
+    order, with each step's earliest completion time. Earliest-first is
+    optimal for the unbounded funnel, so the oracle replays the exact
+    definition as a chain of min-aggregations; epoch-second timestamps
+    keep every output integer-exact."""
+    from spark_xml_spark.operators import funnel_steps
+
+    e = _events(spark, sf_dir)
+    ts_sec, _ = _events_ts_cols(e)
+    base = e.withColumn("ts_sec", ts_sec).select(
+        "user_id", "event_type", "ts_sec"
+    )
+    out = funnel_steps(
+        base, "user_id", "ts_sec", ["view", "click", "purchase"]
+    )
+    # per-USER rows: the gate value-verifies every user's exact funnel
+    # prefix and step timestamps, not a lossy histogram
+    return out.select(
+        "user_id", "max_step", "step1_ts", "step2_ts", "step3_ts"
+    ).orderBy("user_id")
+
+
 def q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING percentile tracking with the mergeable quantile sketch
     (the stream_kmv pattern): documents replay in micro-batches, each
@@ -3937,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_qsketch": q_text_qsketch,
         "text_qsketch_merge": q_text_qsketch_merge,
         "stream_qsketch": q_stream_qsketch,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -5666,6 +5691,38 @@ def oracle_sql() -> dict[str, str]:
     # shared by the batch merge demo AND the per-micro-batch stream
     sql["text_qsketch_merge"] = sql["text_qsketch"]
     sql["stream_qsketch"] = sql["text_qsketch"]
+    sql["events_funnel"] = """
+        -- earliest-completion funnel replayed as the chain of
+        -- min-aggregations that DEFINES it: step i's earliest ts among
+        -- its events at/after step i-1's earliest completion
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS ts_sec
+          FROM events
+        ), a1 AS (
+          SELECT user_id, MIN(ts_sec) AS s1
+          FROM e WHERE event_type = 'view' GROUP BY user_id
+        ), a2 AS (
+          SELECT e.user_id, MIN(e.ts_sec) AS s2
+          FROM e JOIN a1 ON e.user_id = a1.user_id AND e.ts_sec >= a1.s1
+          WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), a3 AS (
+          SELECT e.user_id, MIN(e.ts_sec) AS s3
+          FROM e JOIN a2 ON e.user_id = a2.user_id AND e.ts_sec >= a2.s2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT a1.user_id AS user_id,
+               CAST(1 + CASE WHEN a2.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN a3.user_id IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS max_step,
+               CAST(a1.s1 AS BIGINT) AS step1_ts,
+               CAST(a2.s2 AS BIGINT) AS step2_ts,
+               CAST(a3.s3 AS BIGINT) AS step3_ts
+        FROM a1
+        LEFT JOIN a2 ON a1.user_id = a2.user_id
+        LEFT JOIN a3 ON a1.user_id = a3.user_id
+        ORDER BY user_id
+    """
     sql["stream_multimodal"] = sql["multimodal_features"]
     # per-query independence makes micro-batched ANN exact: the streamed
     # probe's union of batch results equals the one-batch join

@@ -89,3 +89,75 @@ def merge_rollups(
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: for each user, the longest PREFIX of ``steps``
+    completable in order, with the EARLIEST timestamp each reached step
+    completes at. A step counts when an event of its type occurs at or
+    after the previous step's earliest completion (ties allowed — two
+    events sharing a timestamp can satisfy consecutive steps; mirror
+    ``>=`` in any replay). Earliest-first is OPTIMAL for unbounded
+    funnels: completing step i as early as possible can only widen the
+    choice for step i+1, so ``max_step`` is the true maximum (a bounded
+    conversion-window variant would need per-chain-start search —
+    deliberately out of scope; filter the input to a time slice for the
+    common windowed report).
+
+    Output: one row per user that reached step 1 —
+    (user_col, max_step bigint, step1_ts..stepN_ts, same type as
+    ts_col, NULL past max_step).
+
+    Scale shape (100 TB): one filtered aggregation for step 1, then per
+    additional step ONE user-keyed join + min aggregation over ONLY
+    that step's events — len(steps) is a small constant (3-5), so the
+    plan is a bounded chain of keyed shuffles, each shrinking to
+    one-row-per-user; no window over whole user histories, no
+    collect_list of a user's events (a hot user costs nothing beyond
+    their per-step event count)."""
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct event types")
+    u, ts = user_col, ts_col
+    ach = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(u)
+        .agg(F.min(ts).alias("_s1"))
+    )
+    for i, st in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(type_col) == st).select(
+            F.col(u).alias("_u"), F.col(ts).alias("_ts")
+        )
+        nxt = (
+            ev.join(
+                ach.select(u, f"_s{i - 1}"),
+                (F.col("_u") == F.col(u))
+                & (F.col("_ts") >= F.col(f"_s{i - 1}")),
+            )
+            .groupBy("_u")
+            .agg(F.min("_ts").alias(f"_s{i}"))
+            .withColumnRenamed("_u", u)
+        )
+        ach = ach.join(nxt, u, "left")
+    reached = [
+        F.when(F.col(f"_s{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    ]
+    max_step = reached[0]
+    for r in reached[1:]:
+        max_step = max_step + r
+    return ach.select(
+        u,
+        max_step.cast("bigint").alias("max_step"),
+        *[
+            F.col(f"_s{i}").alias(f"step{i}_ts")
+            for i in range(1, len(steps) + 1)
+        ],
+    )

@@ -3549,6 +3549,48 @@ def test_range_join_plan_is_equi_join(spark):
     assert out.count() == 1000
 
 
+def test_funnel_steps_earliest_completion(spark):
+    """funnel_steps: earliest-completion prefix semantics — a step
+    counts only at/after the previous step's earliest completion (ties
+    allowed); users without step 1 are absent; out-of-order later steps
+    don't count; duplicate step names rejected."""
+    from spark_xml_spark.operators import funnel_steps
+
+    rows = [
+        # u1 completes all three, with a decoy click BEFORE the view
+        ("u1", "click", 5), ("u1", "view", 10), ("u1", "click", 20),
+        ("u1", "purchase", 30),
+        # u2: view then purchase but never a click -> stuck at step 1
+        ("u2", "view", 10), ("u2", "purchase", 40),
+        # u3: click/purchase only -> no step 1, absent from output
+        ("u3", "click", 1), ("u3", "purchase", 2),
+        # u4: tie — click at the SAME ts as view counts (>= contract)
+        ("u4", "view", 7), ("u4", "click", 7),
+        # u5: two funnels; earliest-first picks view@1, click@2, buy@3
+        ("u5", "view", 1), ("u5", "click", 2), ("u5", "purchase", 3),
+        ("u5", "view", 100), ("u5", "click", 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts long"
+    )
+    out = {
+        r.user_id: (r.max_step, r.step1_ts, r.step2_ts, r.step3_ts)
+        for r in funnel_steps(
+            df, "user_id", "ts", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {
+        "u1": (3, 10, 20, 30),
+        "u2": (1, 10, None, None),
+        "u4": (2, 7, 7, None),
+        "u5": (3, 1, 2, 3),
+    }
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_steps(df, "user_id", "ts", ["view", "view"])
+    with pytest.raises(ValueError, match="at least one"):
+        funnel_steps(df, "user_id", "ts", [])
+
+
 def test_time_rollup_merge_equals_full_rebuild(spark):
     """The incremental-refresh invariant: merging per-slice rollups must
     equal a from-scratch rollup bit-for-bit (algebraic aggregates,
