@@ -5696,9 +5696,11 @@ def oracle_sql() -> dict[str, str]:
         -- min-aggregations that DEFINES it: step i's earliest ts among
         -- its events at/after step i-1's earliest completion
         WITH e AS (
+          -- NULL-ts events cannot order within a funnel: excluded on
+          -- both engines (funnel_steps filters them up front)
           SELECT user_id, event_type,
                  epoch_ns(ts) // 1000000000 AS ts_sec
-          FROM events
+          FROM events WHERE ts IS NOT NULL
         ), a1 AS (
           SELECT user_id, MIN(ts_sec) AS s1
           FROM e WHERE event_type = 'view' GROUP BY user_id

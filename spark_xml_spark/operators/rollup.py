@@ -112,7 +112,10 @@ def funnel_steps(
 
     Output: one row per user that reached step 1 —
     (user_col, max_step bigint, step1_ts..stepN_ts, same type as
-    ts_col, NULL past max_step).
+    ts_col, NULL past max_step). Events with a NULL timestamp cannot
+    order within a funnel and are ignored entirely (so a user whose
+    only step-1 events carry NULL ts is absent, keeping the
+    one-row-per-reached-user contract exact).
 
     Scale shape (100 TB): one filtered aggregation for step 1, then per
     additional step ONE user-keyed join + min aggregation over ONLY
@@ -120,24 +123,34 @@ def funnel_steps(
     plan is a bounded chain of keyed shuffles, each shrinking to
     one-row-per-user; no window over whole user histories, no
     collect_list of a user's events (a hot user costs nothing beyond
-    their per-step event count)."""
+    their per-step event count). Each step frame references only its
+    predecessor (never the running assembly), so the logical plan grows
+    linearly in steps; the final assembly is one multi-way left join of
+    the per-step one-row-per-user frames."""
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
     if len(set(steps)) != len(steps):
         raise ValueError("steps must be distinct event types")
     u, ts = user_col, ts_col
-    ach = (
-        df.filter(F.col(type_col) == steps[0])
+    reserved = {"_u", "_ts"} | {f"_s{i}" for i in range(1, len(steps) + 1)}
+    if {u, ts, type_col} & reserved or reserved & set(df.columns):
+        raise ValueError(
+            f"funnel_steps reserves column names {sorted(reserved)}; "
+            "rename the colliding input columns first"
+        )
+    base = df.filter(F.col(ts).isNotNull())
+    frames = [
+        base.filter(F.col(type_col) == steps[0])
         .groupBy(u)
         .agg(F.min(ts).alias("_s1"))
-    )
+    ]
     for i, st in enumerate(steps[1:], start=2):
-        ev = df.filter(F.col(type_col) == st).select(
+        ev = base.filter(F.col(type_col) == st).select(
             F.col(u).alias("_u"), F.col(ts).alias("_ts")
         )
-        nxt = (
+        frames.append(
             ev.join(
-                ach.select(u, f"_s{i - 1}"),
+                frames[-1].select(u, f"_s{i - 1}"),
                 (F.col("_u") == F.col(u))
                 & (F.col("_ts") >= F.col(f"_s{i - 1}")),
             )
@@ -145,6 +158,8 @@ def funnel_steps(
             .agg(F.min("_ts").alias(f"_s{i}"))
             .withColumnRenamed("_u", u)
         )
+    ach = frames[0]
+    for nxt in frames[1:]:
         ach = ach.join(nxt, u, "left")
     reached = [
         F.when(F.col(f"_s{i}").isNotNull(), 1).otherwise(0)

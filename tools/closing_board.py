@@ -46,11 +46,10 @@ def _run(label: str, cmd, timeout: int = 3600) -> tuple[bool, str]:
 def main() -> None:
     skip = set()
     for a in sys.argv[1:]:
-        if a.startswith("--skip"):
-            skip = set(a.split("=", 1)[1].split(",")) if "=" in a else set(
-                sys.argv[sys.argv.index(a) + 1].split(",")
-            )
-    lines = []
+        if a == "--skip" or (a.startswith("--skip") and "=" not in a):
+            sys.exit("usage: closing_board.py [--skip=step,step,...]")
+        if a.startswith("--skip="):
+            skip = set(a.split("=", 1)[1].split(","))
     failed = 0
     steps = [
         ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], 3600),
@@ -63,15 +62,44 @@ def main() -> None:
     ]
     for name, cmd, to in steps:
         if name in skip:
-            lines.append(f"{name}: skipped")
+            print(f"{name}: skipped", flush=True)
             continue
         ok, line = _run(name, cmd, to)
         failed += 0 if ok else 1
-        lines.append(line)
         print(line, flush=True)
+        if ok and name in ("scan", "trend"):
+            # this board run IS these artifacts' invoker: commit them
+            # here so the clean-tree check at the end means something
+            # (bench.py commits its own BENCH_LOCAL.json)
+            art = {"scan": "SCAN_YARDSTICK.json",
+                   "trend": "RATIO_TREND.json"}[name]
+            subprocess.run(["git", "add", "--", art], cwd=REPO,
+                           capture_output=True)
+            if subprocess.run(
+                ["git", "diff", "--cached", "--quiet", "--", art],
+                cwd=REPO, capture_output=True,
+            ).returncode == 1:
+                subprocess.run(
+                    ["git", "commit", "-m",
+                     f"Record {art} from the closing board", "--only",
+                     "--", art],
+                    cwd=REPO, capture_output=True,
+                )
     if "gate" not in skip:
-        # COLD gate: caches rebuilt from the final tree, nothing stale
-        shutil.rmtree("/tmp/xmlgraft_cache", ignore_errors=True)
+        # COLD gate: caches rebuilt from the final tree, nothing stale.
+        # Honor the same env/tmpdir the engine reads (a hardcoded /tmp
+        # wipe would leave a configured cache warm and report a fake
+        # cold pass).
+        import tempfile
+
+        shutil.rmtree(
+            os.environ.get("XML_GRAFT_CACHE", "/tmp/xmlgraft_cache"),
+            ignore_errors=True,
+        )
+        shutil.rmtree(
+            os.path.join(tempfile.gettempdir(), "xml_graft_catalog"),
+            ignore_errors=True,
+        )
         shutil.rmtree("/tmp/xml_graft_catalog", ignore_errors=True)
         ok, line = _run(
             "gate",
@@ -80,7 +108,6 @@ def main() -> None:
             1800,
         )
         failed += 0 if ok else 1
-        lines.append(line)
         print(line, flush=True)
     dirty = subprocess.run(
         ["git", "status", "--porcelain"], cwd=REPO,
