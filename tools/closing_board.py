@@ -36,9 +36,14 @@ def _run(label: str, cmd, timeout: int = 3600) -> tuple[bool, str]:
             cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
         )
         ok = p.returncode == 0
-        tail = (p.stdout + p.stderr).strip().splitlines()[-1:] or [""]
+        out_lines = (p.stdout + p.stderr).strip().splitlines()
+        # prefer the machine-greppable SUMMARY/yardstick line over
+        # whatever log noise happens to be last
+        keyed = [ln for ln in out_lines
+                 if "SUMMARY" in ln or "yardstick:" in ln]
+        tail = (keyed or out_lines)[-1:] or [""]
         return ok, f"{label}: {'ok' if ok else 'FAIL'} " \
-                   f"({time.time()-t0:.0f}s) {tail[0][:120]}"
+                   f"({time.time()-t0:.0f}s) {tail[0][:160]}"
     except subprocess.TimeoutExpired:
         return False, f"{label}: TIMEOUT after {timeout}s"
 
