@@ -530,13 +530,22 @@ def main() -> None:
                 cwd=repo, capture_output=True, timeout=30,
             )
             if diff.returncode == 1:
-                subprocess.run(
+                commit = subprocess.run(
                     ["git", "commit", "-m", "Record bench artifact",
                      "--only", "--", art],
                     cwd=repo, capture_output=True, timeout=30,
                 )
-        except Exception:  # noqa: BLE001 -- bench output must still print
-            pass
+                # git history mutation must be VISIBLE (advice r13):
+                # one line to stderr, commit or failure alike
+                print(
+                    f"bench: committed {art}" if commit.returncode == 0
+                    else f"bench: git commit of {art} FAILED "
+                         f"(rc={commit.returncode}) — tree left dirty; "
+                         "set SPARK_GRAFT_BENCH_NO_COMMIT=1 to opt out",
+                    file=sys.stderr,
+                )
+        except Exception as exc:  # noqa: BLE001 -- bench must still print
+            print(f"bench: git commit skipped ({exc!r})", file=sys.stderr)
     print(line)
     spark.stop()
 

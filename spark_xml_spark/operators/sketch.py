@@ -573,6 +573,14 @@ def quantile_sketch(
     makes the two-phase result identical to the direct sketch."""
     if k <= 0:
         raise ValueError("k must be positive")
+    reserved = {"_qs_h", "_qs_r"} & ({id_col, value_col} | set(group_cols))
+    if reserved:
+        # withColumn would silently overwrite the caller's column and
+        # corrupt the grouping — the group_sample/funnel fail-loud contract
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by "
+            "quantile_sketch; rename them before sketching"
+        )
     from pyspark.sql import Window
 
     hv = _qs_hash(id_col, salt)
@@ -627,6 +635,14 @@ def merge_quantile_sketches(
     eager extra scan of stored partials)."""
     if k <= 0:
         raise ValueError("k must be positive")
+    reserved = {"_e", "_qs_r"} & set(group_cols)
+    if reserved:
+        # the explode/rank aliases would collide with (or overwrite) the
+        # caller's group column — same fail-loud contract as the build side
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by "
+            "merge_quantile_sketches; rename them before merging"
+        )
     from pyspark.sql import Window
 
     if "sketch_k" not in df.columns:

@@ -3862,6 +3862,20 @@ def test_quantile_sketch_deterministic_and_merge_exact(spark):
     }
     assert len(outs) == 1  # identical sample whatever the partitioning
     assert [e[2] for e in next(iter(outs))] == [3.0, 6.0]
+    # reserved internal names fail loudly instead of being silently
+    # overwritten by withColumn (ADVICE r13 — group_sample/funnel parity)
+    for bad_kw in (
+        {"group_cols": ["_qs_h"], "value_col": "v", "id_col": "doc_id"},
+        {"group_cols": ["source"], "value_col": "_qs_r", "id_col": "doc_id"},
+        {"group_cols": ["source"], "value_col": "v", "id_col": "_qs_h"},
+    ):
+        with pytest.raises(ValueError, match="reserved by quantile_sketch"):
+            quantile_sketch(df, bad_kw["group_cols"], bad_kw["value_col"],
+                            bad_kw["id_col"], k=4)
+    with pytest.raises(ValueError, match="reserved by merge_quantile"):
+        merge_quantile_sketches(
+            sk.withColumnRenamed("source", "_e"), ["_e"], k=8
+        )
 
 
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):

@@ -1,19 +1,24 @@
 """Round-closing board: run the full evidence protocol in the right
 order on a quiet host and print one summary block.
 
-Sequence (each step is the r13-pinned protocol for its number):
-  1. pytest tests/ (correctness suite)
-  2. tools/profile_scan.py        -> SCAN_YARDSTICK.json (loadavg guard)
-  3. tools/ratio_trend.py         -> RATIO_TREND.json (scale trend)
-  4. bench.py                     -> BENCH_LOCAL.json (self-commits)
+Sequence (each step is the r13-pinned protocol for its number; PERF
+steps run FIRST, r14 fix — the 1-minute loadavg LAGS process churn,
+so a yardstick run right after pytest's 32 JVM workers exit passes
+the loadavg guard yet reads ~30 % low (r13 measured 650k vs 917k
+back-to-back); timing before any JVM storm keeps the guard honest):
+  1. tools/profile_scan.py        -> SCAN_YARDSTICK.json (loadavg guard)
+  2. tools/ratio_trend.py         -> RATIO_TREND.json (scale trend)
+  3. bench.py                     -> BENCH_LOCAL.json (self-commits)
+  4. pytest tests/ (correctness suite)
   5. tools/audit_plans.py         -> zero unwaived flags required
   6. COLD replica gate            -> rm caches; check_oracle --summary
   7. git status must be clean
 
 Steps run SEQUENTIALLY — concurrent perf steps contaminate each
 other's readings on this host (documented 2x band). Skip steps with
---skip pytest,trend,... (comma list: pytest scan trend bench audit
-gate). Exit code: number of failed steps.
+--skip=pytest,trend,... or --skip pytest,trend,... (comma list:
+pytest scan trend bench audit gate). Exit code: number of failed
+steps.
 
 Run:  python tools/closing_board.py            (~35-45 min total)
 """
@@ -50,17 +55,26 @@ def _run(label: str, cmd, timeout: int = 3600) -> tuple[bool, str]:
 
 def main() -> None:
     skip = set()
-    for a in sys.argv[1:]:
-        if a == "--skip" or (a.startswith("--skip") and "=" not in a):
-            sys.exit("usage: closing_board.py [--skip=step,step,...]")
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--skip" and i + 1 < len(argv):
+            skip |= set(argv[i + 1].split(","))
+            i += 2
+            continue
         if a.startswith("--skip="):
-            skip = set(a.split("=", 1)[1].split(","))
+            skip |= set(a.split("=", 1)[1].split(","))
+            i += 1
+            continue
+        sys.exit("usage: closing_board.py [--skip=step,step,...]")
     failed = 0
+    # perf first (quiet host), pytest's JVM storm after — see module doc
     steps = [
-        ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], 3600),
         ("scan", [sys.executable, "tools/profile_scan.py"], 1200),
         ("trend", [sys.executable, "tools/ratio_trend.py"], 1800),
         ("bench", [sys.executable, "bench.py"], 1800),
+        ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], 3600),
         ("audit",
          [sys.executable, "tools/audit_plans.py", "/root/testdata/sf0.001"],
          1800),
