@@ -1188,13 +1188,21 @@ def q_stream_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         watermark="3650 days",  # finite replay: drop nothing
     )
-    # _stateful_parts at n=8, not the join/window queries' n=4: the
-    # stateful stage here does real per-group pandas work (~2k band
-    # buckets), so the optimum balances state-store churn against
-    # group-processing parallelism. Quiet-host warm sweep (min-of-3,
-    # r13): 32 parts 2.43s / 16 parts 2.01s / 8 parts 1.87s / 4 parts
-    # 2.03s — r12's "4 is worse than 32" reading was both extremes of
-    # the same curve.
+    # _stateful_parts at n=8, not the join/window queries' n=4, and the
+    # operator's default state sharding (state_shards=256): r14's
+    # decomposition of the isolated wall (recentProgress durationMs +
+    # component timings) found the cost was NOT the simhash UDF (~0.05s
+    # over the 0.4s passthrough floor) but per-GROUP stateful-framework
+    # overhead — ~2k exact (band,bh) buckets at ~8ms each of Arrow
+    # slice + pandas construction + state row round-trip. Sharding the
+    # state key to (band, bh % 256) with an exact-bh sub-index inside
+    # the shard cut the quiet-host isolated min from 3.72s to 2.28s
+    # with a bit-identical pair set (r13's cited 1.87s at exact keying
+    # never reproduced — committed artifact 4.17s, judge 4.37s; the
+    # honest r13 number was ~3.7-4.4s). A watermarked stream-stream
+    # self-join variant (all-JVM bit_count) measured 3.69s — the
+    # stateful+sharded shape wins AND keeps the max_bucket cap.
+    # Protocol: tools/profile_query.py stream_simhash (ISOLATED.json).
     with _stateful_parts(spark, n=8):
         q = (
             pairs.writeStream.format("parquet")

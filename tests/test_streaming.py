@@ -773,6 +773,54 @@ def test_simhash_stream_pairs_matches_batch_within_window(spark, tmp_path):
     assert got == batch_pairs
 
 
+def test_simhash_stream_sharded_state_matches_exact_and_caps(spark, tmp_path):
+    """state_shards coarsens the STATE KEY only: the emitted pair set is
+    identical to exact (band, bh) keying, and the max_bucket cap still
+    applies per EXACT bucket inside a shard (oldest-appended dropped)."""
+    from spark_xml_spark.streaming.dedup import simhash_stream_pairs
+
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta", 1_000_000 + i * 10)
+        for i in range(1, 5)  # four byte-identical docs, all in-window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_sec long")
+    src = str(tmp_path / "src")
+    df.withColumn("ts", F.col("ts_sec").cast("timestamp")).drop(
+        "ts_sec"
+    ).coalesce(1).write.parquet(src)
+
+    def run(tag, **kw):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        pairs = simhash_stream_pairs(
+            stream, window_seconds=600, watermark="3650 days", **kw
+        )
+        out = str(tmp_path / f"out{tag}")
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(out).distinct().collect()
+        }
+
+    full = {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+    assert run("ex", state_shards=0) == full
+    assert run("sh", state_shards=7) == full
+    # cap=2 per exact bucket: when doc 4 arrives, doc 1 (oldest) has been
+    # dropped from every band bucket, so (1, 4) must be missing — and the
+    # cap behaves identically under exact and sharded keying
+    capped = full - {(1, 4)}
+    assert run("exc", state_shards=0, max_bucket=2) == capped
+    assert run("shc", state_shards=1, max_bucket=2) == capped
+
+
 def test_simhash_stream_window_excludes_far_apart_duplicates(spark, tmp_path):
     """Two byte-identical docs outside the time window must NOT pair; the
     same docs inside it must."""
