@@ -3585,6 +3585,80 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "n_kept", "est_distinct").orderBy("source")
 
 
+_CMS_PROBES = ["hash", "join", "scan", "the", "zzz_missing"]
+
+
+def q_text_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter sketch (operators/sketch.py
+    count_min_sketch + cms_estimate): per-language token-frequency
+    estimates for a fixed probe set from a 3x256 sketch over the
+    documents corpus — the mergeable-sketch family's frequency member
+    next to KMV (distinct counts) and the quantile sketch
+    (distributions). Hashing is the md5-head recipe, so the oracle
+    replays the full sparse cell matrix AND the min-over-rows estimate
+    bit-exactly in SQL; the absent probe ('zzz_missing') exercises the
+    sparse zero-cell contract. One codegen explode + one map-side-
+    combinable (lang, r, b) sum + a bounded collect — no window."""
+    from spark_xml_spark.operators import cms_estimate, count_min_sketch
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    sk = count_min_sketch(toks, ["lang"], "tok", depth=3, width=256,
+                          salt="cm")
+    est = cms_estimate(sk, _CMS_PROBES, salt="cm")
+    return est.select("lang", "item", "est_count").orderBy("lang", "item")
+
+
+def q_text_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS merge invariant through the oracle (the kmv_merge /
+    qsketch_merge pattern): the corpus splits by doc_id parity, each
+    half builds its own 3x256 sketch, merge_count_min_sketches sums the
+    cells — and by linearity the merged matrix, and therefore every
+    estimate, must EQUAL the from-scratch sketch of the union, which is
+    exactly what the (shared) oracle computes."""
+    from spark_xml_spark.operators import (
+        cms_estimate,
+        count_min_sketch,
+        merge_count_min_sketches,
+    )
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    parts = [
+        count_min_sketch(
+            toks.filter(F.col("doc_id") % 2 == i),
+            ["lang"], "tok", depth=3, width=256, salt="cm",
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_count_min_sketches(
+        parts[0].unionByName(parts[1]), ["lang"]
+    )
+    est = cms_estimate(merged, _CMS_PROBES, salt="cm")
+    return est.select("lang", "item", "est_count").orderBy("lang", "item")
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis (operators/rollup.py funnel_steps): per user,
     the longest prefix of view -> click -> purchase completable in
@@ -3970,6 +4044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_qsketch_merge": q_text_qsketch_merge,
         "stream_qsketch": q_stream_qsketch,
         "events_funnel": q_events_funnel,
+        "text_cms": q_text_cms,
+        "text_cms_merge": q_text_cms_merge,
     }
 
 
@@ -6045,4 +6121,52 @@ def oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS duration_ms
         FROM d ORDER BY did
     """
+    sql["text_cms"] = """
+        -- full SQL replay of the count-min sketch: same md5-head cell
+        -- hashing ('cms' || row || 'cm|' || token, first 8 hex chars mod
+        -- 256), same sparse matrix (absent cell IS zero), same
+        -- min-over-rows point estimate — bit-exact cross-engine, the
+        -- property Spark's builtin murmur3 CMS cannot offer
+        WITH tok AS (
+          SELECT lang, t
+          FROM (SELECT lang,
+                       unnest(regexp_split_to_array(lower(text), '\\s+'))
+                         AS t
+                FROM documents WHERE text IS NOT NULL)
+          WHERE t <> ''
+        ), hrows AS (
+          SELECT unnest([0, 1, 2]) AS r
+        ), cells AS (
+          SELECT lang, r,
+                 CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR)
+                                          || 'cm|' || t), 1, 8))
+                      AS BIGINT) % 256 AS b,
+                 COUNT(*) AS c
+          FROM tok, hrows
+          GROUP BY lang, r, b
+        ), probes AS (
+          SELECT unnest(['hash', 'join', 'scan', 'the', 'zzz_missing'])
+            AS item
+        ), pcell AS (
+          SELECT item, r,
+                 CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR)
+                                          || 'cm|' || item), 1, 8))
+                      AS BIGINT) % 256 AS b
+          FROM probes, hrows
+        ), langs AS (
+          SELECT DISTINCT lang FROM tok
+        )
+        SELECT l.lang AS lang, p.item AS item,
+               CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_count
+        FROM langs l
+        CROSS JOIN pcell p
+        LEFT JOIN cells c
+          ON c.lang IS NOT DISTINCT FROM l.lang
+         AND c.r = p.r AND c.b = p.b
+        GROUP BY l.lang, p.item
+        ORDER BY lang, item
+    """
+    # merged disjoint partial sketches == the from-scratch sketch
+    # (cells sum by linearity) — one oracle, two query shapes
+    sql["text_cms_merge"] = sql["text_cms"]
     return sql

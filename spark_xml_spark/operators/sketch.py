@@ -720,3 +720,287 @@ def quantile_estimate(
             ),
         )
     return out.drop("_qs_vals")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter / frequency estimation)
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(item: Column, row: int, width: int, salt: str) -> Column:
+    """Engine-portable count-min bucket for hash row ``row``: first 8
+    hex chars of md5('cms<row><salt>|' || item) mod width — the
+    _md5_hex_head recipe, one salt per row, so any md5 engine places
+    every item in the identical cell."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}{salt}|"), item)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Mergeable count-min sketch per group (Cormode & Muthukrishnan
+    2005): a depth x width matrix of counters; item occurrences add
+    their weight to one cell per hash row; a point estimate is the MIN
+    over rows of the item's cells — always >= the true count, over by
+    at most ~2N/width with probability 1 - 2^-depth. The missing member
+    of the mergeable-sketch family next to KMV (distinct counts) and
+    the quantile sketch (distributions): CMS answers "how often does
+    item X occur" with O(depth x width) state however large the corpus.
+
+    Output: one row per group — (group_cols..., cms:
+    array<struct<r:int, b:bigint, c:bigint>> sorted by (r, b), SPARSE
+    (zero cells omitted; a sparse cell IS zero), cms_depth, cms_width).
+    Hashing is the engine-portable md5-head recipe (`_cms_bucket`), so
+    the full matrix and every estimate are SQL-replayable bit-exactly —
+    unlike Spark's builtin count_min_sketch agg, whose murmur3 layout
+    no other engine reproduces (the KMV-vs-HLL argument). NULL items
+    are excluded (frequency of "nothing" is not a count); rows with a
+    NULL/negative weight raise — a negative update would break the
+    min-estimator's one-sided error guarantee.
+
+    Scale shape (100 TB): token-to-cell expansion is pure codegen (one
+    explode of ``depth`` structs); ONE map-side-combinable keyed sum
+    over (group, r, b) — at most depth x width live keys per group
+    per task — then a bounded collect_list (<= depth x width rows per
+    group) assembles the matrix. No window, no driver collect, no
+    Python. Sketches over disjoint slices merge exactly
+    (``merge_count_min_sketches``): cells sum, the estimate of the
+    merge equals the estimate of the union by linearity."""
+    if depth <= 0 or depth > 16:
+        raise ValueError("depth must be in [1, 16]")
+    if width <= 0 or width > 1 << 31:
+        raise ValueError("width must be in [1, 2^31]")
+    reserved = {"_cms_r", "_cms_b", "_cms_c"} & (
+        {item_col, weight_col or ""} | set(group_cols)
+    )
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by "
+            "count_min_sketch; rename them before sketching"
+        )
+    item = F.col(item_col).cast("string")
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        w = F.when(
+            F.col(weight_col).isNull() | (F.col(weight_col) < 0),
+            F.raise_error(
+                F.format_string(
+                    "count_min_sketch: NULL or negative weight %s breaks "
+                    "the one-sided error guarantee",
+                    F.col(weight_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(weight_col).cast("long"))
+    cells = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(
+            *group_cols,
+            w.alias("_cms_c"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(item, r, width, salt).alias("b"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("_cms_rb"),
+        )
+        .select(
+            *group_cols,
+            F.col("_cms_rb.r").alias("_cms_r"),
+            F.col("_cms_rb.b").alias("_cms_b"),
+            "_cms_c",
+        )
+    )
+    summed = cells.groupBy(*group_cols, "_cms_r", "_cms_b").agg(
+        F.sum("_cms_c").alias("_cms_c")
+    )
+    return (
+        summed.groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_cms_r").alias("r"),
+                        F.col("_cms_b").alias("b"),
+                        F.col("_cms_c").alias("c"),
+                    )
+                )
+            ).alias("cms")
+        )
+        .withColumn("cms_depth", F.lit(depth).cast("int"))
+        .withColumn("cms_width", F.lit(width).cast("long"))
+    )
+
+
+def merge_count_min_sketches(
+    df: DataFrame, group_cols: Sequence[str], sketch_col: str = "cms"
+) -> DataFrame:
+    """Combine partial count-min sketches (same depth/width/salt,
+    DISJOINT row slices — the merge_rollups disjointness contract) into
+    one per group: explode cells, sum by (r, b), re-collect. Exact by
+    linearity — the merged matrix equals the from-scratch matrix of the
+    union. Mixed-geometry partials raise (lazily, executor-side — cells
+    from different depth/width matrices must never sum): the carried
+    cms_depth/cms_width are compared per group, the kmv_merge
+    unprunable-guard pattern."""
+    reserved = {"_e", "_cms_r", "_cms_b"} & set(group_cols)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by "
+            "merge_count_min_sketches; rename them before merging"
+        )
+    for need in ("cms_depth", "cms_width"):
+        if need not in df.columns:
+            raise ValueError(
+                f"merge_count_min_sketches inputs must come from "
+                f"count_min_sketch ({need} column missing): without the "
+                "build geometry the merge cannot prove the partials "
+                "share a cell layout"
+            )
+    merged = (
+        df.select(
+            *group_cols,
+            "cms_depth",
+            "cms_width",
+            F.explode(sketch_col).alias("_e"),
+        )
+        .groupBy(
+            *group_cols,
+            F.col("_e.r").alias("_cms_r"),
+            F.col("_e.b").alias("_cms_b"),
+        )
+        .agg(
+            F.sum(F.col("_e.c")).alias("_cms_c"),
+            F.min("cms_depth").alias("_d_min"),
+            F.max("cms_depth").alias("_d_max"),
+            F.min("cms_width").alias("_w_min"),
+            F.max("cms_width").alias("_w_max"),
+        )
+    )
+    ok = (F.col("_d_min") == F.col("_d_max")) & (
+        F.col("_w_min") == F.col("_w_max")
+    )
+    guarded = F.when(ok, F.col("_cms_c")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "merge_count_min_sketches: mixed geometries in one group "
+                "(depth %s..%s, width %s..%s) — rebuild with one layout",
+                F.col("_d_min").cast("string"),
+                F.col("_d_max").cast("string"),
+                F.col("_w_min").cast("string"),
+                F.col("_w_max").cast("string"),
+            )
+        ).cast("long")
+    )
+    return (
+        merged.select(
+            *group_cols,
+            "_cms_r",
+            "_cms_b",
+            guarded.alias("_cms_c"),
+            "_d_min",
+            "_w_min",
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_cms_r").alias("r"),
+                        F.col("_cms_b").alias("b"),
+                        F.col("_cms_c").alias("c"),
+                    )
+                )
+            ).alias(sketch_col),
+            F.min("_d_min").cast("int").alias("cms_depth"),
+            F.min("_w_min").cast("long").alias("cms_width"),
+        )
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    items: Sequence[str],
+    sketch_col: str = "cms",
+    salt: str = "",
+    item_out: str = "item",
+    est_out: str = "est_count",
+) -> DataFrame:
+    """Point-estimate the counts of ``items`` against each sketch row:
+    one output row per (input row x item) with the count-min estimate —
+    min over hash rows of the item's cell, absent cells counting zero
+    (sparse contract). ``salt`` must match the build salt. The estimate
+    expression is pure codegen (array filter + aggregate + least), and
+    the oracle can replay it cell-for-cell from the sketch column."""
+    if not items:
+        raise ValueError("items must be non-empty")
+    if len(set(items)) != len(items):
+        raise ValueError("duplicate probe items")
+    for need in ("cms_depth", "cms_width"):
+        if need not in df.columns:
+            raise ValueError(
+                f"cms_estimate inputs must come from count_min_sketch "
+                f"({need} column missing)"
+            )
+    probes = F.explode(
+        F.array(*[F.lit(str(i)) for i in items])
+    ).alias(item_out)
+    out = df.select("*", probes)
+    # cell lookup per hash row, inlined for every possible row index of
+    # the carried depth (depth is data, not a Python constant: guard
+    # each term with r < cms_depth so over-inlined rows drop out)
+    max_depth = 16
+    terms = []
+    for r in range(max_depth):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"cms{r}{salt}|"), F.col(item_out))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("cms_width")
+        )
+        def _hit(rr, bb):
+            # plain closure: F.filter inspects the lambda's arity, so
+            # default-arg capture (lambda e, rr=r: ...) mis-binds
+            return lambda e: (e["r"] == F.lit(rr)) & (e["b"] == bb)
+
+        hits = F.filter(F.col(sketch_col), _hit(r, bucket))
+        # F.get is NULL-safe on the empty (cell-absent -> zero) case,
+        # where element_at raises under ANSI semantics
+        val = F.coalesce(F.get(hits, 0)["c"], F.lit(0).cast("long"))
+        terms.append(
+            F.when(F.lit(r) < F.col("cms_depth"), val).otherwise(
+                F.lit(None).cast("long")
+            )
+        )
+    est = F.array_min(
+        F.filter(F.array(*terms), lambda v: v.isNotNull())
+    )
+    return out.withColumn(est_out, est.cast("long"))

@@ -3878,6 +3878,89 @@ def test_quantile_sketch_deterministic_and_merge_exact(spark):
         )
 
 
+def test_count_min_sketch_estimates_merge_and_guards(spark):
+    """count_min_sketch: estimates upper-bound true counts and equal a
+    Python replay of the md5-cell recipe exactly; sketch is
+    partitioning-independent; merged disjoint partials == from-scratch
+    bit-for-bit; absent probes estimate from zero cells; geometry
+    mismatch and reserved names fail loudly."""
+    import hashlib
+
+    from spark_xml_spark.operators import (
+        cms_estimate,
+        count_min_sketch,
+        merge_count_min_sketches,
+    )
+
+    items = (["apple"] * 50 + ["pear"] * 20 + ["plum"] * 5
+             + [f"rare{i}" for i in range(40)])
+    rows = [("g1", it) for it in items] + [("g2", "apple")] * 3
+    rows += [("g2", None)]  # NULL item: excluded
+    df = spark.createDataFrame(rows, "grp string, tok string")
+
+    depth, width, salt = 3, 64, "t"
+    sk = count_min_sketch(df, ["grp"], "tok", depth=depth, width=width,
+                          salt=salt)
+    got = {r.grp: [tuple(e) for e in r.cms] for r in sk.collect()}
+
+    def bucket(item, r):
+        h = hashlib.md5(f"cms{r}{salt}|{item}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    # python replay of the full sparse matrix
+    from collections import Counter
+
+    def ref_matrix(pairs):
+        cells = Counter()
+        for it, n in pairs.items():
+            for r in range(depth):
+                cells[(r, bucket(it, r))] += n
+        return sorted((r, b, c) for (r, b), c in cells.items())
+
+    g1 = Counter(items)
+    assert got["g1"] == ref_matrix(g1)
+    assert got["g2"] == ref_matrix({"apple": 3})
+    # partitioning independence
+    sk2 = count_min_sketch(df.repartition(7), ["grp"], "tok", depth=depth,
+                           width=width, salt=salt)
+    assert {r.grp: [tuple(e) for e in r.cms] for r in sk2.collect()} == got
+    # estimates: >= true, == python min-over-rows replay; absent item -> 0
+    est = {(r.grp, r.item): r.est_count for r in cms_estimate(
+        sk, ["apple", "plum", "absent"], salt=salt).collect()}
+    cells = {("g1", r, b): c for r, b, c in got["g1"]}
+    for it, true in (("apple", 50), ("plum", 5), ("absent", 0)):
+        exp = min(cells.get(("g1", r, bucket(it, r)), 0)
+                  for r in range(depth))
+        assert est[("g1", it)] == exp
+        assert est[("g1", it)] >= true
+    assert est[("g2", "apple")] >= 3
+    # merged disjoint halves == from-scratch
+    parts = [count_min_sketch(
+        df.filter(F.crc32(F.coalesce("tok", F.lit(""))) % 2 == i),
+        ["grp"], "tok", depth=depth, width=width, salt=salt)
+        for i in (0, 1)]
+    merged = merge_count_min_sketches(parts[0].unionByName(parts[1]),
+                                      ["grp"])
+    assert {r.grp: [tuple(e) for e in r.cms]
+            for r in merged.collect()} == got
+    # geometry mismatch raises executor-side
+    other = count_min_sketch(df, ["grp"], "tok", depth=depth, width=32,
+                             salt=salt)
+    with pytest.raises(Exception, match="mixed geometries"):
+        merge_count_min_sketches(sk.unionByName(other), ["grp"]).collect()
+    with pytest.raises(ValueError, match="cms_depth column missing"):
+        merge_count_min_sketches(sk.drop("cms_depth"), ["grp"])
+    with pytest.raises(ValueError, match="reserved by count_min_sketch"):
+        count_min_sketch(df.withColumnRenamed("tok", "_cms_b"), ["grp"],
+                         "_cms_b")
+    with pytest.raises(ValueError, match="duplicate probe"):
+        cms_estimate(sk, ["a", "a"])
+    # negative weights break the one-sided bound: loud failure
+    wdf = df.withColumn("w", F.lit(-1))
+    with pytest.raises(Exception, match="negative weight"):
+        count_min_sketch(wdf, ["grp"], "tok", weight_col="w").collect()
+
+
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):
     """7 high-cardinality group columns in one Arrow batch push the
     mixed-radix composite past 2^63 (ADVICE r11: silent int64 wraparound
