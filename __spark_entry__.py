@@ -3683,6 +3683,32 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-conversion-window funnel (operators/rollup.py
+    funnel_steps_windowed): per user, the deepest view -> click ->
+    purchase prefix completable with every step within 86400 s of SOME
+    view event — the real funnel-report semantics, where the unbounded
+    query's earliest-first greedy is wrong (an early view's window can
+    expire while a later view's chain completes). Every step-1 event is
+    a candidate chain start; the winner is deepest-then-earliest. The
+    oracle implements the identical per-chain-start search in SQL,
+    value-checked per user."""
+    from spark_xml_spark.operators import funnel_steps_windowed
+
+    e = _events(spark, sf_dir)
+    ts_sec, _ = _events_ts_cols(e)
+    base = e.withColumn("ts_sec", ts_sec).select(
+        "user_id", "event_type", "ts_sec"
+    )
+    out = funnel_steps_windowed(
+        base, "user_id", "ts_sec", ["view", "click", "purchase"],
+        window_seconds=86400,
+    )
+    return out.select(
+        "user_id", "max_step", "step1_ts", "step2_ts", "step3_ts"
+    ).orderBy("user_id")
+
+
 def q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING percentile tracking with the mergeable quantile sketch
     (the stream_kmv pattern): documents replay in micro-batches, each
@@ -4046,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "text_cms": q_text_cms,
         "text_cms_merge": q_text_cms_merge,
+        "events_funnel_windowed": q_events_funnel_windowed,
     }
 
 
@@ -6169,4 +6196,46 @@ def oracle_sql() -> dict[str, str]:
     # merged disjoint partial sketches == the from-scratch sketch
     # (cells sum by linearity) — one oracle, two query shapes
     sql["text_cms_merge"] = sql["text_cms"]
+    sql["events_funnel_windowed"] = """
+        -- per-chain-start search replayed literally: every distinct
+        -- view event is a candidate start; within a start the greedy
+        -- chain of min-aggregations is exact (fixed deadline s1+86400);
+        -- winner per user = deepest chain, earliest start on ties
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS ts_sec
+          FROM events WHERE ts IS NOT NULL
+        ), starts AS (
+          SELECT DISTINCT user_id, ts_sec AS s1
+          FROM e WHERE event_type = 'view'
+        ), c2 AS (
+          SELECT s.user_id, s.s1, MIN(e.ts_sec) AS s2
+          FROM starts s JOIN e ON e.user_id = s.user_id
+           AND e.event_type = 'click'
+           AND e.ts_sec >= s.s1 AND e.ts_sec <= s.s1 + 86400
+          GROUP BY s.user_id, s.s1
+        ), c3 AS (
+          SELECT c.user_id, c.s1, MIN(e.ts_sec) AS s3
+          FROM c2 c JOIN e ON e.user_id = c.user_id
+           AND e.event_type = 'purchase'
+           AND e.ts_sec >= c.s2 AND e.ts_sec <= c.s1 + 86400
+          GROUP BY c.user_id, c.s1
+        ), ch AS (
+          SELECT s.user_id, s.s1, c2.s2, c3.s3,
+                 1 + CASE WHEN c2.s2 IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN c3.s3 IS NULL THEN 0 ELSE 1 END AS depth
+          FROM starts s
+          LEFT JOIN c2 ON s.user_id = c2.user_id AND s.s1 = c2.s1
+          LEFT JOIN c3 ON s.user_id = c3.user_id AND s.s1 = c3.s1
+        ), best AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY depth DESC, s1 ASC) AS rn
+          FROM ch
+        )
+        SELECT user_id, CAST(depth AS BIGINT) AS max_step,
+               CAST(s1 AS BIGINT) AS step1_ts,
+               CAST(s2 AS BIGINT) AS step2_ts,
+               CAST(s3 AS BIGINT) AS step3_ts
+        FROM best WHERE rn = 1 ORDER BY user_id
+    """
     return sql

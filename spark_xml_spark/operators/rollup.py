@@ -105,10 +105,10 @@ def funnel_steps(
     events sharing a timestamp can satisfy consecutive steps; mirror
     ``>=`` in any replay). Earliest-first is OPTIMAL for unbounded
     funnels: completing step i as early as possible can only widen the
-    choice for step i+1, so ``max_step`` is the true maximum (a bounded
-    conversion-window variant would need per-chain-start search —
-    deliberately out of scope; filter the input to a time slice for the
-    common windowed report).
+    choice for step i+1, so ``max_step`` is the true maximum. The
+    bounded conversion-window report ("completed within W of step 1")
+    needs per-chain-start search and lives in
+    ``funnel_steps_windowed``.
 
     Output: one row per user that reached step 1 —
     (user_col, max_step bigint, step1_ts..stepN_ts, same type as
@@ -171,6 +171,120 @@ def funnel_steps(
     return ach.select(
         u,
         max_step.cast("bigint").alias("max_step"),
+        *[
+            F.col(f"_s{i}").alias(f"step{i}_ts")
+            for i in range(1, len(steps) + 1)
+        ],
+    )
+
+
+def funnel_steps_windowed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    window_seconds: int,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Bounded-conversion-window funnel — the real funnel report shape
+    ("completed within W of step 1"): for each user, the deepest prefix
+    of ``steps`` completable in order with EVERY step inside
+    ``[t1, t1 + window_seconds]`` for SOME step-1 event at t1. Unlike
+    the unbounded ``funnel_steps``, earliest-first over the whole
+    history is NOT optimal here (the earliest step-1 event's window may
+    expire before a later chain start's would), so every step-1 event
+    is a candidate CHAIN START; within a fixed chain start the greedy
+    earliest-completion argument holds again (completing step i as
+    early as possible only widens step i+1's remaining window), so per
+    start one min-aggregation per step is exact.
+
+    Winning chain per user: deepest ``max_step`` first, EARLIEST chain
+    start breaking ties — deterministic, and an oracle can replay the
+    same argmax. Output: one row per user that has a step-1 event —
+    (user_col, max_step bigint, step1_ts..stepN_ts of the winning
+    chain, NULL past max_step). NULL-timestamp events are ignored (the
+    funnel_steps contract); exact-duplicate (user, ts) step-1 events
+    collapse to one chain start (identical chains). ``ts_col`` may be
+    numeric (``window_seconds`` in its own units — the driver queries
+    use epoch seconds) or a timestamp (deadline via INTERVAL
+    arithmetic).
+
+    Scale shape (100 TB): per step beyond the first, ONE user-keyed
+    join + min aggregation keyed by (user, chain_start) — the fan-out
+    is bounded by each user's step-1 event count within the slice, not
+    their whole history, and each frame shrinks back to
+    one-row-per-chain. The final per-user argmax is a row_number window
+    over CHAIN rows (one row per chain start, already reduced), never
+    over raw events. A chain start whose window is empty of later
+    steps costs one join probe and disappears."""
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct event types")
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    from pyspark.sql import types as T
+
+    u, ts = user_col, ts_col
+    reserved = {"_u", "_ts", "_fw_rn", "_fw_max"} | {
+        f"_s{i}" for i in range(1, len(steps) + 1)
+    }
+    if {u, ts, type_col} & reserved or reserved & set(df.columns):
+        raise ValueError(
+            f"funnel_steps_windowed reserves column names "
+            f"{sorted(reserved)}; rename the colliding input columns first"
+        )
+    base = df.filter(F.col(ts).isNotNull())
+    is_time = isinstance(df.schema[ts].dataType, T.TimestampType)
+    if is_time:
+        deadline = F.col("_s1") + F.expr(
+            f"INTERVAL {int(window_seconds)} SECONDS"
+        )
+    else:
+        deadline = F.col("_s1") + F.lit(window_seconds)
+    # every distinct step-1 (user, ts) is a candidate chain start
+    chains = [
+        base.filter(F.col(type_col) == steps[0])
+        .select(F.col(u), F.col(ts).alias("_s1"))
+        .distinct()
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        ev = base.filter(F.col(type_col) == st).select(
+            F.col(u).alias("_u"), F.col(ts).alias("_ts")
+        )
+        prev_cols = [u, "_s1"] + ([f"_s{i - 1}"] if i > 2 else [])
+        chains.append(
+            ev.join(
+                chains[-1].select(*prev_cols),
+                (F.col("_u") == F.col(u))
+                & (F.col("_ts") >= F.col(f"_s{i - 1}"))
+                & (F.col("_ts") <= deadline),
+            )
+            .groupBy(u, "_s1")
+            .agg(F.min("_ts").alias(f"_s{i}"))
+        )
+    ach = chains[0]
+    for nxt in chains[1:]:
+        ach = ach.join(nxt, [u, "_s1"], "left")
+    reached = [
+        F.when(F.col(f"_s{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    ]
+    max_step = reached[0]
+    for r in reached[1:]:
+        max_step = max_step + r
+    ach = ach.withColumn("_fw_max", max_step.cast("bigint"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(u).orderBy(
+        F.col("_fw_max").desc(), F.col("_s1").asc()
+    )
+    best = ach.withColumn("_fw_rn", F.row_number().over(w)).filter(
+        F.col("_fw_rn") == 1
+    )
+    return best.select(
+        u,
+        F.col("_fw_max").alias("max_step"),
         *[
             F.col(f"_s{i}").alias(f"step{i}_ts")
             for i in range(1, len(steps) + 1)

@@ -3591,6 +3591,101 @@ def test_funnel_steps_earliest_completion(spark):
         funnel_steps(df, "user_id", "ts", [])
 
 
+def test_funnel_steps_windowed_per_chain_start_search(spark):
+    """funnel_steps_windowed: a LATER chain start may beat the earliest
+    one (the case unbounded greedy gets wrong under a window); winning
+    chain = deepest, then earliest start; plus a brute-force oracle over
+    a deterministic random corpus."""
+    from spark_xml_spark.operators import funnel_steps_windowed
+
+    rows = [
+        # u1: earliest view@0 has no click in [0,100]; view@150 chains
+        # click@200, purchase@240 inside [150,250] -> winner is 150
+        ("u1", "view", 0), ("u1", "view", 150),
+        ("u1", "click", 200), ("u1", "purchase", 240),
+        # u2: both starts reach depth 2 -> earliest start (10) wins,
+        # even though start 60's click is nearer
+        ("u2", "view", 10), ("u2", "view", 60), ("u2", "click", 70),
+        # u3: purchase exists but outside every window -> depth 2
+        ("u3", "view", 0), ("u3", "click", 50), ("u3", "purchase", 500),
+        # u4: no step 1 -> absent
+        ("u4", "click", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts long"
+    )
+    steps = ["view", "click", "purchase"]
+    out = {
+        r.user_id: (r.max_step, r.step1_ts, r.step2_ts, r.step3_ts)
+        for r in funnel_steps_windowed(
+            df, "user_id", "ts", steps, window_seconds=100
+        ).collect()
+    }
+    assert out == {
+        "u1": (3, 150, 200, 240),
+        "u2": (2, 10, 70, None),
+        "u3": (2, 0, 50, None),
+    }
+
+    # brute force over a deterministic pseudo-random corpus
+    import hashlib
+
+    def h(*a):
+        return int(hashlib.md5("|".join(map(str, a)).encode())
+                   .hexdigest()[:8], 16)
+
+    corpus = []
+    for uid in range(20):
+        for j in range(h(uid) % 12):
+            corpus.append(
+                (f"u{uid}", steps[h(uid, j, "t") % 3],
+                 h(uid, j, "ts") % 300)
+            )
+    W = 80
+
+    def brute(events):
+        starts = sorted({t for ty, t in events if ty == steps[0]})
+        best = None
+        for t1 in starts:
+            cur, chain = t1, [t1]
+            for st in steps[1:]:
+                cand = [t for ty, t in events
+                        if ty == st and cur <= t <= t1 + W]
+                if not cand:
+                    break
+                cur = min(cand)
+                chain.append(cur)
+            key = (-len(chain), t1)
+            if best is None or key < best[0]:
+                best = (key, chain)
+        if best is None:
+            return None
+        chain = best[1] + [None] * (len(steps) - len(best[1]))
+        return (len(best[1]), *chain)
+
+    by_user: dict = {}
+    for uid, ty, t in corpus:
+        by_user.setdefault(uid, []).append((ty, t))
+    expect = {u: brute(e) for u, e in by_user.items()}
+    expect = {u: v for u, v in expect.items() if v is not None}
+    cdf = spark.createDataFrame(
+        corpus, "user_id string, event_type string, ts long"
+    )
+    got = {
+        r.user_id: (r.max_step, r.step1_ts, r.step2_ts, r.step3_ts)
+        for r in funnel_steps_windowed(
+            cdf, "user_id", "ts", steps, window_seconds=W
+        ).collect()
+    }
+    assert got == expect
+    with pytest.raises(ValueError, match="positive"):
+        funnel_steps_windowed(df, "user_id", "ts", steps, 0)
+    with pytest.raises(ValueError, match="reserves column names"):
+        funnel_steps_windowed(
+            df.withColumn("_s1", F.lit(1)), "user_id", "ts", steps, 10
+        )
+
+
 def test_time_rollup_merge_equals_full_rebuild(spark):
     """The incremental-refresh invariant: merging per-slice rollups must
     equal a from-scratch rollup bit-for-bit (algebraic aggregates,
