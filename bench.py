@@ -203,6 +203,29 @@ def main() -> None:
     del os.environ["SPARK_XML_TIER_STATS_DIR"]
     shutil.rmtree(stats_dir, ignore_errors=True)
 
+    # ---- pre-warm pass (r14, VERDICT task 5): build every persisted
+    # artifact (pair lists, LSH/IVF indexes, XML table caches, stream
+    # sources) OUTSIDE the timed runs, so the committed suite number is
+    # a warm reading whose in-suite timings are comparable to isolated
+    # ones. Build cost stays visible via artifact_builds (stamped into
+    # each _DONE marker) and prewarm_wall_s. Opt out (e.g. to measure a
+    # deliberate cold pass) with SPARK_GRAFT_BENCH_NO_PREWARM=1.
+    prewarm_wall_s = None
+    prewarm_errors = 0
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_PREWARM") != "1":
+        t0 = time.time()
+        for name, fn in em.queries().items():
+            try:
+                fn(spark, sf_dir).count()
+            except Exception:  # noqa: BLE001 -- run() reports it below
+                prewarm_errors += 1
+        prewarm_wall_s = round(time.time() - t0, 1)
+        sys.stderr.write(
+            f"bench prewarm: {prewarm_wall_s}s ({prewarm_errors} errors)\n"
+        )
+
+    loadavg_q: dict[str, float] = {}
+
     def run(name: str, fn) -> None:
         # min-of-N: the first iteration pays JVM codegen + Python-worker
         # spin-up + AQE planning (session warmup, not per-query cost), and
@@ -225,6 +248,12 @@ def main() -> None:
             sys.stderr.write(f"bench {name}: ERROR {errors[name]}\n")
             return
         timings[name] = round(best, 3)
+        try:
+            # per-query loadavg provenance: a contended stretch of the
+            # suite is visible per reading, not only at the run's ends
+            loadavg_q[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
         # transparency for artifact-backed queries (pair lists, LSH/IVF
         # indexes): run 1 pays the BUILD, later runs read the persisted
         # artifact — the min is the honest steady state, but the build
@@ -497,6 +526,8 @@ def main() -> None:
         "isolated_top10": isolated_top10,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
+        "loadavg_per_query": loadavg_q,
+        "prewarm_wall_s": prewarm_wall_s,
         "streaming_ratio_note": "stream_* ratios excluded from "
         "ratio_summary: they time multi-trigger micro-batch machinery "
         "vs a one-shot SQL replay",

@@ -256,12 +256,24 @@ def main() -> None:
     emb_x: dict = {}
     events_x: dict = {}
 
+    # a marginal whose numerator or denominator is under this floor
+    # divides measurement noise (VERDICT r13: ann_cosine's x100 marginal
+    # flipped 1.3x <-> 5.0x because DuckDB's sub-second wall halved
+    # between runs) — record the raw deltas instead of a ratio there
+    MARGINAL_FLOOR_S = 0.05
+
     def _scaleup_rec(name: str, con, n: int = 3) -> dict:
         """One beyond-sf0.1 reading: both engines at the scratch corpus,
         plus the marginal ratio across the sf0.1 -> scaled step — the
-        purest per-row cost comparison this host can produce."""
+        purest per-row cost comparison this host can produce. Every rec
+        carries loadavg provenance and the raw deltas; the marginal is
+        only emitted when BOTH deltas clear the noise floor."""
         fn = qs[name]
         rec: dict = {}
+        try:
+            rec["loadavg_start"] = round(os.getloadavg()[0], 2)
+        except OSError:
+            rec["loadavg_start"] = None
         try:
             rec["spark_s"] = round(
                 _min_of(lambda: fn(spark, scratch).count(), n=n), 4
@@ -270,14 +282,27 @@ def main() -> None:
                 _min_of(lambda: con.execute(oracles[name]).fetchall(), n=n),
                 4,
             )
+            rec["n_runs"] = n
             rec["ratio"] = round(rec["spark_s"] / rec["duck_s"], 2)
             sf01_sp = detail["spark_s"][name]["0.1"]
             sf01_du = detail["duck_s"][name]["0.1"]
             rec["ratio_sf01"] = round(sf01_sp / sf01_du, 2)
             dsp = rec["spark_s"] - sf01_sp
             ddu = rec["duck_s"] - sf01_du
-            if dsp > 0 and ddu > 0:
+            rec["delta_spark_s"] = round(dsp, 4)
+            rec["delta_duck_s"] = round(ddu, 4)
+            if dsp >= MARGINAL_FLOOR_S and ddu >= MARGINAL_FLOOR_S:
                 rec["marginal_ratio"] = round(dsp / ddu, 2)
+            elif dsp > 0 and ddu > 0:
+                rec["marginal_note"] = (
+                    f"delta under the {MARGINAL_FLOOR_S}s noise floor on "
+                    "at least one engine; ratio suppressed (raw deltas "
+                    "recorded)"
+                )
+            try:
+                rec["loadavg_end"] = round(os.getloadavg()[0], 2)
+            except OSError:
+                rec["loadavg_end"] = None
         except Exception as exc:  # noqa: BLE001
             rec["error"] = repr(exc)[:200]
         return rec
@@ -313,8 +338,11 @@ def main() -> None:
             xml_x[name] = rec
         # ann at embeddings x100: 2,000 vectors at sf0.1 is pure floor —
         # this is the first data point where per-row scoring cost is
-        # visible at all (the r11 non-monotone entry was floor noise)
-        rec = _scaleup_rec("ann_cosine_topk", con)
+        # visible at all (the r11 non-monotone entry was floor noise).
+        # min-of-5 on BOTH engines (r14, VERDICT task 3): the x100
+        # marginal had flipped 1.3x <-> 5.0x off single-run sub-second
+        # DuckDB denominators
+        rec = _scaleup_rec("ann_cosine_topk", con, n=5)
         rec["x"] = SCALEUP["embeddings"][0]
         emb_x["ann_cosine_topk"] = rec
         for name in SCALE10_EVENTS:
