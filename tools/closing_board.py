@@ -89,19 +89,28 @@ def main() -> None:
         if ok and name in ("scan", "trend"):
             # this board run IS these artifacts' invoker: commit them
             # here so the clean-tree check at the end means something
-            # (bench.py commits its own BENCH_LOCAL.json)
+            # (bench.py commits its own BENCH_LOCAL.json). BASELINE.md's
+            # generated trend block is re-synced IN THE SAME COMMIT —
+            # doc == artifact by construction (VERDICT r13 task 2;
+            # tests/test_docs_baseline.py fails on drift)
             art = {"scan": "SCAN_YARDSTICK.json",
                    "trend": "RATIO_TREND.json"}[name]
-            subprocess.run(["git", "add", "--", art], cwd=REPO,
-                           capture_output=True)
+            subprocess.run(
+                [sys.executable, "tools/sync_baseline.py"],
+                cwd=REPO, capture_output=True,
+            )
+            subprocess.run(["git", "add", "--", art, "BASELINE.md"],
+                           cwd=REPO, capture_output=True)
             if subprocess.run(
-                ["git", "diff", "--cached", "--quiet", "--", art],
+                ["git", "diff", "--cached", "--quiet", "--",
+                 art, "BASELINE.md"],
                 cwd=REPO, capture_output=True,
             ).returncode == 1:
                 subprocess.run(
                     ["git", "commit", "-m",
-                     f"Record {art} from the closing board", "--only",
-                     "--", art],
+                     f"Record {art} from the closing board "
+                     "(BASELINE.md trend block re-synced)", "--only",
+                     "--", art, "BASELINE.md"],
                     cwd=REPO, capture_output=True,
                 )
     if "gate" not in skip:
