@@ -3709,6 +3709,70 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy-hitter tracking with the mergeable count-min
+    sketch (the stream_kmv / stream_qsketch pattern): documents replay
+    in micro-batches, each batch builds its slice's 3x256 CMS
+    (count_min_sketch) into an idempotent per-batch-id location, and
+    the final state is merge_count_min_sketches over all per-batch
+    partials. Micro-batch slices are disjoint (file-stream batches
+    partition the file set) and cells sum by linearity, so the merged
+    matrix — and therefore every probe estimate — is BIT-IDENTICAL to
+    sketching the whole corpus, which is exactly what the shared
+    text_cms oracle computes. Total streaming state: O(groups x depth
+    x width) counters however long the stream runs."""
+    import tempfile
+
+    from spark_xml_spark.operators import (
+        cms_estimate,
+        count_min_sketch,
+        merge_count_min_sketches,
+    )
+
+    def _build(path):
+        d = _parquet(spark, sf_dir, "documents", fan_out=False)
+        d.select("doc_id", "lang", "text").coalesce(6).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    src = _stream_source(spark, sf_dir, "cms-docs-id-lang-text",
+                         "documents", _build)
+    work = tempfile.mkdtemp(prefix="xml_scms_q_")
+    state = os.path.join(work, "sketches")
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+
+    def _sink(batch_df, batch_id):
+        toks = batch_df.filter(F.col("text").isNotNull()).select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("tok"),
+        )
+        count_min_sketch(
+            toks, ["lang"], "tok", depth=3, width=256, salt="cm"
+        ).write.mode("overwrite").parquet(os.path.join(state, f"b{batch_id}"))
+
+    with _stateful_parts(spark):
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
+    partials = spark.read.option("recursiveFileLookup", "true").parquet(state)
+    merged = merge_count_min_sketches(partials, ["lang"])
+    est = cms_estimate(merged, _CMS_PROBES, salt="cm")
+    return est.select("lang", "item", "est_count").orderBy("lang", "item")
+
+
 def q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING percentile tracking with the mergeable quantile sketch
     (the stream_kmv pattern): documents replay in micro-batches, each
@@ -4073,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms": q_text_cms,
         "text_cms_merge": q_text_cms_merge,
         "events_funnel_windowed": q_events_funnel_windowed,
+        "stream_cms": q_stream_cms,
     }
 
 
@@ -6194,8 +6259,10 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY lang, item
     """
     # merged disjoint partial sketches == the from-scratch sketch
-    # (cells sum by linearity) — one oracle, two query shapes
+    # (cells sum by linearity) — one oracle, THREE query shapes: the
+    # batch merge demo and the per-micro-batch stream both reduce to it
     sql["text_cms_merge"] = sql["text_cms"]
+    sql["stream_cms"] = sql["text_cms"]
     sql["events_funnel_windowed"] = """
         -- per-chain-start search replayed literally: every distinct
         -- view event is a candidate start; within a start the greedy
