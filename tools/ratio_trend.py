@@ -190,6 +190,20 @@ def _build_scale10(src_sf_dir: str, dst: str) -> None:
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    # idle guard before the sweep (r14): when the board runs trend right
+    # after another JVM-heavy step, the lagging 1-minute loadavg seeds
+    # the by-sf baselines with churn the beyond-sf0.1 points don't see —
+    # the same trap profile_scan guards against. Wait (bounded) for the
+    # host to settle; record nothing, the per-record stamps carry it.
+    load_cap = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "4"))
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        try:
+            if os.getloadavg()[0] <= load_cap:
+                break
+        except OSError:
+            break
+        time.sleep(5)
     spark = _spark_session(cpus)
 
     import __spark_entry__ as em
@@ -343,6 +357,34 @@ def main() -> None:
         # marginal had flipped 1.3x <-> 5.0x off single-run sub-second
         # DuckDB denominators
         rec = _scaleup_rec("ann_cosine_topk", con, n=5)
+        # SAME-WINDOW sf0.1 re-baseline (r14): the stored sf0.1 walls
+        # were measured minutes earlier in the by-sf sweep under
+        # different host load, so the subtraction mixed two load
+        # regimes — the r14 board pair read marginals 2.93x vs 4.4x
+        # from exactly that. Re-measuring both engines' sf0.1 walls
+        # immediately before the subtraction keeps numerator and
+        # denominator in one load window; marginal_ratio_same_window
+        # is the citable number.
+        try:
+            con01 = _duck_con(sf01_dir, cpus)
+            sp01 = _min_of(
+                lambda: qs["ann_cosine_topk"](spark, sf01_dir).count(), n=5
+            )
+            du01 = _min_of(
+                lambda: con01.execute(
+                    oracles["ann_cosine_topk"]
+                ).fetchall(),
+                n=5,
+            )
+            con01.close()
+            rec["sf01_same_window_spark_s"] = round(sp01, 4)
+            rec["sf01_same_window_duck_s"] = round(du01, 4)
+            dsp = rec["spark_s"] - sp01
+            ddu = rec["duck_s"] - du01
+            if dsp >= MARGINAL_FLOOR_S and ddu >= MARGINAL_FLOOR_S:
+                rec["marginal_ratio_same_window"] = round(dsp / ddu, 2)
+        except Exception as exc:  # noqa: BLE001
+            rec["same_window_error"] = repr(exc)[:200]
         rec["x"] = SCALEUP["embeddings"][0]
         emb_x["ann_cosine_topk"] = rec
         for name in SCALE10_EVENTS:
