@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.pandas.types import to_arrow_schema
 
 
 def _dot_with_literal(vec_col: Column, q: Sequence[float]) -> Column:
@@ -261,73 +262,123 @@ def _matmul_score_rows(
         ]
     )
 
+    def _topk_cand(col: np.ndarray, cids_d: np.ndarray,
+                   nan_cids: np.ndarray, kk: int):
+        """Per-query candidate pruning BEFORE the pandas bookkeeping:
+        the top-k finite cosines (cosine desc, cid asc — the exact
+        _pandas_topk_update / _topk_merge tie-break) plus the k
+        smallest-cid NULL-cosine rows (they can only win when a
+        partition holds fewer than k rankable rows, and the final merge
+        breaks NULL ties on cid asc). Feeding only these 2k rows into
+        _pandas_topk_update yields the identical per-partition result
+        as feeding every row — everything else is discarded there."""
+        finite = ~np.isnan(col)
+        fi = np.nonzero(finite)[0]
+        if len(fi) > kk:
+            # argpartition prefilter, then an exact lexsort over the
+            # value-boundary-inclusive candidate set (boundary TIES all
+            # survive the prefilter, so the cid tie-break stays exact)
+            vals = col[fi]
+            part = np.argpartition(-vals, kk - 1)[:kk]
+            boundary = vals[part].min()
+            cand = np.nonzero(vals >= boundary)[0]
+            # primary: cosine desc; secondary: cid asc (lexsort's last
+            # key is primary)
+            order = np.lexsort((cids_d[fi[cand]], -vals[cand]))
+            fi = fi[cand[order[:kk]]]
+        nans = np.concatenate([cids_d[np.nonzero(~finite)[0]], nan_cids])
+        if len(nans) > kk:
+            nans = np.partition(nans, kk - 1)[:kk]
+        return fi, nans
+
     def _score(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         kept: Optional[pd.DataFrame] = None
+        saw = False
         for b in batches:
-            nb = len(b)
-            lens = np.array(
-                [-1 if v is None else len(v) for v in b["_cv"]]
+            saw = True
+            nb = b.num_rows
+            if not nb:
+                continue
+            cids = b.column(0).to_numpy(zero_copy_only=False)
+            lv = b.column(1)
+            # zero-copy list extraction: lengths via compute (null rows
+            # -> -1), values via flatten (valid rows concatenated in
+            # row order; null ELEMENTS -> NaN on conversion) — no
+            # per-row Python, the old mapInPandas path paid ~4 us/row
+            # just materializing object arrays
+            lens = (
+                pc.list_value_length(lv)
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            cids = np.asarray(b["_cid"])
+            flat_pa = lv.flatten()
+            flat = flat_pa.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            starts = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(np.maximum(lens, 0), out=starts[1:])
             frames = []
             for gids, d, gmat, gnorm1 in groups:
                 rows = np.nonzero(lens == d)[0]
-                if len(rows):
-                    # fast path: one vstack of the equal-length subset
-                    # (null list elements surface as NaN via Arrow or
-                    # raise on None — both funnel to NULL cosine, same
-                    # as the per-row fallback)
-                    sub = [b["_cv"][i] for i in rows]
-                    cbad = np.zeros(len(rows), dtype=bool)
-                    try:
-                        cmat = np.asarray(sub, dtype=np.float64)
-                        if cmat.ndim != 2:
-                            raise ValueError("ragged")
-                    except (TypeError, ValueError):
-                        cmat = np.zeros((len(rows), d))
-                        for out_i, arr0 in enumerate(sub):
-                            arr = np.asarray(arr0, dtype=object)
-                            if (arr == None).any():  # noqa: E711 (elementwise)
-                                cbad[out_i] = True
-                            else:
-                                cmat[out_i] = arr.astype(np.float64)
-                    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-                    cbad |= cnorm == 0.0
+                if len(rows) and d:
+                    ix = starts[rows, None] + np.arange(d)[None, :]
+                    cmat = flat[ix]
+                    # einsum: no (n x d) temporary for the norms
+                    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+                    zero = cnorm == 0.0
                     with np.errstate(invalid="ignore", divide="ignore"):
                         cos = (cmat @ gmat) / np.outer(
-                            np.where(cnorm == 0.0, 1.0, cnorm), gnorm1
+                            np.where(zero, 1.0, cnorm), gnorm1
                         )
-                    cos[cbad, :] = np.nan  # NULL downstream
+                    # zero-norm corpus vector -> NULL (NaN components
+                    # already propagate NaN through the matmul)
+                    cos[zero, :] = np.nan
                 else:
+                    rows = rows[:0]
                     cos = np.zeros((0, len(gids)))
-                if not nb:
-                    continue
-                # length-mismatched corpus rows: NULL (fold pads with nulls)
-                other = np.nonzero(lens != d)[0]
-                ng = len(gids)
-                cid_per_q = np.concatenate([cids[rows], cids[other]])
-                nan_tail = np.full(len(other), np.nan)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "_qid": np.repeat(gids, nb),
-                            "_cid": np.tile(cid_per_q, ng),
-                            "_cos": np.concatenate(
-                                [
-                                    np.concatenate([cos[:, j], nan_tail])
-                                    for j in range(ng)
-                                ]
-                            ),
-                        }
+                # length-mismatched corpus rows: NULL (fold pads nulls)
+                other_cids = cids[np.nonzero(lens != d)[0]]
+                cids_d = cids[rows]
+                for j, qid in enumerate(gids):
+                    fi, nans = _topk_cand(
+                        cos[:, j] if len(rows) else np.zeros(0),
+                        cids_d, other_cids, k,
                     )
-                )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "_qid": np.repeat(
+                                    [qid], len(fi) + len(nans)
+                                ),
+                                "_cid": np.concatenate(
+                                    [cids_d[fi], nans]
+                                ),
+                                "_cos": np.concatenate(
+                                    [
+                                        cos[fi, j]
+                                        if len(rows)
+                                        else np.zeros(0),
+                                        np.full(len(nans), np.nan),
+                                    ]
+                                ),
+                            }
+                        )
+                    )
             for qid in bad_qids:
+                kk = min(k, len(cids))
+                small = (
+                    np.partition(cids, kk - 1)[:kk] if kk else cids[:0]
+                )
                 frames.append(
                     pd.DataFrame(
                         {
-                            "_qid": np.repeat([qid], nb),
-                            "_cid": cids,
-                            "_cos": np.full(nb, np.nan),
+                            "_qid": np.repeat([qid], len(small)),
+                            "_cid": small,
+                            "_cos": np.full(len(small), np.nan),
                         }
                     )
                 )
@@ -336,10 +387,14 @@ def _matmul_score_rows(
                 kept = _pandas_topk_update(
                     kept, pd.concat(frames, ignore_index=True), k
                 )
-        if kept is not None and nq:
-            yield kept
+        if saw and kept is not None and nq:
+            yield pa.RecordBatch.from_pandas(
+                kept.reset_index(drop=True),
+                schema=to_arrow_schema(out_schema),
+                preserve_index=False,
+            )
 
-    reduced = c.mapInPandas(_score, out_schema)
+    reduced = c.mapInArrow(_score, out_schema)
     return _nan_cos_to_null(reduced)
 
 
