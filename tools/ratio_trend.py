@@ -113,24 +113,6 @@ def _spark_session(cpus: int):
     return spark
 
 
-def _settle(cap: float = 5.0, max_wait: float = 120.0) -> None:
-    """Bounded idle wait so consecutive measurement SECTIONS run under
-    comparable load (r14): the trend's own sustained 32-core work keeps
-    the 1-minute loadavg at 10-20 by the later sections, inflating
-    their Spark walls relative to the early ones — monotone_down_n read
-    9/14 under self-load vs 13-14/14 settled, and one same-window
-    baseline read 0.70 s for a 0.2 s query. Sections, not individual
-    records: a per-record wait would add ~18 min of idle."""
-    deadline = time.time() + max_wait
-    while time.time() < deadline:
-        try:
-            if os.getloadavg()[0] <= cap:
-                return
-        except OSError:
-            return
-        time.sleep(5)
-
-
 def _min_of(fn, n=5, warm=1):
     for _ in range(warm):
         fn()
@@ -244,7 +226,6 @@ def main() -> None:
             em._xml_table(spark, sf_dir, "lineitem", partitions=cpus)
         except Exception:  # noqa: BLE001
             pass
-        _settle()  # cache builds above churned the host; equal footing
         con = _duck_con(sf_dir, cpus)
         for name in TREND_QUERIES:
             fn = qs[name]
@@ -343,7 +324,6 @@ def main() -> None:
     try:
         _build_scale10(sf01_dir, scratch)
         con = _duck_con(scratch, cpus)
-        _settle()
         for name in SCALE10_QUERIES:
             x10[name] = _scaleup_rec(name, con)
         # XML headline queries (VERDICT r11 task 1): customer x100 /
@@ -353,7 +333,6 @@ def main() -> None:
         # table with exactly the query's column set — marginal query
         # seconds at or under the scan wall mean the plan adds ~nothing
         # on top of the format cost.
-        _settle()
         for name, (tbl, cols) in SCALEUP_XML_QUERIES.items():
             rec = _scaleup_rec(name, con)
             rec["x"] = SCALEUP[tbl][0]
@@ -377,7 +356,6 @@ def main() -> None:
         # min-of-5 on BOTH engines (r14, VERDICT task 3): the x100
         # marginal had flipped 1.3x <-> 5.0x off single-run sub-second
         # DuckDB denominators
-        _settle()
         rec = _scaleup_rec("ann_cosine_topk", con, n=5)
         # SAME-WINDOW sf0.1 re-baseline (r14): the stored sf0.1 walls
         # were measured minutes earlier in the by-sf sweep under
@@ -409,7 +387,6 @@ def main() -> None:
             rec["same_window_error"] = repr(exc)[:200]
         rec["x"] = SCALEUP["embeddings"][0]
         emb_x["ann_cosine_topk"] = rec
-        _settle()
         for name in SCALE10_EVENTS:
             rec = _scaleup_rec(name, con)
             rec["x"] = SCALEUP["events"][0]
