@@ -113,6 +113,13 @@ def _spark_session(cpus: int):
     return spark
 
 
+# NEGATIVE RESULT (r14): idling the host between measurement sections
+# ("settle" until loadavg <= 5) made readings WORSE, not better — the
+# block following a ~2 min idle ran 2-3x slower (dedup_exact sf0.01
+# 0.19s hot vs 0.56s post-idle; monotone_down_n fell 12 -> 8/14),
+# consistent with CPU-frequency ramp-down on this VM. Run the sweep
+# HOT and continuously; only guard the very start (above) against a
+# PREVIOUS process's churn.
 def _min_of(fn, n=5, warm=1):
     for _ in range(warm):
         fn()
