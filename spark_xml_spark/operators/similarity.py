@@ -296,9 +296,7 @@ def _matmul_score_rows(
         import pyarrow.compute as pc
 
         kept: Optional[pd.DataFrame] = None
-        saw = False
         for b in batches:
-            saw = True
             nb = b.num_rows
             if not nb:
                 continue
@@ -321,7 +319,13 @@ def _matmul_score_rows(
             )
             starts = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(np.maximum(lens, 0), out=starts[1:])
-            frames = []
+            # pruned candidate slices accumulate as numpy triples and
+            # concatenate into ONE frame per batch: a frame per
+            # (query x group) would pay ~50us of pandas constructor
+            # overhead per query — linear in Q on knn_join's large-Q path
+            qids_acc: list = []
+            cids_acc: list = []
+            cos_acc: list = []
             for gids, d, gmat, gnorm1 in groups:
                 rows = np.nonzero(lens == d)[0]
                 if len(rows) and d:
@@ -348,24 +352,17 @@ def _matmul_score_rows(
                         cos[:, j] if len(rows) else np.zeros(0),
                         cids_d, other_cids, k,
                     )
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "_qid": np.repeat(
-                                    [qid], len(fi) + len(nans)
-                                ),
-                                "_cid": np.concatenate(
-                                    [cids_d[fi], nans]
-                                ),
-                                "_cos": np.concatenate(
-                                    [
-                                        cos[fi, j]
-                                        if len(rows)
-                                        else np.zeros(0),
-                                        np.full(len(nans), np.nan),
-                                    ]
-                                ),
-                            }
+                    n_cand = len(fi) + len(nans)
+                    if not n_cand:
+                        continue
+                    qids_acc.append(np.repeat([qid], n_cand))
+                    cids_acc.append(np.concatenate([cids_d[fi], nans]))
+                    cos_acc.append(
+                        np.concatenate(
+                            [
+                                cos[fi, j] if len(rows) else np.zeros(0),
+                                np.full(len(nans), np.nan),
+                            ]
                         )
                     )
             for qid in bad_qids:
@@ -373,21 +370,23 @@ def _matmul_score_rows(
                 small = (
                     np.partition(cids, kk - 1)[:kk] if kk else cids[:0]
                 )
-                frames.append(
+                if len(small):
+                    qids_acc.append(np.repeat([qid], len(small)))
+                    cids_acc.append(small)
+                    cos_acc.append(np.full(len(small), np.nan))
+            if qids_acc:
+                kept = _pandas_topk_update(
+                    kept,
                     pd.DataFrame(
                         {
-                            "_qid": np.repeat([qid], len(small)),
-                            "_cid": small,
-                            "_cos": np.full(len(small), np.nan),
+                            "_qid": np.concatenate(qids_acc),
+                            "_cid": np.concatenate(cids_acc),
+                            "_cos": np.concatenate(cos_acc),
                         }
-                    )
+                    ),
+                    k,
                 )
-            frames = [f for f in frames if len(f)]
-            if frames:
-                kept = _pandas_topk_update(
-                    kept, pd.concat(frames, ignore_index=True), k
-                )
-        if saw and kept is not None and nq:
+        if kept is not None and nq:
             yield pa.RecordBatch.from_pandas(
                 kept.reset_index(drop=True),
                 schema=to_arrow_schema(out_schema),

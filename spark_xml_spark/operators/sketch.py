@@ -956,6 +956,15 @@ def cms_estimate(
         raise ValueError("items must be non-empty")
     if len(set(items)) != len(items):
         raise ValueError("duplicate probe items")
+    clash = {item_out, est_out} & set(df.columns)
+    if clash:
+        # select('*', probes) would duplicate item_out (ambiguous
+        # reference downstream) and withColumn(est_out) would silently
+        # REPLACE a caller column — the family's fail-loud contract
+        raise ValueError(
+            f"output columns {sorted(clash)} already exist on the "
+            "input; rename them or pass different item_out/est_out"
+        )
     for need in ("cms_depth", "cms_width"):
         if need not in df.columns:
             raise ValueError(

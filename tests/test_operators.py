@@ -4050,6 +4050,12 @@ def test_count_min_sketch_estimates_merge_and_guards(spark):
                          "_cms_b")
     with pytest.raises(ValueError, match="duplicate probe"):
         cms_estimate(sk, ["a", "a"])
+    # output-column collisions fail loudly instead of duplicating
+    # 'item' (ambiguous reference) or silently replacing 'est_count'
+    with pytest.raises(ValueError, match="already exist"):
+        cms_estimate(sk.withColumn("est_count", F.lit(0)), ["a"])
+    with pytest.raises(ValueError, match="already exist"):
+        cms_estimate(sk.withColumnRenamed("grp", "item"), ["a"])
     # negative weights break the one-sided bound: loud failure
     wdf = df.withColumn("w", F.lit(-1))
     with pytest.raises(Exception, match="negative weight"):

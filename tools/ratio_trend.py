@@ -374,16 +374,19 @@ def main() -> None:
         # is the citable number.
         try:
             con01 = _duck_con(sf01_dir, cpus)
-            sp01 = _min_of(
-                lambda: qs["ann_cosine_topk"](spark, sf01_dir).count(), n=5
-            )
-            du01 = _min_of(
-                lambda: con01.execute(
-                    oracles["ann_cosine_topk"]
-                ).fetchall(),
-                n=5,
-            )
-            con01.close()
+            try:
+                sp01 = _min_of(
+                    lambda: qs["ann_cosine_topk"](spark, sf01_dir).count(),
+                    n=5,
+                )
+                du01 = _min_of(
+                    lambda: con01.execute(
+                        oracles["ann_cosine_topk"]
+                    ).fetchall(),
+                    n=5,
+                )
+            finally:
+                con01.close()
             rec["sf01_same_window_spark_s"] = round(sp01, 4)
             rec["sf01_same_window_duck_s"] = round(du01, 4)
             dsp = rec["spark_s"] - sp01
