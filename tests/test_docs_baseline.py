@@ -39,9 +39,16 @@ def test_baseline_has_no_unstamped_superseded_claims():
     """The two specific stale r13 citations the judge flagged must not
     reappear as live claims: the retracted 1.87 s stream_simhash
     reading and the 1.30x ann_cosine marginal may only occur next to a
-    retraction/historical stamp."""
+    retraction/historical stamp. The GENERATED block is excluded — it
+    is artifact-derived by construction (covered by the sync test),
+    and an artifact value may legitimately collide with the stale
+    substring (a fresh text_tfidf marginal once read exactly 1.87x)."""
+    import sync_baseline
+
     with open(os.path.join(REPO, "BASELINE.md")) as fh:
         doc = fh.read()
+    head, rest = doc.split(sync_baseline.BEGIN, 1)
+    doc = head + rest.split(sync_baseline.END, 1)[1]
     for stale, context_word in (("1.87", "retract"), ("1.30×", "flip")):
         for i, line in enumerate(doc.splitlines()):
             if stale in line:
