@@ -4662,7 +4662,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS changed
             FROM planted ORDER BY doc_id
         """,
-        "stream_simhash": """
+        "stream_simhash": r"""
             -- signature mirror of dedup_simhash (60-bit md5-prefix word
             -- hash), restricted to the streaming op's event-time window:
             -- ts = 1e6 + doc_id*60 s, so |ts_a - ts_b| <= 1800 s is

@@ -87,6 +87,11 @@ def brute_force_cosine_topk(
       cosine ties tighter than ~1e-12; NaN corpus components rank last
       (NULL) under matmul but first under the fold's raw NaN ordering.
     """
+    if k <= 0:
+        # the matmul engine's argpartition prefilter picks the wrong
+        # pivot at kk=0 and crashes executor-side; fail loudly at the
+        # entry point instead (the sketch family's contract)
+        raise ValueError(f"k must be positive, got {k}")
     if scoring == "matmul":
         c = df.select(
             F.col(id_col).alias("_cid"),
@@ -169,6 +174,8 @@ def knn_join(
     candidate stream from N*Q rows to partitions*Q*k before the single
     keyed merge, whose per-query buffer is partitions*k structs via
     sort_array+slice — no global sort, no window, no N*Q shuffle."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     q = _prep_query_side(queries, q_id_col, id_col, q_vec_col or vec_col)
     c = corpus.select(
         F.col(id_col).alias("_cid"),

@@ -861,7 +861,11 @@ def merge_count_min_sketches(
     linearity — the merged matrix equals the from-scratch matrix of the
     union. Mixed-geometry partials raise (lazily, executor-side — cells
     from different depth/width matrices must never sum): the carried
-    cms_depth/cms_width are compared per group, the kmv_merge
+    cms_depth/cms_width are compared at CELL granularity (fast path —
+    catches a shared (r, b) coordinate before its corrupt sum escapes)
+    AND at GROUP granularity in the final re-collect (sparse partials
+    whose cells never collide coordinate-for-coordinate still differ in
+    the group-level min/max of the carried geometry), the kmv_merge
     unprunable-guard pattern."""
     reserved = {"_e", "_cms_r", "_cms_b"} & set(group_cols)
     if reserved:
@@ -919,7 +923,9 @@ def merge_count_min_sketches(
             "_cms_b",
             guarded.alias("_cms_c"),
             "_d_min",
+            "_d_max",
             "_w_min",
+            "_w_max",
         )
         .groupBy(*group_cols)
         .agg(
@@ -932,7 +938,30 @@ def merge_count_min_sketches(
                     )
                 )
             ).alias(sketch_col),
-            F.min("_d_min").cast("int").alias("cms_depth"),
+            # group-level guard: the cell-level `ok` above only fires
+            # when mismatched partials SHARE an exact (r, b) coordinate;
+            # sparse partials with disjoint cells sail past it, so the
+            # final per-group min-of-mins / max-of-maxes must agree too
+            F.when(
+                (F.min("_d_min") == F.max("_d_max"))
+                & (F.min("_w_min") == F.max("_w_max")),
+                F.min("_d_min"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "merge_count_min_sketches: mixed geometries in "
+                        "one group (depth %s..%s, width %s..%s) — "
+                        "rebuild with one layout",
+                        F.min("_d_min").cast("string"),
+                        F.max("_d_max").cast("string"),
+                        F.min("_w_min").cast("string"),
+                        F.max("_w_max").cast("string"),
+                    )
+                ).cast("int")
+            )
+            .cast("int")
+            .alias("cms_depth"),
             F.min("_w_min").cast("long").alias("cms_width"),
         )
     )

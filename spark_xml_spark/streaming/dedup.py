@@ -274,6 +274,14 @@ def simhash_stream_pairs(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if int(state_shards) < 0:
+        # a negative value would silently fall into the exact-keying
+        # branch (the only check below is > 0), disabling sharding with
+        # no signal; 0 is the documented exact-keying opt-out
+        raise ValueError(
+            f"state_shards must be >= 0 (0 = exact (band, bh) keying), "
+            f"got {state_shards}"
+        )
     win = int(window_seconds)
     band_bits, n_bands = 15, 4
     band_mask = (1 << band_bits) - 1

@@ -2304,6 +2304,16 @@ def test_brute_force_two_engine_parity(spark, embs):
     assert [r.cosine for r in zero] == [0.0, 0.0, 0.0]
     with pytest.raises(ValueError, match="scoring"):
         brute_force_cosine_topk(embs, "embedding", q, scoring="nope")
+    # k <= 0 fails loudly at the entry point (ADVICE r14: the matmul
+    # argpartition prefilter crashes executor-side at kk=0 otherwise)
+    from spark_xml_spark.operators import knn_join
+
+    for bad_k in (0, -3):
+        with pytest.raises(ValueError, match="k must be positive"):
+            brute_force_cosine_topk(embs, "embedding", q, k=bad_k)
+        with pytest.raises(ValueError, match="k must be positive"):
+            knn_join(embs, embs.limit(1).selectExpr(
+                "vec_id AS q_id", "embedding"), k=bad_k)
 
 
 def test_knn_join_matches_single_query_brute_force(spark, embs):
@@ -4060,6 +4070,37 @@ def test_count_min_sketch_estimates_merge_and_guards(spark):
     wdf = df.withColumn("w", F.lit(-1))
     with pytest.raises(Exception, match="negative weight"):
         count_min_sketch(wdf, ["grp"], "tok", weight_col="w").collect()
+
+
+def test_cms_merge_disjoint_cells_mixed_geometry_raises(spark):
+    """ADVICE r14: mixed-geometry partials whose SPARSE cells never share
+    an exact (r, b) coordinate slip past the cell-level guard (min==max
+    within every cell) — the GROUP-level min-of-mins/max-of-maxes guard
+    in the final re-collect must still raise instead of stamping a
+    meaningless matrix with the min geometry. Same-geometry disjoint
+    cells keep merging fine."""
+    from spark_xml_spark.operators import merge_count_min_sketches
+
+    schema = ("grp string, cms array<struct<r:int,b:bigint,c:bigint>>, "
+              "cms_depth int, cms_width bigint")
+    disjoint_mixed = spark.createDataFrame(
+        [("g", [(0, 1, 5)], 2, 64), ("g", [(0, 2, 7)], 2, 32)], schema
+    )
+    with pytest.raises(Exception, match="mixed geometries"):
+        merge_count_min_sketches(disjoint_mixed, ["grp"]).collect()
+    # depth mismatch alone (width equal) must raise too
+    depth_mixed = spark.createDataFrame(
+        [("g", [(0, 1, 5)], 2, 64), ("g", [(1, 2, 7)], 4, 64)], schema
+    )
+    with pytest.raises(Exception, match="mixed geometries"):
+        merge_count_min_sketches(depth_mixed, ["grp"]).collect()
+    # control: same geometry, disjoint cells — merges, keeps both cells
+    ok = spark.createDataFrame(
+        [("g", [(0, 1, 5)], 2, 64), ("g", [(0, 2, 7)], 2, 64)], schema
+    )
+    row = merge_count_min_sketches(ok, ["grp"]).collect()[0]
+    assert [tuple(e) for e in row.cms] == [(0, 1, 5), (0, 2, 7)]
+    assert (row.cms_depth, row.cms_width) == (2, 64)
 
 
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):

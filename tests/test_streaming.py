@@ -819,6 +819,15 @@ def test_simhash_stream_sharded_state_matches_exact_and_caps(spark, tmp_path):
     capped = full - {(1, 4)}
     assert run("exc", state_shards=0, max_bucket=2) == capped
     assert run("shc", state_shards=1, max_bucket=2) == capped
+    # ADVICE r14: a negative shard count must fail loudly instead of
+    # silently falling into the exact-keying branch
+    import pytest
+
+    with pytest.raises(ValueError, match="state_shards must be >= 0"):
+        simhash_stream_pairs(
+            spark.read.parquet(src), window_seconds=600,
+            watermark="3650 days", state_shards=-256,
+        )
 
 
 def test_simhash_stream_window_excludes_far_apart_duplicates(spark, tmp_path):
