@@ -35,6 +35,26 @@ def test_baseline_trend_block_matches_artifacts():
     )
 
 
+def test_board_matches_artifacts():
+    """doc == artifact for the round-close board (VERDICT r14 task 1):
+    BOARD.md is fully generated from BENCH_LOCAL/SCAN_YARDSTICK/
+    RATIO_TREND/BOARD_STATUS .json; a bench re-run or board run that
+    fails to re-sync it (bench.py and closing_board.py both do, in the
+    same commit as the artifact) cannot pass the suite."""
+    import sync_board
+
+    path = os.path.join(REPO, "BOARD.md")
+    assert os.path.exists(path), (
+        "BOARD.md is missing — run `python tools/sync_board.py`"
+    )
+    with open(path) as fh:
+        doc = fh.read()
+    assert doc == sync_board.render_board(), (
+        "BOARD.md is out of sync with the committed artifacts — run "
+        "`python tools/sync_board.py`"
+    )
+
+
 def test_baseline_has_no_unstamped_superseded_claims():
     """The two specific stale r13 citations the judge flagged must not
     reappear as live claims: the retracted 1.87 s stream_simhash

@@ -34,6 +34,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+STATUS: list[dict] = []  # step records -> BOARD_STATUS.json (r15 task 1)
+
+
 def _run(label: str, cmd, timeout: int = 3600) -> tuple[bool, str]:
     t0 = time.time()
     try:
@@ -47,9 +50,14 @@ def _run(label: str, cmd, timeout: int = 3600) -> tuple[bool, str]:
         keyed = [ln for ln in out_lines
                  if "SUMMARY" in ln or "yardstick:" in ln]
         tail = (keyed or out_lines)[-1:] or [""]
+        STATUS.append({"name": label, "ok": ok,
+                       "secs": round(time.time() - t0),
+                       "line": tail[0][:160]})
         return ok, f"{label}: {'ok' if ok else 'FAIL'} " \
                    f"({time.time()-t0:.0f}s) {tail[0][:160]}"
     except subprocess.TimeoutExpired:
+        STATUS.append({"name": label, "ok": False, "secs": timeout,
+                       "line": f"TIMEOUT after {timeout}s"})
         return False, f"{label}: TIMEOUT after {timeout}s"
 
 
@@ -137,6 +145,37 @@ def main() -> None:
         )
         failed += 0 if ok else 1
         print(line, flush=True)
+    # doc == artifact for the board itself (VERDICT r14 task 1): persist
+    # the step log, re-render BOARD.md from the committed artifacts, and
+    # commit both BEFORE the clean-tree check — SURVEY.md cites BOARD.md,
+    # never hand-copied numbers
+    import json
+
+    with open(os.path.join(REPO, "BOARD_STATUS.json"), "w") as fh:
+        json.dump(
+            {
+                "steps": STATUS,
+                "result": "PASS" if failed == 0 else f"FAIL({failed})",
+                "skipped": sorted(skip),
+            },
+            fh, indent=1,
+        )
+        fh.write("\n")
+    subprocess.run([sys.executable, "tools/sync_board.py"],
+                   cwd=REPO, capture_output=True)
+    subprocess.run(["git", "add", "--", "BOARD_STATUS.json", "BOARD.md"],
+                   cwd=REPO, capture_output=True)
+    if subprocess.run(
+        ["git", "diff", "--cached", "--quiet", "--",
+         "BOARD_STATUS.json", "BOARD.md"],
+        cwd=REPO, capture_output=True,
+    ).returncode == 1:
+        subprocess.run(
+            ["git", "commit", "-m",
+             "Record closing-board status (BOARD.md re-synced)",
+             "--only", "--", "BOARD_STATUS.json", "BOARD.md"],
+            cwd=REPO, capture_output=True,
+        )
     dirty = subprocess.run(
         ["git", "status", "--porcelain"], cwd=REPO,
         capture_output=True, text=True,
