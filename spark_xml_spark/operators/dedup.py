@@ -964,9 +964,14 @@ def substring_dup_spans(
     Scale shape: positional k-gram HASHES (xxhash64, 8-byte longs — up to
     64-bit collisions, same stance as the minhash/Jaccard family) explode
     once from a persisted gram frame; duplicated grams come from one
-    map-side-combinable ``count >= 2`` aggregation; the join back is a
-    LEFT SEMI on the hash (row-preserving — no pair blowup, hot
-    boilerplate grams are AQE-splittable skew, not a cross product); span
+    map-side-combinable ``count >= 2`` aggregation; the join back is an
+    INNER join on the hash against the DISTINCT duplicated-gram set
+    (row-preserving — the right side is unique per hash by construction,
+    so inner == left-semi row-for-row; no pair blowup, and hot
+    boilerplate grams are AQE-splittable skew, not a cross product;
+    measured constraint and the shape that satisfies it pinned by
+    test_skew_matrix.test_substring_dup_join_back_is_aqe_skew_splittable);
+    span
     coverage is a per-document fold over the sorted position list (no
     window function, one keyed aggregation; the collected list is bounded
     by the document's own token count). Nothing is all-pairs and no
@@ -995,7 +1000,23 @@ def substring_dup_spans(
     # (frequency count + position join-back) each re-explode it, which is
     # cheap next to re-reading and re-hashing the corpus
     e = g.select("_id", "_nt", F.posexplode("_g").alias("_pos", "_gh"))
-    dupg = e.groupBy("_gh").count().filter(F.col("count") >= 2).select("_gh")
+    # the second grouping key is FUNCTIONALLY DEPENDENT on _gh (so counts
+    # are still exact per-gram totals, and the map-side partial_count
+    # still collapses a hot gram to one row per task before the
+    # exchange); its only purpose is to keep the aggregate's exchange
+    # from satisfying the join's hash(_gh) requirement, forcing an
+    # ENSURE_REQUIREMENTS exchange of the (small) dup-gram set above the
+    # agg. AQE's OptimizeSkewedJoin can only split a join whose inputs
+    # are BARE ENSURE_REQUIREMENTS shuffle stages — with the agg inside
+    # the right-hand stage (the default plan), the viral-gram skew on
+    # the LEFT side is structurally unsplittable (measured on this Spark
+    # build; pinned by test_skew_matrix)
+    dupg = (
+        e.groupBy("_gh", F.pmod("_gh", F.lit(64)).alias("_ds"))
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("_gh")
+    )
     # fold over the sorted duplicated positions: each window [p, p+k-1]
     # contributes min(k, p - previous_p) new tokens (windows are fixed
     # length, so interval ends are monotone once starts are sorted)
@@ -1003,8 +1024,12 @@ def substring_dup_spans(
         F.lit(0).cast("long").alias("cov"),
         F.lit(-k).cast("long").alias("prev"),
     )
+    # INNER, not LEFT SEMI: dupg is unique on _gh (groupBy output), so
+    # the join is row-preserving either way; inner is the join type
+    # OptimizeSkewedJoin supports most broadly, and a viral boilerplate
+    # gram makes this exactly the join that needs the split
     folded = (
-        e.join(dupg, "_gh", "left_semi")
+        e.join(dupg, "_gh", "inner")
         .groupBy("_id")
         .agg(
             F.first("_nt").alias("n_tokens"),
