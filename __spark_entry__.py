@@ -1302,18 +1302,25 @@ def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out, exist_ok=True)
     batch_rows = []
 
-    def _sink(df, _bid):
-        # one ingest per batch: persist before count+write, or the XML
-        # files re-parse twice (count then write) and double the cost
-        # this query benchmarks
-        df.persist()
-        try:
-            n = df.count()
-            if n:
-                batch_rows.append(n)
-                df.write.mode("append").parquet(out)
-        finally:
-            df.unpersist()
+    def _sink(df, bid):
+        # ONE Spark job per batch (r15 decomposition): write straight to
+        # a batch-id subdir and take the per-batch row count from the
+        # written parquet FOOTERS (driver-side, ~ms) instead of a
+        # persist+count+write trio — the count job and the
+        # persist/unpersist bookkeeping were two extra job launches per
+        # micro-batch over the Python XML source. recursiveFileLookup on
+        # the final read keeps the subdirs out of the schema.
+        bdir = os.path.join(out, f"bid={bid}")
+        df.write.mode("append").parquet(bdir)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet")
+        )
+        if n:
+            batch_rows.append(n)
 
     q = (
         spark.readStream.format("xml-graft")
@@ -1338,7 +1345,9 @@ def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"maxFilesPerTrigger={cap} should ingest in {expected} "
             f"microbatches, observed {len(batch_rows)} ({batch_rows})"
         )
-    return spark.read.parquet(out).agg(
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        out
+    ).agg(
         F.count("*").alias("n_rows"),
         F.sum("n_nationkey").alias("sum_key"),
         F.count_distinct("n_regionkey").alias("n_regions"),
@@ -3634,7 +3643,7 @@ def q_text_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = count_min_sketch(toks, ["lang"], "tok", depth=3, width=256,
                           salt="cm")
-    est = cms_estimate(sk, _CMS_PROBES, salt="cm")
+    est = cms_estimate(sk, _CMS_PROBES, salt="cm", depth_cap=3)
     return est.select("lang", "item", "est_count").orderBy("lang", "item")
 
 
@@ -3674,7 +3683,7 @@ def q_text_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_count_min_sketches(
         parts[0].unionByName(parts[1]), ["lang"]
     )
-    est = cms_estimate(merged, _CMS_PROBES, salt="cm")
+    est = cms_estimate(merged, _CMS_PROBES, salt="cm", depth_cap=3)
     return est.select("lang", "item", "est_count").orderBy("lang", "item")
 
 
@@ -3788,7 +3797,7 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_stream(q)
     partials = spark.read.option("recursiveFileLookup", "true").parquet(state)
     merged = merge_count_min_sketches(partials, ["lang"])
-    est = cms_estimate(merged, _CMS_PROBES, salt="cm")
+    est = cms_estimate(merged, _CMS_PROBES, salt="cm", depth_cap=3)
     return est.select("lang", "item", "est_count").orderBy("lang", "item")
 
 

@@ -4070,6 +4070,24 @@ def test_count_min_sketch_estimates_merge_and_guards(spark):
     wdf = df.withColumn("w", F.lit(-1))
     with pytest.raises(Exception, match="negative weight"):
         count_min_sketch(wdf, ["grp"], "tok", weight_col="w").collect()
+    # preaggregate=False (per-occurrence hashing) builds the identical
+    # matrix — linearity of the cell sums
+    sk3 = count_min_sketch(df, ["grp"], "tok", depth=depth, width=width,
+                           salt=salt, preaggregate=False)
+    assert {r.grp: [tuple(e) for e in r.cms]
+            for r in sk3.collect()} == got
+    # depth_cap: capping at the build depth changes nothing; capping
+    # BELOW it raises executor-side (silently dropped hash rows would
+    # inflate the min-estimate); invalid caps fail at the entry point
+    est_cap = {(r.grp, r.item): r.est_count for r in cms_estimate(
+        sk, ["apple", "plum", "absent"], salt=salt,
+        depth_cap=depth).collect()}
+    assert est_cap == est
+    with pytest.raises(Exception, match="exceeds depth_cap"):
+        cms_estimate(sk, ["apple"], salt=salt,
+                     depth_cap=depth - 1).collect()
+    with pytest.raises(ValueError, match="depth_cap"):
+        cms_estimate(sk, ["apple"], depth_cap=0)
 
 
 def test_cms_merge_disjoint_cells_mixed_geometry_raises(spark):

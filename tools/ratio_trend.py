@@ -146,6 +146,23 @@ def _duck_con(sf_dir: str, cpus: int):
     return con
 
 
+# parquet layout floor (VERDICT r14 task 4): DuckDB's COPY default row
+# group (~122k rows) left the 200k-row embeddings x100 replica with 2
+# row groups — neither engine parallelizes below row-group granularity,
+# so BOTH walls at that point measured LAYOUT, not compute (BASELINE.md:
+# DuckDB itself ran 3.3x faster on the same bytes at 10 row groups).
+# Tables listed here are written with an explicit ROW_GROUP_SIZE and a
+# minimum group count the existing-file check enforces (a pre-task-4
+# scratch file passes the row-count check but not this one).
+ROW_GROUPS = {"embeddings": (6144, 32)}  # 200k rows -> ~33 groups
+
+
+def _num_row_groups(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_row_groups
+
+
 def _build_scale10(src_sf_dir: str, dst: str) -> None:
     """A drop-in sf_dir scaled beyond sf0.1: every table in SCALEUP is
     replicated factor-x with re-keyed ids (replicas keep their payload
@@ -171,24 +188,33 @@ def _build_scale10(src_sf_dir: str, dst: str) -> None:
                 os.symlink(s, d)
             continue
         factor, key, order = SCALEUP[t]
+        rg, min_groups = ROW_GROUPS.get(t, (None, None))
         if os.path.exists(d):
             # a pre-existing file must PROVE it is the scaled replica
-            # (exact factor x source rows): a scratch dir left by an
-            # older build (symlinked, unscaled) or a killed COPY would
-            # otherwise be measured and published as x{factor}
+            # (exact factor x source rows) AND carry the required layout
+            # (row-group count): a scratch dir left by an older build
+            # (symlinked, unscaled, or pre-task-4 2-row-group layout) or
+            # a killed COPY would otherwise be measured and published as
+            # x{factor}
             try:
-                if _rows(d) == factor * _rows(s):
+                ok = _rows(d) == factor * _rows(s)
+                if ok and min_groups is not None:
+                    ok = _num_row_groups(d) >= min_groups
+                if ok:
                     continue
-            except duckdb.Error:
+            except (duckdb.Error, OSError):
                 pass
             os.remove(d)
+        opts = "FORMAT parquet" + (
+            f", ROW_GROUP_SIZE {rg}" if rg is not None else ""
+        )
         con.execute(
             f"""
             COPY (
               SELECT src.* REPLACE ({key} + 10000000 * i AS {key})
               FROM read_parquet('{s}') src, range({factor}) t(i)
               ORDER BY {", ".join(order)}
-            ) TO '{d}' (FORMAT parquet)
+            ) TO '{d}' ({opts})
             """
         )
     con.close()
@@ -396,6 +422,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             rec["same_window_error"] = repr(exc)[:200]
         rec["x"] = SCALEUP["embeddings"][0]
+        # layout provenance (task 4): the marginal is only computed-bound
+        # when the corpus file has enough row groups to parallelize
+        try:
+            rec["fixture_row_groups"] = _num_row_groups(
+                os.path.join(scratch, "embeddings.parquet")
+            )
+        except OSError:
+            pass
         emb_x["ann_cosine_topk"] = rec
         for name in SCALE10_EVENTS:
             rec = _scaleup_rec(name, con)
