@@ -3687,6 +3687,57 @@ def q_text_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("lang", "item", "est_count").orderBy("lang", "item")
 
 
+def q_text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter ENUMERATION against the merged CMS
+    (operators/sketch.py cms_heavy_hitters — Cormode & Muthukrishnan
+    §4): the corpus splits by doc_id parity into two partial sketches,
+    merge_count_min_sketches sums the cells, and the per-language
+    distinct-token set probes the MERGED sketch for every token whose
+    estimate clears ceil(phi*N) — N recovered exactly from the matrix
+    itself (sum(cells)/depth; every occurrence increments depth cells,
+    linear under merges). No false negatives over the candidate set
+    (est >= true); false positives are within the sketch's +eps*N bar,
+    and the oracle replays the identical cell matrix + threshold, so
+    the SAME false positives appear on both engines — bit-exact. One
+    (lang, tok) distinct agg + per-group sketch join + codegen
+    estimate/filter; no window, no collect."""
+    from spark_xml_spark.operators import (
+        cms_heavy_hitters,
+        count_min_sketch,
+        merge_count_min_sketches,
+    )
+
+    d = _parquet(spark, sf_dir, "documents", fan_out=False).filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    parts = [
+        count_min_sketch(
+            toks.filter(F.col("doc_id") % 2 == i),
+            ["lang"], "tok", depth=3, width=256, salt="cm",
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_count_min_sketches(
+        parts[0].unionByName(parts[1]), ["lang"]
+    )
+    hh = cms_heavy_hitters(
+        merged, toks, ["lang"], "tok", phi=0.02, salt="cm", depth_cap=3
+    )
+    return hh.select(
+        "lang", "item", "est_count", "total_weight"
+    ).orderBy("lang", "item")
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis (operators/rollup.py funnel_steps): per user,
     the longest prefix of view -> click -> purchase completable in
@@ -4166,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_merge": q_text_cms_merge,
         "events_funnel_windowed": q_events_funnel_windowed,
         "stream_cms": q_stream_cms,
+        "text_cms_topk": q_text_cms_topk,
     }
 
 
@@ -6291,6 +6343,54 @@ def oracle_sql() -> dict[str, str]:
     # batch merge demo and the per-micro-batch stream both reduce to it
     sql["text_cms_merge"] = sql["text_cms"]
     sql["stream_cms"] = sql["text_cms"]
+    sql["text_cms_topk"] = """
+        -- heavy-hitter replay: identical cell matrix (merged == from-
+        -- scratch by linearity), per-DISTINCT-token min-over-rows
+        -- estimate, threshold ceil(phi*N) with N the exact per-language
+        -- token count (== sum(cells)/depth, which is how the Spark side
+        -- recovers it from the matrix) — the SAME false positives
+        -- survive on both engines, so the match is bit-exact
+        WITH tok AS (
+          SELECT lang, t
+          FROM (SELECT lang,
+                       unnest(regexp_split_to_array(lower(text), '\\s+'))
+                         AS t
+                FROM documents WHERE text IS NOT NULL)
+          WHERE t <> ''
+        ), hrows AS (
+          SELECT unnest([0, 1, 2]) AS r
+        ), cells AS (
+          SELECT lang, r,
+                 CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR)
+                                          || 'cm|' || t), 1, 8))
+                      AS BIGINT) % 256 AS b,
+                 COUNT(*) AS c
+          FROM tok, hrows
+          GROUP BY lang, r, b
+        ), totals AS (
+          SELECT lang, COUNT(*) AS n FROM tok GROUP BY lang
+        ), cand AS (
+          SELECT DISTINCT lang, t AS item FROM tok
+        ), pcell AS (
+          SELECT lang, item, r,
+                 CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR)
+                                          || 'cm|' || item), 1, 8))
+                      AS BIGINT) % 256 AS b
+          FROM cand, hrows
+        ), est AS (
+          SELECT p.lang, p.item,
+                 CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_count
+          FROM pcell p
+          LEFT JOIN cells c
+            ON c.lang = p.lang AND c.r = p.r AND c.b = p.b
+          GROUP BY p.lang, p.item
+        )
+        SELECT e.lang AS lang, e.item AS item, e.est_count AS est_count,
+               CAST(t.n AS BIGINT) AS total_weight
+        FROM est e JOIN totals t ON t.lang = e.lang
+        WHERE e.est_count >= CAST(ceil(0.02 * t.n) AS BIGINT)
+        ORDER BY lang, item
+    """
     sql["events_funnel_windowed"] = """
         -- per-chain-start search replayed literally: every distinct
         -- view event is a candidate start; within a start the greedy

@@ -1038,26 +1038,131 @@ def cms_estimate(
         F.array(*[F.lit(str(i)) for i in items])
     ).alias(item_out)
     out = df.select("*", probes)
-    # cell lookup per hash row, inlined for every possible row index of
-    # the carried depth (depth is data, not a Python constant: guard
-    # each term with r < cms_depth so over-inlined rows drop out)
-    max_depth = depth_cap
+    est = _cms_point_estimate(
+        F.col(item_out), sketch_col, salt, depth_cap, "cms_estimate"
+    )
+    return out.withColumn(est_out, est.cast("long"))
+
+
+def cms_heavy_hitters(
+    sketches: DataFrame,
+    candidates: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    phi: float,
+    salt: str = "",
+    sketch_col: str = "cms",
+    depth_cap: int = 16,
+    item_out: str = "item",
+    est_out: str = "est_count",
+    total_out: str = "total_weight",
+) -> DataFrame:
+    """Heavy-hitter enumeration against count-min sketches (Cormode &
+    Muthukrishnan 2005 §4): for each group, the candidate items whose
+    point estimate is at least ``ceil(phi * N)``. A CMS cannot be
+    enumerated, so candidates arrive as a frame (group_cols..., item) —
+    any superset of the items that could be heavy (the corpus's
+    distinct items, or the union of per-batch distinct items when the
+    sketch was merged from stream partials). Guarantees, inherited from
+    the one-sided estimator: NO FALSE NEGATIVES over the candidate set
+    (est >= true, so every candidate with true count >= phi*N
+    survives); false positives are items within the sketch's +eps*N
+    error of the bar. N is recovered from the sketch itself — every
+    occurrence increments exactly ``depth`` cells, so
+    N = sum(cells)/depth, exact even after merges (cells sum by
+    linearity).
+
+    Output: (group_cols..., item_out, est_out, total_out), one row per
+    surviving (group, candidate); unordered — sort downstream.
+
+    Scale shape (100 TB): candidates dedupe with one map-side-combinable
+    (group, item) aggregate; sketches are one row per group, joined on
+    the group key straight off their own aggregation's partitioning;
+    the estimate + threshold filter are pure codegen (depth_cap terms,
+    see ``cms_estimate``). No window, no collect, no Python.
+
+    NULL group keys do not join (standard equi-join semantics) —
+    coalesce them to a sentinel upstream if a NULL group matters."""
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    if not 1 <= depth_cap <= 16:
+        raise ValueError("depth_cap must be in [1, 16]")
+    for need in ("cms_depth", "cms_width"):
+        if need not in sketches.columns:
+            raise ValueError(
+                f"cms_heavy_hitters sketches must come from "
+                f"count_min_sketch ({need} column missing)"
+            )
+    clash = {item_out, est_out, total_out} & (
+        set(group_cols) | {sketch_col, "cms_depth", "cms_width"}
+    )
+    if clash:
+        raise ValueError(
+            f"output columns {sorted(clash)} collide with group_cols or "
+            "sketch columns; rename them"
+        )
+    if len({item_out, est_out, total_out}) != 3:
+        raise ValueError("item_out/est_out/total_out must be distinct")
+    group_cols = list(group_cols)
+    cand = (
+        candidates.filter(F.col(item_col).isNotNull())
+        .select(
+            *group_cols, F.col(item_col).cast("string").alias(item_out)
+        )
+        .distinct()
+    )
+    # exact total weight from the matrix itself: depth cells per
+    # occurrence, so sum(c)/depth — integer-exact (sum(c) is always a
+    # multiple of depth)
+    total = (
+        F.aggregate(
+            F.col(sketch_col),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e["c"],
+        )
+        / F.col("cms_depth")
+    ).cast("long")
+    sk = sketches.select(
+        *group_cols, sketch_col, "cms_depth", "cms_width",
+        total.alias(total_out),
+    )
+    est = _cms_point_estimate(
+        F.col(item_out), sketch_col, salt, depth_cap, "cms_heavy_hitters"
+    )
+    bar = F.ceil(F.lit(float(phi)) * F.col(total_out)).cast("long")
+    return (
+        cand.join(sk, group_cols)
+        .withColumn(est_out, est.cast("long"))
+        .filter(F.col(est_out) >= bar)
+        .select(*group_cols, item_out, est_out, total_out)
+    )
+
+
+def _cms_point_estimate(
+    item: Column, sketch_col: str, salt: str, depth_cap: int, what: str
+) -> Column:
+    """The count-min point-estimate EXPRESSION for an item COLUMN against
+    the row's carried sketch: min over hash rows of the item's cell,
+    absent cells counting zero. Cell lookup per hash row is inlined for
+    every possible row index up to ``depth_cap`` (depth is data, not a
+    Python constant: each term is guarded with r < cms_depth so
+    over-inlined rows drop out, and a row whose depth EXCEEDS the cap
+    raises — silently dropped hash rows would inflate the min). Shared
+    by cms_estimate (literal probe list) and cms_heavy_hitters (the
+    distinct-item column)."""
     terms = []
-    for r in range(max_depth):
+    for r in range(depth_cap):
         bucket = (
             F.conv(
                 F.substring(
-                    F.md5(
-                        F.concat(F.lit(f"cms{r}{salt}|"), F.col(item_out))
-                    ),
-                    1,
-                    8,
+                    F.md5(F.concat(F.lit(f"cms{r}{salt}|"), item)), 1, 8
                 ),
                 16,
                 10,
             ).cast("bigint")
             % F.col("cms_width")
         )
+
         def _hit(rr, bb):
             # plain closure: F.filter inspects the lambda's arity, so
             # default-arg capture (lambda e, rr=r: ...) mis-binds
@@ -1075,15 +1180,14 @@ def cms_estimate(
     est = F.array_min(
         F.filter(F.array(*terms), lambda v: v.isNotNull())
     )
-    est = F.when(
-        F.col("cms_depth") > F.lit(max_depth),
+    return F.when(
+        F.col("cms_depth") > F.lit(depth_cap),
         F.raise_error(
             F.format_string(
-                "cms_estimate: sketch depth %s exceeds depth_cap "
-                f"{max_depth} — hash rows would be silently dropped; "
+                f"{what}: sketch depth %s exceeds depth_cap "
+                f"{depth_cap} — hash rows would be silently dropped; "
                 "raise depth_cap",
                 F.col("cms_depth").cast("string"),
             )
         ).cast("long"),
     ).otherwise(est)
-    return out.withColumn(est_out, est.cast("long"))

@@ -4090,6 +4090,102 @@ def test_count_min_sketch_estimates_merge_and_guards(spark):
         cms_estimate(sk, ["apple"], depth_cap=0)
 
 
+def test_cms_heavy_hitters_matches_replay_and_guards(spark):
+    """cms_heavy_hitters == a Python replay of the definition (same
+    cells, same min-over-rows estimates, same ceil(phi*N) bar, N =
+    sum(cells)/depth); every TRUE heavy hitter appears (no false
+    negatives over the candidate set); merged partials enumerate
+    identically to the from-scratch sketch; invalid inputs fail loudly."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from spark_xml_spark.operators import (
+        cms_heavy_hitters,
+        count_min_sketch,
+        merge_count_min_sketches,
+    )
+
+    items = (["hot"] * 50 + ["warm"] * 20 + ["mild"] * 8
+             + [f"tail{i}" for i in range(40)])
+    rows = [(i, "g1", it) for i, it in enumerate(items)]
+    rows += [(1000 + i, "g2", "solo") for i in range(3)]
+    rows += [(2000, "g2", None)]  # NULL item: excluded everywhere
+    df = spark.createDataFrame(rows, "doc_id long, grp string, tok string")
+
+    depth, width, salt, phi = 3, 64, "hh", 0.1
+
+    def bucket(item, r):
+        h = hashlib.md5(f"cms{r}{salt}|{item}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    def replay(pairs):
+        """python heavy-hitter replay per group: Counter -> cells ->
+        min-over-rows estimates -> ceil(phi*N) filter."""
+        out = {}
+        for grp, cnt in pairs.items():
+            cells = Counter()
+            for it, n in cnt.items():
+                for r in range(depth):
+                    cells[(r, bucket(it, r))] += n
+            total = sum(cnt.values())
+            bar = math.ceil(phi * total)
+            for it in cnt:
+                est = min(cells[(r, bucket(it, r))] for r in range(depth))
+                if est >= bar:
+                    out[(grp, it)] = (est, total)
+        return out
+
+    from collections import defaultdict
+    truth = defaultdict(Counter)
+    for _, grp, tok in rows:
+        if tok is not None:
+            truth[grp][tok] += 1
+    expected = replay(truth)
+
+    sk = count_min_sketch(df, ["grp"], "tok", depth=depth, width=width,
+                          salt=salt)
+    got = {
+        (r.grp, r.item): (r.est_count, r.total_weight)
+        for r in cms_heavy_hitters(
+            sk, df, ["grp"], "tok", phi=phi, salt=salt,
+            depth_cap=depth,
+        ).collect()
+    }
+    assert got == expected
+    # no false negatives: every TRUE >= phi*N item is present
+    for grp, cnt in truth.items():
+        total = sum(cnt.values())
+        for it, n in cnt.items():
+            if n >= math.ceil(phi * total):
+                assert (grp, it) in got, (grp, it)
+    # merged parity-split partials enumerate identically
+    parts = [count_min_sketch(df.filter(F.col("doc_id") % 2 == i),
+                              ["grp"], "tok", depth=depth, width=width,
+                              salt=salt) for i in (0, 1)]
+    merged = merge_count_min_sketches(parts[0].unionByName(parts[1]),
+                                      ["grp"])
+    got_m = {
+        (r.grp, r.item): (r.est_count, r.total_weight)
+        for r in cms_heavy_hitters(
+            merged, df, ["grp"], "tok", phi=phi, salt=salt,
+            depth_cap=depth,
+        ).collect()
+    }
+    assert got_m == expected
+    # guards
+    with pytest.raises(ValueError, match="phi"):
+        cms_heavy_hitters(sk, df, ["grp"], "tok", phi=0.0)
+    with pytest.raises(ValueError, match="phi"):
+        cms_heavy_hitters(sk, df, ["grp"], "tok", phi=1.5)
+    with pytest.raises(ValueError, match="cms_depth column missing"):
+        cms_heavy_hitters(sk.drop("cms_depth"), df, ["grp"], "tok",
+                          phi=0.1)
+    with pytest.raises(Exception, match="exceeds depth_cap"):
+        cms_heavy_hitters(sk, df, ["grp"], "tok", phi=phi, salt=salt,
+                          depth_cap=depth - 1).collect()
+
+
 def test_cms_merge_disjoint_cells_mixed_geometry_raises(spark):
     """ADVICE r14: mixed-geometry partials whose SPARSE cells never share
     an exact (r, b) coordinate slip past the cell-level guard (min==max

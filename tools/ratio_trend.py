@@ -431,6 +431,99 @@ def main() -> None:
         except OSError:
             pass
         emb_x["ann_cosine_topk"] = rec
+        # ---- embeddings x2000 (r15, VERDICT r14 task 4 follow-through):
+        # the 33-row-group re-lay made the x100 point FLOOR-bound for
+        # DuckDB (its x100 wall fell to ~0.04 s, delta vs sf0.1 under
+        # the 0.05 s noise floor — the layout, not compute, was what the
+        # old record measured), so the computed-bound adjudication moves
+        # to 4M vectors, where both engines' walls and both deltas clear
+        # the floor with margin (probed: duck ~0.085 s at 2M already).
+        # Marginal = (x2000 - x100) deltas, both points measured
+        # back-to-back in this session. The fixture lives OUTSIDE the
+        # per-run scratch (own row-count + row-group validity check), so
+        # its ~1 GB COPY is paid once, not per trend run.
+        try:
+            EMB_BIG_X = 2000
+            scratch2k = os.environ.get(
+                "SPARK_GRAFT_EMB_BIG_DIR", "/tmp/xmlgraft_emb_big"
+            )
+            os.makedirs(scratch2k, exist_ok=True)
+            import duckdb as _duck
+
+            e_src = os.path.join(sf01_dir, "embeddings.parquet")
+            e_dst = os.path.join(scratch2k, "embeddings.parquet")
+            need = True
+            try:
+                c2k = _duck.connect()
+                have = c2k.execute(
+                    f"SELECT count(*) FROM read_parquet('{e_dst}')"
+                ).fetchone()[0]
+                want = EMB_BIG_X * c2k.execute(
+                    f"SELECT count(*) FROM read_parquet('{e_src}')"
+                ).fetchone()[0]
+                need = have != want or _num_row_groups(e_dst) < 32
+                c2k.close()
+            except (_duck.Error, OSError):
+                pass
+            if need:
+                c2k = _duck.connect()
+                c2k.execute(
+                    f"""
+                    COPY (
+                      SELECT src.* REPLACE
+                        (vec_id + 10000000 * i AS vec_id)
+                      FROM read_parquet('{e_src}') src,
+                           range({EMB_BIG_X}) t(i)
+                      ORDER BY vec_id
+                    ) TO '{e_dst}' (FORMAT parquet, ROW_GROUP_SIZE 16384)
+                    """
+                )
+                c2k.close()
+            for t in TABLES:
+                sp_ = os.path.join(sf01_dir, f"{t}.parquet")
+                dp_ = os.path.join(scratch2k, f"{t}.parquet")
+                if t != "embeddings" and os.path.exists(sp_) \
+                        and not os.path.exists(dp_):
+                    os.symlink(sp_, dp_)
+            con2k = _duck_con(scratch2k, cpus)
+            rec2k: dict = {"x": EMB_BIG_X}
+            try:
+                rec2k["spark_s"] = round(
+                    _min_of(
+                        lambda: qs["ann_cosine_topk"](
+                            spark, scratch2k
+                        ).count(),
+                        n=5,
+                    ),
+                    4,
+                )
+                rec2k["duck_s"] = round(
+                    _min_of(
+                        lambda: con2k.execute(
+                            oracles["ann_cosine_topk"]
+                        ).fetchall(),
+                        n=5,
+                    ),
+                    4,
+                )
+                rec2k["ratio"] = round(
+                    rec2k["spark_s"] / rec2k["duck_s"], 2
+                )
+                rec2k["fixture_row_groups"] = _num_row_groups(e_dst)
+                if "spark_s" in rec and "duck_s" in rec:
+                    dsp = rec2k["spark_s"] - rec["spark_s"]
+                    ddu = rec2k["duck_s"] - rec["duck_s"]
+                    rec2k["delta_spark_s_vs_x100"] = round(dsp, 4)
+                    rec2k["delta_duck_s_vs_x100"] = round(ddu, 4)
+                    if dsp >= MARGINAL_FLOOR_S and ddu >= MARGINAL_FLOOR_S:
+                        rec2k["marginal_ratio_vs_x100"] = round(
+                            dsp / ddu, 2
+                        )
+            finally:
+                con2k.close()
+            emb_x[f"ann_cosine_topk_x{EMB_BIG_X}"] = rec2k
+        except Exception as exc:  # noqa: BLE001
+            detail.setdefault("errors", {})["emb_big"] = repr(exc)[:200]
         for name in SCALE10_EVENTS:
             rec = _scaleup_rec(name, con)
             rec["x"] = SCALEUP["events"][0]
