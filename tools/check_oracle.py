@@ -70,7 +70,14 @@ def main():
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
+        # SPARK_GRAFT_TZ: timezone-hardening replica (r13 protocol, a
+        # knob since r15) — the whole gate re-run under a non-UTC
+        # session timezone catches tz-dependent value bugs across every
+        # query; oracle values must be tz-independent by construction
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("SPARK_GRAFT_TZ", "UTC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .getOrCreate()
