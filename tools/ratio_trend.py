@@ -83,7 +83,8 @@ SCALEUP = {
 # events_rollup merge DEMO deliberately rolls the corpus up twice, so
 # its marginal against the one-pass oracle over-reads by construction
 # (VERDICT r12 task 3)
-SCALE10_EVENTS = ["events_rollup", "events_rollup_once", "events_asof"]
+SCALE10_EVENTS = ["events_rollup", "events_rollup_once", "events_asof",
+                  "events_funnel_windowed"]
 # XML headline queries measured at the scaled corpus; value = the pruned
 # (table, columns) read whose isolated scan wall is recorded alongside
 SCALEUP_XML_QUERIES = {
