@@ -3852,6 +3852,86 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("lang", "item", "est_count").orderBy("lang", "item")
 
 
+def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy-hitter enumeration (cms_heavy_hitters over
+    per-micro-batch state): each batch persists BOTH its slice's 3x256
+    CMS partial AND its distinct (lang, token) candidate set into
+    idempotent per-batch-id locations; the final answer merges the
+    sketch partials (cells sum by linearity) and probes the merged
+    matrix with the UNION of the batch candidate sets. File-stream
+    batches partition the corpus, so the candidate union IS the
+    corpus's distinct token set and the merged matrix IS the
+    whole-corpus sketch — the enumeration is therefore BIT-IDENTICAL
+    to the batch text_cms_topk, which is exactly what the shared
+    oracle computes. Streaming state: O(groups x depth x width)
+    counters + the distinct candidate set (vocabulary-sized, the
+    irreducible cost of enumerating a sketch that cannot enumerate
+    itself)."""
+    import tempfile
+
+    from spark_xml_spark.operators import (
+        cms_heavy_hitters,
+        count_min_sketch,
+        merge_count_min_sketches,
+    )
+
+    def _build(path):
+        d = _parquet(spark, sf_dir, "documents", fan_out=False)
+        d.select("doc_id", "lang", "text").coalesce(6).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    src = _stream_source(spark, sf_dir, "cms-docs-id-lang-text",
+                         "documents", _build)
+    work = tempfile.mkdtemp(prefix="xml_scmsk_q_")
+    state = os.path.join(work, "sketches")
+    cands = os.path.join(work, "cands")
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+
+    def _sink(batch_df, batch_id):
+        toks = batch_df.filter(F.col("text").isNotNull()).select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("tok"),
+        )
+        count_min_sketch(
+            toks, ["lang"], "tok", depth=3, width=256, salt="cm"
+        ).write.mode("overwrite").parquet(
+            os.path.join(state, f"b{batch_id}")
+        )
+        toks.distinct().write.mode("overwrite").parquet(
+            os.path.join(cands, f"b{batch_id}")
+        )
+
+    with _stateful_parts(spark):
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
+    merged = merge_count_min_sketches(
+        spark.read.option("recursiveFileLookup", "true").parquet(state),
+        ["lang"],
+    )
+    cand = spark.read.option("recursiveFileLookup", "true").parquet(cands)
+    hh = cms_heavy_hitters(
+        merged, cand, ["lang"], "tok", phi=0.02, salt="cm", depth_cap=3
+    )
+    return hh.select(
+        "lang", "item", "est_count", "total_weight"
+    ).orderBy("lang", "item")
+
+
 def q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING percentile tracking with the mergeable quantile sketch
     (the stream_kmv pattern): documents replay in micro-batches, each
@@ -4218,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_windowed": q_events_funnel_windowed,
         "stream_cms": q_stream_cms,
         "text_cms_topk": q_text_cms_topk,
+        "stream_cms_topk": q_stream_cms_topk,
     }
 
 
@@ -6343,6 +6424,9 @@ def oracle_sql() -> dict[str, str]:
     # batch merge demo and the per-micro-batch stream both reduce to it
     sql["text_cms_merge"] = sql["text_cms"]
     sql["stream_cms"] = sql["text_cms"]
+    # streaming heavy hitters: candidate union == corpus distinct set and
+    # merged cells == whole-corpus matrix, so the batch top-k oracle
+    # applies verbatim (assigned after text_cms_topk is defined below)
     sql["text_cms_topk"] = """
         -- heavy-hitter replay: identical cell matrix (merged == from-
         -- scratch by linearity), per-DISTINCT-token min-over-rows
@@ -6391,6 +6475,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE e.est_count >= CAST(ceil(0.02 * t.n) AS BIGINT)
         ORDER BY lang, item
     """
+    sql["stream_cms_topk"] = sql["text_cms_topk"]
     sql["events_funnel_windowed"] = """
         -- per-chain-start search replayed literally: every distinct
         -- view event is a candidate start; within a start the greedy
