@@ -6472,7 +6472,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.lang AS lang, e.item AS item, e.est_count AS est_count,
                CAST(t.n AS BIGINT) AS total_weight
         FROM est e JOIN totals t ON t.lang = e.lang
-        WHERE e.est_count >= CAST(ceil(0.02 * t.n) AS BIGINT)
+        -- EXACT ceil(0.02 * N) as integer ceil-division (phi = 1/50):
+        -- the Spark side computes (p*N + q - 1) div q in decimal
+        -- arithmetic, never a double multiply (IEEE rounding inflates
+        -- a boundary bar by 1), and the replay must match bit-for-bit
+        WHERE e.est_count >= (t.n + 49) // 50
         ORDER BY lang, item
     """
     sql["stream_cms_topk"] = sql["text_cms_topk"]

@@ -569,11 +569,21 @@ def main() -> None:
             art = "BENCH_LOCAL.json"
             # BOARD.md is generated FROM BENCH_LOCAL.json (VERDICT r14
             # task 1): re-render it in the SAME commit so a bench re-run
-            # can never orphan the board's cited numbers
-            subprocess.run(
+            # can never orphan the board's cited numbers. A sync failure
+            # must be VISIBLE (review r15): silently committing a fresh
+            # artifact next to a stale BOARD.md is the exact drift this
+            # exists to kill
+            sync = subprocess.run(
                 [sys.executable, "tools/sync_board.py"],
-                cwd=repo, capture_output=True, timeout=60,
+                cwd=repo, capture_output=True, text=True, timeout=60,
             )
+            if sync.returncode != 0:
+                print(
+                    "bench: sync_board FAILED "
+                    f"(rc={sync.returncode}) — BOARD.md may be stale: "
+                    f"{(sync.stderr or sync.stdout).strip()[:200]}",
+                    file=sys.stderr,
+                )
             subprocess.run(["git", "add", "--", art, "BOARD.md"],
                            cwd=repo, capture_output=True, timeout=30)
             diff = subprocess.run(

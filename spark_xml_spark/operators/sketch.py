@@ -1113,15 +1113,16 @@ def cms_heavy_hitters(
     )
     # exact total weight from the matrix itself: depth cells per
     # occurrence, so sum(c)/depth — integer-exact (sum(c) is always a
-    # multiple of depth)
+    # multiple of depth; the division runs in decimal(38,0) arithmetic,
+    # NOT double, so sums past 2^53 stay exact)
+    cell_sum = F.aggregate(
+        F.col(sketch_col),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e["c"],
+    )
     total = (
-        F.aggregate(
-            F.col(sketch_col),
-            F.lit(0).cast("long"),
-            lambda acc, e: acc + e["c"],
-        )
-        / F.col("cms_depth")
-    ).cast("long")
+        cell_sum.cast("decimal(38,0)") / F.col("cms_depth")
+    ).cast("decimal(38,0)").cast("long")
     sk = sketches.select(
         *group_cols, sketch_col, "cms_depth", "cms_width",
         total.alias(total_out),
@@ -1129,7 +1130,29 @@ def cms_heavy_hitters(
     est = _cms_point_estimate(
         F.col(item_out), sketch_col, salt, depth_cap, "cms_heavy_hitters"
     )
-    bar = F.ceil(F.lit(float(phi)) * F.col(total_out)).cast("long")
+    # EXACT threshold: ceil(phi * N) computed as integer
+    # ceil-division of the rational phi = p/q (Fraction of the decimal
+    # literal), never as a double multiply — IEEE rounding inflates the
+    # bar by 1 at exact boundaries (e.g. 0.07*100 -> 7.000000000000001,
+    # ceil 8) and silently DROPS an item whose true count is exactly
+    # phi*N, violating the no-false-negatives guarantee. Any oracle
+    # replaying the threshold must use the same integer formula:
+    #   (p*N + q - 1) div q
+    from decimal import Decimal
+    from fractions import Fraction
+
+    fr = Fraction(Decimal(str(phi)))
+    p, q = fr.numerator, fr.denominator
+    if p > 10**9 or q > 10**9:
+        raise ValueError(
+            f"phi={phi!r} has too many digits for exact integer "
+            "threshold arithmetic; pass a short decimal like 0.02"
+        )
+    bar = F.floor(
+        (F.lit(int(p)).cast("decimal(38,0)") * F.col(total_out)
+         + F.lit(int(q - 1)))
+        / F.lit(int(q))
+    ).cast("long")
     return (
         cand.join(sk, group_cols)
         .withColumn(est_out, est.cast("long"))

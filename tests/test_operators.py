@@ -4119,9 +4119,20 @@ def test_cms_heavy_hitters_matches_replay_and_guards(spark):
         h = hashlib.md5(f"cms{r}{salt}|{item}".encode()).hexdigest()[:8]
         return int(h, 16) % width
 
+    def exact_bar(ph, total):
+        """ceil(ph * total) in EXACT rational arithmetic — the
+        operator's integer ceil-division; math.ceil(ph * total) in
+        doubles inflates exact boundaries (0.07*100 -> ceil 8)."""
+        from decimal import Decimal
+        from fractions import Fraction
+
+        fr = Fraction(Decimal(str(ph)))
+        return (fr.numerator * total + fr.denominator - 1) \
+            // fr.denominator
+
     def replay(pairs):
         """python heavy-hitter replay per group: Counter -> cells ->
-        min-over-rows estimates -> ceil(phi*N) filter."""
+        min-over-rows estimates -> exact ceil(phi*N) filter."""
         out = {}
         for grp, cnt in pairs.items():
             cells = Counter()
@@ -4129,7 +4140,7 @@ def test_cms_heavy_hitters_matches_replay_and_guards(spark):
                 for r in range(depth):
                     cells[(r, bucket(it, r))] += n
             total = sum(cnt.values())
-            bar = math.ceil(phi * total)
+            bar = exact_bar(phi, total)
             for it in cnt:
                 est = min(cells[(r, bucket(it, r))] for r in range(depth))
                 if est >= bar:
@@ -4173,6 +4184,25 @@ def test_cms_heavy_hitters_matches_replay_and_guards(spark):
         ).collect()
     }
     assert got_m == expected
+    # float-boundary regression: phi=0.07, N=100, an item at true count
+    # exactly phi*N = 7 — double arithmetic computes 0.07*100 =
+    # 7.000000000000001 (ceil 8) and silently drops it; the exact
+    # integer ceil-division keeps it (no-false-negatives guarantee)
+    assert math.ceil(0.07 * 100) == 8  # the trap being guarded against
+    brows = [(0, "b", "seven")] * 7 + [
+        (0, "b", f"bg{i}") for i in range(93)
+    ]
+    bdf = spark.createDataFrame(brows, "x long, grp string, tok string")
+    bsk = count_min_sketch(bdf, ["grp"], "tok", depth=depth, width=256,
+                           salt=salt)
+    bhh = {
+        r.item
+        for r in cms_heavy_hitters(
+            bsk, bdf, ["grp"], "tok", phi=0.07, salt=salt,
+            depth_cap=depth,
+        ).collect()
+    }
+    assert "seven" in bhh
     # guards
     with pytest.raises(ValueError, match="phi"):
         cms_heavy_hitters(sk, df, ["grp"], "tok", phi=0.0)

@@ -145,10 +145,33 @@ def main() -> None:
         )
         failed += 0 if ok else 1
         print(line, flush=True)
+    # the clean-tree check runs BEFORE the status is written, so the
+    # committed BOARD_STATUS.json/BOARD.md can never claim PASS for a
+    # run the board itself failed (review r15) — the two board-generated
+    # files are excluded from the check since they are about to be
+    # committed by this very step
+    dirty_lines = [
+        ln
+        for ln in subprocess.run(
+            ["git", "status", "--porcelain"], cwd=REPO,
+            capture_output=True, text=True,
+        ).stdout.strip().splitlines()
+        if ln.split()[-1] not in ("BOARD_STATUS.json", "BOARD.md")
+    ]
+    if dirty_lines:
+        failed += 1
+        STATUS.append({"name": "clean-tree", "ok": False, "secs": 0,
+                       "line": "; ".join(dirty_lines)[:160]})
+        print("git: DIRTY tree at close:\n" + "\n".join(dirty_lines),
+              flush=True)
+    else:
+        STATUS.append({"name": "clean-tree", "ok": True, "secs": 0,
+                       "line": ""})
+        print("git: clean", flush=True)
     # doc == artifact for the board itself (VERDICT r14 task 1): persist
-    # the step log, re-render BOARD.md from the committed artifacts, and
-    # commit both BEFORE the clean-tree check — SURVEY.md cites BOARD.md,
-    # never hand-copied numbers
+    # the step log and re-render BOARD.md from the committed artifacts —
+    # SURVEY.md cites BOARD.md, never hand-copied numbers. A sync
+    # failure must be visible, not silently produce a stale board.
     import json
 
     with open(os.path.join(REPO, "BOARD_STATUS.json"), "w") as fh:
@@ -161,8 +184,15 @@ def main() -> None:
             fh, indent=1,
         )
         fh.write("\n")
-    subprocess.run([sys.executable, "tools/sync_board.py"],
-                   cwd=REPO, capture_output=True)
+    sync = subprocess.run([sys.executable, "tools/sync_board.py"],
+                          cwd=REPO, capture_output=True, text=True)
+    if sync.returncode != 0:
+        print(
+            f"board: sync_board FAILED (rc={sync.returncode}) — "
+            f"BOARD.md may be stale: "
+            f"{(sync.stderr or sync.stdout).strip()[:200]}",
+            flush=True,
+        )
     subprocess.run(["git", "add", "--", "BOARD_STATUS.json", "BOARD.md"],
                    cwd=REPO, capture_output=True)
     if subprocess.run(
@@ -170,21 +200,18 @@ def main() -> None:
          "BOARD_STATUS.json", "BOARD.md"],
         cwd=REPO, capture_output=True,
     ).returncode == 1:
-        subprocess.run(
+        commit = subprocess.run(
             ["git", "commit", "-m",
              "Record closing-board status (BOARD.md re-synced)",
              "--only", "--", "BOARD_STATUS.json", "BOARD.md"],
-            cwd=REPO, capture_output=True,
+            cwd=REPO, capture_output=True, text=True,
         )
-    dirty = subprocess.run(
-        ["git", "status", "--porcelain"], cwd=REPO,
-        capture_output=True, text=True,
-    ).stdout.strip()
-    if dirty:
-        failed += 1
-        print(f"git: DIRTY tree at close:\n{dirty}", flush=True)
-    else:
-        print("git: clean", flush=True)
+        if commit.returncode != 0:
+            print(
+                f"board: status commit FAILED (rc={commit.returncode}): "
+                f"{(commit.stderr or commit.stdout).strip()[:160]}",
+                flush=True,
+            )
     print("BOARD " + ("PASS" if failed == 0 else f"FAIL({failed})"))
     sys.exit(failed)
 

@@ -164,21 +164,67 @@ def _num_row_groups(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_row_groups
 
 
-def _build_scale10(src_sf_dir: str, dst: str) -> None:
-    """A drop-in sf_dir scaled beyond sf0.1: every table in SCALEUP is
-    replicated factor-x with re-keyed ids (replicas keep their payload
-    bytes — per-row scan/parse cost is what the marginal fit prices),
-    every other table symlinked."""
+def _scaled_table_ok(src: str, dst: str, factor: int,
+                     min_groups) -> bool:
+    """A pre-existing scaled replica must PROVE itself: exact
+    factor x source rows AND (when a layout floor applies) the required
+    row-group count — a scratch file left by an older build (symlinked,
+    unscaled, pre-task-4 2-row-group layout) or a killed COPY would
+    otherwise be measured and published as x{factor}."""
     import duckdb
 
-    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-
-    def _rows(path: str) -> int:
-        return con.execute(
-            f"SELECT count(*) FROM read_parquet('{path}')"
+    try:
+        have = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')"
         ).fetchone()[0]
+        want = factor * con.execute(
+            f"SELECT count(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        ok = have == want
+        if ok and min_groups is not None:
+            ok = _num_row_groups(dst) >= min_groups
+        return ok
+    except (duckdb.Error, OSError):
+        return False
+    finally:
+        con.close()
 
+
+def _replicate_table(src: str, dst: str, factor: int, key: str,
+                     order, row_group_size=None) -> None:
+    """factor-x replica with re-keyed ids (replicas keep their payload
+    bytes — per-row scan/parse cost is what the marginal fit prices);
+    any stale file is removed first so a killed COPY never masquerades
+    as a valid replica."""
+    import duckdb
+
+    if os.path.exists(dst):
+        os.remove(dst)
+    opts = "FORMAT parquet" + (
+        f", ROW_GROUP_SIZE {row_group_size}"
+        if row_group_size is not None else ""
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (
+              SELECT src.* REPLACE ({key} + 10000000 * i AS {key})
+              FROM read_parquet('{src}') src, range({factor}) t(i)
+              ORDER BY {", ".join(order)}
+            ) TO '{dst}' ({opts})
+            """
+        )
+    finally:
+        con.close()
+
+
+def _build_scale10(src_sf_dir: str, dst: str) -> None:
+    """A drop-in sf_dir scaled beyond sf0.1: every table in SCALEUP is
+    replicated factor-x with re-keyed ids, every other table
+    symlinked."""
+    os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         s = os.path.join(src_sf_dir, f"{t}.parquet")
         d = os.path.join(dst, f"{t}.parquet")
@@ -190,35 +236,10 @@ def _build_scale10(src_sf_dir: str, dst: str) -> None:
             continue
         factor, key, order = SCALEUP[t]
         rg, min_groups = ROW_GROUPS.get(t, (None, None))
-        if os.path.exists(d):
-            # a pre-existing file must PROVE it is the scaled replica
-            # (exact factor x source rows) AND carry the required layout
-            # (row-group count): a scratch dir left by an older build
-            # (symlinked, unscaled, or pre-task-4 2-row-group layout) or
-            # a killed COPY would otherwise be measured and published as
-            # x{factor}
-            try:
-                ok = _rows(d) == factor * _rows(s)
-                if ok and min_groups is not None:
-                    ok = _num_row_groups(d) >= min_groups
-                if ok:
-                    continue
-            except (duckdb.Error, OSError):
-                pass
-            os.remove(d)
-        opts = "FORMAT parquet" + (
-            f", ROW_GROUP_SIZE {rg}" if rg is not None else ""
-        )
-        con.execute(
-            f"""
-            COPY (
-              SELECT src.* REPLACE ({key} + 10000000 * i AS {key})
-              FROM read_parquet('{s}') src, range({factor}) t(i)
-              ORDER BY {", ".join(order)}
-            ) TO '{d}' ({opts})
-            """
-        )
-    con.close()
+        if os.path.exists(d) and _scaled_table_ok(s, d, factor,
+                                                  min_groups):
+            continue
+        _replicate_table(s, d, factor, key, order, rg)
 
 
 def main() -> None:
@@ -449,37 +470,12 @@ def main() -> None:
                 "SPARK_GRAFT_EMB_BIG_DIR", "/tmp/xmlgraft_emb_big"
             )
             os.makedirs(scratch2k, exist_ok=True)
-            import duckdb as _duck
-
             e_src = os.path.join(sf01_dir, "embeddings.parquet")
             e_dst = os.path.join(scratch2k, "embeddings.parquet")
-            need = True
-            try:
-                c2k = _duck.connect()
-                have = c2k.execute(
-                    f"SELECT count(*) FROM read_parquet('{e_dst}')"
-                ).fetchone()[0]
-                want = EMB_BIG_X * c2k.execute(
-                    f"SELECT count(*) FROM read_parquet('{e_src}')"
-                ).fetchone()[0]
-                need = have != want or _num_row_groups(e_dst) < 32
-                c2k.close()
-            except (_duck.Error, OSError):
-                pass
-            if need:
-                c2k = _duck.connect()
-                c2k.execute(
-                    f"""
-                    COPY (
-                      SELECT src.* REPLACE
-                        (vec_id + 10000000 * i AS vec_id)
-                      FROM read_parquet('{e_src}') src,
-                           range({EMB_BIG_X}) t(i)
-                      ORDER BY vec_id
-                    ) TO '{e_dst}' (FORMAT parquet, ROW_GROUP_SIZE 16384)
-                    """
-                )
-                c2k.close()
+            if not (os.path.exists(e_dst)
+                    and _scaled_table_ok(e_src, e_dst, EMB_BIG_X, 32)):
+                _replicate_table(e_src, e_dst, EMB_BIG_X, "vec_id",
+                                 ["vec_id"], 16384)
             for t in TABLES:
                 sp_ = os.path.join(sf01_dir, f"{t}.parquet")
                 dp_ = os.path.join(scratch2k, f"{t}.parquet")
