@@ -1222,17 +1222,30 @@ def q_stream_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join variant (all-JVM bit_count) measured 3.69s — the
     # stateful+sharded shape wins AND keeps the max_bucket cap.
     # Protocol: tools/profile_query.py stream_simhash (ISOLATED.json).
+    # foreachBatch sink, one overwrite-per-batch-id write job (the
+    # backpressure/cms_topk sink playbook, VERDICT r15 task 4): the
+    # streaming parquet sink's per-batch _spark_metadata commit log was
+    # ~0.4 s of the isolated wall (r16 decomposition, min-of-4:
+    # writeStream 3.05 s vs foreachBatch 2.66 s, identical 3216-row
+    # sink content; coalesce(1) inside the batch A/B'd NEGATIVE at
+    # 7.46 s — it collapses the stateful operator's parallelism).
+    # overwrite into bid= subdirs keeps checkpoint-recovery retries
+    # idempotent; the read-back DISTINCT is unchanged either way.
+    os.makedirs(out, exist_ok=True)
+
+    def _sink(df, bid):
+        df.write.mode("overwrite").parquet(os.path.join(out, f"bid={bid}"))
+
     with _stateful_parts(spark, n=8):
         q = (
-            pairs.writeStream.format("parquet")
-            .option("path", out)
+            pairs.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         _await_stream(q)
     return (
-        spark.read.parquet(out)
+        spark.read.option("recursiveFileLookup", "true").parquet(out)
         .distinct()
         .orderBy("id_a", "id_b")
         .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
@@ -1310,8 +1323,12 @@ def q_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist/unpersist bookkeeping were two extra job launches per
         # micro-batch over the Python XML source. recursiveFileLookup on
         # the final read keeps the subdirs out of the schema.
+        # overwrite, not append: a checkpoint-recovery retry of the same
+        # batch id must replace its subdir, not double the footer count
+        # and duplicate rows in the final aggregate (ADVICE r15; the
+        # idempotent per-batch-id pattern q_stream_cms_topk's sink uses)
         bdir = os.path.join(out, f"bid={bid}")
-        df.write.mode("append").parquet(bdir)
+        df.write.mode("overwrite").parquet(bdir)
         import pyarrow.parquet as pq
 
         n = sum(

@@ -507,6 +507,13 @@ def main() -> None:
             scan_yardstick = json.load(fh)
     except (OSError, ValueError):
         pass
+    # A run that STARTED on a churning host reads high across the board
+    # (the r15 final artifact began at loadavg 3.35 and read 117.2 s
+    # where the settled truth was ~99 s — VERDICT r15 task 1). Stamp the
+    # verdict into the artifact so consumers can tell weather from
+    # signal, and gate the self-commit below on it.
+    settled_cap = float(os.environ.get("SPARK_GRAFT_SETTLED_LOADAVG", "1.5"))
+    settled = load_start is None or load_start[0] < settled_cap
     payload = {
         # contract keys first; per-query detail in the middle; the gate
         # summary LAST so the driver's 2 KB tail-truncated artifact
@@ -516,6 +523,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "cpus": int(cpus),
+        "settled": settled,
+        "settled_loadavg_cap": settled_cap,
         "prep_xmlify_s": round(prep_s, 3),
         "lineitem_rows": n_lineitem,
         "queries": timings,
@@ -562,7 +571,21 @@ def main() -> None:
     # would silently publish other tools' uncommitted candidate readings
     # (review r13); those tools' outputs are committed by their own
     # invokers. Opt out with SPARK_GRAFT_BENCH_NO_COMMIT=1.
-    if os.environ.get("SPARK_GRAFT_BENCH_NO_COMMIT") != "1":
+    if not settled:
+        # Unsettled runs must never become the committed headline
+        # (VERDICT r15 task 1: the r15 final artifact, started at
+        # loadavg 3.35, overwrote a settled 98.96 s run and BOARD.md
+        # faithfully headlined the round's worst weather). The artifact
+        # stays ON DISK (stamped settled:false) for inspection; the
+        # drift test will flag the tree until a settled run replaces it
+        # or the file is restored.
+        print(
+            f"bench: UNSETTLED run (loadavg_start {load_start} >= "
+            f"{settled_cap}) — self-commit refused; re-run on a quiet "
+            "host or restore BENCH_LOCAL.json",
+            file=sys.stderr,
+        )
+    elif os.environ.get("SPARK_GRAFT_BENCH_NO_COMMIT") != "1":
         import subprocess
 
         try:
@@ -584,17 +607,21 @@ def main() -> None:
                     f"{(sync.stderr or sync.stdout).strip()[:200]}",
                     file=sys.stderr,
                 )
-            subprocess.run(["git", "add", "--", art, "BOARD.md"],
+            # a failed sync means BOARD.md on disk is NOT freshly
+            # rendered from this artifact: committing it would publish
+            # a stale board as if re-synced (ADVICE r15) — commit only
+            # the artifact in that case
+            to_commit = [art] if sync.returncode != 0 else [art, "BOARD.md"]
+            subprocess.run(["git", "add", "--", *to_commit],
                            cwd=repo, capture_output=True, timeout=30)
             diff = subprocess.run(
-                ["git", "diff", "--cached", "--quiet", "--", art,
-                 "BOARD.md"],
+                ["git", "diff", "--cached", "--quiet", "--", *to_commit],
                 cwd=repo, capture_output=True, timeout=30,
             )
             if diff.returncode == 1:
                 commit = subprocess.run(
                     ["git", "commit", "-m", "Record bench artifact",
-                     "--only", "--", art, "BOARD.md"],
+                     "--only", "--", *to_commit],
                     cwd=repo, capture_output=True, timeout=30,
                 )
                 # git history mutation must be VISIBLE (advice r13):
@@ -631,6 +658,7 @@ def main() -> None:
         "cpus": int(cpus),
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "settled": settled,
         "prewarm_wall_s": prewarm_wall_s,
         "prewarm_errors_n": len(prewarm_errors),
         "cold_runs": cold_runs,

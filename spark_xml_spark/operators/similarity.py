@@ -58,6 +58,22 @@ def cosine_similarity_col(vec_col: Column, q: Sequence[float]) -> Column:
     return _dot_with_literal(vec_col, q) / denom
 
 
+def _transport_vec(col: Column, dtype: T.DataType) -> Column:
+    """The vector column as fed to the Arrow matmul scorer: float32 /
+    float64 element types travel AS STORED and everything else casts to
+    array<double> (the pre-r16 behavior). The scorer widens to float64
+    inside the worker, and every float32 widens to float64 EXACTLY, so
+    scores are bit-identical either way — but casting a float32 column
+    to double before the exchange doubled the Arrow bytes crossing the
+    JVM->Python boundary (guide §2.3 "narrower types" / §4.1: transport
+    is ~2/3 of the brute-force wall at the x2000 trend point)."""
+    if isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType, (T.FloatType, T.DoubleType)
+    ):
+        return col
+    return col.cast("array<double>")
+
+
 def brute_force_cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -95,7 +111,9 @@ def brute_force_cosine_topk(
     if scoring == "matmul":
         c = df.select(
             F.col(id_col).alias("_cid"),
-            F.col(vec_col).cast("array<double>").alias("_cv"),
+            _transport_vec(
+                F.col(vec_col), df.schema[vec_col].dataType
+            ).alias("_cv"),
         )
         scored = _matmul_score_rows(
             c,
@@ -177,13 +195,22 @@ def knn_join(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     q = _prep_query_side(queries, q_id_col, id_col, q_vec_col or vec_col)
+    if scoring == "matmul":
+        # native-width transport (float widens exactly in the worker);
+        # the fold path below keeps the array<double> cast — its JVM
+        # zip_with fold must run in double, not float32
+        c = corpus.select(
+            F.col(id_col).alias("_cid"),
+            _transport_vec(
+                F.col(vec_col), corpus.schema[vec_col].dataType
+            ).alias("_cv"),
+        )
+        scored = _matmul_score_topk(c, q, k)
+        return _topk_merge(scored, k, q_id_col, id_col)
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
-    if scoring == "matmul":
-        scored = _matmul_score_topk(c, q, k)
-        return _topk_merge(scored, k, q_id_col, id_col)
     if scoring != "fold":
         raise ValueError(f"scoring must be 'fold' or 'matmul', got {scoring!r}")
     raw = _cosine_query_cols(F.col("_cv"), F.col("_qv"))

@@ -983,7 +983,30 @@ def merge_count_min_sketches(
             )
             .cast("int")
             .alias("cms_depth"),
-            F.min("_w_min").cast("long").alias("cms_width"),
+            # the same guard rides on cms_width: a consumer whose plan
+            # prunes cms_depth (selects only cms/cms_width) would let
+            # Catalyst eliminate the raise above and silently stamp a
+            # corrupt merged matrix with min(width) (ADVICE r15)
+            F.when(
+                (F.min("_d_min") == F.max("_d_max"))
+                & (F.min("_w_min") == F.max("_w_max")),
+                F.min("_w_min"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "merge_count_min_sketches: mixed geometries in "
+                        "one group (depth %s..%s, width %s..%s) — "
+                        "rebuild with one layout",
+                        F.min("_d_min").cast("string"),
+                        F.max("_d_max").cast("string"),
+                        F.min("_w_min").cast("string"),
+                        F.max("_w_max").cast("string"),
+                    )
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cms_width"),
         )
     )
 

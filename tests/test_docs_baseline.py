@@ -55,6 +55,30 @@ def test_board_matches_artifacts():
     )
 
 
+def test_bench_headline_is_settled():
+    """The committed bench headline must come from a settled host
+    (VERDICT r15 task 1: the r15 final artifact started at loadavg 3.35,
+    read 117.2 s against a settled 98.96 s truth, and BOARD.md headlined
+    the round's worst weather). bench.py stamps settled=False and
+    refuses the self-commit when loadavg_start exceeds the cap; this
+    test keeps an unsettled artifact from being committed by hand.
+    Pre-stamp artifacts (no 'settled' key) are judged by their recorded
+    loadavg_start instead."""
+    import json
+
+    with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
+        b = json.load(fh)
+    settled = b.get("settled")
+    if settled is None:
+        start = b.get("loadavg_start")
+        settled = start is None or start[0] < 1.5
+    assert settled, (
+        f"BENCH_LOCAL.json is an UNSETTLED run (loadavg_start "
+        f"{b.get('loadavg_start')}) — re-run bench.py on a quiet host "
+        "and commit that instead"
+    )
+
+
 def test_baseline_has_no_unstamped_superseded_claims():
     """The two specific stale r13 citations the judge flagged must not
     reappear as live claims: the retracted 1.87 s stream_simhash

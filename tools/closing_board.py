@@ -26,6 +26,7 @@ Run:  python tools/closing_board.py            (~35-45 min total)
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -46,10 +47,14 @@ def _run(label: str, cmd, timeout: int = 3600) -> tuple[bool, str]:
         ok = p.returncode == 0
         out_lines = (p.stdout + p.stderr).strip().splitlines()
         # prefer the machine-greppable SUMMARY/yardstick line over
-        # whatever log noise happens to be last
+        # whatever log noise happens to be last; progress-bar fragments
+        # ("[Stage 175:> ...") carry no information and previously ended
+        # up as the audit/trend step line (VERDICT r15 item 4)
         keyed = [ln for ln in out_lines
                  if "SUMMARY" in ln or "yardstick:" in ln]
-        tail = (keyed or out_lines)[-1:] or [""]
+        plain = [ln for ln in out_lines
+                 if not re.search(r"\[Stage \d+:", ln) and ln.strip()]
+        tail = (keyed or plain or out_lines)[-1:] or [""]
         STATUS.append({"name": label, "ok": ok,
                        "secs": round(time.time() - t0),
                        "line": tail[0][:160]})
@@ -150,13 +155,33 @@ def main() -> None:
     # run the board itself failed (review r15) — the two board-generated
     # files are excluded from the check since they are about to be
     # committed by this very step
+    # porcelain -z with explicit XY/path parsing (ADVICE r15): the old
+    # ln.split()[-1] misparsed paths containing spaces and rename entries
+    # ("R  BOARD.md -> other" was keyed by the new name), misclassifying
+    # some dirty states around the two-file exclusion. With -z, rename/
+    # copy entries carry the NEW path in the XY token and the source as
+    # the NEXT NUL token (excluded only if the new path is a board file —
+    # renaming a board file AWAY is a real dirty state and stays flagged).
+    raw = subprocess.run(
+        ["git", "status", "--porcelain", "-z"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout
+    toks = raw.split("\0")
+    entries = []
+    i = 0
+    while i < len(toks):
+        tok = toks[i]
+        if not tok:
+            i += 1
+            continue
+        xy, path = tok[:2], tok[3:]
+        if xy and xy[0] in "RC":
+            i += 1  # consume the rename/copy source path token
+        entries.append((xy, path))
+        i += 1
     dirty_lines = [
-        ln
-        for ln in subprocess.run(
-            ["git", "status", "--porcelain"], cwd=REPO,
-            capture_output=True, text=True,
-        ).stdout.strip().splitlines()
-        if ln.split()[-1] not in ("BOARD_STATUS.json", "BOARD.md")
+        f"{xy} {p}" for xy, p in entries
+        if p not in ("BOARD_STATUS.json", "BOARD.md")
     ]
     if dirty_lines:
         failed += 1
