@@ -66,6 +66,24 @@ def _run(label: str, cmd, timeout: int = 3600) -> tuple[bool, str]:
         return False, f"{label}: TIMEOUT after {timeout}s"
 
 
+def _settle(cap: float = 1.5, timeout_s: int = 600) -> float:
+    """Block until the 1-minute loadavg drops under ``cap`` (or timeout).
+    The board's perf steps run back-to-back and each 32-core step loads
+    the host for minutes after it exits — r15's final bench started at
+    loadavg 3.35 because nothing waited, and bench.py now REFUSES its
+    self-commit on an unsettled host (VERDICT r15 task 1), so the board
+    must deliver it a settled one or fail its own clean-tree check."""
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            la = os.getloadavg()[0]
+        except OSError:
+            return -1.0
+        if la < cap or time.time() >= deadline:
+            return round(la, 2)
+        time.sleep(10)
+
+
 def main() -> None:
     skip = set()
     argv = sys.argv[1:]
@@ -96,6 +114,9 @@ def main() -> None:
         if name in skip:
             print(f"{name}: skipped", flush=True)
             continue
+        if name in ("scan", "trend", "bench"):
+            la = _settle()
+            print(f"{name}: starting at loadavg {la}", flush=True)
         ok, line = _run(name, cmd, to)
         failed += 0 if ok else 1
         print(line, flush=True)
