@@ -513,7 +513,17 @@ def main() -> None:
     # verdict into the artifact so consumers can tell weather from
     # signal, and gate the self-commit below on it.
     settled_cap = float(os.environ.get("SPARK_GRAFT_SETTLED_LOADAVG", "1.5"))
-    settled = load_start is None or load_start[0] < settled_cap
+    # the 1-minute average alone is gameable by the very lag it guards
+    # against: the r16 board's bench step started at [1.47, 5.73, 4.74]
+    # — 1-min "settled", 5-min still carrying the trend run's churn —
+    # and read 109.3 s where back-to-back settled runs read 93.7-101.7 s.
+    # Require the 5-minute average under its own (looser) cap too.
+    settled_cap5 = float(
+        os.environ.get("SPARK_GRAFT_SETTLED_LOADAVG5", "3.0")
+    )
+    settled = load_start is None or (
+        load_start[0] < settled_cap and load_start[1] < settled_cap5
+    )
     payload = {
         # contract keys first; per-query detail in the middle; the gate
         # summary LAST so the driver's 2 KB tail-truncated artifact
@@ -525,6 +535,7 @@ def main() -> None:
         "cpus": int(cpus),
         "settled": settled,
         "settled_loadavg_cap": settled_cap,
+        "settled_loadavg_cap5": settled_cap5,
         "prep_xmlify_s": round(prep_s, 3),
         "lineitem_rows": n_lineitem,
         "queries": timings,
@@ -580,9 +591,9 @@ def main() -> None:
         # drift test will flag the tree until a settled run replaces it
         # or the file is restored.
         print(
-            f"bench: UNSETTLED run (loadavg_start {load_start} >= "
-            f"{settled_cap}) — self-commit refused; re-run on a quiet "
-            "host or restore BENCH_LOCAL.json",
+            f"bench: UNSETTLED run (loadavg_start {load_start}, caps "
+            f"1-min {settled_cap} / 5-min {settled_cap5}) — self-commit "
+            "refused; re-run on a quiet host or restore BENCH_LOCAL.json",
             file=sys.stderr,
         )
     elif os.environ.get("SPARK_GRAFT_BENCH_NO_COMMIT") != "1":

@@ -66,21 +66,26 @@ def _run(label: str, cmd, timeout: int = 3600) -> tuple[bool, str]:
         return False, f"{label}: TIMEOUT after {timeout}s"
 
 
-def _settle(cap: float = 1.5, timeout_s: int = 600) -> float:
-    """Block until the 1-minute loadavg drops under ``cap`` (or timeout).
-    The board's perf steps run back-to-back and each 32-core step loads
-    the host for minutes after it exits — r15's final bench started at
-    loadavg 3.35 because nothing waited, and bench.py now REFUSES its
-    self-commit on an unsettled host (VERDICT r15 task 1), so the board
-    must deliver it a settled one or fail its own clean-tree check."""
+def _settle(cap: float = 1.5, cap5: float = 3.0,
+            timeout_s: int = 900) -> float:
+    """Block until the 1-minute loadavg drops under ``cap`` AND the
+    5-minute average under ``cap5`` (or timeout). The board's perf
+    steps run back-to-back and each 32-core step loads the host for
+    minutes after it exits — r15's final bench started at loadavg 3.35
+    because nothing waited, and the r16 board's bench step started at
+    [1.47, 5.73, ...] because only the 1-minute average was consulted
+    (the lag trap moved one window up). bench.py REFUSES its
+    self-commit on an unsettled host under the same two-cap rule, so
+    the board must deliver it a settled one or fail its own clean-tree
+    check."""
     deadline = time.time() + timeout_s
     while True:
         try:
-            la = os.getloadavg()[0]
+            la = os.getloadavg()
         except OSError:
             return -1.0
-        if la < cap or time.time() >= deadline:
-            return round(la, 2)
+        if (la[0] < cap and la[1] < cap5) or time.time() >= deadline:
+            return round(la[0], 2)
         time.sleep(10)
 
 
