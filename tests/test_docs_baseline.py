@@ -69,9 +69,16 @@ def test_bench_headline_is_settled():
     with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
         b = json.load(fh)
     settled = b.get("settled")
+    start = b.get("loadavg_start")
     if settled is None:
-        start = b.get("loadavg_start")
         settled = start is None or start[0] < 1.5
+    # a stamped settled=True is re-judged against the two-cap rule: the
+    # r16 board's bench step self-stamped settled at [1.47, 5.73, 4.74]
+    # because only the 1-minute average was consulted — the 5-minute
+    # window still carried the previous step's churn (run read 109.3 s
+    # vs 93.7-101.7 s back-to-back settled truth)
+    if settled and start is not None and len(start) > 1:
+        settled = start[1] < 3.0
     assert settled, (
         f"BENCH_LOCAL.json is an UNSETTLED run (loadavg_start "
         f"{b.get('loadavg_start')}) — re-run bench.py on a quiet host "
