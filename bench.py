@@ -4,7 +4,10 @@
 Prints the FULL payload as one JSON line:
   {"metric": "...", "value": <total query sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>, ...extras}
-followed by a FINAL compact summary line (<1.9 KB) sized to survive the
+then a `spark_xml_graft_bench_perq` metric line carrying the complete
+name->sec dict (for the driver's per-query PERF comparator; too big for
+the tail, see below), followed by a FINAL compact summary line (<1.9 KB)
+sized to survive the
 driver's 2 KB stdout-tail capture and json-parse of the last line: totals,
 yardstick, ratio medians, and per-query secs/ratios as arrays in queries()
 registry order (q_md5 = md5 of the comma-joined name list, first 8 hex,
@@ -576,6 +579,32 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass
+    # ---- settled-band run log (VERDICT r16 task 4): BOARD.md must
+    # headline the BAND of this round's settled runs, not whichever
+    # single run was committed last (r16 committed the 79.7 s floor of a
+    # 79.7-102.6 s settled spread; r15 committed the weather ceiling).
+    # Every suite run appends its headline record here — unsettled runs
+    # included, stamped, so the renderer/test can filter honestly.
+    import hashlib
+
+    qnames = list(em.queries().keys())
+    q_md5 = hashlib.md5(",".join(qnames).encode()).hexdigest()[:8]
+    run_rec = {
+        "value": total,
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "settled": settled,
+        "loadavg_start": load_start,
+        "q_md5": q_md5,
+        "bench_wall_s": round(time.time() - proc_start, 1),
+    }
+    try:
+        with open(os.path.join(repo, "BENCH_RUNS.jsonl"), "a") as fh:
+            fh.write(json.dumps(run_rec, separators=(",", ":")) + "\n")
+    except OSError:
+        pass
     # artifact + commit in ONE step (VERDICT r12 task 6): a bench run
     # must never leave the tree dirty at round close. ONLY the file THIS
     # run wrote is committed — staging SCAN_YARDSTICK/RATIO_TREND here
@@ -622,7 +651,11 @@ def main() -> None:
             # rendered from this artifact: committing it would publish
             # a stale board as if re-synced (ADVICE r15) — commit only
             # the artifact in that case
-            to_commit = [art] if sync.returncode != 0 else [art, "BOARD.md"]
+            to_commit = (
+                [art, "BENCH_RUNS.jsonl"]
+                if sync.returncode != 0
+                else [art, "BENCH_RUNS.jsonl", "BOARD.md"]
+            )
             subprocess.run(["git", "add", "--", *to_commit],
                            cwd=repo, capture_output=True, timeout=30)
             diff = subprocess.run(
@@ -657,10 +690,24 @@ def main() -> None:
     # exceed the budget; q_md5 (md5 of the comma-joined name list, first
     # 8 hex) lets a reader verify alignment against the name->sec map in
     # the committed BENCH_LOCAL.json of the same run.
-    import hashlib
-
-    qnames = list(em.queries().keys())
-    q_md5 = hashlib.md5(",".join(qnames).encode()).hexdigest()[:8]
+    # ---- per-query name->sec metric line (VERDICT r16 task 2): the
+    # driver's PERF comparator needs a parseable name->sec mapping, and
+    # the full 117-name dict (~2.6 KB) can NEVER fit the 2 KB tail next
+    # to the summary — so it rides as its OWN metric line, printed
+    # BEFORE the final summary (the summary stays last and
+    # tail-parseable, so a tail-only parser loses nothing vs r16, and a
+    # full-stdout parser gets the complete mapping). q_md5 ties it to
+    # the summary line of the same run.
+    perq = {
+        "metric": "spark_xml_graft_bench_perq",
+        "unit": "sec",
+        "sf": sf,
+        "cpus": int(cpus),
+        "settled": settled,
+        "q_md5": q_md5,
+        "queries": timings,
+    }
+    print(json.dumps(perq, separators=(",", ":")))
     summary = {
         "metric": "spark_xml_graft_bench_summary",
         "value": total,

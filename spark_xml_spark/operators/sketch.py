@@ -937,6 +937,31 @@ def merge_count_min_sketches(
             )
         ).cast("long")
     )
+    # group-level guard: the cell-level `ok` above only fires when
+    # mismatched partials SHARE an exact (r, b) coordinate; sparse
+    # partials with disjoint cells sail past it, so the final per-group
+    # min-of-mins / max-of-maxes must agree too. The guard rides on
+    # EVERY output column — a consumer may select any subset (ADVICE
+    # r16: `.select('cms')` pruned the cms_depth/cms_width guards and
+    # returned a silently corrupt merged sketch), and Catalyst prunes
+    # whatever the raise does not ride on.
+    geom_ok = (F.min("_d_min") == F.max("_d_max")) & (
+        F.min("_w_min") == F.max("_w_max")
+    )
+
+    def _geom_err():
+        return F.raise_error(
+            F.format_string(
+                "merge_count_min_sketches: mixed geometries in "
+                "one group (depth %s..%s, width %s..%s) — "
+                "rebuild with one layout",
+                F.min("_d_min").cast("string"),
+                F.max("_d_max").cast("string"),
+                F.min("_w_min").cast("string"),
+                F.max("_w_max").cast("string"),
+            )
+        )
+
     return (
         merged.select(
             *group_cols,
@@ -950,61 +975,26 @@ def merge_count_min_sketches(
         )
         .groupBy(*group_cols)
         .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("_cms_r").alias("r"),
-                        F.col("_cms_b").alias("b"),
-                        F.col("_cms_c").alias("c"),
-                    )
-                )
-            ).alias(sketch_col),
-            # group-level guard: the cell-level `ok` above only fires
-            # when mismatched partials SHARE an exact (r, b) coordinate;
-            # sparse partials with disjoint cells sail past it, so the
-            # final per-group min-of-mins / max-of-maxes must agree too
             F.when(
-                (F.min("_d_min") == F.max("_d_max"))
-                & (F.min("_w_min") == F.max("_w_max")),
-                F.min("_d_min"),
-            )
-            .otherwise(
-                F.raise_error(
-                    F.format_string(
-                        "merge_count_min_sketches: mixed geometries in "
-                        "one group (depth %s..%s, width %s..%s) — "
-                        "rebuild with one layout",
-                        F.min("_d_min").cast("string"),
-                        F.max("_d_max").cast("string"),
-                        F.min("_w_min").cast("string"),
-                        F.max("_w_max").cast("string"),
+                geom_ok,
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_cms_r").alias("r"),
+                            F.col("_cms_b").alias("b"),
+                            F.col("_cms_c").alias("c"),
+                        )
                     )
-                ).cast("int")
+                ),
             )
+            .otherwise(_geom_err())
+            .alias(sketch_col),
+            F.when(geom_ok, F.min("_d_min"))
+            .otherwise(_geom_err().cast("int"))
             .cast("int")
             .alias("cms_depth"),
-            # the same guard rides on cms_width: a consumer whose plan
-            # prunes cms_depth (selects only cms/cms_width) would let
-            # Catalyst eliminate the raise above and silently stamp a
-            # corrupt merged matrix with min(width) (ADVICE r15)
-            F.when(
-                (F.min("_d_min") == F.max("_d_max"))
-                & (F.min("_w_min") == F.max("_w_max")),
-                F.min("_w_min"),
-            )
-            .otherwise(
-                F.raise_error(
-                    F.format_string(
-                        "merge_count_min_sketches: mixed geometries in "
-                        "one group (depth %s..%s, width %s..%s) — "
-                        "rebuild with one layout",
-                        F.min("_d_min").cast("string"),
-                        F.max("_d_max").cast("string"),
-                        F.min("_w_min").cast("string"),
-                        F.max("_w_max").cast("string"),
-                    )
-                ).cast("long")
-            )
+            F.when(geom_ok, F.min("_w_min"))
+            .otherwise(_geom_err().cast("long"))
             .cast("long")
             .alias("cms_width"),
         )

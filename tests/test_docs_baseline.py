@@ -70,20 +70,38 @@ def test_bench_headline_is_settled():
         b = json.load(fh)
     settled = b.get("settled")
     start = b.get("loadavg_start")
+    # judge against the caps the artifact RECORDS (ADVICE r16): an
+    # artifact legitimately stamped under custom
+    # SPARK_GRAFT_SETTLED_LOADAVG(5) values must be re-judged against
+    # those, not the defaults; pre-stamp artifacts fall back to 1.5/3.0
+    cap1 = b.get("settled_loadavg_cap", 1.5)
+    cap5 = b.get("settled_loadavg_cap5", 3.0)
     if settled is None:
-        settled = start is None or start[0] < 1.5
+        settled = start is None or start[0] < cap1
     # a stamped settled=True is re-judged against the two-cap rule: the
     # r16 board's bench step self-stamped settled at [1.47, 5.73, 4.74]
     # because only the 1-minute average was consulted — the 5-minute
     # window still carried the previous step's churn (run read 109.3 s
     # vs 93.7-101.7 s back-to-back settled truth)
     if settled and start is not None and len(start) > 1:
-        settled = start[1] < 3.0
+        settled = start[1] < cap5
     assert settled, (
         f"BENCH_LOCAL.json is an UNSETTLED run (loadavg_start "
         f"{b.get('loadavg_start')}) — re-run bench.py on a quiet host "
         "and commit that instead"
     )
+    # the headline must sit inside the logged settled band (VERDICT r16
+    # task 4): a hand-committed artifact that never appeared in
+    # BENCH_RUNS.jsonl — weather-picked in either direction — fails
+    import sync_board
+
+    band, n = sync_board._settled_band(b)
+    if band:
+        assert band[0] - 1e-6 <= b.get("value") <= band[-1] + 1e-6, (
+            f"BENCH_LOCAL.json headline {b.get('value')} s is outside "
+            f"the settled band {band[0]}-{band[-1]} s ({n} runs in "
+            "BENCH_RUNS.jsonl) — commit a run from the band"
+        )
 
 
 def test_baseline_has_no_unstamped_superseded_claims():

@@ -4247,6 +4247,36 @@ def test_cms_merge_disjoint_cells_mixed_geometry_raises(spark):
     assert (row.cms_depth, row.cms_width) == (2, 64)
 
 
+def test_cms_merge_guard_unprunable_under_select_cms(spark):
+    """ADVICE r16: a consumer that selects ONLY the sketch column
+    (`m.select('cms')`) used to let Catalyst prune BOTH guarded
+    geometry aggregates (they rode cms_depth/cms_width only), returning
+    a silently corrupt merged sketch while a full collect() raised. The
+    raise now rides the sketch aggregate itself, so no single-column
+    projection can optimize the guard away."""
+    from spark_xml_spark.operators import merge_count_min_sketches
+
+    schema = ("grp string, cms array<struct<r:int,b:bigint,c:bigint>>, "
+              "cms_depth int, cms_width bigint")
+    # the ADVICE repro: depth=2 width=16 merged with width=17, sparse
+    # cells at disjoint (r, b) coordinates
+    disjoint_mixed = spark.createDataFrame(
+        [("g", [(0, 1, 5)], 2, 16), ("g", [(0, 2, 7)], 2, 17)], schema
+    )
+    m = merge_count_min_sketches(disjoint_mixed, ["grp"])
+    for col in ("cms", "cms_depth", "cms_width"):
+        with pytest.raises(Exception, match="mixed geometries"):
+            m.select(col).collect()
+    # control: same geometry still merges under the pruned projection
+    ok = spark.createDataFrame(
+        [("g", [(0, 1, 5)], 2, 16), ("g", [(0, 2, 7)], 2, 16)], schema
+    )
+    cells = (
+        merge_count_min_sketches(ok, ["grp"]).select("cms").collect()[0][0]
+    )
+    assert [tuple(c) for c in cells] == [(0, 1, 5), (0, 2, 7)]
+
+
 def test_kmv_prereduce_radix_overflow_falls_back_lossless(spark):
     """7 high-cardinality group columns in one Arrow batch push the
     mixed-radix composite past 2^63 (ADVICE r11: silent int64 wraparound

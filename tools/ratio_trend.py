@@ -260,10 +260,13 @@ def main() -> None:
     # the same trap profile_scan guards against. Wait (bounded) for the
     # host to settle; record nothing, the per-record stamps carry it.
     load_cap = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "4"))
+    # two-cap settle (ADVICE r16) — same rule as events_only_main
+    load_cap5 = float(os.environ.get("SPARK_GRAFT_LOADAVG5_MAX", "4"))
     deadline = time.time() + 180
     while time.time() < deadline:
         try:
-            if os.getloadavg()[0] <= load_cap:
+            la = os.getloadavg()
+            if la[0] <= load_cap and la[1] <= load_cap5:
                 break
         except OSError:
             break
@@ -387,8 +390,12 @@ def main() -> None:
                     )
                 finally:
                     con01.close()
-                rec["sf01_inline_spark_s"] = sf01_sp
-                rec["sf01_inline_duck_s"] = sf01_du
+                # one key pair for inline sf0.1 walls in BOTH run modes
+                # (ADVICE r16: this path and events_only_main used to
+                # record the same measurement under different keys)
+                rec["sf01_spark_s"] = sf01_sp
+                rec["sf01_duck_s"] = sf01_du
+                rec["sf01_same_window"] = True
             rec["ratio_sf01"] = round(sf01_sp / sf01_du, 2)
             dsp = rec["spark_s"] - sf01_sp
             ddu = rec["duck_s"] - sf01_du
@@ -712,11 +719,16 @@ def events_only_main() -> None:
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    # two-cap settle (ADVICE r16): the 1-minute average alone is the
+    # exact one-window lag trap r16 documented in bench.py — require
+    # the 5-minute window under its own cap too
     load_cap = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "4"))
+    load_cap5 = float(os.environ.get("SPARK_GRAFT_LOADAVG5_MAX", "4"))
     deadline = time.time() + 180
     while time.time() < deadline:
         try:
-            if os.getloadavg()[0] <= load_cap:
+            la = os.getloadavg()
+            if la[0] <= load_cap and la[1] <= load_cap5:
                 break
         except OSError:
             break
