@@ -677,7 +677,14 @@ def lsh_bucketed_topk(
     # num_planes JVM fold expressions of signature_col are O(planes*dim)
     # interpreted ops per row and dominated this query's runtime
     sig_udf = _make_sig_udf(pmat, weights)
-    sigged = df.withColumn("_sig", sig_udf(F.col(vec_col).cast("array<double>")))
+    # native-width transport into the Arrow signature pass (guide §2.3 /
+    # §4.1): the worker widens float32 -> float64 exactly (np.asarray
+    # dtype=float64), so signatures are bit-identical while a float32
+    # corpus ships half the bytes across the JVM->Python boundary
+    sigged = df.withColumn(
+        "_sig",
+        sig_udf(_transport_vec(F.col(vec_col), df.schema[vec_col].dataType)),
+    )
     return (
         sigged.filter(F.col("_sig").isin(*[F.lit(s) for s in sorted(probes)]))
         .select(
@@ -726,8 +733,15 @@ class LshIndex:
         pmat = np.asarray(planes, dtype=np.float64).T
         weights = 1 << np.arange(num_planes, dtype=np.int64)
         sig_udf = _make_sig_udf(pmat, weights)
+        # the index build is the one O(corpus) pass of the steady state
+        # (search() prunes partitions): ship float32 vectors AS STORED
+        # into the Arrow signature matmul — the worker's float64 widening
+        # is exact, signatures bit-identical (guide §2.3 / §4.1)
         assigned = df.withColumn(
-            "_sig", sig_udf(F.col(vec_col).cast("array<double>"))
+            "_sig",
+            sig_udf(
+                _transport_vec(F.col(vec_col), df.schema[vec_col].dataType)
+            ),
         )
         return cls(assigned, planes, vec_col, id_col)
 
@@ -901,9 +915,19 @@ class IvfIndex:
             meta = json.loads(fh.read().decode())
         cmat = np.asarray(meta["centroids"], dtype=np.float64)
         probe1 = _make_probe_udf(cmat, 1)
+        # daily-ingest assignment pass: native-width Arrow transport —
+        # _probe widens via np.asarray(dtype=float64), exact for float32
         assigned = new_df.withColumn(
             "_centroid",
-            F.element_at(probe1(F.col(meta["vec_col"]).cast("array<double>")), 1),
+            F.element_at(
+                probe1(
+                    _transport_vec(
+                        F.col(meta["vec_col"]),
+                        new_df.schema[meta["vec_col"]].dataType,
+                    )
+                ),
+                1,
+            ),
         )
         assigned.write.mode("append").partitionBy("_centroid").parquet(path)
         return cls.load(spark, path)
@@ -1039,10 +1063,17 @@ def cosine_pairs(
     )
 
     _retire_intermediates("cosine_pairs")
+    # persist at native width (float32 halves the persisted frame and the
+    # Arrow bytes into the signature matmul, guide §2.3/§4.1); the verify
+    # folds below widen to double AT THE JOIN — cast(float as double) is
+    # exact per element, so cosines are bit-identical to the pre-r17
+    # persist-as-double layout, and _band_sigs' np.asarray(dtype=float64)
+    # widening keeps signatures bit-identical too
     vecs = _persist_intermediate(
         df.select(
             F.col(id_col).alias("_vid"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
+            _transport_vec(F.col(vec_col), df.schema[vec_col].dataType)
+            .alias("_v"),
         ),
         "cosine_pairs",
     )
@@ -1074,8 +1105,20 @@ def cosine_pairs(
         F.aggregate(F.col("_vb"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
     )
     return (
-        cands.join(vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va")), "id_a")
-        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+        cands.join(
+            vecs.select(
+                F.col("_vid").alias("id_a"),
+                F.col("_v").cast("array<double>").alias("_va"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("id_b"),
+                F.col("_v").cast("array<double>").alias("_vb"),
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
