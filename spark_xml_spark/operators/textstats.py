@@ -37,6 +37,277 @@ def token_count_col(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
 
 
+# byte-class table for the vectorized tokenizer: 0 = ASCII whitespace
+# (exactly Java/RE2 `\s` = [ \t\n\x0B\f\r]), 1 = [A-Za-z], 2 = [0-9],
+# 3 = token-starting "other" byte (any other ASCII symbol or a UTF-8
+# lead byte — each such code point is a single `[^A-Za-z0-9\s]` match),
+# 4 = UTF-8 continuation byte (extends the current "other" token, never
+# starts one)
+_TOK_CLS = None
+
+
+def _tok_cls():
+    global _TOK_CLS
+    if _TOK_CLS is None:
+        import numpy as np
+
+        cls = np.full(256, 3, dtype=np.uint8)
+        for b in b" \t\n\x0b\f\r":
+            cls[b] = 0
+        cls[ord("A"):ord("Z") + 1] = 1
+        cls[ord("a"):ord("z") + 1] = 1
+        cls[ord("0"):ord("9") + 1] = 2
+        cls[0x80:0xC0] = 4
+        _TOK_CLS = cls
+    return _TOK_CLS
+
+
+def _tokenize_string_array(arr):
+    """Tokenize one Arrow string array into (doc_index int64 ndarray,
+    terms pa.StringArray) — the vectorized equivalent of
+    ``regexp_extract_all(text, TOKEN_REGEX)`` per row.
+
+    EXACT-EQUIVALENCE ARGUMENT (holds for every valid UTF-8 input, not
+    just the fixtures): TOKEN_REGEX = `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]`
+    — findall over it yields maximal runs of ASCII letters, maximal
+    runs of ASCII digits, and every other non-whitespace CODE POINT as
+    its own single-char match, scanning left to right. All three
+    classes are decidable per BYTE: letters/digits/whitespace are pure
+    ASCII classes, every other ASCII byte or UTF-8 lead byte begins an
+    "other" match, and UTF-8 continuation bytes belong to the lead
+    byte's code point. So: classify bytes, drop whitespace bytes, and
+    a token starts exactly where (a) the byte class changes, (b) the
+    class is "other-start" (single-code-point matches never merge), or
+    (c) a new ROW begins — which reproduces the regex token list
+    byte-for-byte. Tokens tile the whitespace-stripped byte buffer, so
+    the output StringArray is built from ONE compacted data buffer plus
+    an offsets array (the §4.2 re-slice trick) — no per-token copies.
+    Case handling is NOT done here: callers lower() JVM-side first, so
+    lowercase semantics are bit-identical to the pre-Arrow plan."""
+    import numpy as np
+    import pyarrow as pa
+
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    bufs = arr.buffers()
+    width = 8 if pa.types.is_large_string(arr.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    off_all = np.frombuffer(bufs[1], dtype=odt)
+    off = off_all[arr.offset:arr.offset + n + 1].astype(np.int64)
+    base = off[0]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[base:off[-1]]
+    off = off - base
+    k = _tok_cls()[data]
+    keep = k != 0
+    cdata = np.ascontiguousarray(data[keep])
+    ck = k[keep]
+    csum = np.concatenate(([0], np.cumsum(keep)))
+    row_start_c = csum[off]  # n+1 entries, compacted coordinates
+    if len(ck) == 0:
+        return np.zeros(0, dtype=np.int64), pa.array([], type=pa.string())
+    # token boundaries are decided on the ORIGINAL byte sequence (a
+    # whitespace byte separates two same-class runs; after compaction
+    # they would look adjacent), then compacted alongside the data
+    prev = np.empty_like(k)
+    prev[0] = 0  # start-of-input behaves like whitespace
+    prev[1:] = k[:-1]
+    starts = ((k != 4) & ((k != prev) | (k == 3)))[keep]
+    # force a token break at every row's first kept byte (a letter run
+    # must not merge across rows); valid UTF-8 never starts a row with
+    # a continuation byte, but guard anyway
+    rpos = row_start_c[:-1]
+    rpos = rpos[(rpos < row_start_c[1:]) ]
+    starts[rpos] |= ck[rpos] != 4
+    tstart = np.nonzero(starts)[0]
+    offsets_out = np.concatenate(
+        [tstart, [len(cdata)]]
+    ).astype(np.int32)
+    doc_idx = np.searchsorted(
+        row_start_c[:-1], tstart, side="right"
+    ) - 1
+    terms = pa.Array.from_buffers(
+        pa.utf8(),
+        len(tstart),
+        [None, pa.py_buffer(offsets_out), pa.py_buffer(cdata)],
+    )
+    return doc_idx, terms
+
+
+def tokens_arrow(
+    df: DataFrame,
+    id_col: Optional[str],
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, term) token stream — `explode(regexp_extract_all(lower(
+    text), TOKEN_REGEX))` computed as ONE vectorized Arrow pass instead
+    of a per-row JVM regex (guide §4.2: whole batches into native
+    code; the JVM regex stage was the tokenize floor of tfidf/bm25 and
+    did not parallelize past memory bandwidth — r17 decomposition,
+    500k-doc fixture: 3.4 s at 32c AND 3.9 s at 8c). lower() stays
+    JVM-side so case semantics are bit-identical; the byte-level
+    tokenizer is exactly equivalent to the regex for every valid UTF-8
+    input (see _tokenize_string_array). Null/empty texts yield no rows
+    (explode semantics). With ``id_col=None`` emits only ``term``."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    if id_col is None:
+        src = df.select(txt.alias("_txt"))
+        out_schema = T.StructType([T.StructField("term", T.StringType())])
+    else:
+        src = df.select(F.col(id_col).alias("_id"), txt.alias("_txt"))
+        out_schema = T.StructType(
+            [
+                T.StructField("_id", src.schema["_id"].dataType),
+                T.StructField("term", T.StringType()),
+            ]
+        )
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def _tok(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            texts = b.column(b.num_columns - 1)
+            doc_idx, terms = _tokenize_string_array(texts)
+            if len(terms) == 0:
+                continue
+            cols = []
+            if b.num_columns == 2:
+                ids = pc.take(b.column(0), pa.array(doc_idx))
+                cols.append(ids.cast(arrow_schema.field(0).type))
+            cols.append(terms.cast(arrow_schema.field(-1).type))
+            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return src.mapInArrow(_tok, out_schema)
+
+
+def token_tf_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+    keep_terms: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """(id, term, tf) PARTIAL term-frequency stream: tokenizes like
+    tokens_arrow, then counts (doc, term) pairs INSIDE the worker with
+    pyarrow's C++ group_by before anything crosses back to the JVM —
+    the §4.2 "aggregate before you ship" form of the tokenize pass.
+    Emitting raw tokens made tfidf SLOWER than the JVM regex (r17 A/B:
+    9.2 s vs 8.3 s at the 500k-doc fixture) because the full token
+    stream paid the Arrow->JVM boundary; per-batch partials cut that
+    stream to distinct (doc, term) pairs. Partials are exact under any
+    batching (downstream sums them), so results are identical to
+    explode + groupBy count.
+
+    ``keep_terms`` (e.g. bm25's driver-side query-term list) filters
+    tokens INSIDE the worker before grouping — only matching pairs
+    ever cross the boundary; identical to filtering after (a
+    downstream equi-join on the same term set drops the rest anyway)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    src = df.select(F.col(id_col).alias("_id"), txt.alias("_txt"))
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", src.schema["_id"].dataType),
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.LongType()),
+        ]
+    )
+    arrow_schema = to_arrow_schema(out_schema)
+
+    keep_set = (
+        None if keep_terms is None
+        else sorted({str(t) for t in keep_terms})
+    )
+
+    def _tf(batches):
+        import pyarrow.compute as pc
+
+        value_set = (
+            None if keep_set is None else pa.array(keep_set, pa.string())
+        )
+        for b in batches:
+            doc_idx, terms = _tokenize_string_array(b.column(1))
+            if value_set is not None and len(terms):
+                mask = pc.is_in(terms, value_set=value_set)
+                doc_idx = doc_idx[mask.to_numpy(zero_copy_only=False)]
+                terms = terms.filter(mask)
+            if len(terms) == 0:
+                continue
+            grouped = (
+                pa.table({"_i": pa.array(doc_idx), "term": terms})
+                .group_by(["_i", "term"], use_threads=False)
+                .aggregate([("term", "count")])
+                .combine_chunks()
+            )
+            ids = pc.take(b.column(0), grouped.column("_i").chunk(0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(arrow_schema.field(0).type),
+                    grouped.column("term").chunk(0).cast(
+                        arrow_schema.field(1).type
+                    ),
+                    grouped.column("term_count").chunk(0).cast(
+                        pa.int64()
+                    ),
+                ],
+                schema=arrow_schema,
+            )
+
+    return src.mapInArrow(_tf, out_schema)
+
+
+def token_counts_arrow(
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool = True
+) -> DataFrame:
+    """(id, _len) per-row token counts via the same vectorized pass —
+    replaces a second whole-corpus `size(regexp_extract_all(...))`
+    regex scan (bm25's doc-length pass). One output row per input row;
+    null/empty text counts 0 (the callers' coalesce(...) semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    src = df.select(F.col(id_col).alias("_id"), txt.alias("_txt"))
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", src.schema["_id"].dataType),
+            T.StructField("_len", T.LongType()),
+        ]
+    )
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def _cnt(batches):
+        for b in batches:
+            texts = b.column(1)
+            doc_idx, terms = _tokenize_string_array(texts)
+            counts = np.bincount(doc_idx, minlength=b.num_rows).astype(
+                np.int64
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).cast(arrow_schema.field(0).type),
+                    pa.array(counts, type=pa.int64()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return src.mapInArrow(_cnt, out_schema)
+
+
 def whitespace_token_count_col(col: Column) -> Column:
     return F.size(F.split(F.trim(col), r"\s+"))
 
@@ -727,17 +998,20 @@ def vocab_topk(
     map-side combine collapses each partition's counts before the ONE
     shuffle) -> TakeOrderedAndProject(k) — the driver receives k rows,
     never the vocabulary."""
-    tok = F.explode(
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)) if lowercase else F.col(text_col),
-            F.lit(TOKEN_REGEX),
-            0,
-        )
-    ).alias("token")
+    # Arrow-vectorized tokenize + in-worker per-term partial counts
+    # (exactly regex-equivalent — see _tokenize_string_array /
+    # token_tf_arrow): only vocabulary-sized (term, count) partials
+    # cross the Python->JVM boundary, one batch's worth per batch
+    counts = token_tf_arrow(
+        df.select(F.lit(0).alias("_g"), F.col(text_col)),
+        "_g",
+        text_col,
+        lowercase=lowercase,
+    )
     return (
-        df.select(tok)
+        counts.select(F.col("term").alias("token"), "tf")
         .groupBy("token")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("tf").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.encode(F.col("token"), "UTF-8"))
         .limit(k)
     )
@@ -776,6 +1050,13 @@ def tfidf_top_terms(
         _retire_intermediates,
     )
 
+    # Tokenize stays the JVM regex HERE deliberately: the r17 Arrow
+    # tokenizer (token_tf_arrow — adopted by bm25/vocab, 2.0x/2.7x at
+    # the 500k-doc fixture) measured a NEGATIVE for tfidf both at
+    # sf0.1 (1.24 -> 1.34 s) and at x100 (9.3 -> 10.8 s): tfidf keeps
+    # EVERY (doc, term) pair — nothing shrinks in-worker, so the full
+    # pair stream pays the Python->JVM boundary that the regex path
+    # never crosses, and the regex cost is the smaller of the two.
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -850,14 +1131,11 @@ def bm25_topk(
     qdf = spark.createDataFrame(
         [(t,) for t in q_terms], "term string"
     )
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
-            )
-        ).alias("term"),
-    )
+    # Arrow-vectorized tokenize + in-worker partial tf counts (exactly
+    # regex-equivalent; sum of partials == count — see token_tf_arrow),
+    # with the query-term filter pushed INTO the worker: only
+    # query-term (doc, term, tf) partials ever cross the boundary
+    tfp = token_tf_arrow(df, id_col, text_col, keep_terms=q_terms)
     # per-doc length over ALL tokens (needed before the query filter).
     # Persisted (scoped-intermediate protocol): it feeds the (N,
     # avg_len) aggregate AND the per-doc scoring join — unpersisted,
@@ -868,16 +1146,11 @@ def bm25_topk(
     )
 
     _retire_intermediates("bm25_topk")  # own previous call only
+    # per-row counts from the same vectorized pass (replaces a SECOND
+    # whole-corpus regex scan); NULL text = 0 tokens, identical to the
+    # old coalesce(size(regexp_extract_all(...)), 0) semantics
     lens = _persist_intermediate(
-        df.select(
-            F.col(id_col).alias("_id"),
-            # NULL text = 0 tokens (corpus_profile's policy; the oracle
-            # COALESCEs identically — an un-guarded size(NULL) would
-            # silently drop NULL-text docs from avg_len under ANSI)
-            F.coalesce(
-                token_count_col(F.lower(F.col(text_col))), F.lit(0)
-            ).cast("long").alias("_len"),
-        ),
+        token_counts_arrow(df, id_col, text_col),
         "bm25_topk",
     )
     stats = lens.agg(
@@ -885,11 +1158,11 @@ def bm25_topk(
         F.avg("_len").alias("_avg"),
     )
     # tf feeds TWO branches (df-per-term aggregate + scoring join);
-    # persisted like lens, else the corpus explode+aggregate runs twice
+    # persisted like lens, else the corpus tokenize+aggregate runs twice
     tf = _persist_intermediate(
-        toks.join(F.broadcast(qdf), "term")
+        tfp.join(F.broadcast(qdf), "term")
         .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf")),
+        .agg(F.sum("tf").alias("tf")),
         "bm25_topk",
     )
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))

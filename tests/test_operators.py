@@ -4776,3 +4776,104 @@ def test_bm25_topk_edge_contracts(spark):
     out2 = bm25_topk(df2, "x", k=3).collect()
     assert [r.doc_id for r in out2] == [5, 7, 9]
     assert len({round(r.score, 6) for r in out2}) == 1
+
+
+def test_arrow_tokenizer_matches_regex_bytewise():
+    # the r17 vectorized tokenizer must reproduce
+    # regexp_extract_all(text, TOKEN_REGEX) byte-for-byte for ANY valid
+    # UTF-8 input — ASCII runs, Unicode single-char "other" matches,
+    # Java-\s-only whitespace (NBSP is a token), empty/null rows, and
+    # non-zero Arrow array offsets (sliced batches)
+    import random
+    import re
+    import string
+
+    import pyarrow as pa
+
+    from spark_xml_spark.operators.textstats import (
+        _tokenize_string_array,
+    )
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]")
+    cases = [
+        "hello world", "abc123def", "a!b", "!!", "", "   ", None,
+        "Hello, WORLD!  123\tx\ny", "naïve café — déjà-vu",
+        "漢字 abc", "\U0001d518\U0001d52b math \U0001d7d9",
+        "mix nbsp", "tab\x0bvt\x0cff\rcr", "ünïcödé",
+        "a" * 500 + "!" + "9" * 50,
+    ]
+    alpha = list(
+        string.ascii_letters + string.digits
+        + " \t\n\x0b\f\r!@#._-—é漢\U0001d7d9ü "
+    )
+    rng = random.Random(7)
+    cases += [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+        for _ in range(200)
+    ]
+    arr = pa.array(cases, type=pa.string())
+    for test_arr, base in ((arr, 0), (arr.slice(3, 150), 3)):
+        doc_idx, terms = _tokenize_string_array(test_arr)
+        got = {}
+        for d, t in zip(doc_idx.tolist(), terms.to_pylist()):
+            got.setdefault(d, []).append(t)
+        for j in range(len(test_arr)):
+            s = cases[base + j]
+            assert got.get(j, []) == (pat.findall(s) if s else []), (
+                f"row {base + j}: {s!r}"
+            )
+
+
+def test_token_tf_arrow_partials_sum_to_counts(spark):
+    # sum of per-batch partials == explode+count, and keep_terms
+    # filtering inside the worker == filtering after
+    from spark_xml_spark.operators.textstats import (
+        TOKEN_REGEX,
+        token_counts_arrow,
+        token_tf_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the hat. The end!"),
+            (2, None),
+            (3, ""),
+            (4, "cat CAT cAt 42 42"),
+        ],
+        "doc_id long, text string",
+    )
+    old = (
+        df.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_REGEX), 0
+                )
+            ).alias("term"),
+        )
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    new = (
+        token_tf_arrow(df, "doc_id", "text")
+        .groupBy("_id", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    filt = (
+        token_tf_arrow(df, "doc_id", "text", keep_terms=["cat", "42"])
+        .groupBy("_id", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    want = sorted(
+        t for t in map(tuple, old.collect()) if t[1] in ("cat", "42")
+    )
+    assert sorted(map(tuple, filt.collect())) == want
+    # per-row counts: null/empty rows count 0 and are PRESENT
+    cnts = dict(
+        (r["_id"], r["_len"])
+        for r in token_counts_arrow(df, "doc_id", "text").collect()
+    )
+    assert cnts == {1: 9, 2: 0, 3: 0, 4: 5}

@@ -187,11 +187,15 @@ def test_text_pack_single_exchange_no_global_window(push_conf):
 
 def test_text_vocab_topk_never_global_sorts(push_conf):
     # top-k must be TakeOrderedAndProject (k rows to the driver), never a
-    # full global Sort of the vocabulary; the token aggregate must have a
-    # map-side partial phase and stay JVM-side
+    # full global Sort of the vocabulary; the token counting runs in the
+    # r17 Arrow tokenizer (MapInArrow emitting per-batch per-term
+    # partials — never a row-at-a-time BatchEvalPython), and the JVM
+    # aggregate over those partials must still have a map-side partial
+    # phase before its one shuffle
     plan = _plan(push_conf, "text_vocab")
     assert "TakeOrderedAndProject" in plan
-    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "MapInArrow" in plan  # vectorized tokenize+partial counts
+    assert "partial_sum" in plan  # map-side combine before the shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

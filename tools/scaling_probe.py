@@ -3,11 +3,21 @@
 The sf0.1 suite cannot demonstrate parallel scaling: 100/117 queries run
 as fast on 8 cores as 32 because per-query walls sit on fixed overheads
 at that SF (driver verdict, r16). This probe re-asks the question where
-it is answerable: the ~10 heaviest batch queries at the x10/x100/x2000
-scratch replicas the trend harness already defines, each measured at 32
-AND 8 cores in back-to-back settled sessions (min-of-3 after a warm run,
-same `.count()` timed action as tools/ratio_trend.py). A per-session
-pruned-scan yardstick proves each session's core count is real.
+it is answerable: heavy batch queries at scaled replicas, each measured
+at 32 AND 8 cores in back-to-back settled sessions (min-of-3 after a
+warm run, the same `.count()` timed action as tools/ratio_trend.py).
+
+Fixture-layout lesson (first probe attempt, r17): a DuckDB COPY replica
+is ONE parquet file, and a file under maxPartitionBytes is ONE Spark
+scan split — so a "x10" documents replica (911 KB) ran every per-row
+pipeline stage on a single core at both core counts and the probe
+measured serial execution, not the engine. At 100 TB a scan always has
+more splits than cores; the representative fixture is MULTI-FILE. The
+documents/events/embeddings replicas here are therefore written by
+Spark as 32-file directories (validated by row count + file count);
+the XML-side fixtures stay DuckDB replicas because the xml-graft
+materialization re-partitions to `partitions=cpus` regardless of the
+source layout.
 
 Writes SCALING_X10.json; tools/sync_board.py renders it into BOARD.md.
 
@@ -17,6 +27,7 @@ Usage: python tools/scaling_probe.py            # 32c then 8c
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -29,25 +40,29 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import ratio_trend as rt  # noqa: E402
 
-# query -> (fixture kind, x-factor note). "scale10" is the shared
-# _build_scale10 scratch (documents/lineitem x10, customer x100,
-# events x10, embeddings x100); "emb_big" is the persistent x2000
-# embeddings fixture from the trend harness.
+N_FILES = 32
+# multi-file Spark-built replicas: table -> (factor, id column)
+SPARK_REPLICAS = {
+    "documents": (100, "doc_id"),
+    "events": (100, "event_id"),
+    "embeddings": (2000, "vec_id"),
+}
+# query -> fixture note (all run against the one probe scratch dir)
 PROBE_QUERIES = {
-    "xml_scan_filter": ("scale10", "customer x100"),
-    "xml_agg_q1": ("scale10", "lineitem x10"),
-    "xml_join_agg": ("scale10", "customer x100"),
-    "text_tfidf": ("scale10", "documents x10"),
-    "text_bm25": ("scale10", "documents x10"),
-    "text_kmv": ("scale10", "documents x10"),
-    "dedup_exact": ("scale10", "documents x10"),
-    "events_rollup_once": ("scale10", "events x10"),
-    "events_asof": ("scale10", "events x10"),
-    "ann_cosine_topk": ("emb_big", "embeddings x2000"),
+    "xml_scan_filter": "customer x100 (duckdb replica; xml cache)",
+    "xml_agg_q1": "lineitem x10 (duckdb replica; xml cache)",
+    "xml_join_agg": "customer x100 (duckdb replica; xml cache)",
+    "text_tfidf": "documents x100, 32 files",
+    "text_bm25": "documents x100, 32 files",
+    "text_kmv": "documents x100, 32 files",
+    "dedup_exact": "documents x100, 32 files",
+    "events_rollup_once": "events x100, 32 files",
+    "events_asof": "events x100, 32 files",
+    "ann_cosine_topk": "embeddings x2000, 32 files",
 }
 
 
-def _settle(cap1: float, cap5: float, deadline_s: float = 240) -> None:
+def _settle(cap1: float, cap5: float, deadline_s: float = 420) -> None:
     deadline = time.time() + deadline_s
     while time.time() < deadline:
         try:
@@ -57,6 +72,92 @@ def _settle(cap1: float, cap5: float, deadline_s: float = 240) -> None:
         except OSError:
             return
         time.sleep(5)
+
+
+def _replica_ok(src: str, dst_dir: str, factor: int) -> bool:
+    """A pre-existing multi-file replica must prove itself: exact
+    factor x source rows AND the intended file count (a partial write
+    or an old single-file layout would otherwise be measured)."""
+    try:
+        import pyarrow.parquet as pq
+
+        parts = glob.glob(os.path.join(dst_dir, "*.parquet"))
+        if len(parts) != N_FILES:
+            return False
+        have = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        want = factor * pq.ParquetFile(src).metadata.num_rows
+        return have == want
+    except OSError:
+        return False
+
+
+def _build_fixtures(scratch: str, sf01: str) -> None:
+    """Build every fixture into one drop-in sf_dir: DuckDB replicas for
+    the XML-side tables (customer x100 / lineitem x10, SCALEUP spec),
+    Spark-written 32-file replicas for documents/events/embeddings,
+    symlinks for the rest."""
+    os.makedirs(scratch, exist_ok=True)
+    for t in ("customer", "lineitem"):
+        s = os.path.join(sf01, f"{t}.parquet")
+        d = os.path.join(scratch, f"{t}.parquet")
+        factor, key, order = rt.SCALEUP[t]
+        if not (os.path.exists(d)
+                and rt._scaled_table_ok(s, d, factor, None)):
+            rt._replicate_table(s, d, factor, key, order)
+    for t in rt.TABLES:
+        s = os.path.join(sf01, f"{t}.parquet")
+        d = os.path.join(scratch, f"{t}.parquet")
+        if (t in SPARK_REPLICAS or t in ("customer", "lineitem")
+                or not os.path.exists(s)):
+            continue
+        if not os.path.exists(d):
+            os.symlink(s, d)
+    todo = {
+        t: spec for t, spec in SPARK_REPLICAS.items()
+        if not _replica_ok(
+            os.path.join(sf01, f"{t}.parquet"),
+            os.path.join(scratch, f"{t}.parquet"),
+            spec[0],
+        )
+    }
+    if not todo:
+        return
+    spark = rt._spark_session(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    from pyspark.sql import functions as F
+
+    try:
+        for t, (factor, key) in todo.items():
+            src = os.path.join(sf01, f"{t}.parquet")
+            dst = os.path.join(scratch, f"{t}.parquet")
+            shutil.rmtree(dst, ignore_errors=True)
+            (
+                spark.read.parquet(src)
+                .withColumn(
+                    "_i",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0).cast("long"),
+                            F.lit(factor - 1).cast("long"),
+                        )
+                    ),
+                )
+                .withColumn(
+                    key,
+                    F.col(key).cast("long")
+                    + F.lit(10000000).cast("long") * F.col("_i"),
+                )
+                .drop("_i")
+                .repartition(N_FILES)
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+            # drop non-data files so the file-count validity check and
+            # the split count stay exactly N_FILES
+            for p in glob.glob(os.path.join(dst, "*")):
+                if not p.endswith(".parquet"):
+                    os.remove(p)
+    finally:
+        spark.stop()
 
 
 def main() -> None:
@@ -71,30 +172,15 @@ def main() -> None:
     scratch = os.environ.get(
         "SPARK_GRAFT_SCALEPROBE_DIR", "/tmp/xmlgraft_scaleprobe"
     )
-    emb_big = os.environ.get(
-        "SPARK_GRAFT_EMB_BIG_DIR", "/tmp/xmlgraft_emb_big"
-    )
 
-    rt._build_scale10(sf01, scratch)
-    # the x2000 embeddings fixture (persistent, trend-owned): build if
-    # missing, with the trend's row-count + row-group validity check
-    os.makedirs(emb_big, exist_ok=True)
-    e_src = os.path.join(sf01, "embeddings.parquet")
-    e_dst = os.path.join(emb_big, "embeddings.parquet")
-    if not (os.path.exists(e_dst)
-            and rt._scaled_table_ok(e_src, e_dst, 2000, 32)):
-        rt._replicate_table(e_src, e_dst, 2000, "vec_id", ["vec_id"], 16384)
-    for t in rt.TABLES:
-        sp_ = os.path.join(sf01, f"{t}.parquet")
-        dp_ = os.path.join(emb_big, f"{t}.parquet")
-        if t != "embeddings" and os.path.exists(sp_) \
-                and not os.path.exists(dp_):
-            os.symlink(sp_, dp_)
+    _build_fixtures(scratch, sf01)
 
     out: dict = {
         "cpus_pair": cpus_pair,
         "protocol": "per-cpu settled session; warm 1 + min-of-3 .count(); "
-                    "fixtures: trend scale10 scratch + x2000 embeddings",
+                    "multi-file (32) spark replicas for "
+                    "documents/events x100 + embeddings x2000; duckdb "
+                    "replicas for customer x100 / lineitem x10",
         "queries": {},
         "yardstick": {},
         "loadavg": {},
@@ -112,26 +198,29 @@ def main() -> None:
 
         qs = em.queries()
         try:
-            # per-session scan yardstick: pruned parquet scan of the x10
-            # documents replica — proves the session's parallelism is
-            # real even if a query's wall is not
+            # per-session scan yardstick: pruned scan+sum over the
+            # 32-file documents x100 replica — proves the session's
+            # parallelism is real even where a query's wall is not
+            from pyspark.sql import functions as F
+
             ydf = spark.read.parquet(
                 os.path.join(scratch, "documents.parquet")
-            ).select("doc_id")
+            ).select(F.length("text").alias("_l"))
             n_docs = ydf.count()
-            ys = rt._min_of(lambda: ydf.count(), n=3)
+            ys = rt._min_of(
+                lambda: ydf.agg(F.sum("_l")).collect(), n=3
+            )
             out["yardstick"][str(cpus)] = {
-                "pruned_scan_rows_per_s": int(n_docs / ys),
+                "text_len_rows_per_s": int(n_docs / ys),
                 "rows": n_docs,
             }
-            for name, (fixture, note) in PROBE_QUERIES.items():
-                d = scratch if fixture == "scale10" else emb_big
+            for name, note in PROBE_QUERIES.items():
                 fn = qs[name]
                 spark.sparkContext.setJobDescription(
                     f"scaling_probe:{name}@{cpus}c"
                 )
                 try:
-                    s = rt._min_of(lambda: fn(spark, d).count(), n=3)
+                    s = rt._min_of(lambda: fn(spark, scratch).count(), n=3)
                     rec = out["queries"].setdefault(
                         name, {"fixture": note}
                     )
