@@ -194,6 +194,7 @@ def token_tf_arrow(
     text_col: str,
     lowercase: bool = True,
     keep_terms: Optional[Sequence[str]] = None,
+    emit_lens: bool = False,
 ) -> DataFrame:
     """(id, term, tf) PARTIAL term-frequency stream: tokenizes like
     tokens_arrow, then counts (doc, term) pairs INSIDE the worker with
@@ -209,7 +210,16 @@ def token_tf_arrow(
     ``keep_terms`` (e.g. bm25's driver-side query-term list) filters
     tokens INSIDE the worker before grouping — only matching pairs
     ever cross the boundary; identical to filtering after (a
-    downstream equi-join on the same term set drops the rest anyway)."""
+    downstream equi-join on the same term set drops the rest anyway).
+
+    ``emit_lens`` additionally emits one ``(id, term=NULL, tf=token
+    count over ALL tokens)`` row per INPUT row (counted before the
+    keep_terms filter, empty/null text counts 0 — exactly
+    token_counts_arrow's output, routed through the same frame). A
+    consumer that needs both the per-doc lengths and the tf partials
+    (bm25) splits the one returned frame on ``term IS NULL`` instead
+    of tokenizing the corpus twice — guide §1.2, remove a duplicate
+    whole-corpus scan + Arrow transport."""
     import numpy as np
     import pyarrow as pa
 
@@ -239,6 +249,18 @@ def token_tf_arrow(
         )
         for b in batches:
             doc_idx, terms = _tokenize_string_array(b.column(1))
+            if emit_lens and b.num_rows:
+                lens = np.bincount(
+                    doc_idx, minlength=b.num_rows
+                ).astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column(0).cast(arrow_schema.field(0).type),
+                        pa.nulls(b.num_rows, arrow_schema.field(1).type),
+                        pa.array(lens, type=pa.int64()),
+                    ],
+                    schema=arrow_schema,
+                )
             if value_set is not None and len(terms):
                 mask = pc.is_in(terms, value_set=value_set)
                 doc_idx = doc_idx[mask.to_numpy(zero_copy_only=False)]
@@ -1131,36 +1153,42 @@ def bm25_topk(
     qdf = spark.createDataFrame(
         [(t,) for t in q_terms], "term string"
     )
-    # Arrow-vectorized tokenize + in-worker partial tf counts (exactly
-    # regex-equivalent; sum of partials == count — see token_tf_arrow),
-    # with the query-term filter pushed INTO the worker: only
-    # query-term (doc, term, tf) partials ever cross the boundary
-    tfp = token_tf_arrow(df, id_col, text_col, keep_terms=q_terms)
-    # per-doc length over ALL tokens (needed before the query filter).
-    # Persisted (scoped-intermediate protocol): it feeds the (N,
-    # avg_len) aggregate AND the per-doc scoring join — unpersisted,
-    # each consumer re-tokenizes the corpus.
+    # ONE Arrow-vectorized corpus pass (exactly regex-equivalent; sum
+    # of partials == count — see token_tf_arrow) emitting BOTH streams
+    # bm25 needs: query-term (doc, term, tf) partials (filter pushed
+    # INTO the worker — only matching pairs cross the boundary) AND
+    # per-doc token lengths as term=NULL rows (token_counts_arrow's
+    # output routed through the same frame). Splitting one persisted
+    # frame replaces the r17-initial TWO whole-corpus tokenize passes
+    # (lens pass + tf pass — each ~0.76 s at the x100 fixture, 32c);
+    # guide §1.2, remove a duplicate scan + JVM->Arrow transport.
     from spark_xml_spark.operators.dedup import (
         _persist_intermediate,
         _retire_intermediates,
     )
 
     _retire_intermediates("bm25_topk")  # own previous call only
-    # per-row counts from the same vectorized pass (replaces a SECOND
-    # whole-corpus regex scan); NULL text = 0 tokens, identical to the
-    # old coalesce(size(regexp_extract_all(...)), 0) semantics
-    lens = _persist_intermediate(
-        token_counts_arrow(df, id_col, text_col),
+    combined = _persist_intermediate(
+        token_tf_arrow(
+            df, id_col, text_col, keep_terms=q_terms, emit_lens=True
+        ),
         "bm25_topk",
+    )
+    # per-doc length over ALL tokens (counted before the query filter);
+    # NULL text = 0 tokens, identical to the old coalesce(
+    # size(regexp_extract_all(...)), 0) semantics
+    lens = combined.filter(F.col("term").isNull()).select(
+        "_id", F.col("tf").alias("_len")
     )
     stats = lens.agg(
         F.count("*").alias("_n"),
         F.avg("_len").alias("_avg"),
     )
     # tf feeds TWO branches (df-per-term aggregate + scoring join);
-    # persisted like lens, else the corpus tokenize+aggregate runs twice
+    # persisted like combined, else the partial-sum aggregate runs twice
     tf = _persist_intermediate(
-        tfp.join(F.broadcast(qdf), "term")
+        combined.filter(F.col("term").isNotNull())
+        .join(F.broadcast(qdf), "term")
         .groupBy("_id", "term")
         .agg(F.sum("tf").alias("tf")),
         "bm25_topk",

@@ -4877,3 +4877,24 @@ def test_token_tf_arrow_partials_sum_to_counts(spark):
         for r in token_counts_arrow(df, "doc_id", "text").collect()
     )
     assert cnts == {1: 9, 2: 0, 3: 0, 4: 5}
+    # emit_lens=True routes token_counts_arrow's exact per-row output
+    # through the same frame as term=NULL rows (bm25's one-pass split),
+    # counted BEFORE the keep_terms filter; non-null rows unchanged
+    comb = token_tf_arrow(
+        df, "doc_id", "text", keep_terms=["cat", "42"], emit_lens=True
+    )
+    lens_rows = dict(
+        (r["_id"], r["tf"])
+        for r in comb.filter(F.col("term").isNull()).collect()
+    )
+    assert lens_rows == cnts
+    tf_rows = sorted(
+        map(
+            tuple,
+            comb.filter(F.col("term").isNotNull())
+            .groupBy("_id", "term")
+            .agg(F.sum("tf").alias("tf"))
+            .collect(),
+        )
+    )
+    assert tf_rows == want

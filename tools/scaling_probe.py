@@ -214,6 +214,8 @@ def main() -> None:
                 "text_len_rows_per_s": int(n_docs / ys),
                 "rows": n_docs,
             }
+            from spark_xml_spark.operators import retire_all
+
             for name, note in PROBE_QUERIES.items():
                 fn = qs[name]
                 spark.sparkContext.setJobDescription(
@@ -230,6 +232,18 @@ def main() -> None:
                         name, {"fixture": note}
                     )[f"error_{cpus}"] = repr(exc)[:200]
                 spark.sparkContext.setJobDescription(None)
+                # a query's scoped MEMORY_AND_DISK intermediates stay
+                # persisted until ITS next call (steady-state protocol)
+                # — but here the next thing measured is a DIFFERENT
+                # query, and at x100 with an 8g driver the leftovers
+                # squeeze per-task execution memory hard enough to
+                # invert scaling (r17: bm25-after-tfidf read 6.8 s at
+                # 32c vs 4.3 s isolated, while 8c read 3.9 — the
+                # "inversion" was tfidf's ~GB cached tf frame, not the
+                # engine). retire_all() at the query boundary makes
+                # each cell a per-query engine reading.
+                retire_all()
+                spark.catalog.clearCache()
         finally:
             spark.stop()
         sys.stderr.write(f"scaling_probe: {cpus}c session done\n")
