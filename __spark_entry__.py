@@ -563,53 +563,42 @@ def q_xml_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xml_exists_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi/anti joins over XML tables: per nation, customers with at
-    least one urgent order (left_semi) and customers with no orders at
-    all (left_anti), joined on the nation key."""
+    """EXISTS/NOT-EXISTS aggregation over XML tables: per nation,
+    customers with at least one urgent order and customers with no
+    orders at all."""
     c = _xml_table(spark, sf_dir, "customer",
                    columns=["c_custkey", "c_nationkey"])
     o = _xml_table(spark, sf_dir, "orders",
                    columns=["o_custkey", "o_orderpriority"])
-    # Python-data-source scans don't canonicalize equal, so Spark's
-    # ReuseExchange can never share them across the semi and anti
-    # branches — the naive two-join shape scanned the orders FACT TABLE
-    # twice (at 100 TB, a second full corpus parse). Instead ONE orders
-    # scan folds to a per-custkey summary (map-side combinable, one
-    # shuffle) that persists; the real left_semi/left_anti joins run
-    # against the cached summary. The customer DIM still streams into
-    # both branches unpersisted: it is ~1% of the fact table, and the
-    # two dim scans overlap with the summary build instead of waiting
-    # behind a persist barrier.
-    from spark_xml_spark.operators.dedup import (
-        _persist_intermediate,
-        _retire_intermediates,
+    # ONE orders scan folds to a per-custkey summary (map-side
+    # combinable, one shuffle); ONE left join of the customer dim
+    # against that summary answers BOTH the EXISTS(urgent) and the
+    # NOT-EXISTS(any order) counts as conditional sums — o_custkey is
+    # unique after the groupBy, so the left join emits exactly one row
+    # per customer: sum(has_urgent) == the left_semi count and
+    # sum(o_custkey IS NULL) == the left_anti count of the previous
+    # shape, which scanned and shuffled the customer dim TWICE (semi +
+    # anti branches; Python-data-source scans don't canonicalize equal,
+    # so ReuseExchange can never share them) and full-outer-joined the
+    # two partial aggregates back together. NULL c_custkey never
+    # matches, so those rows land in n_no_orders — exactly the
+    # NOT EXISTS semantics of the oracle SQL. The HAVING filter
+    # reproduces the row set the old full_outer join produced (nations
+    # with at least one urgent or order-less customer). The summary no
+    # longer persists: it has exactly one consumer now.
+    osum = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent")
     )
-
-    _retire_intermediates("q_xml_exists_join")
-    osum = _persist_intermediate(
-        o.groupBy("o_custkey").agg(
-            F.max(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent")
-        ),
-        "q_xml_exists_join",
-    )
-    urgent_keys = osum.filter(F.col("has_urgent"))
-    semi = (
-        c.join(urgent_keys, c.c_custkey == urgent_keys.o_custkey, "left_semi")
-        .groupBy("c_nationkey")
-        .agg(F.count("*").cast("bigint").alias("n_urgent"))
-    )
-    anti = (
-        c.join(osum, c.c_custkey == osum.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
-        .agg(F.count("*").cast("bigint").alias("n_no_orders"))
-    )
+    j = c.join(osum, c.c_custkey == osum.o_custkey, "left")
     return (
-        semi.join(anti, "c_nationkey", "full_outer")
-        .select(
-            "c_nationkey",
-            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
-            F.coalesce("n_no_orders", F.lit(0)).alias("n_no_orders"),
+        j.groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(F.col("has_urgent"), 1).otherwise(0))
+            .cast("bigint").alias("n_urgent"),
+            F.sum(F.when(osum.o_custkey.isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_no_orders"),
         )
+        .filter((F.col("n_urgent") > 0) | (F.col("n_no_orders") > 0))
         .orderBy("c_nationkey")
     )
 

@@ -330,3 +330,20 @@ def test_count_min_sketch_two_bounded_exchanges_no_python(push_conf):
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exists_join_single_pass(push_conf):
+    # xml_exists_join (r17): ONE left join against the per-custkey
+    # orders summary answers both the EXISTS(urgent) and the
+    # NOT-EXISTS(any order) counts — the customer dim is scanned and
+    # shuffled once (the old semi+anti shape scanned it twice) and the
+    # full-outer recombination join is gone. Exactly two xml-graft
+    # scans (customer + orders) and exactly one join may appear.
+    plan = _plan(push_conf, "xml_exists_join")
+    assert plan.count("BatchScan xml-graft") == 2, plan[:2000]
+    assert "FullOuter" not in plan
+    n_joins = sum(
+        plan.count(j) for j in
+        ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan[:2000]
