@@ -528,17 +528,34 @@ def q_xml_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xml_distinct_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations over XML customer: market segments of high-balance
-    customers minus segments of the most negative balances."""
+    """Set difference over XML customer: (segment, nation) pairs seen
+    among mid-high balances (8000, 9500] minus pairs seen among top
+    balances (> 9500)."""
     c = _xml_table(spark, sf_dir, "customer",
                    columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
-    mid = (
-        c.filter((F.col("c_acctbal") > 8000) & (F.col("c_acctbal") <= 9500))
-        .select("c_mktsegment", "c_nationkey")
-        .distinct()
+    # ONE scan answers the set difference as a conditional aggregate:
+    # group the bal>8000 rows by pair and flag which band(s) each pair
+    # appears in — pairs in mid but not top ARE mid.except(top). The
+    # previous two-branch shape (mid.distinct exceptAll top.distinct)
+    # scanned the customer XML twice (Python-data-source scans don't
+    # canonicalize equal, so ReuseExchange can't share them) and paid
+    # two distinct exchanges plus the exceptAll shuffle; groupBy's
+    # null-safe key equality matches the set-op semantics exactly, and
+    # c_acctbal is non-NULL under the pushed bal>8000 filter, so the
+    # band flags are never NULL.
+    g = (
+        c.filter(F.col("c_acctbal") > 8000)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.max(F.col("c_acctbal") <= 9500).alias("in_mid"),
+            F.max(F.col("c_acctbal") > 9500).alias("in_top"),
+        )
     )
-    top = c.filter(F.col("c_acctbal") > 9500).select("c_mktsegment", "c_nationkey").distinct()
-    return mid.exceptAll(top).distinct().orderBy("c_mktsegment", "c_nationkey")
+    return (
+        g.filter(F.col("in_mid") & ~F.col("in_top"))
+        .select("c_mktsegment", "c_nationkey")
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
 
 
 def q_xml_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -347,3 +347,13 @@ def test_exists_join_single_pass(push_conf):
         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
     assert n_joins == 1, plan[:2000]
+
+
+def test_distinct_except_single_scan(push_conf):
+    # xml_distinct_except (r17): the set difference is a conditional
+    # aggregate over ONE customer scan — the old two-branch
+    # mid.exceptAll(top) shape scanned the XML twice and paid two
+    # distinct exchanges plus the exceptAll shuffle.
+    plan = _plan(push_conf, "xml_distinct_except")
+    assert plan.count("BatchScan xml-graft") == 1, plan[:2000]
+    assert "Union" not in plan
