@@ -860,16 +860,23 @@ def contamination_check(
     count, no shuffle of corpus shingles, no all-pairs anything. Same
     shingle definition as the Jaccard/minhash family (_word_shingles:
     lowercase, \\s+ split, distinct n-grams, whole-text fallback)."""
-    # ONE shingle computation per corpus doc (the dominant per-doc cost),
-    # carried through the explode; hits counted via a LEFT broadcast join
-    # so zero-hit docs survive into the same keyed aggregation — no second
-    # corpus scan and no totals-vs-hits shuffle join
-    sh = corpus.select(
+    # ONE shingle computation per corpus doc (the dominant per-doc cost):
+    # the shingle expression must sit INSIDE the explode — given a
+    # pre-projected array column, InferFiltersFromGenerate adds a
+    # size(arr)>0 guard that predicate pushdown then inlines BELOW the
+    # fan-out exchange, re-evaluating the whole shingle expression per
+    # doc a second time (the rule skips non-attribute generator
+    # children, so inlining avoids it; verified in the r17 plan diff).
+    # n_shingles is recovered as count(*) per doc — explode emits
+    # exactly size(arr) rows and the broadcast-left-join probe matches
+    # each row at most once (bs is distinct), so no size() projection
+    # (which would force the array column back out of the explode) is
+    # needed. Hits counted via the LEFT broadcast join so zero-hit docs
+    # survive into the same keyed aggregation — no second corpus scan
+    # and no totals-vs-hits shuffle join.
+    ex = corpus.select(
         F.col(id_col).alias("_cid"),
-        _word_shingles(F.col(text_col), n).alias("_sh"),
-    )
-    ex = sh.select(
-        "_cid", F.size("_sh").alias("_total"), F.explode("_sh").alias("_s")
+        F.explode(_word_shingles(F.col(text_col), n)).alias("_s"),
     )
     bs = (
         benchmark.select(
@@ -882,7 +889,7 @@ def contamination_check(
         ex.join(F.broadcast(bs), "_s", "left")
         .groupBy("_cid")
         .agg(
-            F.first("_total").alias("n_shingles"),
+            F.count("*").cast("int").alias("n_shingles"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
         )
         .select(

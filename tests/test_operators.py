@@ -1456,6 +1456,17 @@ def test_contamination_check_broadcast_and_values(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # ONE shingle evaluation per side (r17): the shingle expression may
+    # appear only inside the two Generates — a pre-projected array
+    # column would let InferFiltersFromGenerate re-evaluate it per doc
+    # inside a pushed-down Filter (the arrays_zip marker is unique to
+    # the shingle expression)
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("arrays_zip") == 2, final[:3000]
+    for line in final.splitlines():
+        if "Filter" in line and "arrays_zip" in line:
+            raise AssertionError("shingle expression inside a Filter: "
+                                 + line[:300])
 
 
 def test_deterministic_sample_stability(spark):
