@@ -3702,7 +3702,12 @@ def q_text_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     half builds its own 3x256 sketch, merge_count_min_sketches sums the
     cells — and by linearity the merged matrix, and therefore every
     estimate, must EQUAL the from-scratch sketch of the union, which is
-    exactly what the (shared) oracle computes."""
+    exactly what the (shared) oracle computes. Both partials come from
+    ONE tokenize scan: grouping by (lang, doc_id%2) partitions the rows
+    exactly as two parity filters would (doc_id is non-negative), so
+    each per-(lang, parity) sketch row is bit-identical to the
+    filtered-branch build — at half the corpus scans (r17; the old
+    two-filtered-branch shape read 1.63 s vs 1.32 s at sf0.1)."""
     from spark_xml_spark.operators import (
         cms_estimate,
         count_min_sketch,
@@ -3722,16 +3727,11 @@ def q_text_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    parts = [
-        count_min_sketch(
-            toks.filter(F.col("doc_id") % 2 == i),
-            ["lang"], "tok", depth=3, width=256, salt="cm",
-        )
-        for i in (0, 1)
-    ]
-    merged = merge_count_min_sketches(
-        parts[0].unionByName(parts[1]), ["lang"]
-    )
+    parts = count_min_sketch(
+        toks.withColumn("_par", F.col("doc_id") % 2),
+        ["lang", "_par"], "tok", depth=3, width=256, salt="cm",
+    ).drop("_par")
+    merged = merge_count_min_sketches(parts, ["lang"])
     est = cms_estimate(merged, _CMS_PROBES, salt="cm", depth_cap=3)
     return est.select("lang", "item", "est_count").orderBy("lang", "item")
 
@@ -3749,7 +3749,11 @@ def q_text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle replays the identical cell matrix + threshold, so
     the SAME false positives appear on both engines — bit-exact. One
     (lang, tok) distinct agg + per-group sketch join + codegen
-    estimate/filter; no window, no collect."""
+    estimate/filter; no window, no collect. Both partials come from ONE
+    tokenize scan (r17, the text_cms_merge parity-group construction):
+    grouping by (lang, doc_id%2) partitions the rows exactly as two
+    parity filters would, so the per-(lang, parity) sketch rows feeding
+    the merge are bit-identical to the filtered-branch build."""
     from spark_xml_spark.operators import (
         cms_heavy_hitters,
         count_min_sketch,
@@ -3769,16 +3773,11 @@ def q_text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    parts = [
-        count_min_sketch(
-            toks.filter(F.col("doc_id") % 2 == i),
-            ["lang"], "tok", depth=3, width=256, salt="cm",
-        )
-        for i in (0, 1)
-    ]
-    merged = merge_count_min_sketches(
-        parts[0].unionByName(parts[1]), ["lang"]
-    )
+    parts = count_min_sketch(
+        toks.withColumn("_par", F.col("doc_id") % 2),
+        ["lang", "_par"], "tok", depth=3, width=256, salt="cm",
+    ).drop("_par")
+    merged = merge_count_min_sketches(parts, ["lang"])
     hh = cms_heavy_hitters(
         merged, toks, ["lang"], "tok", phi=0.02, salt="cm", depth_cap=3
     )
@@ -4092,13 +4091,17 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.withColumn("ts_sec", ts_sec).select(
         "event_id", "event_type", "ts_sec", "value"
     )
-    history = base.filter(F.col("event_id") % 2 == 0)
-    new_day = base.filter(F.col("event_id") % 2 == 1)
-    parts = [
-        time_rollup(h, "ts_sec", ["event_type"], 3600, "value")
-        for h in (history, new_day)
-    ]
-    merged = merge_rollups(parts, ["event_type"])
+    # both halves ("history" and "new day") roll up from ONE events
+    # scan (r17, the text_cms_merge parity-group construction): keying
+    # the rollup by (event_type, event_id%2) partitions the rows
+    # exactly as the two parity filters would, and merge_rollups over
+    # the one partial frame combines the two parity rows per
+    # (bucket, event_type) just as it combines two frames
+    parts = time_rollup(
+        base.withColumn("_par", F.col("event_id") % 2),
+        "ts_sec", ["event_type", "_par"], 3600, "value",
+    ).drop("_par")
+    merged = merge_rollups([parts], ["event_type"])
     return merged.select(
         "bucket_start",
         "event_type",
@@ -4175,16 +4178,14 @@ def q_text_qsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _parquet(spark, sf_dir, "documents", fan_out=False).select(
         "source", "doc_id", F.length("text").cast("double").alias("n_chars")
     )
-    parts = [
-        quantile_sketch(
-            d.filter(F.col("doc_id") % 2 == i),
-            ["source"], "n_chars", "doc_id", k=64, salt="qs",
-        )
-        for i in (0, 1)
-    ]
-    merged = merge_quantile_sketches(
-        parts[0].unionByName(parts[1]), ["source"], k=64
-    )
+    # both partials from ONE corpus scan (r17, the text_cms_merge
+    # parity-group construction): the per-(source, doc_id%2) bottom-k
+    # samples are bit-identical to the two filtered-branch sketches
+    parts = quantile_sketch(
+        d.withColumn("_par", F.col("doc_id") % 2),
+        ["source", "_par"], "n_chars", "doc_id", k=64, salt="qs",
+    ).drop("_par")
+    merged = merge_quantile_sketches(parts, ["source"], k=64)
     est = quantile_estimate(merged, [0.5, 0.9])
     return est.select(
         "source",

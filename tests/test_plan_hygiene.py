@@ -357,3 +357,22 @@ def test_distinct_except_single_scan(push_conf):
     plan = _plan(push_conf, "xml_distinct_except")
     assert plan.count("BatchScan xml-graft") == 1, plan[:2000]
     assert "Union" not in plan
+
+
+def test_parity_merge_demos_single_build_scan(push_conf):
+    # The parity-split-then-merge demos (r17): both partial sketches /
+    # rollups come from ONE corpus pass keyed by (group, doc parity) —
+    # per-(group, parity) partials are bit-identical to the old
+    # two-filtered-branch build, which scanned the source twice and
+    # unioned. The merge operators still run (the demos' point); only
+    # the build fan-in changed, so the plan must carry no Union and
+    # exactly the expected number of source scans.
+    for name, n_scans in (
+        ("text_cms_merge", 1),
+        ("text_qsketch_merge", 1),
+        ("events_rollup", 1),
+        ("text_cms_topk", 2),  # +1 probe side, by design
+    ):
+        plan = _plan(push_conf, name)
+        assert plan.count("Scan parquet") == n_scans, (name, plan[:2000])
+        assert "Union" not in plan, name
