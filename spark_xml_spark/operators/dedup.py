@@ -1132,27 +1132,38 @@ def connected_components(
     try:
         for it in range(1, max_iterations):
             nbr = edges.join(labels, edges.dst == labels.id).select(
-                F.col("src").alias("id"), F.col("comp")
+                F.col("src").alias("id"),
+                F.col("comp"),
+                F.lit(False).alias("_old"),
             )
-            new_labels = (
-                labels.select("id", "comp")
+            # the convergence probe rides the propagate aggregation
+            # itself (r17): labels carries exactly one _old=true row per
+            # id into the union, so min(when(_old, comp)) recovers the
+            # previous label inside the SAME min-aggregation and
+            # "_chg = new < prev" (labels only ever DECREASE under
+            # min-propagation) marks changed ids — the old per-iteration
+            # O(V) probe join against the previous labels frame becomes
+            # a local scan of the frame the checkpoint just materialized
+            new_full = (
+                labels.select(
+                    "id", "comp", F.lit(True).alias("_old")
+                )
                 .union(nbr)
                 .groupBy("id")
-                .agg(F.min("comp").alias("comp"))
+                .agg(
+                    F.min("comp").alias("comp"),
+                    F.min(F.when(F.col("_old"), F.col("comp"))).alias(
+                        "_prev"
+                    ),
+                )
+                .withColumn("_chg", F.col("comp") < F.col("_prev"))
                 .localCheckpoint(eager=True)  # truncate iteration lineage
             )
             # pass 1 is fused into the label init above, so every loop
             # pass probes convergence (star/clique-shaped near-dup graphs
             # usually converge at the fused pass and exit here first)
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("comp", "_old"), "id"
-                )
-                .filter(F.col("comp") != F.col("_old"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = new_full.filter(F.col("_chg")).limit(1).count()
+            labels = new_full.select("id", "comp")
             if changed == 0:
                 edges.unpersist()
                 return labels.select(

@@ -1529,6 +1529,27 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(empty).collect() == []
 
 
+def test_connected_components_probe_columns_never_leak(spark):
+    """The fused convergence probe (r17) carries _old/_prev/_chg through
+    the propagate aggregation; none of them may appear in the returned
+    frame — on the converged-at-init path (star) NOR the multi-iteration
+    path (chain), and custom output names still apply."""
+    from spark_xml_spark.operators import connected_components
+
+    star = spark.createDataFrame(
+        [(10, 11), (10, 12)], "id_a long, id_b long"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    for pairs in (star, chain):
+        out = connected_components(
+            pairs, out_id="vec_id", out_comp="cluster_id"
+        )
+        assert out.columns == ["vec_id", "cluster_id"]
+        assert out.count() > 0
+
+
 def test_chunk_documents_stride_and_null(spark):
     """Review r7b: step > window (stride sampling) must not emit a phantom
     empty tail chunk; NULL text yields NULL chunks (not [NULL])."""
