@@ -1289,12 +1289,21 @@ def unigram_logprob_score(
     join as two evaluations of the same cheap lineage — deliberately
     recomputed, NOT persisted: an exploded token frame is ~10x the
     corpus and caching it would dwarf the second scan it saves. The
-    corpus total enters via a broadcast cross-join of a 1-row aggregate
-    (never a driver collect), and the token->logprob join is left to
-    AQE — a min-count-pruned real vocabulary broadcasts, but the
-    operator must not force it (a 100M-entry vocab would OOM a forced
-    broadcast). Documents with zero tokens keep a NULL score via the
-    final left join rather than silently dropping.
+    VOCAB frame, by contrast, is bounded by vocabulary size (sublinear
+    in corpus bytes) and consumed by two branches — the log-prob table
+    and the corpus total — so it persists via the scoped-intermediate
+    protocol (MEMORY_AND_DISK, own-previous-generation retirement);
+    without it the total's 1-row aggregate re-evaluates the whole
+    tokenize+explode+shuffle lineage per call (Spark plans the two
+    aggregates as separate exchanges, no ReuseExchange), a third full
+    corpus pass measured at ~29% of the query wall on a 500k-doc
+    fixture. The corpus total enters via a broadcast cross-join of a
+    1-row aggregate (never a driver collect), and the token->logprob
+    join is left to AQE — a min-count-pruned real vocabulary
+    broadcasts, but the operator must not force it (a 100M-entry vocab
+    would OOM a forced broadcast; persisting it is fine — the cache
+    spills and evicts). Documents with zero tokens keep a NULL score
+    via the final left join rather than silently dropping.
 
     Raises on output-name collisions (the join-back would otherwise
     produce two ambiguous columns — e.g. composing with
@@ -1305,13 +1314,18 @@ def unigram_logprob_score(
                 f"unigram_logprob_score would add column {taken!r}, which "
                 f"already exists on the input; rename one of them"
             )
+    from .dedup import _persist_intermediate, _retire_intermediates
+
+    _retire_intermediates("unigram_logprob_score")  # own previous call only
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
         ).alias("_tok"),
     )
-    vocab = toks.groupBy("_tok").agg(F.count("*").alias("_n"))
+    vocab = _persist_intermediate(
+        toks.groupBy("_tok").agg(F.count("*").alias("_n")), "unigram_logprob_score"
+    )
     total = vocab.agg(F.sum("_n").alias("_total"))
     logprob = vocab.crossJoin(F.broadcast(total)).select(
         "_tok", F.log10(F.col("_n") / F.col("_total")).alias("_lp")

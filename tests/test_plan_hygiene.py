@@ -359,6 +359,21 @@ def test_distinct_except_single_scan(push_conf):
     assert "Union" not in plan
 
 
+def test_text_lm_vocab_built_once(push_conf):
+    # unigram_logprob_score (r17): the vocab count frame persists via
+    # the scoped-intermediate protocol and BOTH its consumers — the
+    # log-prob table and the 1-row corpus total — must read the cache
+    # (two InMemoryTableScans of one relation). Without it the total
+    # re-evaluates the whole tokenize+explode+shuffle lineage (a third
+    # full corpus pass; the exchanges never canonicalize equal, so
+    # ReuseExchange can't save it). The exploded token frame itself
+    # must stay uncached (~10x corpus) — only the bounded vocab may
+    # appear as a cache build.
+    plan = _plan(push_conf, "text_lm")
+    assert plan.count("InMemoryTableScan") == 2, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_parity_merge_demos_single_build_scan(push_conf):
     # The parity-split-then-merge demos (r17): both partial sketches /
     # rollups come from ONE corpus pass keyed by (group, doc parity) —
