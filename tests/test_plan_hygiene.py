@@ -363,14 +363,20 @@ def test_text_lm_vocab_built_once(push_conf):
     # unigram_logprob_score (r17): the vocab count frame persists via
     # the scoped-intermediate protocol and BOTH its consumers — the
     # log-prob table and the 1-row corpus total — must read the cache
-    # (two InMemoryTableScans of one relation). Without it the total
-    # re-evaluates the whole tokenize+explode+shuffle lineage (a third
-    # full corpus pass; the exchanges never canonicalize equal, so
-    # ReuseExchange can't save it). The exploded token frame itself
-    # must stay uncached (~10x corpus) — only the bounded vocab may
-    # appear as a cache build.
+    # (two InMemoryTableScans of the vocab relation, identified by its
+    # _n count column; the total branch prunes _tok away, and other
+    # suite fixtures may legitimately cache the source parquet, so a
+    # bare InMemoryTableScan count is not stable). Without the persist
+    # the total re-evaluates the whole tokenize+explode+shuffle lineage
+    # (a third full corpus pass; the exchanges never canonicalize
+    # equal, so ReuseExchange can't save it). The exploded token frame
+    # itself must stay uncached (~10x corpus) — only the bounded vocab
+    # may appear as a cache build.
+    import re
+
     plan = _plan(push_conf, "text_lm")
-    assert plan.count("InMemoryTableScan") == 2, plan[:2000]
+    vocab_reads = re.findall(r"InMemoryTableScan \[[^\]]*_n#", plan)
+    assert len(vocab_reads) == 2, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
